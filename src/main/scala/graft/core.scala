@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared operator/query from SURVEY.md §2.
+  *
+  * @param build  Spark-side implementation `(session, sfDir) => result`.
+  * @param oracle equivalent ANSI SQL runnable by DuckDB over the same
+  *               parquet tables; None → driver records a rows-only check.
+  */
+final case class Q(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Table access + numeric-determinism helpers shared by every operator.
+  *
+  * Determinism contract with the DuckDB oracle: all SUM/AVG over the
+  * double-typed money columns go through DECIMAL(12,2) so partial
+  * aggregation is exact and order-independent (a plain double sum is
+  * neither — its value depends on shuffle partitioning, which breaks the
+  * driver's hash compare). The exact decimal is cast back to DOUBLE at
+  * the end; decimal→double is a single deterministic IEEE rounding, so
+  * Spark and DuckDB produce bit-identical values.
+  */
+object T {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
+    // a raw long (DuckDB truncates ns→µs, so we do the same to stay
+    // oracle-identical).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast LongType))
+      case None => df
+    }
+  }
+
+  /** Register all tables as temp views (for spark.sql-based operators). */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => apply(s, dir, n).createOrReplaceTempView(n))
+
+  /** Exact money arithmetic: cast to DECIMAL(12,2). */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact decimal sum surfaced as a deterministic double. */
+  def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Order-independent average: exact decimal sum / count, in double. */
+  def davg(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(lit(1))
+}

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local (dev-only) emulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify) and
+<verifyOutDir>/oracle_sql.json, runs each oracle in DuckDB over the
+same tables, sorts columns by name + rows, and compares values exactly.
+"""
+import sys, json, glob, math
+
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # lists/arrays -> tuples so they sort/compare
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or 'ndarray' in type(v).__name__).any():
+            df[c] = df[c].map(lambda v: tuple(v) if v is not None and not (isinstance(v, float) and math.isnan(v)) else None)
+    df = df.sort_values(by=list(df.columns), na_position='first').reset_index(drop=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            spark_df = canon(con.execute(f"SELECT * FROM read_parquet({files!r})").df())
+            oracle_df = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_bad += 1; continue
+        if list(spark_df.columns) != list(oracle_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(oracle_df.columns)}"); n_bad += 1; continue
+        if len(spark_df) != len(oracle_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(oracle_df)}"); n_bad += 1; continue
+        try:
+            pd.testing.assert_frame_equal(spark_df, oracle_df, check_dtype=False, check_exact=True)
+            print(f"OK   {name} ({len(spark_df)} rows)"); n_ok += 1
+        except AssertionError as e:
+            first = str(e).split("\n")
+            print(f"FAIL {name}: values differ: {' | '.join(first[:3])}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
