@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All operator groups, merged. Each group lives in graft.operators.*. */
   private lazy val registry: Map[String, Q] =
-    Relational.all
+    Relational.all ++ Windows.all ++ SetOps.all ++ Subqueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

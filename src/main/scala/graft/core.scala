@@ -36,7 +36,8 @@ object T {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast LongType))
+      // integer DIV, not `/`: epoch-nanos exceed double's 53-bit mantissa
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case None => df
     }
   }
