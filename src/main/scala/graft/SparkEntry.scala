@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All operator groups, merged. Each group lives in graft.operators.*. */
   private lazy val registry: Map[String, Q] =
-    Relational.all ++ Windows.all ++ SetOps.all ++ Subqueries.all
+    Relational.all ++ Windows.all ++ SetOps.all ++ Subqueries.all ++
+      Collections.all ++ Scalars.all ++ Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
