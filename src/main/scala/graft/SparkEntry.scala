@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.textops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +16,8 @@ object SparkEntry {
   /** All operator groups, merged. Each group lives in graft.operators.*. */
   private lazy val registry: Map[String, Q] =
     Relational.all ++ Windows.all ++ SetOps.all ++ Subqueries.all ++
-      Collections.all ++ Scalars.all ++ Advanced.all
+      Collections.all ++ Scalars.all ++ Advanced.all ++ Custom.all ++
+      Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

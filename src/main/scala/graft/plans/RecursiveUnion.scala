@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** WITH RECURSIVE / RepeatUnion — iterate `step` from a seed until
+  * fixpoint or an iteration limit (ref: rel/core/RepeatUnion.java:1-130,
+  * rel/core/TableSpool.java:1, EnumerableRepeatUnion.java:1;
+  * RelBuilder.repeatUnion tools/RelBuilder.java:3208-3237;
+  * recursive_queries.iq).
+  *
+  * Spark has no recursive plan node, so this is a driver-side loop — the
+  * same shape as the reference's seed ∪ iterate-until-empty, but each
+  * step is a distributed job. `localCheckpoint` truncates lineage every
+  * iteration so plan size stays O(1) instead of O(depth); the
+  * accumulated result unions lazily (UNION ALL semantics, like the
+  * reference's all=true mode).
+  */
+object RecursiveUnion {
+
+  /** @param seed           initial working table
+    * @param step           recursive step applied to the previous delta
+    * @param iterationLimit hard stop, mirroring RepeatUnion.iterationLimit
+    */
+  def repeatUnionAll(
+      seed: DataFrame,
+      step: DataFrame => DataFrame,
+      iterationLimit: Int = 100): DataFrame = {
+    var delta = seed.localCheckpoint(true)
+    var acc = delta
+    var i = 0
+    while (i < iterationLimit && !delta.isEmpty) {
+      delta = step(delta).localCheckpoint(true)
+      if (!delta.isEmpty) acc = acc.union(delta)
+      i += 1
+    }
+    acc
+  }
+}

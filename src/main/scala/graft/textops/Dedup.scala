@@ -1,0 +1,178 @@
+package graft.textops
+
+import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), bag-of-words fingerprint, exact n-gram Jaccard
+  * (explode + shingle join), and MinHash+LSH banding. The reference has
+  * no dedup operators (profile/ProfilerImpl.java:34 sketches distinct
+  * counts only) — these follow the standard MinHash/LSH construction
+  * (Broder '97) expressed as Spark aggregations.
+  *
+  * Scale design: every stage is a shuffle on a high-cardinality key
+  * (hash, shingle, band bucket). Nothing is O(n²) in the corpus — the
+  * only pairwise work happens inside LSH buckets / shared-shingle
+  * groups, which stay tiny by construction.
+  */
+object Dedup {
+
+  /** 3-word shingle set per doc; 1-based element_at matches the DuckDB
+    * oracle's 1-based list indexing exactly. */
+  private[textops] val shingleExpr =
+    """array_distinct(transform(
+         sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+         i -> concat(element_at(split(text, ' '), i), ' ',
+                     element_at(split(text, ' '), i + 1), ' ',
+                     element_at(split(text, ' '), i + 2))))"""
+
+  private[textops] def docShingles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), expr(shingleExpr).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("sz"))
+
+  /** Exact dedup: content-hash groupBy, keep the smallest doc_id — one
+    * shuffle on the hash at any scale. */
+  val d01_dedup_exact = Q(
+    (s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(md5(col("text").cast(BinaryType)).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+    Some("""
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id"""))
+
+  /** Fingerprint dedup: md5 over the sorted distinct token bag —
+    * catches reorderings/near-identical token sets that exact hash
+    * misses; still a single hash-shuffle. */
+  val d02_fingerprint_dedup = Q(
+    (s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " "))))
+            .cast(BinaryType)).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("keep_id")
+    },
+    Some("""
+      SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        FROM documents) t
+      GROUP BY fp ORDER BY keep_id"""))
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    * explode shingles → self-join on shingle → per-pair intersection
+    * counts → Jaccard ≥ 0.6. The distributed exact form — pairwise work
+    * only materializes for docs that actually share a shingle. */
+  val d04_jaccard_pairs = Q(
+    (s, dir) => {
+      val ds = docShingles(s, dir)
+      val ex = ds.select(col("doc_id"), col("sz"), explode(col("ws")).as("sh"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac",
+          col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jac") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(jaccardOracle))
+
+  /** MinHash + LSH banding near-dup detection: 64 deterministic hash
+    * functions (xxhash64 seeded by slot), 32 bands × 2 rows, candidate
+    * pairs from shared band buckets, then exact-Jaccard verification of
+    * candidates only. Output = verified pairs ≥ 0.6, so the oracle is
+    * the same exact pairwise Jaccard (the planted near-dups are ≥ 0.8;
+    * P[band miss] < 1e-14 and the hash family is fixed, so the result
+    * is deterministic). */
+  val d03_minhash_lsh = Q(
+    (s, dir) => {
+      val nHash = 64
+      val nBands = 32 // 2 rows per band
+      val ds = docShingles(s, dir)
+      val ex = ds.select(col("doc_id"), explode(col("ws")).as("sh"))
+      val sigCols = (0 until nHash).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+      val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until nBands).map(j =>
+          xxhash64(lit(1000 + j), col(s"mh_${2 * j}"), col(s"mh_${2 * j + 1}"))): _*))
+          .as(Seq("band_id", "bh")))
+      // candidate pairs: docs sharing a (band_id, band_hash) bucket.
+      // array-sorted bucket + slice-pairing keeps work inside each bucket;
+      // a degenerate hot bucket is capped (documented deviation).
+      val buckets = bands.groupBy(col("band_id"), col("bh"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 1000))
+      val cand = buckets
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+               transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"""))
+          .as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      // exact verification on candidates only (broadcast the shingle sets
+      // of candidate docs; candidate count << corpus at any scale)
+      val sets = ds.select(col("doc_id"), col("ws"), col("sz"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+        .withColumn("jac",
+          col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jac") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(jaccardOracle))
+
+  /** 64-bit SimHash per document (Charikar '02): per-token xxhash64,
+    * bit-vote aggregation, sign → fingerprint. Deterministic but
+    * hash-family-specific, so no SQL oracle (rows-only); properties are
+    * spec-tested. */
+  val d05_simhash = Q(
+    (s, dir) => {
+      val tokens = T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      // per bit: vote +1 if bit set else -1; sum votes; bit = vote > 0
+      val voteCols = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
+      }
+      val votes = tokens.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      votes.select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  private lazy val jaccardOracle: String = """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      w AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS ws
+            FROM t)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+          (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+          (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.6
+      ORDER BY doc_a, doc_b"""
+
+  val all: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01_dedup_exact,
+    "d02_fingerprint_dedup" -> d02_fingerprint_dedup,
+    "d03_minhash_lsh" -> d03_minhash_lsh,
+    "d04_jaccard_pairs" -> d04_jaccard_pairs,
+    "d05_simhash" -> d05_simhash)
+}

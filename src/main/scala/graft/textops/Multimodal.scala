@@ -1,0 +1,66 @@
+package graft.textops
+
+import graft.{Q, T}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque binary columns with typed
+  * metadata, decoded/feature-extracted per partition. The container has
+  * no image/audio codecs, so `decodeStub` is a clearly-marked
+  * deterministic fake — the Spark-side plumbing (binary schema, batch
+  * iteration via mapPartitions, typed output Encoder, partition-local
+  * batching) is the real, tested part and is what matters at 100 TB:
+  * decode runs once per row inside a partition with no shuffle, and the
+  * feature schema flows through Catalyst as ordinary columns.
+  */
+object Multimodal {
+
+  /** Typed output of the feature extractor. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      histogram: Array[Double])
+
+  /** STUB: stands in for a real image decode (e.g. JPEG → WxH + channel
+    * stats). Deterministic: dimensions derive from byte length, the
+    * "histogram" is a 4-bucket distribution over byte values. A real
+    * deployment swaps only this function; the operator shape is final. */
+  private[textops] def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val hist = new Array[Double](4)
+    var i = 0
+    while (i < bytes.length) {
+      hist(java.lang.Byte.toUnsignedInt(bytes(i)) >> 6) += 1.0
+      i += 1
+    }
+    val n = math.max(bytes.length, 1)
+    MediaFeatures(
+      doc_id = docId,
+      n_bytes = bytes.length.toLong,
+      width = 16 + (bytes.length % 64),
+      height = 9 + (bytes.length % 36),
+      histogram = hist.map(_ / n))
+  }
+
+  /** Binary ingest → partition-local decode → typed features → SQL-able
+    * aggregation. The binary column here is fabricated from text (the
+    * corpus has no real media), which exercises the identical plumbing. */
+  val d11_multimodal_features = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bin = T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      val features = bin.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      features.toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          round(element_at(col("histogram"), 2), 6).as("h1"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Map[String, Q] = Map(
+    "d11_multimodal_features" -> d11_multimodal_features)
+}

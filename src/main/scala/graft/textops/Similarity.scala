@@ -1,0 +1,98 @@
+package graft.textops
+
+import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH
+  * bucketed variant as the scale path. Dot products run through
+  * `aggregate(zip_with(...))` — codegen'd higher-order functions, no
+  * UDFs (ref for the higher-order surface: rex/RexLambda.java:1).
+  */
+object Similarity {
+
+  /** Sequential in-order double dot product — matches DuckDB's
+    * list_cosine_similarity over DOUBLE[] bit-for-bit. */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def withNorm(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn(out, sqrt(expr(
+      s"aggregate($vecCol, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+
+  /** Brute-force cosine top-3 neighbors for the first 20 query vectors.
+    * Exact baseline: queries × corpus via broadcast of the (tiny) query
+    * side, per-query top-k window. At scale: broadcast Q, scan corpus
+    * once, rank per query — one shuffle of |Q|×k candidates. */
+  val d09_knn_bruteforce = Q(
+    (s, dir) => {
+      val emb = withNorm(T(s, dir, "embeddings"), "embedding", "nrm")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("nrm").as("n_nrm"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      broadcast(q).join(cand, col("q_id") =!= col("n_id"))
+        .withColumn("sim", dot("q_vec", "n_vec") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rk"), col("sim"))
+        .orderBy("q_id", "rk")
+    },
+    Some("""
+      SELECT q_id, n_id, rk, sim FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+                     b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) t
+      WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+
+  /** ANN via random-hyperplane LSH (Charikar '02): 12 deterministic
+    * pseudo-random hyperplanes → 12-bit bucket signature; query probes
+    * its own bucket only. Scale path: bucketing replaces the full cross
+    * product with a per-bucket join; recall vs d09 is spec-tested.
+    * Hyperplane weights derive from a seeded hash, not an RNG object, so
+    * the operator is pure and replayable. */
+  val d10_knn_lsh = Q(
+    (s, dir) => {
+      val nPlanes = 12
+      // plane p, dim d -> weight in [-1, 1): deterministic int hash folded
+      val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+        (0 until 64).map { d =>
+          val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
+          (h % 1000) / 1000.0
+        }
+      }
+      def sigExpr(vecCol: String) = {
+        val bits = (0 until nPlanes).map { p =>
+          val arr = planes(p).mkString("array(", ", ", ")")
+          s"(CASE WHEN aggregate(zip_with($vecCol, $arr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v) > 0 THEN ${1L << p}L ELSE 0L END)"
+        }
+        expr(bits.mkString(" + "))
+      }
+      val emb = withNorm(T(s, dir, "embeddings"), "embedding", "nrm")
+        .withColumn("bucket", sigExpr("embedding"))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"), col("bucket"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        col("nrm").as("n_nrm"), col("bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      q.join(cand, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", dot("q_vec", "n_vec") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rk"), col("sim"))
+        .orderBy("q_id", "rk")
+    },
+    None)
+
+  val all: Map[String, Q] = Map(
+    "d09_knn_bruteforce" -> d09_knn_bruteforce,
+    "d10_knn_lsh" -> d10_knn_lsh)
+}

@@ -1,0 +1,96 @@
+package graft.textops
+
+import graft.{Q, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + BPE-ish regex), quality scoring (length / punctuation /
+  * stopword ratios), document fingerprinting and n-gram language ID.
+  * All narrow projections over codegen'd builtins — embarrassingly
+  * parallel at 100 TB — except langid, whose profile table is a tiny
+  * broadcast model built with one aggregation pass.
+  */
+object TextAnalysis {
+
+  private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letters runs | digit runs | single punctuation). */
+  val d07_token_count = Q(
+    (s, dir) => {
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+          regexp_count(col("text"), lit(bpeish)).cast(LongType).as("re_tokens"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: word count, mean word length, stopword ratio,
+    * alpha ratio — the standard cheap quality gates. All ratios are
+    * int/int divisions in double, so they hash-match the oracle. */
+  val d06_quality_score = Q(
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        .map(w => s"'$w'").mkString(", ")
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast(LongType).as("words"),
+          (length(col("text")).cast(DoubleType) / size(col("w"))).as("mean_wlen"),
+          (expr(s"size(filter(w, x -> x IN ($stop)))").cast(DoubleType) / size(col("w")))
+            .as("stop_ratio"),
+          (regexp_count(col("text"), lit("[a-zA-Z]")).cast(DoubleType) / length(col("text")))
+            .as("alpha_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS words,
+        CAST(LENGTH(text) AS DOUBLE) / len(w) AS mean_wlen,
+        CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(w) AS stop_ratio,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** Language ID via word-frequency profiles (naive Bayes with add-1
+    * smoothing). The per-(lang, word) profile is one aggregation over the
+    * corpus (tiny result → broadcast); scoring is an explode + broadcast
+    * join + log-prob sum — no O(corpus × langs) shuffle. Log-prob sums
+    * are order-dependent doubles → rows-only (spec-tested). */
+  val d08_langid = Q(
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val words = docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val profile = words.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      val langTotals = profile.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"),
+        count(lit(1)).as("vocab"))
+      val model = broadcast(profile.join(langTotals, "lang")
+        .select(col("lang").as("m_lang"), col("w"),
+          log((col("cnt") + 1).cast(DoubleType) / (col("tot") + col("vocab"))).as("logp")))
+      val scored = words.select(col("doc_id"), col("w"))
+        .join(model, Seq("w"), "inner")
+        .groupBy(col("doc_id"), col("m_lang"))
+        .agg(sum(col("logp")).as("score"))
+      val best = scored.groupBy(col("doc_id"))
+        .agg(max_by(col("m_lang"), struct(col("score"), col("m_lang"))).as("pred_lang"))
+      docs.select(col("doc_id"), col("lang")).join(best, "doc_id")
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Map[String, Q] = Map(
+    "d06_quality_score" -> d06_quality_score,
+    "d07_token_count" -> d07_token_count,
+    "d08_langid" -> d08_langid)
+}
