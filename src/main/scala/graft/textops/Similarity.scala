@@ -52,38 +52,49 @@ object Similarity {
       WHERE rk <= 3
       ORDER BY q_id, rk"""))
 
-  /** ANN via random-hyperplane LSH (Charikar '02): 12 deterministic
-    * pseudo-random hyperplanes → 12-bit bucket signature; query probes
-    * its own bucket only. Scale path: bucketing replaces the full cross
-    * product with a per-bucket join; recall vs d09 is spec-tested.
-    * Hyperplane weights derive from a seeded hash, not an RNG object, so
-    * the operator is pure and replayable. */
+  /** ANN via multi-table random-hyperplane LSH (Charikar '02): 8 hash
+    * tables × 4 deterministic hyperplanes → per-table 4-bit signature;
+    * candidates = union over tables of same-bucket vectors, then exact
+    * cosine re-rank of the candidate set. Scale path: the bucket join
+    * replaces the full cross product — per-table bucket population sets
+    * the candidate budget, tables set the recall. Hyperplane weights
+    * derive from a seeded integer hash (pure, replayable — no RNG
+    * object). Note: the synthetic embeddings are i.i.d. gaussian, so
+    * near-neighbors are barely above the bulk and LSH recall is
+    * intrinsically weak here; the spec reports recall instead of
+    * asserting it. */
   val d10_knn_lsh = Q(
     (s, dir) => {
-      val nPlanes = 12
-      // plane p, dim d -> weight in [-1, 1): deterministic int hash folded
-      val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-        (0 until 64).map { d =>
-          val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
-          (h % 1000) / 1000.0
-        }
+      val nTables = 8
+      val bitsPerTable = 4
+      def weight(t: Int, b: Int, d: Int): Double = {
+        val h = scala.util.hashing.MurmurHash3.productHash((t, b, d, 42))
+        (h % 1000) / 1000.0
       }
-      def sigExpr(vecCol: String) = {
-        val bits = (0 until nPlanes).map { p =>
-          val arr = planes(p).mkString("array(", ", ", ")")
-          s"(CASE WHEN aggregate(zip_with($vecCol, $arr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v) > 0 THEN ${1L << p}L ELSE 0L END)"
+      // per-table signature: 4 sign bits of hyperplane projections
+      def sigExpr(vecCol: String, t: Int) = {
+        val bits = (0 until bitsPerTable).map { b =>
+          val arr = (0 until 64).map(weight(t, b, _)).mkString("array(", ", ", ")")
+          s"(CASE WHEN aggregate(zip_with($vecCol, $arr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v) > 0 THEN ${1 << b} ELSE 0 END)"
         }
         expr(bits.mkString(" + "))
       }
       val emb = withNorm(T(s, dir, "embeddings"), "embedding", "nrm")
-        .withColumn("bucket", sigExpr("embedding"))
-      val q = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-          col("nrm").as("q_nrm"), col("bucket"))
-      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
-        col("nrm").as("n_nrm"), col("bucket"))
+      val tabled = emb.select(
+        col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until nTables).map(t => sigExpr("embedding", t)): _*))
+          .as(Seq("table_id", "bucket")))
+      val q = tabled.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("table_id"), col("bucket"))
+      val cand = tabled.select(col("vec_id").as("n_id"), col("table_id"), col("bucket"))
+      val pairs = q.join(cand, Seq("table_id", "bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id")).distinct()
+      // exact re-rank of the candidate union
+      val qv = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+      val nv = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("nrm").as("n_nrm"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-      q.join(cand, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      pairs.join(broadcast(qv), Seq("q_id")).join(nv, Seq("n_id"))
         .withColumn("sim", dot("q_vec", "n_vec") / (col("q_nrm") * col("n_nrm")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)

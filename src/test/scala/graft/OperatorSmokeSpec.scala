@@ -1,0 +1,32 @@
+package graft
+
+/** Every declared query runs end-to-end at sf0.001 and (where the query
+  * isn't a filter that can legitimately select zero rows) returns rows.
+  * Value correctness is covered by the DuckDB-oracle gate (tools/check.py
+  * at sf0.01); this suite is the compile-shape-and-run gate.
+  */
+class OperatorSmokeSpec extends SparkSpec {
+
+  // queries whose result may be legitimately empty at sf=0.001
+  private val mayBeEmpty = Set(
+    "q33_except", "q41_not_exists_anti", "q03_topk_join", "q14_having",
+    "d03_minhash_lsh", "d04_jaccard_pairs")
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name runs") {
+      val df = run(name)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+}

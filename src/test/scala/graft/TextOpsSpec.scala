@@ -1,0 +1,98 @@
+package graft
+
+import graft.textops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Property tests for operators the DuckDB oracle can't check
+  * (hash-family-specific or heuristic outputs). */
+class TextOpsSpec extends SparkSpec {
+
+  test("simhash: identical text -> identical fingerprint, deterministic across runs") {
+    val a = run("d05_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = run("d05_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "simhash must be deterministic")
+    assert(a.values.toSet.size > 1, "simhash should spread across documents")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val sim = run("d05_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = run("d04_jaccard_pairs").collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (pairs.nonEmpty) {
+      val dists = pairs.map { case (x, y) => java.lang.Long.bitCount(sim(x) ^ sim(y)) }
+      assert(dists.max <= 16, s"near-dups should be close in simhash space, got ${dists.max}")
+    }
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard at sf0.001") {
+    val lsh = run("d03_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("d04_jaccard_pairs").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH pairs $lsh != exact $exact")
+  }
+
+  test("langid: outputs one valid prediction per document") {
+    val out = run("d08_langid").collect()
+    val docs = T(spark, sfDir, "documents").count()
+    assert(out.length == docs)
+    val langs = T(spark, sfDir, "documents").select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.forall(r => langs.contains(r.getString(2))))
+  }
+
+  test("knn LSH: results are a subset-quality approximation of brute force") {
+    val bf = run("d09_knn_bruteforce").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = run("d10_knn_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every ANN neighbor must be a real vector; recall is reported, not asserted
+    // hard (random hyperplanes on near-orthogonal vectors are genuinely lossy)
+    val recalls = bf.keys.toSeq.map { q =>
+      val hits = ann.getOrElse(q, Set.empty) intersect bf(q)
+      hits.size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ANN mean recall@3 = $mean%.2f over ${bf.size} queries")
+    assert(ann.nonEmpty, "LSH should return candidates for at least some queries")
+  }
+
+  test("sample: fraction lands near 10%") {
+    val total = T(spark, sfDir, "lineitem").count()
+    val sampled = run("q92_sample").agg(sum("n")).collect()(0).getLong(0)
+    val frac = sampled.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac far from 0.1")
+  }
+
+  test("sample: seeded sample is reproducible") {
+    val a = run("q92_sample").collect().toSeq
+    val b = run("q92_sample").collect().toSeq
+    assert(a == b)
+  }
+
+  test("multimodal: decode stub produces stable typed features") {
+    val out = run("d11_multimodal_features")
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "h1"))
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getInt(2) >= 16 && r.getInt(3) >= 9))
+    val again = run("d11_multimodal_features").collect()
+    assert(rows.toSeq == again.toSeq, "decode stub must be deterministic")
+  }
+
+  test("asof join: every matched click is at-or-before its purchase") {
+    val out = run("q96_asof_join").collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      val clickTs = r.getAs[java.sql.Timestamp]("click_ts")
+      if (clickTs != null) assert(!clickTs.after(ts), s"click $clickTs after purchase $ts")
+    }
+  }
+
+  test("recursive union: depth-k rows are seed*2^k") {
+    val rows = run("q97_recursive_union").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.contains((512L, 9))) // 1 * 2^9
+    rows.foreach { case (n, d) =>
+      assert(n % (1L << d) == 0, s"$n not a 2^$d multiple of a seed")
+    }
+  }
+}
