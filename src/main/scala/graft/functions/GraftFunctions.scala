@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Function registry — the engine's operator-table plug-in layer (ref:
+  * sql/SqlOperatorTable.java chaining in prepare/CalcitePrepareImpl.java:
+  * 749-760; gap analysis in SURVEY.md §2.6-2.7). Functions Spark already
+  * has are not re-registered; what's here is the delta:
+  *
+  *  - custom expressions: similar_to, to_base32/from_base32;
+  *  - expression rewrites (stay codegen'd — they expand to builtins):
+  *    degree trig (cosd/sind/tand/acosd/asind/atand), reciprocal trig
+  *    (csc/sec/coth/sech/csch), is_inf, strcmp, decode_ora,
+  *    to_code_points / code_points_to_string.
+  */
+object GraftFunctions {
+
+  /** Column-level API (usable without SQL registration). */
+  def similar_to(str: Column, pattern: Column): Column =
+    column(SimilarTo(expression(str), expression(pattern)))
+  def to_base32(c: Column): Column = column(ToBase32(expression(c)))
+  def from_base32(c: Column): Column = column(FromBase32(expression(c)))
+
+  private def d(e: Expression): Expression = Cast(e, DoubleType)
+  private val DegToRad = Literal(math.Pi / 180.0)
+  private val RadToDeg = Literal(180.0 / math.Pi)
+
+  /** name → expression builder, registered into the session's
+    * FunctionRegistry so both SQL text and the DSL resolve them. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "similar_to" -> (args => SimilarTo(args(0), args(1))),
+    "to_base32" -> (args => ToBase32(args.head)),
+    "from_base32" -> (args => FromBase32(args.head)),
+    // degree trigonometry (ref: SqlLibraryOperators.java:2479-2524)
+    "cosd" -> (args => Cos(Multiply(d(args.head), DegToRad))),
+    "sind" -> (args => Sin(Multiply(d(args.head), DegToRad))),
+    "tand" -> (args => Tan(Multiply(d(args.head), DegToRad))),
+    "acosd" -> (args => Multiply(Acos(d(args.head)), RadToDeg)),
+    "asind" -> (args => Multiply(Asin(d(args.head)), RadToDeg)),
+    "atand" -> (args => Multiply(Atan(d(args.head)), RadToDeg)),
+    // reciprocal/hyperbolic-reciprocal trig (ref: SqlLibraryOperators.java:2533-2563)
+    "csc" -> (args => Divide(Literal(1.0), Sin(d(args.head)))),
+    "sec" -> (args => Divide(Literal(1.0), Cos(d(args.head)))),
+    "coth" -> (args => Divide(Cosh(d(args.head)), Sinh(d(args.head)))),
+    "sech" -> (args => Divide(Literal(1.0), Cosh(d(args.head)))),
+    "csch" -> (args => Divide(Literal(1.0), Sinh(d(args.head)))),
+    // is_inf (ref: SqlLibraryOperators.java:2632)
+    "is_inf" -> (args =>
+      EqualTo(Abs(d(args.head)), Literal(Double.PositiveInfinity))),
+    // strcmp: -1/0/1 string comparison, MySQL semantics
+    // (ref: SqlLibraryOperators.java:1121)
+    "strcmp" -> (args => CaseWhen(Seq(
+      (LessThan(args(0), args(1)), Literal(-1)),
+      (GreaterThan(args(0), args(1)), Literal(1))), Literal(0))),
+    // Oracle DECODE(expr, s1, r1[, s2, r2]*[, default]) (ref: SqlLibraryOperators.java:266)
+    "decode_ora" -> (args => {
+      val expr = args.head
+      val rest = args.tail
+      val (pairs, default) =
+        if (rest.length % 2 == 0) (rest.grouped(2).toSeq, None)
+        else (rest.init.grouped(2).toSeq, Some(rest.last))
+      CaseWhen(pairs.map(p => (EqualNullSafe(expr, p(0)), p(1))), default)
+    }),
+    // code points (ref: SqlLibraryOperators.java:2398-2421)
+    "to_code_points" -> (args =>
+      ArrayTransform(
+        Sequence(Literal(1), Length(Cast(args.head, StringType)), None),
+        LambdaFunction(
+          Ascii(Substring(Cast(args.head, StringType), UnresolvedNamedLambdaVariableHack.v("i"), Literal(1))),
+          Seq(UnresolvedNamedLambdaVariableHack.v("i"))))),
+    "code_points_to_string" -> (args =>
+      ArrayJoin(
+        ArrayTransform(args.head,
+          LambdaFunction(Chr(UnresolvedNamedLambdaVariableHack.v("c")),
+            Seq(UnresolvedNamedLambdaVariableHack.v("c")))),
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("")), None)))
+
+  /** Register everything into a session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+
+  /** Registered function names (for docs/tests). */
+  def names: Seq[String] = builders.map(_._1)
+}
+
+/** Named lambda variables for manually-built higher-order expressions. */
+private[functions] object UnresolvedNamedLambdaVariableHack {
+  def v(name: String): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(Seq(name))
+}

@@ -207,8 +207,25 @@ object Scalars {
       FROM lineitem WHERE l_orderkey <= 1000
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** SQL SIMILAR TO via our custom Catalyst expression (ref:
+    * SqlStdOperatorTable.java:1734; translation mirrors
+    * runtime/SqlFunctions.java similar()). Oracle: DuckDB's native
+    * SIMILAR TO. */
+  val q73_similar_to = Q(
+    (s, dir) => {
+      T(s, dir, "part")
+        .filter(graft.functions.GraftFunctions.similar_to(col("p_name"), lit("%(car|dog)%")))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey, p_name FROM part
+      WHERE p_name SIMILAR TO '%(car|dog)%'
+      ORDER BY p_partkey"""))
+
   val all: Map[String, Q] = Map(
     "q60_date_trunc" -> q60_date_trunc,
+    "q73_similar_to" -> q73_similar_to,
     "q61_extract_parts" -> q61_extract_parts,
     "q62_date_diff" -> q62_date_diff,
     "q63_tumble_window" -> q63_tumble_window,

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column↔Expression conversions, needed
+  * by extension libraries that define custom Catalyst expressions (Spark
+  * 4 removed the public `Column(expr)`/`col.expr` surface in the Connect
+  * API unification). */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
