@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** STREAM surface lowered onto Structured Streaming (ref: SURVEY.md §2.11;
+  * rel/stream/Delta.java:1, StreamRules.java:57-365 — Spark's
+  * IncrementalExecution performs the same Δ-pushdown automatically; the
+  * TUMBLE/HOP/SESSION window TVFs of SqlStdOperatorTable.java:2606-2612 /
+  * SqlWindowTableFunction.java:53-68 map to window()/session_window(),
+  * with the TVF's window_start/window_end columns surfaced from the
+  * window struct).
+  *
+  * Watermarks make the reference's "quasi-monotonic grouping" requirement
+  * (stream.md:221-252) concrete: state for closed windows is dropped, so
+  * a 100 TB/day stream aggregation holds constant memory per key-window.
+  */
+object StreamOps {
+
+  /** A streaming Δ-source over a parquet directory (the batch table's
+    * stream() view, ref: schema/StreamableTable.java). */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** TUMBLE(data, timecol, size) → groupBy fixed windows.
+    * Output columns: window_start, window_end, keys..., aggs... */
+  def tumble(df: DataFrame, timeCol: String, size: String, watermarkDelay: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    windowed(df, window(col(timeCol), size), timeCol, watermarkDelay, keys, aggs)
+
+  /** HOP(data, timecol, slide, size) → sliding windows. */
+  def hop(df: DataFrame, timeCol: String, size: String, slide: String,
+      watermarkDelay: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    windowed(df, window(col(timeCol), size, slide), timeCol, watermarkDelay, keys, aggs)
+
+  /** SESSION(data, timecol, gap) → session windows. */
+  def session(df: DataFrame, timeCol: String, gap: String, watermarkDelay: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    windowed(df, session_window(col(timeCol), gap), timeCol, watermarkDelay, keys, aggs)
+
+  private def windowed(df: DataFrame, win: Column, timeCol: String,
+      watermarkDelay: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(timeCol, watermarkDelay) else df
+    src.groupBy(win.as("w") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .withColumn("window_end", col("w.end"))
+      .drop("w")
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (test/batch-replay harness). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}
