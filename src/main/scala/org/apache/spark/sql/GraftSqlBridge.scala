@@ -9,4 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** xxhash64 with an explicit seed (the public functions.xxhash64 pins
+    * seed=42; a seeded family is what MinHash needs). */
+  def xxhash64Seeded(seed: Long, cols: Column*): Column =
+    column(new catalyst.expressions.XxHash64(cols.map(expression), seed))
 }
