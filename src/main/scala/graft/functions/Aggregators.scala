@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregates (ref: SURVEY.md §4.4):
+  *
+  *  - SINGLE_VALUE — the scalar-subquery guard (SqlStdOperatorTable
+  *    .java:1210): returns the group's only value, errors if the group
+  *    has more than one row, exactly like Calcite's runtime check.
+  *  - INTERSECTION — multiset-intersection aggregate
+  *    (SqlStdOperatorTable.java:2549): intersects array values across
+  *    rows preserving minimum multiplicity.
+  *
+  * (FUSION, :2541, needs no custom code — it is flatten(collect_list),
+  * see GraftFunctions docs — and both of these follow the reference's
+  * init/add/merge/result shape from schema/AggregateFunctionImpl.java.)
+  */
+object Aggregators {
+
+  /** SINGLE_VALUE over longs. Buffer: (value, seen). */
+  class SingleValueLong extends Aggregator[java.lang.Long, (Long, Boolean), java.lang.Long] {
+    override def zero: (Long, Boolean) = (0L, false)
+    override def reduce(b: (Long, Boolean), a: java.lang.Long): (Long, Boolean) = {
+      if (b._2) throw new IllegalStateException(
+        "SINGLE_VALUE: more than one row in group (subquery returned >1 row)")
+      (if (a == null) 0L else a.longValue(), true)
+    }
+    override def merge(x: (Long, Boolean), y: (Long, Boolean)): (Long, Boolean) = {
+      if (x._2 && y._2) throw new IllegalStateException(
+        "SINGLE_VALUE: more than one row in group (subquery returned >1 row)")
+      if (x._2) x else y
+    }
+    override def finish(r: (Long, Boolean)): java.lang.Long = if (r._2) r._1 else null
+    override def bufferEncoder: Encoder[(Long, Boolean)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean)
+    override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
+  }
+
+  /** INTERSECTION of string-array multisets across rows. Buffer None =
+    * identity (no rows yet). Output is sorted for determinism. */
+  class MultisetIntersectionAgg
+      extends Aggregator[Seq[String], Option[Map[String, Int]], Seq[String]] {
+    private def counts(xs: Seq[String]): Map[String, Int] =
+      xs.groupBy(identity).map { case (k, v) => k -> v.size }
+    private def intersect(a: Map[String, Int], b: Map[String, Int]): Map[String, Int] =
+      a.flatMap { case (k, n) =>
+        val m = math.min(n, b.getOrElse(k, 0))
+        if (m > 0) Some(k -> m) else None
+      }
+    override def zero: Option[Map[String, Int]] = None
+    override def reduce(b: Option[Map[String, Int]], a: Seq[String]): Option[Map[String, Int]] = {
+      val c = counts(Option(a).getOrElse(Seq.empty))
+      Some(b.fold(c)(intersect(_, c)))
+    }
+    override def merge(x: Option[Map[String, Int]], y: Option[Map[String, Int]]): Option[Map[String, Int]] =
+      (x, y) match {
+        case (Some(a), Some(b)) => Some(intersect(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    override def finish(r: Option[Map[String, Int]]): Seq[String] =
+      r.getOrElse(Map.empty).toSeq.sortBy(_._1).flatMap { case (k, n) => Seq.fill(n)(k) }
+    override def bufferEncoder: Encoder[Option[Map[String, Int]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Register the UDAFs + multiset scalar expressions into a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("single_value_long", udaf(new SingleValueLong))
+    spark.udf.register("multiset_intersection", udaf(new MultisetIntersectionAgg))
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("multiset_intersect_all",
+      args => MultisetIntersectAll(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("multiset_except_all",
+      args => MultisetExceptAll(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("submultiset_of",
+      args => SubmultisetOf(args(0), args(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.Aggregators
+import org.apache.spark.sql.functions._
+
+/** Value checks for custom aggregates + multiset ALL operators. */
+class AggregatorsSpec extends SparkSpec {
+
+  private def init(): Unit = Aggregators.registerAll(spark)
+
+  test("single_value returns the lone value and errors on >1 row") {
+    init()
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").createOrReplaceTempView("sv_ok")
+    val ok = spark.sql("SELECT k, single_value_long(v) AS v FROM sv_ok GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok == Seq((1L, 10L), (2L, 20L)))
+
+    Seq((1L, 10L), (1L, 11L)).toDF("k", "v").createOrReplaceTempView("sv_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT k, single_value_long(v) FROM sv_bad GROUP BY k").collect()
+    }
+    assert(e.getMessage.contains("SINGLE_VALUE") ||
+      Option(e.getCause).exists(_.getMessage.contains("SINGLE_VALUE")))
+  }
+
+  test("multiset intersection aggregate keeps min multiplicity across rows") {
+    init()
+    import spark.implicits._
+    Seq(
+      (1, Seq("a", "a", "b", "c")),
+      (1, Seq("a", "b", "b")),
+      (1, Seq("a", "a", "b", "d"))).toDF("k", "ms").createOrReplaceTempView("mi")
+    val got = spark.sql("SELECT multiset_intersection(ms) FROM mi GROUP BY k")
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a", "b"))
+  }
+
+  test("fusion is flatten(collect_list) — multiset union aggregate") {
+    import spark.implicits._
+    Seq((1, Seq("a", "b")), (1, Seq("b", "c"))).toDF("k", "ms").createOrReplaceTempView("fu")
+    val got = spark.sql("SELECT sort_array(flatten(collect_list(ms))) FROM fu GROUP BY k")
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a", "b", "b", "c"))
+  }
+
+  test("multiset ALL scalar ops preserve multiplicity") {
+    init()
+    def arr(q: String) = spark.sql(s"SELECT $q").collect()(0).getSeq[String](0)
+    assert(arr("multiset_intersect_all(array('a','a','b'), array('a','b','b'))") == Seq("a", "b"))
+    assert(arr("multiset_except_all(array('a','a','b'), array('a'))") == Seq("a", "b"))
+    assert(arr("multiset_except_all(array('a','a','b','b'), array('a','b'))") == Seq("a", "b"))
+    def bool(q: String) = spark.sql(s"SELECT $q").collect()(0).getBoolean(0)
+    assert(bool("submultiset_of(array('a','b'), array('b','a','c'))"))
+    assert(!bool("submultiset_of(array('a','a'), array('a','b'))"))
+  }
+
+  test("spark's distinct-semantics array ops stay available alongside") {
+    def arr(q: String) = spark.sql(s"SELECT $q").collect()(0).getSeq[String](0)
+    assert(arr("array_intersect(array('a','a','b'), array('a','b','b'))") == Seq("a", "b"))
+  }
+}
