@@ -1,0 +1,240 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** MATCH_RECOGNIZE — SQL:2016 row-pattern matching (ref:
+  * rel/core/Match.java:62-98 for the operator surface; the runtime
+  * design — pattern compiled to an automaton driven over
+  * partition-sorted rows — follows runtime/Automaton.java:1,
+  * AutomatonBuilder.java:1 and Matcher.java:1, re-expressed as a
+  * backtracking matcher inside mapPartitions; SQL surface
+  * sql/SqlMatchRecognize.java, corpus core/src/test/resources/sql/
+  * match.iq).
+  *
+  * Spark-first shape: `repartition(partitionKeys)` +
+  * `sortWithinPartitions(partitionKeys, orderKeys)` puts every partition
+  * key's rows consecutively and ordered inside one task, then a
+  * mapPartitions pass runs the pattern machine per key group — one
+  * shuffle total, state bounded by the longest match, no driver
+  * involvement. Output = ALL ROWS PER MATCH: the input columns plus
+  * `match_no` (1-based per partition key) and `classifier` (the symbol
+  * that matched the row); ONE ROW PER MATCH and measures compose on top
+  * as ordinary groupBy(match_no) aggregations.
+  *
+  * Pattern grammar: symbols, concatenation, alternation `|`, groups
+  * `( )`, greedy quantifiers `* + ? {n} {n,} {n,m}`. DEFINE predicates
+  * see the current row and the previous row (PREV of depth 1 — the
+  * dominant usage in match.iq). AFTER MATCH SKIP PAST LAST ROW or TO
+  * NEXT ROW. Not yet: WITHIN, SUBSET, reluctant quantifiers, PREV(n>1).
+  */
+object MatchRecognize {
+
+  /** A DEFINE predicate: (currentRow, previousRowInStream) => matches. */
+  type Define = (Row, Option[Row]) => Boolean
+
+  sealed trait Skip
+  case object SkipPastLastRow extends Skip
+  case object SkipToNextRow extends Skip
+
+  // ---- pattern AST + parser -------------------------------------------
+  private sealed trait Pat
+  private case class PSym(name: String) extends Pat
+  private case class PCat(xs: List[Pat]) extends Pat
+  private case class PAlt(xs: List[Pat]) extends Pat
+  private case class PQuant(p: Pat, min: Int, max: Int) extends Pat // max = Int.MaxValue for unbounded
+
+  private[graft] def parsePattern(s: String): Any = parse(s)
+
+  private def parse(s: String): Pat = {
+    val toks = tokenize(s)
+    val (p, rest) = parseAlt(toks)
+    require(rest.isEmpty, s"trailing tokens in pattern: $rest")
+    p
+  }
+
+  private def tokenize(s: String): List[String] = {
+    val out = mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if ("()|*+?".contains(c)) { out += c.toString; i += 1 }
+      else if (c == '{') {
+        val j = s.indexOf('}', i)
+        require(j > 0, s"unclosed {} in pattern: $s")
+        out += s.substring(i, j + 1); i = j + 1
+      } else {
+        val j0 = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        require(i > j0, s"unexpected char '${s.charAt(i)}' in pattern: $s")
+        out += s.substring(j0, i)
+      }
+    }
+    out.toList
+  }
+
+  private def parseAlt(toks: List[String]): (Pat, List[String]) = {
+    val (first, rest) = parseCat(toks)
+    rest match {
+      case "|" :: tail =>
+        val (next, rest2) = parseAlt(tail)
+        next match {
+          case PAlt(xs) => (PAlt(first :: xs), rest2)
+          case other => (PAlt(List(first, other)), rest2)
+        }
+      case _ => (first, rest)
+    }
+  }
+
+  private def parseCat(toks: List[String]): (Pat, List[String]) = {
+    val parts = mutable.ListBuffer.empty[Pat]
+    var rest = toks
+    var done = false
+    while (!done) rest match {
+      case Nil | "|" :: _ | ")" :: _ => done = true
+      case ts =>
+        val (p, r) = parseAtom(ts)
+        parts += p
+        rest = r
+    }
+    (if (parts.size == 1) parts.head else PCat(parts.toList), rest)
+  }
+
+  private def parseAtom(toks: List[String]): (Pat, List[String]) = {
+    val (base, rest) = toks match {
+      case "(" :: tail =>
+        val (p, r) = parseAlt(tail)
+        require(r.headOption.contains(")"), s"missing ) in pattern")
+        (p, r.tail)
+      case sym :: tail => (PSym(sym): Pat, tail)
+      case Nil => throw new IllegalArgumentException("empty pattern atom")
+    }
+    rest match {
+      case "*" :: t => (PQuant(base, 0, Int.MaxValue), t)
+      case "+" :: t => (PQuant(base, 1, Int.MaxValue), t)
+      case "?" :: t => (PQuant(base, 0, 1), t)
+      case q :: t if q.startsWith("{") =>
+        val body = q.substring(1, q.length - 1)
+        val parts = body.split(",", -1)
+        val (mn, mx) = parts match {
+          case Array(n) => (n.trim.toInt, n.trim.toInt)
+          case Array(n, "") => (n.trim.toInt, Int.MaxValue)
+          case Array(n, m) => (n.trim.toInt, m.trim.toInt)
+          case _ => throw new IllegalArgumentException(s"bad quantifier $q")
+        }
+        (PQuant(base, mn, mx), t)
+      case _ => (base, rest)
+    }
+  }
+
+  // ---- backtracking matcher -------------------------------------------
+  /** Greedy leftmost match of `pat` starting at rows(start); returns the
+    * per-row classifier list of the match, or None. CPS backtracking —
+    * quantifiers try the longest expansion first (SQL greedy). */
+  private def matchAt(
+      pat: Pat,
+      rows: IndexedSeq[Row],
+      start: Int,
+      defines: Map[String, Define]): Option[List[String]] = {
+
+    def sym(name: String, pos: Int): Boolean =
+      pos < rows.length && defines.getOrElse(name,
+        (_: Row, _: Option[Row]) => true)(
+          rows(pos), if (pos == 0) None else Some(rows(pos - 1)))
+
+    // k: continuation from position -> classifiers consumed downstream
+    def go(p: Pat, pos: Int, k: Int => Option[List[String]]): Option[List[String]] = p match {
+      case PSym(n) =>
+        if (sym(n, pos)) k(pos + 1).map(n :: _) else None
+      case PCat(xs) =>
+        xs match {
+          case Nil => k(pos)
+          case h :: t => go(h, pos, p2 => go(PCat(t), p2, k))
+        }
+      case PAlt(xs) =>
+        xs.iterator.map(x => go(x, pos, k)).collectFirst { case Some(r) => r }
+      case PQuant(inner, mn, mx) =>
+        // rep(i, pos): already consumed i repetitions at pos
+        def rep(i: Int, pos2: Int): Option[List[String]] = {
+          val more =
+            if (i < mx)
+              go(inner, pos2, p3 =>
+                if (p3 == pos2) None // zero-width repetition guard
+                else rep(i + 1, p3))
+            else None
+          more match {
+            case some @ Some(_) => some
+            case None => if (i >= mn) k(pos2) else None
+          }
+        }
+        rep(0, pos)
+    }
+    go(pat, start, pos => Some(Nil)).filter(_.nonEmpty)
+  }
+
+  /** Apply MATCH_RECOGNIZE. See object doc for semantics. */
+  def matchRecognize(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      orderKeys: Seq[String],
+      pattern: String,
+      define: Map[String, Define],
+      afterMatch: Skip = SkipPastLastRow): DataFrame = {
+
+    val pat = parse(pattern)
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("match_no", LongType, nullable = false),
+      StructField("classifier", StringType, nullable = false)))
+    val keyIdx = partitionKeys.map(inSchema.fieldIndex)
+
+    val sorted = df
+      .repartition(partitionKeys.map(col): _*)
+      .sortWithinPartitions((partitionKeys ++ orderKeys).map(col): _*)
+
+    val out = sorted.mapPartitions { it =>
+      val rows = it.toArray
+      val result = mutable.ArrayBuffer.empty[Row]
+      var g0 = 0
+      while (g0 < rows.length) {
+        // locate this partition key's contiguous group
+        val key = keyIdx.map(rows(g0).get)
+        var g1 = g0 + 1
+        while (g1 < rows.length && keyIdx.map(rows(g1).get) == key) g1 += 1
+        val group: IndexedSeq[Row] = rows.slice(g0, g1).toIndexedSeq
+
+        var matchNo = 0L
+        var p = 0
+        while (p < group.length) {
+          matchAt(pat, group, p, define) match {
+            case Some(classifiers) =>
+              matchNo += 1
+              classifiers.zipWithIndex.foreach { case (cls, i) =>
+                val base = group(p + i)
+                val vals = new Array[Any](outSchema.length)
+                var j = 0
+                while (j < inSchema.length) { vals(j) = base.get(j); j += 1 }
+                vals(inSchema.length) = matchNo
+                vals(inSchema.length + 1) = cls
+                result += new GenericRowWithSchema(vals, outSchema)
+              }
+              p = afterMatch match {
+                case SkipPastLastRow => p + classifiers.length
+                case SkipToNextRow => p + 1
+              }
+            case None => p += 1
+          }
+        }
+        g0 = g1
+      }
+      result.iterator
+    }(Encoders.row(outSchema))
+
+    out
+  }
+}
