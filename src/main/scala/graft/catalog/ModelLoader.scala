@@ -1,0 +1,77 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema/model loader — the engine's counterpart of Calcite's JSON model
+  * (ref: model/JsonRoot.java:1, model/ModelHandler.java:1,
+  * model/JsonTable.java / JsonSchema.java / JsonStream.java). A model
+  * maps names to sources; loading it registers every table and view into
+  * the session catalog, after which plain spark.sql sees the schema —
+  * the same role CalciteSchema plays for the reference's JDBC path.
+  *
+  * Kept dependency-free (no JSON library in the offline build): the
+  * model is a Scala structure; a file-based loader parses the same shape
+  * from a minimal `name=format:path` properties format.
+  */
+final case class TableDef(
+    name: String,
+    format: String, // parquet | csv | json
+    path: String,
+    options: Map[String, String] = Map.empty,
+    stream: Boolean = false)
+
+final case class ViewDef(name: String, sql: String)
+
+final case class Model(
+    name: String,
+    tables: Seq[TableDef],
+    views: Seq[ViewDef] = Seq.empty)
+
+object ModelLoader {
+
+  /** Register every table and view of the model into the session
+    * catalog; returns the loaded tables. Streaming tables register the
+    * batch view under `name` (the STREAM variant is obtained via
+    * graft.streaming.StreamOps.parquetStream — ref:
+    * schema/StreamableTable.java's dual batch/stream surface). */
+  def load(spark: SparkSession, model: Model): Map[String, DataFrame] = {
+    val tables = model.tables.map { t =>
+      val reader = spark.read.format(t.format).options(t.options)
+      val df = t.format match {
+        case "csv" => reader.option("header", "true").option("inferSchema", "true").load(t.path)
+        case _ => reader.load(t.path)
+      }
+      df.createOrReplaceTempView(t.name)
+      t.name -> df
+    }.toMap
+    model.views.foreach(v => spark.sql(v.sql).createOrReplaceTempView(v.name))
+    tables
+  }
+
+  /** Parse the minimal properties form:
+    * {{{
+    *   # comment
+    *   lineitem = parquet:/data/lineitem.parquet
+    *   rates    = csv:/data/rates.csv
+    *   v_top    = view:SELECT ... FROM lineitem ...
+    * }}} */
+  def parse(name: String, text: String): Model = {
+    val lines = text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    val entries = lines.map { l =>
+      val Array(k, v) = l.split("=", 2).map(_.trim)
+      val Array(fmt, rest) = v.split(":", 2)
+      (k, fmt, rest)
+    }
+    Model(
+      name,
+      tables = entries.collect { case (k, fmt, p) if fmt != "view" => TableDef(k, fmt, p) },
+      views = entries.collect { case (k, "view", sql) => ViewDef(k, sql) })
+  }
+
+  def loadFile(spark: SparkSession, path: String): Map[String, DataFrame] = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    load(spark, parse(java.nio.file.Paths.get(path).getFileName.toString, text))
+  }
+}

@@ -14,4 +14,12 @@ object GraftSqlBridge {
     * seed=42; a seeded family is what MinHash needs). */
   def xxhash64Seeded(seed: Long, cols: Column*): Column =
     column(new catalyst.expressions.XxHash64(cols.map(expression), seed))
+
+  /** DataFrame over a raw LogicalPlan (Dataset.ofRows is private[sql]);
+    * needed by planner rules that lower custom logical nodes. */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].logicalPlan
 }
