@@ -1,0 +1,56 @@
+package graft
+
+import graft.sql.GraftSql
+
+/** Dialect pre-rewriter tests (the qualify.iq / babel surface). */
+class GraftSqlSpec extends SparkSpec {
+
+  private def init(): Unit = T.registerViews(spark, sfDir)
+
+  test("QUALIFY filters on window results like the reference dialect") {
+    init()
+    val got = GraftSql.sql(spark, """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+      QUALIFY rn <= 2
+      ORDER BY o_custkey, rn LIMIT 10""").collect()
+    assert(got.length == 10)
+    assert(got.forall(_.getInt(3) <= 2))
+
+    val manual = spark.sql("""
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 10""").collect()
+    assert(got.map(_.toSeq).toSeq == manual.map(_.toSeq).toSeq)
+  }
+
+  test("SAFE_CAST lowers to TRY_CAST") {
+    val r = GraftSql.sql(spark,
+      "SELECT SAFE_CAST('12' AS INT) AS a, SAFE_CAST('nope' AS INT) AS b").collect()(0)
+    assert(r.getInt(0) == 12 && r.isNullAt(1))
+  }
+
+  test("SIMILAR TO predicate lowers to similar_to()") {
+    init()
+    val n = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM part WHERE p_name SIMILAR TO '%(car|dog)%'")
+      .collect()(0).getLong(0)
+    val viaRlike = spark.sql(
+      "SELECT count(*) FROM part WHERE p_name RLIKE '(car|dog)'")
+      .collect()(0).getLong(0)
+    assert(n == viaRlike)
+    val not = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM part WHERE p_name NOT SIMILAR TO '%(car|dog)%'")
+      .collect()(0).getLong(0)
+    val total = spark.sql("SELECT count(*) FROM part").collect()(0).getLong(0)
+    assert(n + not == total)
+  }
+
+  test("rewriter leaves quoted strings and subqueries alone") {
+    assert(GraftSql.rewrite("SELECT ' QUALIFY x ' AS s") == "SELECT ' QUALIFY x ' AS s")
+    assert(GraftSql.rewrite("SELECT (SELECT 1 LIMIT 1) AS s") == "SELECT (SELECT 1 LIMIT 1) AS s")
+  }
+}
