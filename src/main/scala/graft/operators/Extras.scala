@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Q, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second-wave coverage: covariance/regression aggregates, IGNORE NULLS
+  * navigation, UNNEST WITH ORDINALITY, batch session/hop windows. */
+object Extras {
+
+  /** COVAR_POP/SAMP + REGR_SXX/SYY/COUNT via exact decimal moments
+    * (ref: SqlStdOperatorTable.java:1228-1252; same decomposition as
+    * AggregateReduceFunctionsRule.java). */
+  val q27_covar_regr = Q(
+    (s, dir) => {
+      val x = T.dec2(col("l_quantity"))
+      val y = T.dec2(col("l_extendedprice"))
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_samp"),
+          (col("sxx") - col("sx") * col("sx") / col("n")).as("regr_sxx"),
+          (col("syy") - col("sy") * col("sy") / col("n")).as("regr_syy"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, n,
+        (sxy - sx * sy / n) / n AS covar_pop,
+        (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+        (sxx - sx * sx / n) AS regr_sxx,
+        (syy - sy * sy / n) AS regr_syy
+      FROM (SELECT l_returnflag, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag) t
+      ORDER BY l_returnflag"""))
+
+  /** LAG ... IGNORE NULLS — last purchase value carried to every event
+    * (ref: SqlStdOperatorTable.java:1533 IGNORE_NULLS, :1198 LAG). */
+  val q28_lag_ignore_nulls = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .withColumn("prev_purchase", lag(col("pv"), 1, null, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("prev_purchase"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, value, prev_purchase FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+          LAG(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase
+        FROM events) t
+      WHERE event_type = 'purchase'
+      ORDER BY user_id, event_id"""))
+
+  /** UNNEST WITH ORDINALITY via posexplode
+    * (ref: SqlStdOperatorTable.java:1604 UNNEST_WITH_ORDINALITY;
+    * rel/core/Uncollect.java withOrdinality). */
+  val q29_unnest_ordinality = Q(
+    (s, dir) => {
+      T(s, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("ord"), col("word"))
+        .orderBy("doc_id", "ord")
+    },
+    Some("""
+      SELECT doc_id,
+        unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord,
+        unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 10
+      ORDER BY doc_id, ord"""))
+
+  /** Batch SESSION window — session_window() TVF against the
+    * gaps-and-islands SQL definition (session end = last event + gap)
+    * (ref: SqlStdOperatorTable.java:2612 SESSION TVF). */
+  val q64_session_window = Q(
+    (s, dir) => {
+      T(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts,
+          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new
+        FROM events),
+      sid AS (
+        SELECT user_id, ts,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM g)
+      SELECT user_id, MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
+      FROM sid GROUP BY user_id, sess
+      ORDER BY user_id, session_start"""))
+
+  /** Batch HOP (sliding) window — each event lands in size/slide windows
+    * (ref: SqlStdOperatorTable.java:2609 HOP TVF). */
+  val q65_hop_window = Q(
+    (s, dir) => {
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT window_start, event_type, COUNT(*) AS n FROM (
+        SELECT event_type,
+          unnest([time_bucket(INTERVAL '30 minutes', ts),
+                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start
+        FROM events) t
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
+  val all: Map[String, Q] = Map(
+    "q27_covar_regr" -> q27_covar_regr,
+    "q28_lag_ignore_nulls" -> q28_lag_ignore_nulls,
+    "q29_unnest_ordinality" -> q29_unnest_ordinality,
+    "q64_session_window" -> q64_session_window,
+    "q65_hop_window" -> q65_hop_window)
+}

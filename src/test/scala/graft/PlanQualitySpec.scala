@@ -1,0 +1,68 @@
+package graft
+
+/** Physical-plan assertions — the 100 TB contract. These pin the plan
+  * shapes that make the engine scale (filter/column pushdown to parquet,
+  * broadcast of dimension tables, partial aggregation before shuffle,
+  * top-K without global sort) so a regression shows up as a test
+  * failure, not a 100× slowdown on the cluster.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("q01: filter + column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "unused columns must not be read")
+  }
+
+  test("q01: aggregation is partial before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+  }
+
+  test("q03: dimension join is broadcast, top-K avoids global sort") {
+    val p = plan("q03_topk_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "expected TakeOrderedAndProject for ORDER BY+LIMIT")
+  }
+
+  test("q05: all five dimension joins broadcast; no cartesian products") {
+    val p = plan("q05_local_supplier")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "cartesian product in join tree")
+  }
+
+  test("q04/q41: existence subqueries plan as semi/anti hash joins") {
+    assert(plan("q04_exists_semi").contains("LeftSemi"))
+    assert(plan("q41_not_exists_anti").contains("LeftAnti"))
+  }
+
+  test("q06: selective scan reads only needed columns") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("PushedFilters"))
+    assert(!p.contains("l_orderkey") && !p.contains("l_returnflag"),
+      "projection must prune to the 4 referenced columns")
+  }
+
+  test("q96 asof: single equi-key shuffle, no range-join explosion") {
+    val p = plan("q96_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof lowering must not produce a product join:\n$p")
+  }
+
+  test("d09 knn: query side broadcast, candidates scanned once") {
+    val p = plan("d09_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query vectors must broadcast")
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    val p = run("q01_pricing_summary").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), "hot path fell out of codegen")
+  }
+}
