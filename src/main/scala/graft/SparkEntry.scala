@@ -17,7 +17,7 @@ object SparkEntry {
   private lazy val registry: Map[String, Q] =
     Relational.all ++ Windows.all ++ SetOps.all ++ Subqueries.all ++
       Collections.all ++ Scalars.all ++ Advanced.all ++ Custom.all ++
-      Stats.all ++ Lateral.all ++ Patterns.all ++ Extras.all ++
+      Stats.all ++ Lateral.all ++ Patterns.all ++ Extras.all ++ Json.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

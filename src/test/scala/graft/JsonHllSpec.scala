@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class JsonHllSpec extends SparkSpec {
+
+  test("hll sketch union estimate lands near exact distinct") {
+    val got = run("q66_hll_sketch_union").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = T(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (y, est) =>
+      val e = exact(y).toDouble
+      assert(math.abs(est - e) / e < 0.1, s"year $y: estimate $est vs exact $e")
+    }
+  }
+
+  test("parameterized queries — the RexDynamicParam surface") {
+    T.registerViews(spark, sfDir)
+    val byPos = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?",
+      Array(100000.0, "O")).collect()(0).getLong(0)
+    val byName = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_totalprice > :p AND o_orderstatus = :st",
+      Map("p" -> 100000.0, "st" -> "O")).collect()(0).getLong(0)
+    val literal = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'")
+      .collect()(0).getLong(0)
+    assert(byPos == literal && byName == literal && literal > 0)
+  }
+}
