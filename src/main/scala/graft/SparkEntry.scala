@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.all ++ Windows.all ++ SetOps.all ++ Subqueries.all ++
       Collections.all ++ Scalars.all ++ Advanced.all ++ Custom.all ++
       Stats.all ++ Lateral.all ++ Patterns.all ++ Extras.all ++ Json.all ++
-      Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all
+      Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
+      IvfAnn.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -95,4 +95,18 @@ class TextOpsSpec extends SparkSpec {
       assert(n % (1L << d) == 0, s"$n not a 2^$d multiple of a seed")
     }
   }
+
+  test("knn IVF: trained quantizer returns ranked neighbors with usable recall") {
+    val bf = run("d09_knn_bruteforce").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = run("d12_knn_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.nonEmpty)
+    val recalls = bf.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty) intersect bf(q)).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@3 = $mean%.2f over ${bf.size} queries (nProbe=4/16 cells)")
+    assert(mean > 0.1, "IVF should beat random cell selection")
+  }
 }
