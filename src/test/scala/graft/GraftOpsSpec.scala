@@ -1,0 +1,54 @@
+package graft
+
+import graft.api.GraftOps._
+import org.apache.spark.sql.functions._
+
+/** The DSL veneer chains with ordinary DataFrame operators. */
+class GraftOpsSpec extends SparkSpec {
+
+  test("asofJoin + qualify + snapshot chain fluently") {
+    val ev = T(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+
+    val out = purchases
+      .asofJoin(clicks, "user_id", "ts", "click_ts", Seq("click_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .qualify(col("rn") === 1)
+    assert(out.count() > 0)
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("repeatUnion from the DSL") {
+    import spark.implicits._
+    val seed = Seq(1L).toDF("n")
+    val closure = seed.repeatUnion(
+      prev => prev.filter(col("n") < 64).select((col("n") * 2).as("n")))
+    assert(closure.orderBy("n").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+  }
+
+  test("matchRecognize from the DSL") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 5.0), (1L, 1L, 4.0), (1L, 2L, 6.0)).toDF("k", "pos", "v")
+    val m = df.matchRecognize(Seq("k"), Seq("pos"), "STRT DOWN UP",
+      Map(
+        "DOWN" -> ((c, p) => p.exists(r => c.getDouble(2) < r.getDouble(2))),
+        "UP" -> ((c, p) => p.exists(r => c.getDouble(2) > r.getDouble(2)))))
+    assert(m.count() == 3)
+  }
+
+  test("tablesample + snapshotAsOf") {
+    val orders = T(spark, sfDir, "orders")
+      .withColumn("sys_start", to_date(col("o_orderdate")))
+      .withColumn("sys_end", date_add(to_date(col("o_orderdate")), 30))
+    val snap = orders.snapshotAsOf(lit("1997-06-15"))
+    assert(snap.count() > 0)
+    val sampled = orders.tablesample(0.5, seed = 7L)
+    assert(sampled.count() > 0 && sampled.count() < orders.count())
+  }
+}
