@@ -137,7 +137,73 @@ object Extras {
       GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
+  /** Explicit GROUPING SETS — arbitrary set list, not just rollup/cube
+    * (ref: rel/core/Aggregate.java:118 groupSets; SqlStdOperatorTable
+    * .java:236 GROUPING_SETS). */
+  val q36_grouping_sets = Q(
+    (s, dir) => {
+      T.registerViews(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Correlated scalar subquery in the SELECT list
+    * (ref: rex/RexSubQuery.java scalar; decorrelated by Catalyst). */
+  val q37_select_scalar_subquery = Q(
+    (s, dir) => {
+      T.registerViews(s, dir)
+      s.sql("""
+        SELECT n_nationkey, n_name,
+          (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_custs,
+          (SELECT MAX(s_acctbal) FROM supplier WHERE s_nationkey = n_nationkey) AS top_supp_bal
+        FROM nation ORDER BY n_nationkey""")
+    },
+    Some("""
+      SELECT n_nationkey, n_name,
+        (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_custs,
+        (SELECT MAX(s_acctbal) FROM supplier WHERE s_nationkey = n_nationkey) AS top_supp_bal
+      FROM nation ORDER BY n_nationkey"""))
+
+  /** SUM(x) WITHIN DISTINCT (key) — each distinct key counted once
+    * (ref: AggregateExpandWithinDistinctRule.java:1, within-distinct.iq).
+    * Lowered to the rule's own two-level expansion: per-key single value,
+    * then the outer sum. p_retailprice is functionally dependent on
+    * p_partkey, so the grouped max is the WITHIN DISTINCT single value. */
+  val q38_within_distinct = Q(
+    (s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag"), col("p_partkey"))
+        .agg(max(T.dec2(col("p_retailprice"))).as("price1"), count(lit(1)).as("uses"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("price1")).cast(DoubleType).as("sum_distinct_price"),
+          sum(col("uses")).as("n_lines"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(SUM(price1) AS DOUBLE) AS sum_distinct_price,
+        CAST(SUM(uses) AS BIGINT) AS n_lines
+      FROM (SELECT l_returnflag, p_partkey,
+              MAX(CAST(p_retailprice AS DECIMAL(12,2))) AS price1, COUNT(*) AS uses
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY l_returnflag, p_partkey) t
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Map[String, Q] = Map(
+    "q36_grouping_sets" -> q36_grouping_sets,
+    "q38_within_distinct" -> q38_within_distinct,
+    "q37_select_scalar_subquery" -> q37_select_scalar_subquery,
     "q27_covar_regr" -> q27_covar_regr,
     "q28_lag_ignore_nulls" -> q28_lag_ignore_nulls,
     "q29_unnest_ordinality" -> q29_unnest_ordinality,
