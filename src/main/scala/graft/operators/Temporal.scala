@@ -76,7 +76,43 @@ object Temporal {
     },
     None)
 
+  /** ST_DWithin proximity join on synthesized planar coordinates
+    * (ref: runtime/SpatialTypeFunctions.java ST_DWithin;
+    * rel/rules/SpatialRules.java optimizes exactly this shape). The ST_*
+    * functions are pure planar math, so the oracle states the same
+    * arithmetic directly. */
+  val q74_spatial_dwithin = Q(
+    (s, dir) => {
+      graft.functions.Spatial.registerAll(s)
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("st_point(CAST(c_custkey % 100 AS DOUBLE), CAST((c_custkey DIV 97) % 100 AS DOUBLE))").as("cp"))
+      val supp = T(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          expr("st_point(CAST(s_suppkey % 100 AS DOUBLE), CAST((s_suppkey DIV 7) % 100 AS DOUBLE))").as("sp"))
+      cust.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
+        .filter(expr("st_dwithin(cp, sp, 7.5)"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(expr("st_distance(cp, sp)"), 6).as("dist"))
+        .orderBy("c_custkey", "s_suppkey")
+    },
+    Some("""
+      SELECT c_custkey, s_suppkey,
+        ROUND(SQRT((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)), 6) AS dist
+      FROM (SELECT c_custkey, c_nationkey,
+              CAST(c_custkey % 100 AS DOUBLE) AS cx,
+              CAST((c_custkey // 97) % 100 AS DOUBLE) AS cy
+            FROM customer) c
+      JOIN (SELECT s_suppkey, s_nationkey,
+              CAST(s_suppkey % 100 AS DOUBLE) AS sx,
+              CAST((s_suppkey // 7) % 100 AS DOUBLE) AS sy
+            FROM supplier) s
+        ON c_nationkey = s_nationkey
+      WHERE SQRT((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) <= 7.5
+      ORDER BY c_custkey, s_suppkey"""))
+
   val all: Map[String, Q] = Map(
+    "q74_spatial_dwithin" -> q74_spatial_dwithin,
     "q67_interval_arith" -> q67_interval_arith,
     "q68_period_ops" -> q68_period_ops,
     "q69_xml_xpath" -> q69_xml_xpath)

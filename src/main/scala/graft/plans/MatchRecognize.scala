@@ -140,10 +140,11 @@ object MatchRecognize {
       pat: Pat,
       rows: IndexedSeq[Row],
       start: Int,
-      defines: Map[String, Define]): Option[List[String]] = {
+      defines: Map[String, Define],
+      posAllowed: (Int, Int) => Boolean): Option[List[String]] = {
 
     def sym(name: String, pos: Int): Boolean =
-      pos < rows.length && defines.getOrElse(name,
+      pos < rows.length && posAllowed(start, pos) && defines.getOrElse(name,
         (_: Row, _: Option[Row]) => true)(
           rows(pos), if (pos == 0) None else Some(rows(pos - 1)))
 
@@ -178,13 +179,19 @@ object MatchRecognize {
   }
 
   /** Apply MATCH_RECOGNIZE. See object doc for semantics. */
+  /** @param within optional `WITHIN` constraint (ref: rel/core/Match
+    *               .java:75 interval): (timestamp column, max duration in
+    *               millis). Pruned during matching — a pattern must
+    *               complete inside the window opened by its first row,
+    *               so the matcher never explores rows beyond it. */
   def matchRecognize(
       df: DataFrame,
       partitionKeys: Seq[String],
       orderKeys: Seq[String],
       pattern: String,
       define: Map[String, Define],
-      afterMatch: Skip = SkipPastLastRow): DataFrame = {
+      afterMatch: Skip = SkipPastLastRow,
+      within: Option[(String, Long)] = None): DataFrame = {
 
     val pat = parse(pattern)
     val inSchema = df.schema
@@ -192,6 +199,7 @@ object MatchRecognize {
       StructField("match_no", LongType, nullable = false),
       StructField("classifier", StringType, nullable = false)))
     val keyIdx = partitionKeys.map(inSchema.fieldIndex)
+    val withinIdx = within.map { case (c, ms) => (inSchema.fieldIndex(c), ms) }
 
     val sorted = df
       .repartition(partitionKeys.map(col): _*)
@@ -208,10 +216,24 @@ object MatchRecognize {
         while (g1 < rows.length && keyIdx.map(rows(g1).get) == key) g1 += 1
         val group: IndexedSeq[Row] = rows.slice(g0, g1).toIndexedSeq
 
+        def epochMs(r: Row, i: Int): Long = r.get(i) match {
+          case t: java.sql.Timestamp => t.getTime
+          case t: java.time.Instant => t.toEpochMilli
+          case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case l: java.lang.Long => l
+          case other => throw new IllegalArgumentException(s"WITHIN column type: $other")
+        }
+        val posAllowed: (Int, Int) => Boolean = withinIdx match {
+          case None => (_, _) => true
+          case Some((ti, maxMs)) => (start, pos) =>
+            pos < group.length &&
+              epochMs(group(pos), ti) - epochMs(group(start), ti) <= maxMs
+        }
+
         var matchNo = 0L
         var p = 0
         while (p < group.length) {
-          matchAt(pat, group, p, define) match {
+          matchAt(pat, group, p, define, posAllowed) match {
             case Some(classifiers) =>
               matchNo += 1
               classifiers.zipWithIndex.foreach { case (cls, i) =>

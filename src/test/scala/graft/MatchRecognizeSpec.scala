@@ -95,4 +95,22 @@ class MatchRecognizeSpec extends SparkSpec {
       assert(ascent.sliding(2).forall { case Array(a, b) => b > a; case _ => true })
     }
   }
+
+  test("WITHIN duration constrains match span") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val df = Seq(
+      (1L, ts(0), 10.0), (1L, ts(5), 9.0), (1L, ts(40), 11.0), // V spans 40 min
+      (2L, ts(0), 10.0), (2L, ts(5), 9.0), (2L, ts(10), 11.0)) // V spans 10 min
+      .toDF("k", "t", "v")
+    def vMatch(within: Option[(String, Long)]) =
+      MatchRecognize.matchRecognize(df, Seq("k"), Seq("t"), "STRT DOWN UP",
+        Map(
+          "DOWN" -> ((c, p) => p.exists(r => c.getDouble(2) < r.getDouble(2))),
+          "UP" -> ((c, p) => p.exists(r => c.getDouble(2) > r.getDouble(2)))),
+        MatchRecognize.SkipPastLastRow, within)
+    assert(vMatch(None).select("k").distinct().count() == 2)
+    val bounded = vMatch(Some(("t", 15L * 60 * 1000)))
+    assert(bounded.select("k").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
