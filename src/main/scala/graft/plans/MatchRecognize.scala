@@ -136,6 +136,20 @@ object MatchRecognize {
   /** Greedy leftmost match of `pat` starting at rows(start); returns the
     * per-row classifier list of the match, or None. CPS backtracking —
     * quantifiers try the longest expansion first (SQL greedy). */
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pat]()
+
+  /** Generic matcher entry: greedy leftmost match of `pattern` starting
+    * at `start` over a row universe of size `length`, where `sym(name,
+    * pos)` decides whether symbol `name` matches position `pos`. Shared
+    * by the batch operator and the streaming flatMapGroupsWithState
+    * variant. */
+  def matchSeq(pattern: String, length: Int, start: Int,
+      sym: (String, Int) => Boolean): Option[List[String]] = {
+    val pat = patternCache.computeIfAbsent(pattern, parse)
+    matchGeneric(pat, length, start, sym)
+  }
+
   private def matchAt(
       pat: Pat,
       rows: IndexedSeq[Row],
@@ -144,9 +158,20 @@ object MatchRecognize {
       posAllowed: (Int, Int) => Boolean): Option[List[String]] = {
 
     def sym(name: String, pos: Int): Boolean =
-      pos < rows.length && posAllowed(start, pos) && defines.getOrElse(name,
+      posAllowed(start, pos) && defines.getOrElse(name,
         (_: Row, _: Option[Row]) => true)(
           rows(pos), if (pos == 0) None else Some(rows(pos - 1)))
+    matchGeneric(pat, rows.length, start, sym)
+  }
+
+  private def matchGeneric(
+      pat: Pat,
+      length: Int,
+      start: Int,
+      symPred: (String, Int) => Boolean): Option[List[String]] = {
+
+    def sym(name: String, pos: Int): Boolean =
+      pos < length && symPred(name, pos)
 
     // k: continuation from position -> classifiers consumed downstream
     def go(p: Pat, pos: Int, k: Int => Option[List[String]]): Option[List[String]] = p match {

@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.StreamingMatchRecognize
+import graft.streaming.StreamingMatchRecognize.{Define, MrEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming MATCH_RECOGNIZE: the stateful variant must find the same
+  * V patterns as the batch machine, including across micro-batch
+  * boundaries (buffered state). */
+class StreamingMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val define: Map[String, Define] = Map(
+    "DOWN" -> ((c, p) => p.exists(c.value < _.value)),
+    "UP" -> ((c, p) => p.exists(c.value > _.value)))
+
+  private def runChunks(chunks: Seq[Seq[MrEvent]]): Seq[(Long, Long, String)] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[MrEvent]
+    val out = StreamingMatchRecognize(mem.toDS(), "STRT DOWN+ UP+", define)
+    val q = out.writeStream.format("memory").queryName("smr_out")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table("smr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(5)))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  private def ev(key: Long, i: Long, v: Double) = MrEvent(key, i * 1000L, i, v)
+
+  test("single batch equals batch matcher") {
+    val rows = Seq(ev(1, 0, 10), ev(1, 1, 9), ev(1, 2, 8), ev(1, 3, 9), ev(1, 4, 10))
+    val got = runChunks(Seq(rows))
+    assert(got.map(_._3) == Seq("STRT", "DOWN", "DOWN", "UP", "UP"))
+    assert(got.map(_._2).distinct == Seq(1L))
+  }
+
+  test("pattern spanning a micro-batch boundary completes from state") {
+    val first = Seq(ev(2, 0, 10), ev(2, 1, 9)) // STRT DOWN pending
+    val second = Seq(ev(2, 2, 8), ev(2, 3, 12)) // DOWN UP completes
+    val got = runChunks(Seq(first, second))
+    assert(got.map(_._3) == Seq("STRT", "DOWN", "DOWN", "UP"))
+  }
+
+  test("keys are isolated and matches number independently") {
+    val mixed = Seq(
+      ev(1, 0, 5), ev(1, 1, 4), ev(1, 2, 6),
+      ev(2, 0, 5), ev(2, 1, 6)) // key 2 has no V
+    val got = runChunks(Seq(mixed))
+    assert(got.forall(_._1 == 1L))
+    assert(got.map(_._3) == Seq("STRT", "DOWN", "UP"))
+  }
+}
