@@ -200,8 +200,72 @@ object Extras {
             GROUP BY l_returnflag, p_partkey) t
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** TPC-H Q7-style nation-pair trade volume: double-aliased dimension
+    * joins + pair predicate + yearly rollup (ref: TpchTest.java Q7;
+    * rel/core/Join.java self-join aliasing). */
+  val q39_nation_pairs = Q(
+    (s, dir) => {
+      val n1 = T(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = T(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(
+          (col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum(T.dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - T.dec2(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""
+      SELECT supp_nation, cust_nation, l_year,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+              l_extendedprice, l_discount
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+               OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')) t
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** TPC-H Q19-style disjunctive multi-predicate join (ref: TpchTest.java
+    * Q19; rel/rules/ExpandDisjunctionForJoinInputsRule.java — Catalyst
+    * pushes the common l_partkey=p_partkey conjunct into the join and
+    * the disjunction into the scan). */
+  val q58_disjunctive_join = Q(
+    (s, dir) => {
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity") >= 20 && col("l_quantity") <= 40))
+        .agg(sum(T.dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - T.dec2(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"""))
+
   val all: Map[String, Q] = Map(
     "q36_grouping_sets" -> q36_grouping_sets,
+    "q39_nation_pairs" -> q39_nation_pairs,
+    "q58_disjunctive_join" -> q58_disjunctive_join,
     "q38_within_distinct" -> q38_within_distinct,
     "q37_select_scalar_subquery" -> q37_select_scalar_subquery,
     "q27_covar_regr" -> q27_covar_regr,
