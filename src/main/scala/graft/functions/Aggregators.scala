@@ -19,21 +19,24 @@ import org.apache.spark.sql.functions.udaf
   */
 object Aggregators {
 
-  /** SINGLE_VALUE over longs. Buffer: (value, seen). */
-  class SingleValueLong extends Aggregator[java.lang.Long, (Long, Boolean), java.lang.Long] {
-    override def zero: (Long, Boolean) = (0L, false)
-    override def reduce(b: (Long, Boolean), a: java.lang.Long): (Long, Boolean) = {
+  /** SINGLE_VALUE over longs. Buffer: (value, seen) — value stays boxed so
+    * a group whose only row is NULL finishes as NULL, not 0 (the reference
+    * returns the value itself, NULL included). */
+  class SingleValueLong extends Aggregator[java.lang.Long, (java.lang.Long, Boolean), java.lang.Long] {
+    override def zero: (java.lang.Long, Boolean) = (null, false)
+    override def reduce(b: (java.lang.Long, Boolean), a: java.lang.Long): (java.lang.Long, Boolean) = {
       if (b._2) throw new IllegalStateException(
         "SINGLE_VALUE: more than one row in group (subquery returned >1 row)")
-      (if (a == null) 0L else a.longValue(), true)
+      (a, true)
     }
-    override def merge(x: (Long, Boolean), y: (Long, Boolean)): (Long, Boolean) = {
+    override def merge(x: (java.lang.Long, Boolean), y: (java.lang.Long, Boolean)): (java.lang.Long, Boolean) = {
       if (x._2 && y._2) throw new IllegalStateException(
         "SINGLE_VALUE: more than one row in group (subquery returned >1 row)")
       if (x._2) x else y
     }
-    override def finish(r: (Long, Boolean)): java.lang.Long = if (r._2) r._1 else null
-    override def bufferEncoder: Encoder[(Long, Boolean)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean)
+    override def finish(r: (java.lang.Long, Boolean)): java.lang.Long = if (r._2) r._1 else null
+    override def bufferEncoder: Encoder[(java.lang.Long, Boolean)] =
+      Encoders.tuple(Encoders.LONG, Encoders.scalaBoolean)
     override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
   }
 

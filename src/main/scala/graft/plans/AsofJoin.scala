@@ -66,10 +66,19 @@ object AsofJoin {
     val w = Window.partitionBy(col(key)).orderBy(col(t), col(tag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (payload :+ rightTime).foldLeft(lTagged.unionByName(rTagged)) {
-      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // Carry the matched right row as ONE struct (null on left rows) so all
+    // carried columns come from the same right row — a NULL field inside the
+    // matched row stays NULL instead of inheriting a stale value from an
+    // older right row (reference matches whole rows, asof.iq).
+    val p = "__asof_p"
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn(p,
+        when(col(tag) === 0, struct((payload :+ rightTime).map(col): _*)))
+      .withColumn(p, last(col(p), ignoreNulls = true).over(w))
 
-    carried.filter(col(tag) === 1).drop(t, tag)
+    (payload :+ rightTime)
+      .foldLeft(carried) { case (df, c) => df.withColumn(c, col(p)(c)) }
+      .filter(col(tag) === 1)
+      .drop(t, tag, p)
   }
 }

@@ -31,10 +31,10 @@ object GraftSql {
   // ---- lexer-lite helpers ---------------------------------------------
 
   /** Index of a top-level (depth-0, outside strings) case-insensitive
-    * keyword sequence; -1 if absent. Keywords must be whole words. */
+    * keyword sequence; -1 if absent. Multi-word keywords ("ORDER BY")
+    * match with any run of whitespace between the words. */
   private def topLevelIndex(s: String, keyword: String, from: Int = 0): Int = {
-    val upper = s.toUpperCase
-    val kw = keyword.toUpperCase
+    val words = keyword.toUpperCase.split("\\s+")
     var depth = 0
     var inStr = false
     var i = from
@@ -46,17 +46,51 @@ object GraftSql {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
-          if (depth == 0 && upper.startsWith(kw, i) &&
-            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-            (i + kw.length >= s.length || !isWordChar(s.charAt(i + kw.length))))
-            return i
+          if (depth == 0 && matchWords(s, i, words) >= 0) return i
       }
       i += 1
     }
     -1
   }
 
+  /** If the whole-word keyword sequence `words` starts at `start`, return
+    * the index just past it; -1 otherwise. */
+  private def matchWords(s: String, start: Int, words: Array[String]): Int = {
+    if (start > 0 && isWordChar(s.charAt(start - 1))) return -1
+    var i = start
+    var w = 0
+    while (w < words.length) {
+      val kw = words(w)
+      if (!s.regionMatches(true, i, kw, 0, kw.length)) return -1
+      i += kw.length
+      if (i < s.length && isWordChar(s.charAt(i))) return -1
+      w += 1
+      if (w < words.length) {
+        val j = i
+        while (i < s.length && s.charAt(i).isWhitespace) i += 1
+        if (i == j) return -1
+      }
+    }
+    i
+  }
+
   private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Index of the ')' matching the '(' at `open` (string-aware). */
+  private def closeParen(s: String, open: Int): Int = {
+    var depth = 0
+    var inStr = false
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
 
   private def rewriteSafeCast(sql: String): String =
     sql.replaceAll("(?i)\\bSAFE_CAST\\s*\\(", "TRY_CAST(")
@@ -73,10 +107,38 @@ object GraftSql {
     })
   }
 
-  /** Lower QUALIFY: everything up to QUALIFY becomes a subquery, the
-    * predicate a WHERE on it; trailing ORDER BY/LIMIT/OFFSET remain on
-    * the outer select. */
+  /** Lower QUALIFY (recursing into subqueries/CTEs first): everything up
+    * to QUALIFY becomes a subquery, the predicate a WHERE on it; trailing
+    * ORDER BY/LIMIT/OFFSET remain on the outer select. Raw window
+    * functions in the predicate (qualify.iq's canonical
+    * `QUALIFY ROW_NUMBER() OVER (...) <= 3`) are projected as
+    * auto-generated aliases in the subselect — Spark rejects window
+    * functions in WHERE — then dropped via `* EXCEPT`. */
   private def rewriteQualify(sql: String): String = {
+    // recurse into parenthesized groups so QUALIFY inside a subquery/CTE
+    // body is lowered too
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && c == '(') {
+        val close = closeParen(sql, i)
+        if (close < 0) { sb.append(sql.substring(i)); i = sql.length }
+        else {
+          sb.append('(').append(rewriteQualify(sql.substring(i + 1, close))).append(')')
+          i = close + 1
+        }
+      } else {
+        if (c == '\'') inStr = !inStr
+        sb.append(c)
+        i += 1
+      }
+    }
+    rewriteQualifyTop(sb.toString)
+  }
+
+  private def rewriteQualifyTop(sql: String): String = {
     val qi = topLevelIndex(sql, "QUALIFY")
     if (qi < 0) return sql
     val head = sql.substring(0, qi).trim
@@ -85,8 +147,85 @@ object GraftSql {
     val stops = Seq("ORDER BY", "LIMIT", "OFFSET", "WINDOW")
       .map(k => topLevelIndex(tail, k)).filter(_ >= 0)
     val predEnd = if (stops.isEmpty) tail.length else stops.min
-    val pred = tail.substring(0, predEnd).trim
+    val rawPred = tail.substring(0, predEnd).trim
     val trailing = tail.substring(predEnd)
-    s"SELECT * FROM ($head) __qualify WHERE $pred $trailing"
+    val (pred, windows) = extractWindowExprs(rawPred)
+    val fromIdx = topLevelIndex(head, "FROM")
+    if (windows.isEmpty || fromIdx < 0)
+      s"SELECT * FROM ($head) __qualify WHERE $pred $trailing"
+    else {
+      // Window exprs may reference any column of the FROM relation (true
+      // QUALIFY scoping), so inject the aliases into the head's own select
+      // list rather than a wrapper over its (possibly narrower) output.
+      val proj = windows.zipWithIndex
+        .map { case (w, k) => s"$w AS __qw$k" }.mkString(", ")
+      val drop = windows.indices.map(k => s"__qw$k").mkString(", ")
+      val headWithWins =
+        head.substring(0, fromIdx).replaceAll("\\s+$", "") + s", $proj " +
+          head.substring(fromIdx)
+      s"SELECT * EXCEPT ($drop) FROM ($headWithWins) __qualify WHERE $pred $trailing"
+    }
+  }
+
+  /** Replace each `fn(args) OVER (spec)` span in the predicate with a
+    * `__qw<k>` placeholder; returns (rewritten predicate, spans). */
+  private def extractWindowExprs(pred: String): (String, Seq[String]) = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // [start, end)
+    var inStr = false
+    var i = 0
+    val over = Array("OVER")
+    while (i < pred.length) {
+      val c = pred.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else {
+        val afterOver = matchWords(pred, i, over)
+        if (afterOver >= 0) {
+          // forward: whitespace then the (spec)
+          var j = afterOver
+          while (j < pred.length && pred.charAt(j).isWhitespace) j += 1
+          val specEnd = if (j < pred.length && pred.charAt(j) == '(') closeParen(pred, j) else -1
+          // backward: whitespace, the fn's (args), the fn identifier
+          var b = i - 1
+          while (b >= 0 && pred.charAt(b).isWhitespace) b -= 1
+          val argsClose = b
+          val fnStart: Int =
+            if (argsClose >= 0 && pred.charAt(argsClose) == ')') {
+              // matching '(' of the argument list, scanning backward
+              var depth = 0
+              var k = argsClose
+              var open = -1
+              while (k >= 0 && open < 0) {
+                val ch = pred.charAt(k)
+                if (ch == ')') depth += 1
+                else if (ch == '(') { depth -= 1; if (depth == 0) open = k }
+                k -= 1
+              }
+              if (open < 0) -1
+              else {
+                var f = open - 1
+                while (f >= 0 && (isWordChar(pred.charAt(f)) || pred.charAt(f) == '.')) f -= 1
+                if (f + 1 == open) -1 else f + 1 // require a fn identifier
+              }
+            } else -1
+          if (specEnd >= 0 && fnStart >= 0) {
+            spans += ((fnStart, specEnd + 1))
+            i = specEnd + 1
+          } else i = afterOver
+        } else i += 1
+      }
+    }
+    if (spans.isEmpty) (pred, Seq.empty)
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      val texts = spans.toSeq.zipWithIndex.map { case ((s, e), k) =>
+        sb.append(pred.substring(last, s)).append(s"__qw$k")
+        last = e
+        pred.substring(s, e)
+      }
+      sb.append(pred.substring(last))
+      (sb.toString, texts)
+    }
   }
 }

@@ -24,6 +24,17 @@ class AggregatorsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("SINGLE_VALUE")))
   }
 
+  test("single_value over a group whose only row is NULL returns NULL, not 0") {
+    init()
+    import spark.implicits._
+    Seq((1L, Option.empty[Long]), (2L, Option(5L))).toDF("k", "v")
+      .createOrReplaceTempView("sv_null")
+    val got = spark.sql(
+      "SELECT k, single_value_long(v) AS v FROM sv_null GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, Some(5L))))
+  }
+
   test("multiset intersection aggregate keeps min multiplicity across rows") {
     init()
     import spark.implicits._

@@ -27,6 +27,58 @@ class GraftSqlSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == manual.map(_.toSeq).toSeq)
   }
 
+  test("QUALIFY with a raw window function in the predicate (qualify.iq form)") {
+    init()
+    val got = GraftSql.sql(spark, """
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      ORDER   BY o_custkey, o_totalprice DESC LIMIT 20""")
+    assert(got.columns.toSeq == Seq("o_custkey", "o_orderkey", "o_totalprice"))
+    val rows = got.collect()
+    assert(rows.length == 20)
+    val manual = spark.sql("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC LIMIT 20""").collect()
+    assert(rows.map(_.toSeq).toSeq == manual.map(_.toSeq).toSeq)
+  }
+
+  test("QUALIFY with two raw window functions and boolean structure") {
+    init()
+    val got = GraftSql.sql(spark, """
+      SELECT o_custkey, o_orderkey
+      FROM orders
+      QUALIFY (ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+           OR RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) = 1)""")
+    assert(got.columns.toSeq == Seq("o_custkey", "o_orderkey"))
+    assert(got.count() > 0)
+  }
+
+  test("QUALIFY inside a subquery / CTE is lowered too") {
+    init()
+    val got = GraftSql.sql(spark, """
+      WITH top_orders AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+        FROM orders
+        QUALIFY rn = 1
+      )
+      SELECT count(*) AS n FROM top_orders""").collect()(0).getLong(0)
+    val manual = spark.sql(
+      "SELECT count(DISTINCT o_custkey) FROM orders").collect()(0).getLong(0)
+    assert(got == manual)
+
+    val sub = GraftSql.sql(spark, """
+      SELECT count(*) AS n FROM (
+        SELECT o_orderkey FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+      ) q""").collect()(0).getLong(0)
+    assert(sub == manual)
+  }
+
   test("SAFE_CAST lowers to TRY_CAST") {
     val r = GraftSql.sql(spark,
       "SELECT SAFE_CAST('12' AS INT) AS a, SAFE_CAST('nope' AS INT) AS b").collect()(0)
