@@ -19,9 +19,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Spark-first shape: `repartition(partitionKeys)` +
   * `sortWithinPartitions(partitionKeys, orderKeys)` puts every partition
   * key's rows consecutively and ordered inside one task, then a
-  * mapPartitions pass runs the pattern machine per key group — one
-  * shuffle total, state bounded by the longest match, no driver
-  * involvement. Output = ALL ROWS PER MATCH: the input columns plus
+  * mapPartitions pass streams the pattern machine one key group at a
+  * time — one shuffle total, task memory bounded by the largest single
+  * key group (not the whole hash partition), no driver involvement. Output = ALL ROWS PER MATCH: the input columns plus
   * `match_no` (1-based per partition key) and `classifier` (the symbol
   * that matched the row); ONE ROW PER MATCH and measures compose on top
   * as ordinary groupBy(match_no) aggregations.
@@ -230,31 +230,27 @@ object MatchRecognize {
       .repartition(partitionKeys.map(col): _*)
       .sortWithinPartitions((partitionKeys ++ orderKeys).map(col): _*)
 
+    // Rows arrive grouped (repartition on key) and sorted, so the
+    // partition streams one key group at a time: peak task memory is
+    // O(largest single group), not O(partition) — a hot hash partition
+    // holding many keys never materializes whole.
     val out = sorted.mapPartitions { it =>
-      val rows = it.toArray
-      val result = mutable.ArrayBuffer.empty[Row]
-      var g0 = 0
-      while (g0 < rows.length) {
-        // locate this partition key's contiguous group
-        val key = keyIdx.map(rows(g0).get)
-        var g1 = g0 + 1
-        while (g1 < rows.length && keyIdx.map(rows(g1).get) == key) g1 += 1
-        val group: IndexedSeq[Row] = rows.slice(g0, g1).toIndexedSeq
+      def epochMs(r: Row, i: Int): Long = r.get(i) match {
+        case t: java.sql.Timestamp => t.getTime
+        case t: java.time.Instant => t.toEpochMilli
+        case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        case l: java.lang.Long => l
+        case other => throw new IllegalArgumentException(s"WITHIN column type: $other")
+      }
 
-        def epochMs(r: Row, i: Int): Long = r.get(i) match {
-          case t: java.sql.Timestamp => t.getTime
-          case t: java.time.Instant => t.toEpochMilli
-          case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          case l: java.lang.Long => l
-          case other => throw new IllegalArgumentException(s"WITHIN column type: $other")
-        }
+      def processGroup(group: IndexedSeq[Row]): Iterator[Row] = {
         val posAllowed: (Int, Int) => Boolean = withinIdx match {
           case None => (_, _) => true
           case Some((ti, maxMs)) => (start, pos) =>
             pos < group.length &&
               epochMs(group(pos), ti) - epochMs(group(start), ti) <= maxMs
         }
-
+        val result = mutable.ArrayBuffer.empty[Row]
         var matchNo = 0L
         var p = 0
         while (p < group.length) {
@@ -277,9 +273,31 @@ object MatchRecognize {
             case None => p += 1
           }
         }
-        g0 = g1
+        result.iterator
       }
-      result.iterator
+
+      // NB: the lookahead val must NOT be named `buffered` — inside the
+      // anon Iterator that name resolves to the inherited
+      // Iterator.buffered method (a fresh BufferedIterator over `this`),
+      // which self-recurses hasNext into a StackOverflowError.
+      val in = it.buffered
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && in.hasNext) {
+            val key = keyIdx.map(in.head.get)
+            val group = mutable.ArrayBuffer.empty[Row]
+            while (in.hasNext && keyIdx.map(in.head.get) == key)
+              group += in.next()
+            pending = processGroup(group.toIndexedSeq)
+          }
+          pending.hasNext
+        }
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("empty partition iterator")
+          pending.next()
+        }
+      }
     }(Encoders.row(outSchema))
 
     out

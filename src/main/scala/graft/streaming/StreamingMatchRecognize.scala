@@ -5,11 +5,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.plans.MatchRecognize
 
-/** Per-key streaming state: unconsumed rows + match counter. Top-level
-  * (not nested in the object) because nested case classes trip the
-  * encoder's codegen constructor resolution. */
+/** Per-key streaming state: unconsumed rows, match counter, the
+  * (ts, tiebreak) of the last row consumed by an emitted match (so
+  * AFTER MATCH SKIP PAST LAST ROW holds across micro-batches), and a
+  * count of rows evicted by the maxBuffer cap. Top-level (not nested in
+  * the object) because nested case classes trip the encoder's codegen
+  * constructor resolution. */
 private[streaming] final case class MrKeyState(
-    buffer: Seq[StreamingMatchRecognize.MrEvent], matchNo: Long)
+    buffer: Seq[StreamingMatchRecognize.MrEvent], matchNo: Long,
+    lastTs: Long, lastTiebreak: Long, evicted: Long)
 
 /** MATCH_RECOGNIZE over a stream (ref: SURVEY.md §7.2 — "streaming
   * variant via flatMapGroupsWithState"; the reference only defines the
@@ -19,11 +23,15 @@ private[streaming] final case class MrKeyState(
   * state buffers unconsumed rows; each micro-batch sorts the buffer,
   * runs the same backtracking machine as the batch operator, emits
   * completed matches (Update mode) and retains the unmatched tail. A
-  * match is never re-emitted (AFTER MATCH SKIP PAST LAST ROW), and the
-  * per-key buffer is bounded by `maxBuffer` (oldest rows beyond it are
-  * dropped — the watermark-integration refinement is future work, so
-  * late events older than an emitted match can be missed, the standard
-  * caveat for unwatermarked custom state).
+  * match is never re-emitted, and SKIP PAST LAST ROW holds across
+  * batches: the state records the (ts, tiebreak) of the last consumed
+  * row, and any row at or before it — whether left unmatched in the
+  * buffer or arriving late in a later batch — is dropped before
+  * matching, so no match can use rows older than (or interleaved with)
+  * a previously emitted match and match_no stays in event-time order.
+  * The per-key buffer is bounded by `maxBuffer`; evictions of oldest
+  * unmatched rows are counted in state (`MrKeyState.evicted`) rather
+  * than dropped silently.
   */
 object StreamingMatchRecognize {
 
@@ -46,10 +54,12 @@ object StreamingMatchRecognize {
 
     // reuse the batch machine by lifting MrEvent into a generic runner:
     // the tiny per-key buffers make per-row closures fine here.
+    // returns (matches, unmatched tail AFTER the last consumed row,
+    // next matchNo, index of last consumed row or -1)
     def runMatcher(rows: IndexedSeq[MrEvent], startMatchNo: Long)
-        : (Seq[MrMatchRow], Seq[MrEvent], Long) = {
+        : (Seq[MrMatchRow], Seq[MrEvent], Long, Int) = {
       val out = scala.collection.mutable.ArrayBuffer.empty[MrMatchRow]
-      val consumed = scala.collection.mutable.BitSet.empty
+      var lastConsumed = -1
       var matchNo = startMatchNo
       var p = 0
       while (p < rows.length) {
@@ -60,27 +70,38 @@ object StreamingMatchRecognize {
             matchNo += 1
             classifiers.zipWithIndex.foreach { case (cls, i) =>
               val e = rows(p + i)
-              consumed += (p + i)
               out += MrMatchRow(e.key, matchNo, e.ts, e.tiebreak, e.value, cls)
             }
+            lastConsumed = p + classifiers.length - 1
             p += classifiers.length
           case None => p += 1
         }
       }
-      val remaining = rows.zipWithIndex.collect {
-        case (e, i) if !consumed.contains(i) => e
-      }.toSeq
-      (out.toSeq, remaining, matchNo)
+      // SKIP PAST LAST ROW across batches: rows before the last emitted
+      // match are dead — keep only the tail after it.
+      val remaining = rows.drop(lastConsumed + 1)
+      (out.toSeq, remaining, matchNo, lastConsumed)
     }
 
     def fn(key: Long, it: Iterator[MrEvent], state: GroupState[MrKeyState])
         : Iterator[MrMatchRow] = {
-      val prev = state.getOption.getOrElse(MrKeyState(Seq.empty, 0L))
-      val all = (prev.buffer ++ it.toSeq)
+      val prev = state.getOption
+        .getOrElse(MrKeyState(Seq.empty, 0L, Long.MinValue, Long.MinValue, 0L))
+      // drop anything at or before the last consumed row (late arrivals
+      // or buffered rows preceding an already-emitted match)
+      val merged = (prev.buffer ++ it.toSeq)
+        .filter(e => e.ts > prev.lastTs ||
+          (e.ts == prev.lastTs && e.tiebreak > prev.lastTiebreak))
         .sortBy(e => (e.ts, e.tiebreak))
-        .takeRight(maxBuffer)
-      val (matches, remaining, matchNo) = runMatcher(all.toIndexedSeq, prev.matchNo)
-      state.update(MrKeyState(remaining, matchNo))
+      val evictedNow = math.max(0, merged.length - maxBuffer)
+      val all = merged.takeRight(maxBuffer)
+      val (matches, remaining, matchNo, lastIdx) =
+        runMatcher(all.toIndexedSeq, prev.matchNo)
+      val (lastTs, lastTie) =
+        if (lastIdx >= 0) (all(lastIdx).ts, all(lastIdx).tiebreak)
+        else (prev.lastTs, prev.lastTiebreak)
+      state.update(MrKeyState(
+        remaining, matchNo, lastTs, lastTie, prev.evicted + evictedNow))
       matches.iterator
     }
 

@@ -44,6 +44,35 @@ class StreamingMatchSpec extends SparkSpec {
     assert(got.map(_._3) == Seq("STRT", "DOWN", "DOWN", "UP"))
   }
 
+  test("SKIP PAST LAST ROW holds across batches: stale rows never join a later match") {
+    // batch 1: ts0 stays unmatched (prefix), ts1000-3000 emit match 1
+    val first = Seq(ev(4, 0, 5), ev(4, 1, 10), ev(4, 2, 9), ev(4, 3, 11))
+    // batch 2: a fresh V entirely after match 1
+    val second = Seq(ev(4, 4, 7), ev(4, 5, 4), ev(4, 6, 6))
+    val got = runChunksFull(Seq(first, second))
+    val m2 = got.filter(_._2 == 2L)
+    assert(m2.map(_._4) == Seq("STRT", "DOWN", "UP"))
+    // no match-2 row may predate the last row of match 1 (ts=3000):
+    // the unmatched ts=0 row must have been evicted from state
+    assert(m2.forall(_._3 >= 4000L), s"stale row joined match 2: $m2")
+    assert(got.count(_._2 == 1L) == 3)
+  }
+
+  /** Like runChunks but also returns ts, for event-time assertions. */
+  private def runChunksFull(chunks: Seq[Seq[MrEvent]]): Seq[(Long, Long, Long, String)] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[MrEvent]
+    val out = StreamingMatchRecognize(mem.toDS(), "STRT DOWN+ UP+", define)
+    val q = out.writeStream.format("memory").queryName("smr_out_full")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table("smr_out_full")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(5)))
+      .toSeq.sortBy(t => (t._2, t._3))
+  }
+
   test("keys are isolated and matches number independently") {
     val mixed = Seq(
       ev(1, 0, 5), ev(1, 1, 4), ev(1, 2, 6),
