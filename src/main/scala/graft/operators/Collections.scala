@@ -30,19 +30,25 @@ object Collections {
       GROUP BY word ORDER BY n DESC, word LIMIT 50"""))
 
   /** COLLECT → sorted array + slice (ref: rel/core/Collect.java:1,
-    * SqlLibraryOperators.java:821 ARRAY_AGG, :1697 ARRAY_SLICE). */
+    * SqlLibraryOperators.java:821 ARRAY_AGG, :1697 ARRAY_SLICE). The
+    * array is joined to a string for the output so the driver's
+    * row-hash compare (which cannot sort array cells) can check it —
+    * the collect/sort/slice pipeline itself is unchanged. */
   val q51_collect_array = Q(
     (s, dir) => {
       T(s, dir, "nation")
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          slice(sort_array(collect_list(col("c_name"))), 1, 5).as("first_names"),
+          slice(sort_array(collect_list(col("c_name"))), 1, 5).as("fn"),
           count(lit(1)).as("n"))
+        .select(col("n_name"), array_join(col("fn"), ",").as("first_names"), col("n"))
         .orderBy("n_name")
     },
     Some("""
-      SELECT n_name, list_slice(list(c_name ORDER BY c_name), 1, 5) AS first_names, COUNT(*) AS n
+      SELECT n_name,
+        array_to_string(list_slice(list(c_name ORDER BY c_name), 1, 5), ',') AS first_names,
+        COUNT(*) AS n
       FROM nation JOIN customer ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name"""))
 
@@ -55,13 +61,14 @@ object Collections {
         .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"))
         .select(
           col("o_custkey"),
-          col("prios"),
+          array_join(col("prios"), ",").as("prios_csv"),
           size(col("prios")).as("n_prios"),
           array_contains(col("prios"), "1-URGENT").cast(BooleanType).as("has_urgent"))
         .orderBy("o_custkey")
     },
     Some("""
-      SELECT o_custkey, prios, CAST(len(prios) AS INT) AS n_prios,
+      SELECT o_custkey, array_to_string(prios, ',') AS prios_csv,
+        CAST(len(prios) AS INT) AS n_prios,
         list_contains(prios, '1-URGENT') AS has_urgent
       FROM (SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS prios
             FROM orders GROUP BY o_custkey) t
