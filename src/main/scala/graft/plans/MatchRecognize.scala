@@ -2,9 +2,9 @@ package graft.plans
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** MATCH_RECOGNIZE — SQL:2016 row-pattern matching (ref:
@@ -46,7 +46,11 @@ object MatchRecognize {
   private case class PSym(name: String) extends Pat
   private case class PCat(xs: List[Pat]) extends Pat
   private case class PAlt(xs: List[Pat]) extends Pat
-  private case class PQuant(p: Pat, min: Int, max: Int) extends Pat // max = Int.MaxValue for unbounded
+  /** max = Int.MaxValue for unbounded; reluctant = lazy `*?`/`+?`/`??`/
+    * `{n,m}?` (SQL:2016 reluctant quantifiers, ref: runtime/Pattern
+    * .java:1 RepeatPattern + sql/SqlMatchRecognize.java) — tries the
+    * SHORTEST expansion first instead of the longest. */
+  private case class PQuant(p: Pat, min: Int, max: Int, reluctant: Boolean = false) extends Pat
 
   private[graft] def parsePattern(s: String): Any = parse(s)
 
@@ -114,10 +118,18 @@ object MatchRecognize {
       case sym :: tail => (PSym(sym): Pat, tail)
       case Nil => throw new IllegalArgumentException("empty pattern atom")
     }
+    // a '?' directly after a quantifier flips it to reluctant (lazy)
+    def lazyness(t: List[String]): (Boolean, List[String]) = t match {
+      case "?" :: rest => (true, rest)
+      case _ => (false, t)
+    }
     rest match {
-      case "*" :: t => (PQuant(base, 0, Int.MaxValue), t)
-      case "+" :: t => (PQuant(base, 1, Int.MaxValue), t)
-      case "?" :: t => (PQuant(base, 0, 1), t)
+      case "*" :: t =>
+        val (lzy, t2) = lazyness(t); (PQuant(base, 0, Int.MaxValue, lzy), t2)
+      case "+" :: t =>
+        val (lzy, t2) = lazyness(t); (PQuant(base, 1, Int.MaxValue, lzy), t2)
+      case "?" :: t =>
+        val (lzy, t2) = lazyness(t); (PQuant(base, 0, 1, lzy), t2)
       case q :: t if q.startsWith("{") =>
         val body = q.substring(1, q.length - 1)
         val parts = body.split(",", -1)
@@ -127,7 +139,8 @@ object MatchRecognize {
           case Array(n, m) => (n.trim.toInt, m.trim.toInt)
           case _ => throw new IllegalArgumentException(s"bad quantifier $q")
         }
-        (PQuant(base, mn, mx), t)
+        val (lzy, t2) = lazyness(t)
+        (PQuant(base, mn, mx, lzy), t2)
       case _ => (base, rest)
     }
   }
@@ -184,20 +197,28 @@ object MatchRecognize {
         }
       case PAlt(xs) =>
         xs.iterator.map(x => go(x, pos, k)).collectFirst { case Some(r) => r }
-      case PQuant(inner, mn, mx) =>
-        // rep(i, pos): already consumed i repetitions at pos
-        def rep(i: Int, pos2: Int): Option[List[String]] = {
-          val more =
-            if (i < mx)
-              go(inner, pos2, p3 =>
-                if (p3 == pos2) None // zero-width repetition guard
-                else rep(i + 1, p3))
-            else None
-          more match {
-            case some @ Some(_) => some
-            case None => if (i >= mn) k(pos2) else None
+      case PQuant(inner, mn, mx, reluctant) =>
+        // rep(i, pos): already consumed i repetitions at pos. Greedy
+        // tries the longest expansion first; reluctant the shortest.
+        def expand(i: Int, pos2: Int): Option[List[String]] =
+          if (i < mx)
+            go(inner, pos2, p3 =>
+              if (p3 == pos2) None // zero-width repetition guard
+              else rep(i + 1, p3))
+          else None
+        def rep(i: Int, pos2: Int): Option[List[String]] =
+          if (reluctant) {
+            val short = if (i >= mn) k(pos2) else None
+            short match {
+              case some @ Some(_) => some
+              case None => expand(i, pos2)
+            }
+          } else {
+            expand(i, pos2) match {
+              case some @ Some(_) => some
+              case None => if (i >= mn) k(pos2) else None
+            }
           }
-        }
         rep(0, pos)
     }
     go(pat, start, pos => Some(Nil)).filter(_.nonEmpty)
@@ -301,5 +322,38 @@ object MatchRecognize {
     }(Encoders.row(outSchema))
 
     out
+  }
+
+  // ---- SUBSET + MEASURES / ONE ROW PER MATCH --------------------------
+
+  /** SQL:2016 `SUBSET S = (A, B)` (ref: rel/core/Match.java:83 subsets,
+    * sql/SqlMatchRecognize.java): a predicate over the ALL-ROWS output
+    * selecting the rows whose classifier is in the subset. Measures over
+    * a subset scope their aggregate with it, e.g.
+    * `avg(when(MatchRecognize.subset("A", "B"), col("price")))`. */
+  def subset(symbols: String*): Column =
+    col("classifier").isin(symbols.map(_.asInstanceOf[Any]): _*)
+
+  /** A measure input scoped to one symbol or subset: the value on rows
+    * the symbol matched, NULL elsewhere (aggregates skip NULLs, so
+    * `max(sym("UP", col("v")))` ≡ `MAX(UP.v)` in MEASURES). */
+  def sym(symbol: String, value: Column): Column =
+    when(col("classifier") === symbol, value)
+
+  /** ONE ROW PER MATCH with MEASURES (ref: rel/core/Match.java:70
+    * measures + rowsPerMatch): collapse the ALL-ROWS output to one row
+    * per (partition keys, match_no), computing each named measure as an
+    * aggregate over the match's rows. FINAL semantics (the whole match
+    * is visible), the reference's default for ONE ROW PER MATCH.
+    * Scale: a groupBy on (keys, match_no) — partial-aggregated and
+    * co-partitioned with the match shuffle that produced the input. */
+  def oneRowPerMatch(
+      allRows: DataFrame,
+      partitionKeys: Seq[String],
+      measures: Seq[Column]): DataFrame = {
+    require(measures.nonEmpty, "at least one measure required")
+    allRows
+      .groupBy((partitionKeys :+ "match_no").map(col): _*)
+      .agg(measures.head, measures.tail: _*)
   }
 }

@@ -65,6 +65,59 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(got == List((0L, 1L, "H"), (1L, 1L, "H"), (2L, 1L, "L")))
   }
 
+  test("reluctant +? consumes the minimal run where greedy + consumes all") {
+    val hi: MatchRecognize.Define = (c, _) => c.getDouble(2) > 5
+    // H+ : one greedy match of the whole run
+    val greedy = mr(seqDf(6, 7, 8), "H+", Map("H" -> hi))
+    assert(greedy.map(x => (x._2, x._3)) == List((1L, "H"), (1L, "H"), (1L, "H")))
+    // H+? : each match stops at one row → three matches
+    val lzy = mr(seqDf(6, 7, 8), "H+?", Map("H" -> hi))
+    assert(lzy.map(x => (x._2, x._3)) == List((1L, "H"), (2L, "H"), (3L, "H")), s"got $lzy")
+    // with a required tail the reluctant form still backtracks forward
+    // (leftmost match wins): H+? L on 6,7,8,1 consumes all highs
+    val tail = mr(seqDf(6, 7, 8, 1), "H+? L",
+      Map("H" -> hi, "L" -> ((c, _) => c.getDouble(2) <= 5)))
+    assert(tail.map(_._3) == List("H", "H", "H", "L"))
+  }
+
+  test("reluctant *? and ?? prefer zero-width") {
+    val hi: MatchRecognize.Define = (c, _) => c.getDouble(2) > 5
+    val lo: MatchRecognize.Define = (c, _) => c.getDouble(2) <= 5
+    // H*? L on 6,1: zero H's preferred, L alone matches at pos 1... but
+    // leftmost match at pos 0 needs L at pos 0 (6 is high) → backtrack
+    // expands H once.
+    val got = mr(seqDf(6, 1), "H*? L", Map("H" -> hi, "L" -> lo))
+    assert(got.map(_._3) == List("H", "L"))
+    // H?? L on 1: optional-lazy H skipped entirely
+    val got2 = mr(seqDf(1), "H?? L", Map("H" -> hi, "L" -> lo))
+    assert(got2.map(_._3) == List("L"))
+  }
+
+  test("bounded reluctant {n,m}? stops at n when the tail matches") {
+    val any: MatchRecognize.Define = (_, _) => true
+    val lo: MatchRecognize.Define = (c, _) => c.getDouble(2) <= 5
+    // A{1,3}? L on 9,9,1 : lazy takes 1 A, L fails on 9, expand to 2, L on 1 ✓
+    val got = mr(seqDf(9, 9, 1), "A{1,3}? L", Map("A" -> any, "L" -> lo))
+    assert(got.map(_._3) == List("A", "A", "L"))
+  }
+
+  test("SUBSET + MEASURES collapse to one row per match") {
+    import org.apache.spark.sql.functions._
+    val df = seqDf(10, 9, 8, 9, 10)
+    val all = MatchRecognize.matchRecognize(df, Seq("k"), Seq("pos"),
+      "STRT DOWN+ UP+", Map("DOWN" -> down, "UP" -> up))
+    val one = MatchRecognize.oneRowPerMatch(all, Seq("k"), Seq(
+      min(MatchRecognize.sym("DOWN", col("v"))).as("bottom"),
+      max(when(MatchRecognize.subset("DOWN", "UP"), col("v"))).as("peak_move"),
+      count(lit(1)).as("len")))
+    val r = one.collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Double]("bottom") == 8.0)   // lowest DOWN row
+    assert(row.getAs[Double]("peak_move") == 10.0) // max over the subset
+    assert(row.getAs[Long]("len") == 5L)
+  }
+
   test("SKIP TO NEXT ROW yields overlapping matches") {
     val hi: MatchRecognize.Define = (c, _) => c.getDouble(2) > 5
     val got = mr(seqDf(6, 7, 8), "H H", Map("H" -> hi), SkipToNextRow)
