@@ -13,7 +13,8 @@ import graft.plans.MatchRecognize
   * constructor resolution. */
 private[streaming] final case class MrKeyState(
     buffer: Seq[StreamingMatchRecognize.MrEvent], matchNo: Long,
-    lastTs: Long, lastTiebreak: Long, evicted: Long)
+    lastTs: Long, lastTiebreak: Long, evicted: Long,
+    maxSeenTs: Long, expired: Long)
 
 /** MATCH_RECOGNIZE over a stream (ref: SURVEY.md §7.2 — "streaming
   * variant via flatMapGroupsWithState"; the reference only defines the
@@ -32,6 +33,15 @@ private[streaming] final case class MrKeyState(
   * The per-key buffer is bounded by `maxBuffer`; evictions of oldest
   * unmatched rows are counted in state (`MrKeyState.evicted`) rather
   * than dropped silently.
+  *
+  * With a `within` duration (the WITHIN clause, ref: rel/core/Match
+  * .java:75) eviction becomes watermark-driven and semantically
+  * lossless: a per-key watermark advances as max(event time) - 
+  * `allowedLateness`, and buffered rows older than watermark - `within`
+  * are expired (counted in `MrKeyState.expired`) — any match containing
+  * such a row would need completing rows at or before the watermark,
+  * which the lateness bound says will never arrive. State is then
+  * bounded by the rows inside one within-window, not by maxBuffer.
   */
 object StreamingMatchRecognize {
 
@@ -47,7 +57,9 @@ object StreamingMatchRecognize {
       events: Dataset[MrEvent],
       pattern: String,
       define: Map[String, Define],
-      maxBuffer: Int = 10000): Dataset[MrMatchRow] = {
+      maxBuffer: Int = 10000,
+      within: Option[Long] = None,
+      allowedLateness: Long = 0L): Dataset[MrMatchRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val stateEnc: Encoder[MrKeyState] = Encoders.product[MrKeyState]
@@ -63,9 +75,12 @@ object StreamingMatchRecognize {
       var matchNo = startMatchNo
       var p = 0
       while (p < rows.length) {
+        val start = p
         MatchRecognize.matchSeq(pattern, rows.length, p,
-          (name, pos) => define.get(name).forall(f =>
-            f(rows(pos), if (pos == 0) None else Some(rows(pos - 1))))) match {
+          (name, pos) =>
+            within.forall(w => rows(pos).ts - rows(start).ts <= w) &&
+              define.get(name).forall(f =>
+                f(rows(pos), if (pos == 0) None else Some(rows(pos - 1))))) match {
           case Some(classifiers) =>
             matchNo += 1
             classifiers.zipWithIndex.foreach { case (cls, i) =>
@@ -86,22 +101,36 @@ object StreamingMatchRecognize {
     def fn(key: Long, it: Iterator[MrEvent], state: GroupState[MrKeyState])
         : Iterator[MrMatchRow] = {
       val prev = state.getOption
-        .getOrElse(MrKeyState(Seq.empty, 0L, Long.MinValue, Long.MinValue, 0L))
+        .getOrElse(MrKeyState(Seq.empty, 0L, Long.MinValue, Long.MinValue, 0L,
+          Long.MinValue, 0L))
+      val incoming = it.toSeq
+      val maxSeen =
+        (prev.maxSeenTs +: incoming.map(_.ts)).max
       // drop anything at or before the last consumed row (late arrivals
       // or buffered rows preceding an already-emitted match)
-      val merged = (prev.buffer ++ it.toSeq)
+      val merged = (prev.buffer ++ incoming)
         .filter(e => e.ts > prev.lastTs ||
           (e.ts == prev.lastTs && e.tiebreak > prev.lastTiebreak))
         .sortBy(e => (e.ts, e.tiebreak))
-      val evictedNow = math.max(0, merged.length - maxBuffer)
-      val all = merged.takeRight(maxBuffer)
+      // watermark-driven expiry: with WITHIN, rows older than
+      // (maxSeen - lateness - within) can never complete a match
+      val (kept, expiredNow) = within match {
+        case Some(w) if maxSeen != Long.MinValue =>
+          val horizon = maxSeen - allowedLateness - w
+          val k = merged.dropWhile(_.ts < horizon)
+          (k, (merged.length - k.length).toLong)
+        case _ => (merged, 0L)
+      }
+      val evictedNow = math.max(0, kept.length - maxBuffer)
+      val all = kept.takeRight(maxBuffer)
       val (matches, remaining, matchNo, lastIdx) =
         runMatcher(all.toIndexedSeq, prev.matchNo)
       val (lastTs, lastTie) =
         if (lastIdx >= 0) (all(lastIdx).ts, all(lastIdx).tiebreak)
         else (prev.lastTs, prev.lastTiebreak)
       state.update(MrKeyState(
-        remaining, matchNo, lastTs, lastTie, prev.evicted + evictedNow))
+        remaining, matchNo, lastTs, lastTie, prev.evicted + evictedNow,
+        maxSeen, prev.expired + expiredNow))
       matches.iterator
     }
 

@@ -73,6 +73,41 @@ class StreamingMatchSpec extends SparkSpec {
       .toSeq.sortBy(t => (t._2, t._3))
   }
 
+  test("WITHIN: expired rows never complete a match across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[MrEvent]
+    // within 3000: a partial STRT DOWN at ts 0/1000 expires once the
+    // stream advances past ts 4000 (+0 lateness) — a later UP cannot
+    // resurrect it even though the pattern would allow it
+    val out = StreamingMatchRecognize(mem.toDS(), "STRT DOWN+ UP+", define,
+      within = Some(3000L))
+    val q = out.writeStream.format("memory").queryName("smr_within")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq(ev(7, 0, 10), ev(7, 1, 9))); q.processAllAvailable()
+      mem.addData(Seq(ev(7, 9, 5))); q.processAllAvailable()   // advances watermark, expires 0/1000
+      mem.addData(Seq(ev(7, 10, 12))); q.processAllAvailable() // UP vs 5 — but old STRT/DOWN are gone
+    } finally q.stop()
+    val got = spark.table("smr_within").collect()
+    assert(got.isEmpty, s"expired rows joined a match: ${got.mkString(",")}")
+  }
+
+  test("WITHIN: matches inside the window still complete across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[MrEvent]
+    val out = StreamingMatchRecognize(mem.toDS(), "STRT DOWN+ UP+", define,
+      within = Some(5000L))
+    val q = out.writeStream.format("memory").queryName("smr_within_ok")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq(ev(8, 0, 10), ev(8, 1, 9))); q.processAllAvailable()
+      mem.addData(Seq(ev(8, 2, 8), ev(8, 3, 12))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("smr_within_ok").collect()
+      .map(r => r.getString(5)).sorted
+    assert(got.toSeq == Seq("DOWN", "DOWN", "STRT", "UP"))
+  }
+
   test("keys are isolated and matches number independently") {
     val mixed = Seq(
       ev(1, 0, 5), ev(1, 1, 4), ev(1, 2, 6),
