@@ -116,7 +116,37 @@ object Quantified {
             FROM orders GROUP BY 1, 2) t
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Measure columns (ref: MeasureRules.java, measure.iq): `revenue AS
+    * MEASURE SUM(...)` declared once on the detail, then evaluated in
+    * two contexts in one query — the brand group and AT (ALL) — to
+    * produce a share-of-total without hand-writing the subquery. */
+  val q87_measure_share = Q(
+    (s, dir) => {
+      import graft.plans.Measures
+      import graft.plans.Measures.{AtAll, Grouped}
+      val detail = T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      val m = Measures.MeasuredTable(detail,
+        Map("revenue" -> T.dsum(col("l_extendedprice"))))
+      m.query(
+        Seq("p_brand" -> col("p_brand")),
+        Seq(Grouped("revenue", "rev"), AtAll("revenue", "rev_all")))
+        .select(col("p_brand"), col("rev"),
+          (lit(100.0) * (col("rev") / col("rev_all"))).as("share"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+        100.0 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) /
+          (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           FROM lineitem JOIN part ON l_partkey = p_partkey)) AS share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   val all: Map[String, Q] = Map(
+    "q87_measure_share" -> q87_measure_share,
     "q75_quantified_all" -> q75_quantified_all,
     "q76_quantified_some" -> q76_quantified_some,
     "q77_unique_pred" -> q77_unique_pred,
