@@ -145,8 +145,50 @@ object Quantified {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** VARIANT type (ref: runtime/variant/VariantValue.java:1, corpus
+    * variant.iq; §2.6 TYPEOF/VARIANTNULL): Spark 4's native VariantType
+    * — parse once, typed path extraction, SQL-NULL for missing paths.
+    * The binary variant beats per-access JSON string parsing at scale:
+    * one decode per row, then O(1) typed field reads. */
+  val q88_variant = Q(
+    (s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("variant_get(v, '$.missing', 'string') IS NULL").as("missing_is_null"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        json_extract(props, '$.missing') IS NULL AS missing_is_null
+      FROM events ORDER BY event_id"""))
+
+  /** FORMAT_DATE / FORMAT_TIMESTAMP (ref: SqlLibraryOperators
+    * .java:2100/:2110, cast-with-format.iq `CAST(.. FORMAT ..)`):
+    * pattern-based datetime rendering via date_format. */
+  val q89_format_datetime = Q(
+    (s, dir) => {
+      T(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd").as("fd"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("fts"),
+          date_format(col("o_orderdate"), "D").cast(IntegerType).as("doy"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        strftime(o_orderdate, '%Y/%m/%d') AS fd,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fts,
+        CAST(EXTRACT(DOY FROM o_orderdate) AS INT) AS doy
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"""))
+
   val all: Map[String, Q] = Map(
     "q87_measure_share" -> q87_measure_share,
+    "q88_variant" -> q88_variant,
+    "q89_format_datetime" -> q89_format_datetime,
     "q75_quantified_all" -> q75_quantified_all,
     "q76_quantified_some" -> q76_quantified_some,
     "q77_unique_pred" -> q77_unique_pred,
