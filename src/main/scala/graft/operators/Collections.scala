@@ -74,6 +74,27 @@ object Collections {
             FROM orders GROUP BY o_custkey) t
       ORDER BY o_custkey"""))
 
+  /** ROW constructor, row equality, DOT field access (ref:
+    * SqlStdOperatorTable.java:1530 ROW, :384 DOT; corpus struct.iq +
+    * row-equality.iq). Row comparison is a single struct equality in
+    * both engines (null-safe per field). */
+  val q53_row_struct = Q(
+    (s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(struct(col("l_returnflag"), col("l_linestatus")) ===
+          struct(lit("R"), lit("F")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          struct(col("l_quantity").as("qty"), col("l_extendedprice").as("price")).as("rowv"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("rowv.qty").as("qty"), col("rowv.price").as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price
+      FROM lineitem
+      WHERE (l_returnflag, l_linestatus) = ('R', 'F')
+      ORDER BY l_orderkey, l_linenumber"""))
+
   /** JSON field extraction + aggregation (ref: runtime/JsonFunctions.java,
     * SqlStdOperatorTable.java:1655 JSON_VALUE). Extraction via regexp so
     * the oracle needs no DuckDB JSON extension. */
@@ -114,6 +135,7 @@ object Collections {
     "q50_unnest_wordcount" -> q50_unnest_wordcount,
     "q51_collect_array" -> q51_collect_array,
     "q52_array_functions" -> q52_array_functions,
+    "q53_row_struct" -> q53_row_struct,
     "q54_json_extract" -> q54_json_extract,
     "q55_higher_order" -> q55_higher_order)
 }
