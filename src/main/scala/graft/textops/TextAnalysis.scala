@@ -89,8 +89,52 @@ object TextAnalysis {
     },
     None)
 
+  /** The composed training-data pipeline: quality gate → exact dedup
+    * (md5 canonical = min doc_id) → per-language corpus stats. One
+    * narrow projection, one hash shuffle for dedup, one partial-agg
+    * shuffle for stats — the canonical 100 TB pre-training data flow.
+    * chars-per-word is a ratio of exact integer sums, so it
+    * hash-matches despite being a double. */
+  val d13_pipeline = Q(
+    (s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(split(col("text"), " ")).as("words"),
+          length(col("text")).as("chars"),
+          (regexp_count(col("text"), lit("[a-zA-Z]")).cast(DoubleType) / length(col("text")))
+            .as("alpha_ratio"))
+        .filter(col("words") >= 5 && col("alpha_ratio") > 0.4)
+      val canonical = scored
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"))
+      scored
+        .join(canonical, col("doc_id") === col("keep_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("words")).cast(LongType).as("total_words"),
+          (sum(col("chars")).cast(DoubleType) / sum(col("words"))).as("chars_per_word"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, text,
+          len(string_split(text, ' ')) AS words,
+          LENGTH(text) AS chars,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+        FROM documents),
+      kept AS (SELECT * FROM scored WHERE words >= 5 AND alpha_ratio > 0.4),
+      canonical AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY md5(text))
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(words) AS BIGINT) AS total_words,
+        CAST(SUM(chars) AS DOUBLE) / SUM(words) AS chars_per_word
+      FROM kept WHERE doc_id IN (SELECT keep_id FROM canonical)
+      GROUP BY lang ORDER BY lang"""))
+
   val all: Map[String, Q] = Map(
     "d06_quality_score" -> d06_quality_score,
     "d07_token_count" -> d07_token_count,
-    "d08_langid" -> d08_langid)
+    "d08_langid" -> d08_langid,
+    "d13_pipeline" -> d13_pipeline)
 }
