@@ -22,6 +22,8 @@ object GraftFunctions {
   def similar_to(str: Column, pattern: Column): Column =
     column(SimilarTo(expression(str), expression(pattern)))
   def to_base32(c: Column): Column = column(ToBase32(expression(c)))
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
   def from_base32(c: Column): Column = column(FromBase32(expression(c)))
 
   private def d(e: Expression): Expression = Cast(e, DoubleType)
@@ -32,6 +34,8 @@ object GraftFunctions {
     * FunctionRegistry so both SQL text and the DSL resolve them. */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "similar_to" -> (args => SimilarTo(args(0), args(1))),
+    // native codegen dot product over array<float|double> (embeddings)
+    "dot_product" -> (args => DotProduct(args(0), args(1))),
     "to_base32" -> (args => ToBase32(args.head)),
     "from_base32" -> (args => FromBase32(args.head)),
     // degree trigonometry (ref: SqlLibraryOperators.java:2479-2524)

@@ -80,10 +80,11 @@ object IvfAnn {
         .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cid"))
 
-      // search only the probed cells, exact cosine rerank
-      val dot = expr("aggregate(zip_with(q_vec, n_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-      def nrm(c: String) = sqrt(expr(
-        s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      // search only the probed cells, exact cosine rerank (native
+      // codegen dot product — see functions/VectorExprs.scala)
+      val dot = graft.functions.GraftFunctions.dot_product(col("q_vec"), col("n_vec"))
+      def nrm(c: String) =
+        sqrt(graft.functions.GraftFunctions.dot_product(col(c), col(c)))
       val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       broadcast(probes)
         .join(indexed.select(col("cid"), col("vec_id").as("n_id"), col("embedding").as("n_vec")), Seq("cid"))

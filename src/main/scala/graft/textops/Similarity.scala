@@ -15,13 +15,16 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** Sequential in-order double dot product — matches DuckDB's
-    * list_cosine_similarity over DOUBLE[] bit-for-bit. */
+    * list_cosine_similarity over DOUBLE[] bit-for-bit. Native codegen
+    * expression (functions/VectorExprs.scala): a primitive loop inside
+    * whole-stage codegen instead of the interpreted
+    * aggregate(zip_with(...)) higher-order path. */
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.functions.GraftFunctions.dot_product(col(a), col(b))
 
   private def withNorm(df: DataFrame, vecCol: String, out: String): DataFrame =
-    df.withColumn(out, sqrt(expr(
-      s"aggregate($vecCol, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    df.withColumn(out,
+      sqrt(graft.functions.GraftFunctions.dot_product(col(vecCol), col(vecCol))))
 
   /** Brute-force cosine top-3 neighbors for the first 20 query vectors.
     * Exact baseline: queries × corpus via broadcast of the (tiny) query
@@ -73,11 +76,12 @@ object Similarity {
       }
       // per-table signature: 4 sign bits of hyperplane projections
       def sigExpr(vecCol: String, t: Int) = {
-        val bits = (0 until bitsPerTable).map { b =>
-          val arr = (0 until 64).map(weight(t, b, _)).mkString("array(", ", ", ")")
-          s"(CASE WHEN aggregate(zip_with($vecCol, $arr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v) > 0 THEN ${1 << b} ELSE 0 END)"
-        }
-        expr(bits.mkString(" + "))
+        (0 until bitsPerTable).map { b =>
+          val arr = (0 until 64).map(weight(t, b, _))
+            .mkString("CAST(array(", ", ", ") AS ARRAY<DOUBLE>)")
+          when(graft.functions.GraftFunctions.dot_product(col(vecCol), expr(arr)) > 0,
+            lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
       }
       val emb = withNorm(T(s, dir, "embeddings"), "embedding", "nrm")
       val tabled = emb.select(
