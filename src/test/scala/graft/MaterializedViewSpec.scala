@@ -1,0 +1,91 @@
+package graft
+
+import graft.plans.MaterializedViews
+import org.apache.spark.sql.functions._
+
+/** MV substitution: rollup queries over the source are rewritten to
+  * aggregate the cached MV; non-rollup-able queries are untouched;
+  * results are identical either way. */
+class MaterializedViewSpec extends SparkSpec {
+
+  private def source = T(spark, sfDir, "orders")
+
+  test("rollup over a subset of MV keys scans the cached MV, not the source") {
+    MaterializedViews.register(spark, "mv_orders", source,
+      keys = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Seq("o_totalprice"), maxs = Seq("o_orderdate"))
+    try {
+      val q = source.groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"),
+          max("o_orderdate").as("last"))
+        .orderBy("o_orderstatus")
+
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"), s"expected MV scan:\n$plan")
+      // the file-source relation must be gone from the logical plan (the
+      // cached-plan dump inside InMemoryRelation still mentions parquet)
+      val fileScans = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(fileScans.isEmpty, s"source must not be rescanned:\n$plan")
+
+      // identical values with the rule disabled
+      val expected = {
+        MaterializedViews.clear()
+        val e = source.groupBy("o_orderstatus")
+          .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"),
+            max("o_orderdate").as("last"))
+          .orderBy("o_orderstatus").collect()
+        e
+      }
+      // re-register for the rewritten run
+      MaterializedViews.register(spark, "mv_orders", source,
+        keys = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("o_totalprice"), maxs = Seq("o_orderdate"))
+      val got = q.collect()
+      assert(got.length == expected.length)
+      // double SUM rollup re-associates the accumulation, so the sums
+      // agree to ulp-level tolerance; the exact columns agree exactly
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0))
+        assert(math.abs(g.getDouble(1) - e.getDouble(1)) <= 1e-9 * math.abs(e.getDouble(1)))
+        assert(g.getLong(2) == e.getLong(2))
+        assert(g.get(3) == e.get(3))
+      }
+    } finally MaterializedViews.clear()
+  }
+
+  test("queries the MV cannot answer are left untouched") {
+    MaterializedViews.register(spark, "mv_orders2", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      // group key not covered by the MV
+      val q1 = source.groupBy("o_custkey").agg(sum("o_totalprice").as("t"))
+      assert(!q1.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+      // aggregate not covered (min of a non-declared column)
+      val q2 = source.groupBy("o_orderstatus").agg(min("o_totalprice").as("m"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+      // distinct aggregation is never rolled up from partials
+      val q3 = source.groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("d"))
+      assert(!q3.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    } finally MaterializedViews.clear()
+  }
+
+  test("grand-total rollup (empty grouping) also substitutes") {
+    MaterializedViews.register(spark, "mv_orders3", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      val q = source.agg(sum("o_totalprice").as("t"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+      val direct = {
+        MaterializedViews.clear()
+        source.agg(sum("o_totalprice").as("t")).collect()(0).getDouble(0)
+      }
+      MaterializedViews.register(spark, "mv_orders3", source,
+        keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+      val got = q.collect()(0).getDouble(0)
+      assert(math.abs(got - direct) < 1e-6 * math.abs(direct))
+    } finally MaterializedViews.clear()
+  }
+}
