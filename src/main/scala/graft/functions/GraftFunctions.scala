@@ -24,6 +24,8 @@ object GraftFunctions {
   def to_base32(c: Column): Column = column(ToBase32(expression(c)))
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def squared_distance(a: Column, b: Column): Column =
+    column(SquaredDistance(expression(a), expression(b)))
   def from_base32(c: Column): Column = column(FromBase32(expression(c)))
 
   private def d(e: Expression): Expression = Cast(e, DoubleType)
@@ -36,6 +38,7 @@ object GraftFunctions {
     "similar_to" -> (args => SimilarTo(args(0), args(1))),
     // native codegen dot product over array<float|double> (embeddings)
     "dot_product" -> (args => DotProduct(args(0), args(1))),
+    "squared_distance" -> (args => SquaredDistance(args(0), args(1))),
     "to_base32" -> (args => ToBase32(args.head)),
     "from_base32" -> (args => FromBase32(args.head)),
     // degree trigonometry (ref: SqlLibraryOperators.java:2479-2524)

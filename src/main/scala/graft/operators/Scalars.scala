@@ -100,6 +100,39 @@ object Scalars {
         CONCAT(p_brand, ':', p_type) AS bt
       FROM part ORDER BY p_partkey"""))
 
+  /** Library string pack 2 (ref: SqlLibraryOperators.java — LEVENSHTEIN
+    * :1911, TRANSLATE3 :1843, REVERSE :1894, CHR :2389, REPEAT :1875,
+    * SPLIT_PART, LEFT/RIGHT :1800-1808; POSITION via instr). */
+  val q59_string_funcs2 = Q(
+    (s, dir) => {
+      T(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).as("lev"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          reverse(col("p_name")).as("rev"),
+          ascii(col("p_name")).as("asc_c"),
+          expr("chr(65 + (p_partkey % 26))").as("ch"),
+          repeat(col("p_brand"), 2).as("rep"),
+          instr(col("p_name"), "e").as("pos"),
+          expr("split_part(p_type, 'O', 1)").as("sp"),
+          expr("left(p_name, 3)").as("l3"),
+          expr("right(p_name, 3)").as("r3"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        CAST(levenshtein(p_name, p_type) AS INT) AS lev,
+        translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        reverse(p_name) AS rev,
+        CAST(ascii(p_name) AS INT) AS asc_c,
+        chr(CAST(65 + (p_partkey % 26) AS INTEGER)) AS ch,
+        repeat(p_brand, 2) AS rep,
+        CAST(strpos(p_name, 'e') AS INT) AS pos,
+        split_part(p_type, 'O', 1) AS sp,
+        left(p_name, 3) AS l3, right(p_name, 3) AS r3
+      FROM part ORDER BY p_partkey"""))
+
   /** LIKE + POSIX regex match (ref: SqlStdOperatorTable.java:1728 LIKE,
     * :1737-1749 POSIX_REGEX; runtime regex in runtime/SqlFunctions.java). */
   val q71_like_regex = Q(
@@ -229,6 +262,7 @@ object Scalars {
     "q61_extract_parts" -> q61_extract_parts,
     "q62_date_diff" -> q62_date_diff,
     "q63_tumble_window" -> q63_tumble_window,
+    "q59_string_funcs2" -> q59_string_funcs2,
     "q70_string_funcs" -> q70_string_funcs,
     "q71_like_regex" -> q71_like_regex,
     "q72_string_agg" -> q72_string_agg,

@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   */
 object IvfAnn {
 
-  private def dist2(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  // native codegen squared distance (functions/VectorExprs.scala) —
+  // bit-identical to the former aggregate(zip_with(...)) lambda
+  private def dist2(a: String, b: String) =
+    graft.functions.GraftFunctions.squared_distance(col(a), col(b))
 
   /** Train k centroids (returns driver-side matrix; k·dim doubles). */
   private[textops] def trainCentroids(
