@@ -26,7 +26,96 @@ object GraftSql {
   }
 
   private[graft] def rewrite(sql: String): String =
-    rewriteQualify(rewriteSimilarTo(rewriteSafeCast(sql)))
+    rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(sql))))
+
+  /** Lower SQL/JSON `JSON_VALUE(doc, 'path' [behavior ON EMPTY]
+    * [behavior ON ERROR])` (behavior = NULL | ERROR | DEFAULT <expr>;
+    * ref: SqlStdOperatorTable.java:1655, runtime/JsonFunctions.java) to
+    * a CASE over get_json_object that distinguishes a malformed
+    * document (ON ERROR) from a valid document whose path selects
+    * nothing (ON EMPTY) — same lowering as functions/JsonValue.scala. */
+  private def rewriteJsonValue(sql: String): String = {
+    val kw = "JSON_VALUE"
+    val at = topLevelIndexAnyDepth(sql, kw)
+    if (at < 0) return sql
+    val open = sql.indexOf('(', at + kw.length)
+    if (open < 0) return sql
+    val close = closeParen(sql, open)
+    if (close < 0) return sql
+    val inner = sql.substring(open + 1, close)
+    // first top-level comma separates doc from path+behaviors
+    val comma = topLevelIndex(inner, ",", wordy = false)
+    if (comma < 0) return sql
+    val doc = inner.substring(0, comma).trim
+    val rest = inner.substring(comma + 1).trim
+    // path is a leading quoted string
+    if (!rest.startsWith("'")) return sql
+    var pe = 1
+    while (pe < rest.length && rest.charAt(pe) != '\'') pe += 1
+    val path = rest.substring(0, pe + 1)
+    val behaviors = rest.substring(pe + 1).trim
+
+    def parse(b: String): (String, String) = {
+      // returns (onEmpty, onError) SQL fragments
+      var onEmpty = "CAST(NULL AS STRING)"
+      var onError = "CAST(NULL AS STRING)"
+      val re = ("(?i)\\b(NULL|ERROR|DEFAULT\\s+.+?)\\s+ON\\s+(EMPTY|ERROR)\\b").r
+      re.findAllMatchIn(b).foreach { m =>
+        val beh = m.group(1).trim
+        val frag =
+          if (beh.equalsIgnoreCase("NULL")) "CAST(NULL AS STRING)"
+          else if (beh.equalsIgnoreCase("ERROR"))
+            s"raise_error('JSON_VALUE strict: ON ${m.group(2).toUpperCase} for path ${path.replace("'", "")}')"
+          else s"CAST((${beh.substring("DEFAULT".length).trim}) AS STRING)"
+        if (m.group(2).equalsIgnoreCase("EMPTY")) onEmpty = frag else onError = frag
+      }
+      (onEmpty, onError)
+    }
+    val (onEmpty, onError) = parse(behaviors)
+    val v = s"get_json_object(($doc), $path)"
+    val lowered =
+      s"""CASE WHEN ($doc) IS NULL THEN CAST(NULL AS STRING)
+         WHEN get_json_object(($doc), '$$') IS NULL THEN $onError
+         WHEN $v IS NULL THEN $onEmpty
+         ELSE $v END"""
+    rewriteJsonValue(sql.substring(0, at) + lowered + sql.substring(close + 1))
+  }
+
+  /** topLevelIndex ignoring paren depth (JSON_VALUE sits inside select
+    * lists, i.e. at arbitrary depth); still string-aware. When
+    * wordy=false matches a bare character sequence at depth 0 only. */
+  private def topLevelIndexAnyDepth(s: String, keyword: String): Int = {
+    val words = keyword.toUpperCase.split("\\s+")
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (matchWords(s, i, words) >= 0) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Depth-0, string-aware index of a single character token. */
+  private def topLevelIndex(s: String, token: String, wordy: Boolean): Int = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => if (depth == 0 && s.startsWith(token, i)) return i
+      }
+      i += 1
+    }
+    -1
+  }
 
   // ---- lexer-lite helpers ---------------------------------------------
 

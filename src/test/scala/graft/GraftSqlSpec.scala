@@ -101,6 +101,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(n + not == total)
   }
 
+  test("JSON_VALUE behaviors lower to the strict/lax CASE form") {
+    val r = GraftSql.sql(spark,
+      """SELECT
+        JSON_VALUE('{"a": 5}', '$.a') AS v,
+        JSON_VALUE('{"a": 5}', '$.b' DEFAULT 'dflt' ON EMPTY) AS d,
+        JSON_VALUE('not json', '$.a') AS lax_err,
+        JSON_VALUE(CAST(NULL AS STRING), '$.a' ERROR ON ERROR) AS null_in""").collect()(0)
+    assert(r.getString(0) == "5")
+    assert(r.getString(1) == "dflt")
+    assert(r.isNullAt(2))
+    assert(r.isNullAt(3)) // NULL input is not an error
+    val e = intercept[Exception] {
+      GraftSql.sql(spark,
+        "SELECT JSON_VALUE('broken {', '$.a' ERROR ON ERROR) AS v").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("rewriter leaves quoted strings and subqueries alone") {
     assert(GraftSql.rewrite("SELECT ' QUALIFY x ' AS s") == "SELECT ' QUALIFY x ' AS s")
     assert(GraftSql.rewrite("SELECT (SELECT 1 LIMIT 1) AS s") == "SELECT (SELECT 1 LIMIT 1) AS s")
