@@ -154,27 +154,41 @@ object Dedup {
     },
     Some(jaccardOracle))
 
-  /** 64-bit SimHash per document (Charikar '02): per-token xxhash64,
-    * bit-vote aggregation, sign → fingerprint. Deterministic but
-    * hash-family-specific, so no SQL oracle (rows-only); properties are
-    * spec-tested. */
+  /** 60-bit SimHash per document (Charikar '02): per-token hash,
+    * bit-vote aggregation, sign → fingerprint. The token hash family is
+    * the top 60 bits of md5 (engine-portable), so the fingerprints are
+    * value-checked against a DuckDB oracle computing the identical
+    * votes via a range(60) lateral. */
   val d05_simhash = Q(
     (s, dir) => {
+      val bits = 60
       val tokens = T(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .select(col("doc_id"), xxhash64(col("w")).as("h"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
       // per bit: vote +1 if bit set else -1; sum votes; bit = vote > 0
-      val voteCols = (0 until 64).map { i =>
+      val voteCols = (0 until bits).map { i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
       }
       val votes = tokens.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
       votes.select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+        (0 until bits).map(i => when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
           .reduce(_.bitwiseOR(_)).as("simhash"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> ''),
+      votes AS (
+        SELECT doc_id, CAST(i AS INT) AS i,
+          SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM tok, range(60) r(i) GROUP BY doc_id, i)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id"""))
 
   private lazy val jaccardOracle: String = """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
