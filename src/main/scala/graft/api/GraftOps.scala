@@ -3,7 +3,8 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, expr}
 
-import graft.plans.{AsofJoin, MatchRecognize, RecursiveUnion}
+import graft.functions.Sequences
+import graft.plans.{AsofJoin, MatchRecognize, Measures, RecursiveUnion}
 
 /** RelBuilder-parity DSL (ref: tools/RelBuilder.java:1789-4226 — scan/
   * filter/project/aggregate/join map 1:1 onto DataFrame already; this
@@ -43,5 +44,19 @@ object GraftOps {
     /** Bernoulli TABLESAMPLE with REPEATABLE seed (RelBuilder.sample). */
     def tablesample(fraction: Double, seed: Long): DataFrame =
       df.sample(withReplacement = false, fraction, seed)
+
+    /** MATCH_RECOGNIZE ... ONE ROW PER MATCH with MEASURES — collapse an
+      * ALL-ROWS match output (this frame) to one measured row per match. */
+    def oneRowPerMatch(partitionKeys: Seq[String], measures: Seq[Column]): DataFrame =
+      MatchRecognize.oneRowPerMatch(df, partitionKeys, measures)
+
+    /** Declare measure columns over this detail frame (MEASURE / AGGREGATE,
+      * MeasureRules.java) — query them via Measures.MeasuredTable.query. */
+    def withMeasures(defs: Map[String, Column]): Measures.MeasuredTable =
+      Measures.MeasuredTable(df, defs)
+
+    /** NEXT_VALUE FOR seq as a column (block-allocated, no global counter). */
+    def withSequence(seqName: String, colName: String): DataFrame =
+      Sequences.withSequence(df, seqName, colName)
   }
 }
