@@ -5,6 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -89,11 +90,18 @@ object MaterializedViews {
   /** The substitution rule (runs in the user-provided optimizer batch). */
   object MvRewrite extends Rule[LogicalPlan] {
 
-    private def sourcePaths(p: LogicalPlan): Option[Set[String]] = p match {
+    /** Peel pruning Projects and key-only Filters off the scan; returns
+      * (source paths, filter predicates that commute with the rollup —
+      * they reference grouping-key columns only, so they can re-apply
+      * on the MV, the MaterializedViewFilterRule analog). */
+    private def sourceOf(p: LogicalPlan): Option[(Set[String], Seq[Expression])] = p match {
       case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        sourcePaths(ch)
+        sourceOf(ch)
+      case logical.Filter(cond, ch) =>
+        sourceOf(ch).map { case (paths, fs) => (paths, cond +: fs) }
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString).toSet)
+        case fs: HadoopFsRelation =>
+          Some((fs.location.rootPaths.map(_.toString).toSet, Seq.empty))
         case _ => None
       }
       case _ => None
@@ -101,16 +109,18 @@ object MaterializedViews {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
-        sourcePaths(child).flatMap { paths =>
+        sourceOf(child).flatMap { case (paths, filters) =>
           registry.values.toArray.collectFirst {
-            case mv: MvDef if mv.sourcePaths == paths =>
-              rewrite(agg, groupings, aggExprs, mv)
+            case mv: MvDef if mv.sourcePaths == paths &&
+                filters.forall(_.references.forall(a => mv.keys.contains(a.name))) =>
+              rewrite(agg, groupings, aggExprs, mv, filters)
           }.flatten
         }.getOrElse(agg)
     }
 
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],
-        aggExprs: Seq[NamedExpression], mv: MvDef): Option[Aggregate] = {
+        aggExprs: Seq[NamedExpression], mv: MvDef,
+        filters: Seq[Expression]): Option[Aggregate] = {
       // grouping keys must be bare attributes covered by the MV keys
       val newGroupings = groupings.map {
         case a: AttributeReference if mv.keys.contains(a.name) =>
@@ -142,7 +152,14 @@ object MaterializedViews {
       }
       if (newAggExprs.exists(_.isEmpty)) return None
 
-      Some(Aggregate(newGroupings.map(_.get), newAggExprs.map(_.get), mv.target, None))
+      // key-only filters commute with the rollup: re-apply them on the
+      // MV with references rebound to its attributes
+      val target = filters.foldLeft(mv.target) { (t, cond) =>
+        logical.Filter(cond.transform {
+          case a: AttributeReference if mv.keys.contains(a.name) => mv.targetOut(a.name)
+        }, t)
+      }
+      Some(Aggregate(newGroupings.map(_.get), newAggExprs.map(_.get), target, None))
     }
   }
 }

@@ -72,6 +72,40 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("key-only filters commute through the rollup and substitute") {
+    MaterializedViews.register(spark, "mv_orders4", source,
+      keys = Seq("o_orderstatus", "o_orderpriority"), sums = Seq("o_totalprice"))
+    try {
+      val q = source.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus").agg(sum("o_totalprice").as("t"))
+        .orderBy("o_orderstatus")
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"),
+        s"key-only filter should not block substitution:\n$plan")
+
+      // a filter on a NON-key column must block substitution
+      val q2 = source.filter(col("o_custkey") > 100)
+        .groupBy("o_orderstatus").agg(sum("o_totalprice").as("t"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+
+      // value parity
+      val expected = {
+        MaterializedViews.clear()
+        source.filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy("o_orderstatus").agg(sum("o_totalprice").as("t"))
+          .orderBy("o_orderstatus")
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      }
+      MaterializedViews.register(spark, "mv_orders4", source,
+        keys = Seq("o_orderstatus", "o_orderpriority"), sums = Seq("o_totalprice"))
+      val got = q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expected(k)) <= 1e-9 * math.abs(expected(k)))
+      }
+    } finally MaterializedViews.clear()
+  }
+
   test("grand-total rollup (empty grouping) also substitutes") {
     MaterializedViews.register(spark, "mv_orders3", source,
       keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
