@@ -107,7 +107,35 @@ object Similarity {
     },
     None)
 
+  /** Embedding-cosine near-duplicate removal: a vector is kept iff no
+    * LOWER-id vector is within cosine ≥ 0.4 (the keep-first canonical
+    * rule). Exact pairwise definition so the result is value-checkable;
+    * the scale path replaces the pair join's candidate generation with
+    * the LSH buckets of d10 (same rerank + anti join afterwards) —
+    * candidates only, never the full n². */
+  val d14_embedding_neardup = Q(
+    (s, dir) => {
+      val emb = withNorm(T(s, dir, "embeddings"), "embedding", "nrm")
+      val a = emb.select(col("vec_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+      val dups = a.join(broadcast(b), col("b_id") < col("vec_id"))
+        .withColumn("sim", dot("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_id")).distinct()
+      emb.join(dups, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      SELECT vec_id FROM embeddings a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings b WHERE b.vec_id < a.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4)
+      ORDER BY vec_id"""))
+
   val all: Map[String, Q] = Map(
     "d09_knn_bruteforce" -> d09_knn_bruteforce,
-    "d10_knn_lsh" -> d10_knn_lsh)
+    "d10_knn_lsh" -> d10_knn_lsh,
+    "d14_embedding_neardup" -> d14_embedding_neardup)
 }
