@@ -22,7 +22,29 @@ object GraftSql {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftFunctions.registerAll(spark)
-    spark.sql(rewrite(text))
+    ddl(spark, text.trim).getOrElse(spark.sql(rewrite(text)))
+  }
+
+  /** Statement-level DDL the engine owns (ref: server module,
+    * sql/ddl/SqlCreateSequence via SqlDdlParserImpl): CREATE/DROP
+    * SEQUENCE route to the sequence catalog; all other DDL (CREATE
+    * TABLE/VIEW, INSERT, DROP, ...) flows through spark.sql unchanged —
+    * Spark's executor IS the DDL engine. */
+  private def ddl(spark: SparkSession, text: String): Option[DataFrame] = {
+    val createSeq =
+      "(?is)^CREATE\\s+SEQUENCE\\s+(\\w+)(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+INCREMENT\\s+BY\\s+(-?\\d+))?\\s*;?$".r
+    val dropSeq = "(?is)^DROP\\s+SEQUENCE\\s+(\\w+)\\s*;?$".r
+    text match {
+      case createSeq(name, start, step) =>
+        graft.functions.Sequences.create(name,
+          Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L))
+        Some(spark.emptyDataFrame)
+      case dropSeq(name) =>
+        graft.functions.Sequences.drop(name)
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
   }
 
   private[graft] def rewrite(sql: String): String =

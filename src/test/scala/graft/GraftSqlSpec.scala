@@ -119,6 +119,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("DDL: CREATE/DROP SEQUENCE route to the catalog, table DDL passes through") {
+    GraftSql.sql(spark, "CREATE SEQUENCE sq_ddl START WITH 10 INCREMENT BY 2")
+    try {
+      assert(graft.functions.Sequences.currentValue("sq_ddl") == 10L)
+      import spark.implicits._
+      val ids = graft.functions.Sequences
+        .withSequence((1 to 3).toDF("x"), "sq_ddl", "id")
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(10L, 12L, 14L))
+    } finally GraftSql.sql(spark, "DROP SEQUENCE sq_ddl")
+    // spark-native DDL flows through unchanged
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW ddl_v AS SELECT 1 AS one")
+    assert(GraftSql.sql(spark, "SELECT one FROM ddl_v").collect()(0).getInt(0) == 1)
+    GraftSql.sql(spark, "DROP VIEW ddl_v")
+  }
+
   test("rewriter leaves quoted strings and subqueries alone") {
     assert(GraftSql.rewrite("SELECT ' QUALIFY x ' AS s") == "SELECT ' QUALIFY x ' AS s")
     assert(GraftSql.rewrite("SELECT (SELECT 1 LIMIT 1) AS s") == "SELECT (SELECT 1 LIMIT 1) AS s")
