@@ -37,6 +37,20 @@ object MatchRecognize {
   /** A DEFINE predicate: (currentRow, previousRowInStream) => matches. */
   type Define = (Row, Option[Row]) => Boolean
 
+  /** Full-context DEFINE: sees the partition's ordered rows and the
+    * current position — supports PREV(n>1)/NEXT(n)/FIRST/LAST
+    * navigation (ref: SqlStdOperatorTable.java:2067-2084 FIRST/LAST/
+    * PREV/NEXT; the pair form above covers only PREV depth 1). Use
+    * [[nav]] for bounds-checked navigation. */
+  type DefineCtx = (IndexedSeq[Row], Int) => Boolean
+
+  /** Bounds-checked navigation for DefineCtx predicates: offset 0 is
+    * the current row, negative = PREV(|n|), positive = NEXT(n). */
+  def nav(rows: IndexedSeq[Row], pos: Int, offset: Int): Option[Row] = {
+    val i = pos + offset
+    if (i >= 0 && i < rows.length) Some(rows(i)) else None
+  }
+
   sealed trait Skip
   case object SkipPastLastRow extends Skip
   case object SkipToNextRow extends Skip
@@ -67,7 +81,7 @@ object MatchRecognize {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
-      else if ("()|*+?".contains(c)) { out += c.toString; i += 1 }
+      else if ("()|*+?,".contains(c)) { out += c.toString; i += 1 }
       else if (c == '{') {
         val j = s.indexOf('}', i)
         require(j > 0, s"unclosed {} in pattern: $s")
@@ -100,7 +114,7 @@ object MatchRecognize {
     var rest = toks
     var done = false
     while (!done) rest match {
-      case Nil | "|" :: _ | ")" :: _ => done = true
+      case Nil | "|" :: _ | ")" :: _ | "," :: _ => done = true
       case ts =>
         val (p, r) = parseAtom(ts)
         parts += p
@@ -115,6 +129,27 @@ object MatchRecognize {
         val (p, r) = parseAlt(tail)
         require(r.headOption.contains(")"), s"missing ) in pattern")
         (p, r.tail)
+      case permute :: "(" :: tail if permute.equalsIgnoreCase("PERMUTE") =>
+        // SQL:2016 PERMUTE(p1, ..., pn) — matches the elements in any
+        // order (ref: runtime/Pattern.java PERMUTE, match.iq); expands
+        // to the alternation of all n! orderings, lexicographically by
+        // element position (the standard's preference order).
+        val parts = mutable.ListBuffer.empty[Pat]
+        var r = tail
+        var done = false
+        while (!done) {
+          val (p, r2) = parseAlt(r)
+          parts += p
+          r2 match {
+            case "," :: more => r = more
+            case ")" :: more => r = more; done = true
+            case other => throw new IllegalArgumentException(
+              s"PERMUTE: expected ',' or ')', got $other")
+          }
+        }
+        require(parts.size <= 6, s"PERMUTE limited to 6 elements (got ${parts.size})")
+        val alts = parts.toList.permutations.map(PCat(_): Pat).toList
+        (PAlt(alts): Pat, r)
       case sym :: tail => (PSym(sym): Pat, tail)
       case Nil => throw new IllegalArgumentException("empty pattern atom")
     }
@@ -167,13 +202,12 @@ object MatchRecognize {
       pat: Pat,
       rows: IndexedSeq[Row],
       start: Int,
-      defines: Map[String, Define],
+      defines: Map[String, DefineCtx],
       posAllowed: (Int, Int) => Boolean): Option[List[String]] = {
 
     def sym(name: String, pos: Int): Boolean =
-      posAllowed(start, pos) && defines.getOrElse(name,
-        (_: Row, _: Option[Row]) => true)(
-          rows(pos), if (pos == 0) None else Some(rows(pos - 1)))
+      posAllowed(start, pos) &&
+        defines.getOrElse(name, (_: IndexedSeq[Row], _: Int) => true)(rows, pos)
     matchGeneric(pat, rows.length, start, sym)
   }
 
@@ -236,6 +270,23 @@ object MatchRecognize {
       orderKeys: Seq[String],
       pattern: String,
       define: Map[String, Define],
+      afterMatch: Skip = SkipPastLastRow,
+      within: Option[(String, Long)] = None): DataFrame =
+    matchRecognizeCtx(df, partitionKeys, orderKeys, pattern,
+      define.map { case (k, f) =>
+        k -> ((rows: IndexedSeq[Row], pos: Int) =>
+          f(rows(pos), if (pos == 0) None else Some(rows(pos - 1)))): (String, DefineCtx)
+      },
+      afterMatch, within)
+
+  /** matchRecognize with full-context DEFINEs (PREV(n)/NEXT(n)/FIRST/
+    * LAST navigation via [[nav]]). */
+  def matchRecognizeCtx(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      orderKeys: Seq[String],
+      pattern: String,
+      define: Map[String, DefineCtx],
       afterMatch: Skip = SkipPastLastRow,
       within: Option[(String, Long)] = None): DataFrame = {
 

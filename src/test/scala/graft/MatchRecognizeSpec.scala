@@ -101,6 +101,39 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(got.map(_._3) == List("A", "A", "L"))
   }
 
+  test("PREV(2) via full-context DEFINE: rise over two steps") {
+    import org.apache.spark.sql.Row
+    // UP2: current > value two rows back (PREV depth 2)
+    val up2: MatchRecognize.DefineCtx = (rows, pos) =>
+      MatchRecognize.nav(rows, pos, -2).exists(p =>
+        rows(pos).getDouble(2) > p.getDouble(2))
+    val df = seqDf(5, 9, 7, 12)
+    val got = MatchRecognize.matchRecognizeCtx(df, Seq("k"), Seq("pos"),
+      "STRT UP2", Map("UP2" -> up2))
+      .select("pos", "match_no", "classifier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+      .sortBy(x => (x._2, x._1))
+    // the only match starts at pos 1: rows(2)=7 > rows(0)=5 (PREV(2));
+    // pos 0-1 can't match (PREV(2) out of range), pos 3 has no successor
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      List((1L, 1L, "STRT"), (2L, 1L, "UP2")), s"got $got")
+  }
+
+  test("PERMUTE matches its elements in any order") {
+    val hi: MatchRecognize.Define = (c, _) => c.getDouble(2) >= 10
+    val lo: MatchRecognize.Define = (c, _) => c.getDouble(2) < 10
+    // H then L
+    val hl = mr(seqDf(12, 3), "PERMUTE(H, L)", Map("H" -> hi, "L" -> lo))
+    assert(hl.map(_._3) == List("H", "L"))
+    // L then H — same pattern, opposite order
+    val lh = mr(seqDf(3, 12), "PERMUTE(H, L)", Map("H" -> hi, "L" -> lo))
+    assert(lh.map(_._3) == List("L", "H"))
+    // three elements with a quantified member
+    val three = mr(seqDf(3, 12, 12, 5), "PERMUTE(L, H+) E",
+      Map("H" -> hi, "L" -> lo, "E" -> ((c, _) => c.getDouble(2) == 5)))
+    assert(three.map(_._3) == List("L", "H", "H", "E"))
+  }
+
   test("SUBSET + MEASURES collapse to one row per match") {
     import org.apache.spark.sql.functions._
     val df = seqDf(10, 9, 8, 9, 10)
