@@ -3,7 +3,8 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
@@ -64,6 +65,9 @@ object MaterializedViews {
 
     val aggCols =
       sums.map(c => sum(col(c)).as(s"__mv_sum_$c")) ++
+        // per-column non-null count, so AVG(x) rolls up as
+        // SUM(sum_x)/SUM(cntn_x) even when x has NULLs
+        sums.map(c => count(col(c)).as(s"__mv_cntn_$c")) ++
         mins.map(c => min(col(c)).as(s"__mv_min_$c")) ++
         maxs.map(c => max(col(c)).as(s"__mv_max_$c")) :+
         count(lit(1)).as("__mv_cnt")
@@ -139,6 +143,14 @@ object MaterializedViews {
           Some(Max(mv.targetOut(s"__mv_max_${a.name}")).toAggregateExpression())
         case Count(Seq(Literal(_, _))) if mv.hasCount =>
           Some(Sum(mv.targetOut("__mv_cnt")).toAggregateExpression())
+        case avg: Average => avg.child match {
+          // AVG(x) = SUM(partial sums) / SUM(partial non-null counts)
+          case a: AttributeReference if mv.sums.contains(a.name) =>
+            val s = Sum(mv.targetOut(s"__mv_sum_${a.name}")).toAggregateExpression()
+            val c = Sum(mv.targetOut(s"__mv_cntn_${a.name}")).toAggregateExpression()
+            Some(Cast(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), fn.dataType))
+          case _ => None
+        }
         case _ => None
       }
 

@@ -106,6 +106,29 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("AVG rolls up as sum-of-sums over sum-of-counts") {
+    MaterializedViews.register(spark, "mv_avg", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      val q = source.groupBy("o_orderstatus").agg(avg("o_totalprice").as("a"))
+        .orderBy("o_orderstatus")
+      assert(q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "AVG must substitute")
+      val expected = {
+        MaterializedViews.clear()
+        source.groupBy("o_orderstatus").agg(avg("o_totalprice").as("a"))
+          .orderBy("o_orderstatus").collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toMap
+      }
+      MaterializedViews.register(spark, "mv_avg", source,
+        keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+      q.collect().foreach { r =>
+        val e = expected(r.getString(0))
+        assert(math.abs(r.getDouble(1) - e) <= 1e-9 * math.abs(e))
+      }
+    } finally MaterializedViews.clear()
+  }
+
   test("grand-total rollup (empty grouping) also substitutes") {
     MaterializedViews.register(spark, "mv_orders3", source,
       keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
