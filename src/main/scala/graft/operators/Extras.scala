@@ -262,7 +262,43 @@ object Extras {
          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"""))
 
+  /** Library-function grab bag (ref: SqlLibraryOperators.java —
+    * PARSE_URL :480, SUBSTRING_INDEX :1887, FIND_IN_SET :488,
+    * MONTHNAME :1082 / DAYNAME :1090, UNIX_SECONDS :2295,
+    * SAFE_DIVIDE :2344). DuckDB lacks url/substring_index/find_in_set
+    * natives, so the oracle emulates them with regexp/list ops —
+    * value-identical. */
+  val q101_lib_funcs = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+      T(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .withColumn("url",
+          concat(lit("https://ex"), (col("o_orderkey") % 3).cast("string"),
+            lit(".com/p/"), col("o_orderkey").cast("string"), lit("?q=1")))
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "MMMM").as("mn"),
+          date_format(col("o_orderdate"), "EEEE").as("dn"),
+          unix_seconds(to_utc_timestamp(col("o_orderdate"), "UTC")).as("es"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          substring_index(lit("a.b.c.d"), ".", 2).as("ssi"),
+          expr("find_in_set('y', 'x,y,z')").cast(IntegerType).as("fis"),
+          expr("try_divide(o_totalprice, CAST(o_orderkey % 2 AS DOUBLE))").as("sd"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        monthname(o_orderdate) AS mn, dayname(o_orderdate) AS dn,
+        CAST(epoch(o_orderdate) AS BIGINT) AS es,
+        regexp_extract('https://ex' || CAST(o_orderkey % 3 AS VARCHAR) || '.com/p/' ||
+          CAST(o_orderkey AS VARCHAR) || '?q=1', 'https?://([^/]+)', 1) AS host,
+        array_to_string(list_slice(string_split('a.b.c.d', '.'), 1, 2), '.') AS ssi,
+        CAST(list_position(string_split('x,y,z', ','), 'y') AS INT) AS fis,
+        o_totalprice / nullif(CAST(o_orderkey % 2 AS DOUBLE), 0.0) AS sd
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""))
+
   val all: Map[String, Q] = Map(
+    "q101_lib_funcs" -> q101_lib_funcs,
     "q36_grouping_sets" -> q36_grouping_sets,
     "q39_nation_pairs" -> q39_nation_pairs,
     "q58_disjunctive_join" -> q58_disjunctive_join,
