@@ -65,6 +65,11 @@ object MatchRecognize {
     * .java:1 RepeatPattern + sql/SqlMatchRecognize.java) — tries the
     * SHORTEST expansion first instead of the longest. */
   private case class PQuant(p: Pat, min: Int, max: Int, reluctant: Boolean = false) extends Pat
+  /** `{- p -}` exclusion (SQL:2016): rows match and are consumed but are
+    * suppressed from ALL-ROWS output (ref: sql/SqlMatchRecognize.java,
+    * Pattern.java EXCLUDE). Marked with a "-" classifier prefix
+    * internally; the output loop drops marked rows. */
+  private case class PExclude(p: Pat) extends Pat
 
   private[graft] def parsePattern(s: String): Any = parse(s)
 
@@ -82,7 +87,11 @@ object MatchRecognize {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
       else if ("()|*+?,".contains(c)) { out += c.toString; i += 1 }
-      else if (c == '{') {
+      else if (c == '{' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        out += "{-"; i += 2
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '}') {
+        out += "-}"; i += 2
+      } else if (c == '{') {
         val j = s.indexOf('}', i)
         require(j > 0, s"unclosed {} in pattern: $s")
         out += s.substring(i, j + 1); i = j + 1
@@ -114,7 +123,7 @@ object MatchRecognize {
     var rest = toks
     var done = false
     while (!done) rest match {
-      case Nil | "|" :: _ | ")" :: _ | "," :: _ => done = true
+      case Nil | "|" :: _ | ")" :: _ | "," :: _ | "-}" :: _ => done = true
       case ts =>
         val (p, r) = parseAtom(ts)
         parts += p
@@ -129,6 +138,10 @@ object MatchRecognize {
         val (p, r) = parseAlt(tail)
         require(r.headOption.contains(")"), s"missing ) in pattern")
         (p, r.tail)
+      case "{-" :: tail =>
+        val (p, r) = parseAlt(tail)
+        require(r.headOption.contains("-}"), s"missing -} in pattern")
+        (PExclude(p): Pat, r.tail)
       case permute :: "(" :: tail if permute.equalsIgnoreCase("PERMUTE") =>
         // SQL:2016 PERMUTE(p1, ..., pn) — matches the elements in any
         // order (ref: runtime/Pattern.java PERMUTE, match.iq); expands
@@ -165,7 +178,7 @@ object MatchRecognize {
         val (lzy, t2) = lazyness(t); (PQuant(base, 1, Int.MaxValue, lzy), t2)
       case "?" :: t =>
         val (lzy, t2) = lazyness(t); (PQuant(base, 0, 1, lzy), t2)
-      case q :: t if q.startsWith("{") =>
+      case q :: t if q.startsWith("{") && q != "{-" =>
         val body = q.substring(1, q.length - 1)
         val parts = body.split(",", -1)
         val (mn, mx) = parts match {
@@ -231,6 +244,20 @@ object MatchRecognize {
         }
       case PAlt(xs) =>
         xs.iterator.map(x => go(x, pos, k)).collectFirst { case Some(r) => r }
+      case PExclude(inner) =>
+        // record where the inner pattern ended on the SUCCESSFUL path
+        // (backtracking overwrites it; the final assignment before the
+        // match unwinds is the winning continuation's position), then
+        // mark that span's classifiers with the exclusion prefix.
+        var innerEnd = -1
+        go(inner, pos, p2 => { innerEnd = p2; k(p2) }) match {
+          case Some(classifiers) if innerEnd >= pos =>
+            val innerLen = innerEnd - pos
+            Some(classifiers.zipWithIndex.map { case (c, idx) =>
+              if (idx < innerLen && !c.startsWith("-")) "-" + c else c
+            })
+          case other => other
+        }
       case PQuant(inner, mn, mx, reluctant) =>
         // rep(i, pos): already consumed i repetitions at pos. Greedy
         // tries the longest expansion first; reluctant the shortest.
@@ -330,13 +357,17 @@ object MatchRecognize {
             case Some(classifiers) =>
               matchNo += 1
               classifiers.zipWithIndex.foreach { case (cls, i) =>
-                val base = group(p + i)
-                val vals = new Array[Any](outSchema.length)
-                var j = 0
-                while (j < inSchema.length) { vals(j) = base.get(j); j += 1 }
-                vals(inSchema.length) = matchNo
-                vals(inSchema.length + 1) = cls
-                result += new GenericRowWithSchema(vals, outSchema)
+                // rows inside a {- -} exclusion are consumed but not
+                // emitted (classifier carries the "-" marker)
+                if (!cls.startsWith("-")) {
+                  val base = group(p + i)
+                  val vals = new Array[Any](outSchema.length)
+                  var j = 0
+                  while (j < inSchema.length) { vals(j) = base.get(j); j += 1 }
+                  vals(inSchema.length) = matchNo
+                  vals(inSchema.length + 1) = cls
+                  result += new GenericRowWithSchema(vals, outSchema)
+                }
               }
               p = afterMatch match {
                 case SkipPastLastRow => p + classifiers.length

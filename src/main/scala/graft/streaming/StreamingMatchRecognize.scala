@@ -84,8 +84,11 @@ object StreamingMatchRecognize {
           case Some(classifiers) =>
             matchNo += 1
             classifiers.zipWithIndex.foreach { case (cls, i) =>
-              val e = rows(p + i)
-              out += MrMatchRow(e.key, matchNo, e.ts, e.tiebreak, e.value, cls)
+              // {- -} exclusions: consumed, not emitted
+              if (!cls.startsWith("-")) {
+                val e = rows(p + i)
+                out += MrMatchRow(e.key, matchNo, e.ts, e.tiebreak, e.value, cls)
+              }
             }
             lastConsumed = p + classifiers.length - 1
             p += classifiers.length

@@ -119,6 +119,17 @@ class MatchRecognizeSpec extends SparkSpec {
       List((1L, 1L, "STRT"), (2L, 1L, "UP2")), s"got $got")
   }
 
+  test("EXCLUDE {- -}: rows consumed but suppressed from output") {
+    val hi: MatchRecognize.Define = (c, _) => c.getDouble(2) >= 10
+    val lo: MatchRecognize.Define = (c, _) => c.getDouble(2) < 10
+    // A {- L+ -} B over 12, 3, 4, 15: L rows consumed, not emitted
+    val got = mr(seqDf(12, 3, 4, 15), "H {- L+ -} H2",
+      Map("H" -> hi, "L" -> lo, "H2" -> hi))
+    assert(got.map(x => (x._1, x._3)) == List((0L, "H"), (3L, "H2")), s"got $got")
+    // SKIP PAST LAST ROW skips the excluded span too: no second match
+    assert(got.map(_._2).distinct == List(1L))
+  }
+
   test("PERMUTE matches its elements in any order") {
     val hi: MatchRecognize.Define = (c, _) => c.getDouble(2) >= 10
     val lo: MatchRecognize.Define = (c, _) => c.getDouble(2) < 10
