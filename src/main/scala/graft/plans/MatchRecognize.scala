@@ -21,16 +21,20 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * key's rows consecutively and ordered inside one task, then a
   * mapPartitions pass streams the pattern machine one key group at a
   * time — one shuffle total, task memory bounded by the largest single
-  * key group (not the whole hash partition), no driver involvement. Output = ALL ROWS PER MATCH: the input columns plus
+  * key group (not the whole hash partition), no driver involvement.
+  * Output = ALL ROWS PER MATCH: the input columns plus
   * `match_no` (1-based per partition key) and `classifier` (the symbol
   * that matched the row); ONE ROW PER MATCH and measures compose on top
   * as ordinary groupBy(match_no) aggregations.
   *
   * Pattern grammar: symbols, concatenation, alternation `|`, groups
-  * `( )`, greedy quantifiers `* + ? {n} {n,} {n,m}`. DEFINE predicates
-  * see the current row and the previous row (PREV of depth 1 — the
-  * dominant usage in match.iq). AFTER MATCH SKIP PAST LAST ROW or TO
-  * NEXT ROW. Not yet: WITHIN, SUBSET, reluctant quantifiers, PREV(n>1).
+  * `( )`, greedy quantifiers `* + ? {n} {n,} {n,m}` and their reluctant
+  * `?`-suffixed forms, `PERMUTE(p1, ..., pn)`, and `{- p -}` exclusion
+  * spans. DEFINE predicates: the pair form sees (current, previous);
+  * the DefineCtx form (matchRecognizeCtx + nav) supports PREV(n)/
+  * NEXT(n)/FIRST/LAST at any depth. AFTER MATCH SKIP PAST LAST ROW or
+  * TO NEXT ROW; WITHIN duration pruning; SUBSET + MEASURES/ONE ROW PER
+  * MATCH via subset()/sym()/oneRowPerMatch.
   */
 object MatchRecognize {
 
