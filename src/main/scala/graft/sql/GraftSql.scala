@@ -22,7 +22,27 @@ object GraftSql {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftFunctions.registerAll(spark)
-    ddl(spark, text.trim).getOrElse(spark.sql(rewrite(text)))
+    ddl(spark, text.trim).getOrElse {
+      // NEXT VALUE FOR seq AS alias in the select list: strip the item,
+      // run the remaining query, append the sequence column (the
+      // sequence column lands last in the output). Ref:
+      // SqlStdOperatorTable NEXT_VALUE :2555, sequence.iq.
+      val nextVal =
+        "(?is)NEXT\\s+VALUE\\s+FOR\\s+(\\w+)\\s+AS\\s+(\\w+)\\s*(,)?".r
+      nextVal.findFirstMatchIn(text) match {
+        case Some(m) =>
+          val (seqName, alias) = (m.group(1), m.group(2))
+          val stripped =
+            if (m.group(3) != null) text.substring(0, m.start) + text.substring(m.end)
+            else { // last item: also eat the comma before it
+              val before = text.substring(0, m.start).replaceAll(",\\s*$", " ")
+              before + text.substring(m.end)
+            }
+          graft.functions.Sequences.withSequence(
+            spark.sql(rewrite(stripped)), seqName, alias)
+        case None => spark.sql(rewrite(text))
+      }
+    }
   }
 
   /** Statement-level DDL the engine owns (ref: server module,

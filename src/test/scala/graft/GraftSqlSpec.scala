@@ -135,6 +135,22 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.sql(spark, "DROP VIEW ddl_v")
   }
 
+  test("NEXT VALUE FOR in a select list appends the sequence column") {
+    GraftSql.sql(spark, "CREATE SEQUENCE sq_sel START WITH 100")
+    try {
+      init()
+      val out = GraftSql.sql(spark,
+        "SELECT NEXT VALUE FOR sq_sel AS id, n_name FROM nation ORDER BY n_name")
+      val rows = out.select("id", "n_name").collect()
+      assert(rows.length == 25)
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (100L to 124L))
+      // second statement continues the sequence
+      val out2 = GraftSql.sql(spark,
+        "SELECT n_name, NEXT VALUE FOR sq_sel AS id FROM nation")
+      assert(out2.select("id").collect().map(_.getLong(0)).min == 125L)
+    } finally GraftSql.sql(spark, "DROP SEQUENCE sq_sel")
+  }
+
   test("rewriter leaves quoted strings and subqueries alone") {
     assert(GraftSql.rewrite("SELECT ' QUALIFY x ' AS s") == "SELECT ' QUALIFY x ' AS s")
     assert(GraftSql.rewrite("SELECT (SELECT 1 LIMIT 1) AS s") == "SELECT (SELECT 1 LIMIT 1) AS s")
