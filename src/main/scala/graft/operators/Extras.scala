@@ -214,8 +214,8 @@ object Extras {
         .join(broadcast(n1), col("s_nationkey") === col("sk"))
         .join(broadcast(n2), col("c_nationkey") === col("ck"))
         .filter(
-          (col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
-          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
         .agg(sum(T.dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - T.dec2(col("l_discount"))))
           .cast(DoubleType).as("revenue"))
@@ -233,8 +233,8 @@ object Extras {
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation n1 ON s_nationkey = n1.n_nationkey
             JOIN nation n2 ON c_nationkey = n2.n_nationkey
-            WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-               OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')) t
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
       GROUP BY supp_nation, cust_nation, l_year
       ORDER BY supp_nation, cust_nation, l_year"""))
 

@@ -59,7 +59,71 @@ object Patterns {
       WHERE value > 150 AND next_value > 150
       ORDER BY user_id, start_event_id"""))
 
+  /** The same relation as q99 through the SQL surface (ref:
+    * sql/SqlMatchRecognize.java:1, parserImpls.ftl): PARTITION BY /
+    * ORDER BY / MEASURES (FIRST + COUNT) / ONE ROW PER MATCH / AFTER
+    * MATCH SKIP TO NEXT ROW / PATTERN / DEFINE, parsed by
+    * sql/MatchRecognizeSql.scala and lowered onto the automaton with
+    * DEFINE precomputed as a boolean column. Same DuckDB oracle as q99. */
+  val q100_match_sql = Q(
+    (s, dir) => {
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("events")
+      graft.sql.GraftSql.sql(s, """
+        SELECT user_id, start_event_id, n_rows
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(H.event_id) AS start_event_id, COUNT(*) AS n_rows
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (H H)
+          DEFINE H AS H.value > 150.0
+        ) ORDER BY user_id, start_event_id""")
+    },
+    Some("""
+      SELECT user_id, event_id AS start_event_id, CAST(2 AS BIGINT) AS n_rows
+      FROM (SELECT user_id, event_id, value,
+              LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+            FROM events) t
+      WHERE value > 150 AND next_value > 150
+      ORDER BY user_id, start_event_id"""))
+
+  /** SQL-surface MATCH_RECOGNIZE with stream navigation: PREV(x) in
+    * DEFINE lowers to lag() over the partition window (SQL:2016 PREV
+    * walks the ordered input, exactly what lag computes). Pattern
+    * `A B C` with B/C strictly increasing reproduces q94's 3-increasing
+    * relation, whose lag-based DuckDB oracle checks the lowering. */
+  val q102_match_sql_prev = Q(
+    (s, dir) => {
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("events")
+      graft.sql.GraftSql.sql(s, """
+        SELECT user_id, event_id, value
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES LAST(C.event_id) AS event_id, LAST(C.value) AS value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B C)
+          DEFINE B AS B.value > PREV(B.value), C AS C.value > PREV(C.value)
+        ) ORDER BY user_id, event_id""")
+    },
+    Some("""
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+          LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      WHERE value > v1 AND v1 > v2
+      ORDER BY user_id, event_id"""))
+
   val all: Map[String, Q] = Map(
     "q98_match_recognize_v" -> q98_match_recognize_v,
-    "q99_match_adjacent_high" -> q99_match_adjacent_high)
+    "q99_match_adjacent_high" -> q99_match_adjacent_high,
+    "q100_match_sql" -> q100_match_sql,
+    "q102_match_sql_prev" -> q102_match_sql_prev)
 }

@@ -22,7 +22,9 @@ object GraftSql {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftFunctions.registerAll(spark)
-    ddl(spark, text.trim).getOrElse {
+    ddl(spark, text.trim)
+      .orElse(MatchRecognizeSql.maybeRun(spark, text))
+      .getOrElse {
       // NEXT VALUE FOR seq AS alias in the select list: strip the item,
       // run the remaining query, append the sequence column (the
       // sequence column lands last in the output). Ref:
@@ -164,7 +166,7 @@ object GraftSql {
   /** Index of a top-level (depth-0, outside strings) case-insensitive
     * keyword sequence; -1 if absent. Multi-word keywords ("ORDER BY")
     * match with any run of whitespace between the words. */
-  private def topLevelIndex(s: String, keyword: String, from: Int = 0): Int = {
+  private[sql] def topLevelIndex(s: String, keyword: String, from: Int = 0): Int = {
     val words = keyword.toUpperCase.split("\\s+")
     var depth = 0
     var inStr = false
@@ -186,7 +188,7 @@ object GraftSql {
 
   /** If the whole-word keyword sequence `words` starts at `start`, return
     * the index just past it; -1 otherwise. */
-  private def matchWords(s: String, start: Int, words: Array[String]): Int = {
+  private[sql] def matchWords(s: String, start: Int, words: Array[String]): Int = {
     if (start > 0 && isWordChar(s.charAt(start - 1))) return -1
     var i = start
     var w = 0
@@ -205,10 +207,10 @@ object GraftSql {
     i
   }
 
-  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+  private[sql] def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
   /** Index of the ')' matching the '(' at `open` (string-aware). */
-  private def closeParen(s: String, open: Int): Int = {
+  private[sql] def closeParen(s: String, open: Int): Int = {
     var depth = 0
     var inStr = false
     var i = open
