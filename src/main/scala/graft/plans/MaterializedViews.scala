@@ -3,11 +3,12 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -26,6 +27,14 @@ import org.apache.spark.sql.functions._
   * MIN/MAX of partials) to aggregate the CACHED MV instead of
   * rescanning the source.
   *
+  * The source may be a single file scan OR inner equi-joins of file
+  * scans (the lattice star-join case): matching is by canonical
+  * signature — leaf scan paths + the set of join column pairs, both
+  * name-based — so column-pruning Projects, broadcast hints, aliases,
+  * and join reorder on the query side don't break recognition
+  * (plan/SubstitutionVisitor.java's canonicalize-then-unify, without
+  * the partial-rewrite compensations).
+  *
   * At 100 TB this is the lattice play: one wide pre-aggregation pass
   * (keys × partials, typically 10⁴-10⁶ rows) absorbs every subsequent
   * rollup query — the fact table is scanned once, not per query.
@@ -36,9 +45,18 @@ import org.apache.spark.sql.functions._
   * own output — fixed-point safe by construction. */
 object MaterializedViews {
 
+  /** Canonical shape of an MV's defining query: the multiset of leaf
+    * scans (by root path) and the set of inner equi-join column pairs,
+    * both name-based — so a later query matches regardless of column
+    * pruning Projects, broadcast hints, aliases, or join order
+    * (the SubstitutionVisitor's canonicalize-then-match, tolerant of
+    * the projections Catalyst interleaves). */
+  private final case class Signature(
+      leaves: Seq[Set[String]], joinPairs: Set[(String, String)])
+
   private final case class MvDef(
       name: String,
-      sourcePaths: Set[String],
+      signature: Signature,
       keys: Set[String],
       sums: Set[String],
       mins: Set[String],
@@ -49,19 +67,60 @@ object MaterializedViews {
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
+  /** (signature, filters) of a plan that is projects/filters over inner
+    * equi-joins of file scans; None for anything else. Name-based and
+    * order-insensitive: leaves sort canonically, join pairs normalize
+    * to sorted column-name tuples. */
+  private def signatureOf(p: LogicalPlan): Option[(Signature, Seq[Expression])] = p match {
+    case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      signatureOf(ch)
+    case logical.Filter(cond, ch) =>
+      signatureOf(ch).map { case (sig, fs) => (sig, cond +: fs) }
+    case a: logical.SubqueryAlias => signatureOf(a.child)
+    case h: logical.ResolvedHint => signatureOf(h.child)
+    case j: Join if j.joinType == Inner =>
+      for {
+        cond <- j.condition
+        pairs <- equiPairs(cond)
+        l <- signatureOf(j.left)
+        r <- signatureOf(j.right)
+      } yield (Signature(
+        (l._1.leaves ++ r._1.leaves).sortBy(_.toSeq.sorted.mkString("|")),
+        l._1.joinPairs ++ r._1.joinPairs ++ pairs), l._2 ++ r._2)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some((Signature(Seq(fs.location.rootPaths.map(_.toString).toSet), Set.empty),
+          Seq.empty))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** A conjunction of attribute=attribute predicates as normalized
+    * name pairs; None if the condition has any other shape. */
+  private def equiPairs(cond: Expression): Option[Set[(String, String)]] = cond match {
+    case And(l, r) => for { a <- equiPairs(l); b <- equiPairs(r) } yield a ++ b
+    case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      Some(Set(if (a.name <= b.name) (a.name, b.name) else (b.name, a.name)))
+    case _ => None
+  }
+
   /** Register + materialize an MV over `source` (a file-based scan).
     * Partials: sum per `sums` column, min/max per `mins`/`maxs`, and a
     * group count. Returns the materialized frame (already cached). */
   def register(spark: SparkSession, name: String, source: DataFrame,
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
-    val paths = source.queryExecution.analyzed.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
-        case _ => Set.empty[String]
-      }
-    }.flatten.toSet
-    require(paths.nonEmpty, "MV source must be a file-based scan")
+    val (signature, srcFilters) = signatureOf(source.queryExecution.analyzed)
+      .getOrElse(throw new IllegalArgumentException(
+        "MV source must be projects/filters over inner equi-joins of file scans"))
+    require(srcFilters.isEmpty,
+      "MV source must be unfiltered (filter the querying aggregate instead)")
 
     val aggCols =
       sums.map(c => sum(col(c)).as(s"__mv_sum_$c")) ++
@@ -78,7 +137,7 @@ object MaterializedViews {
     // cache-resolved plan: the whole aggregate collapses to an
     // InMemoryRelation leaf, which is what we splice into queries
     val target = mv.queryExecution.withCachedData
-    registry.put(name, MvDef(name, paths, keys.toSet, sums.toSet,
+    registry.put(name, MvDef(name, signature, keys.toSet, sums.toSet,
       mins.toSet, maxs.toSet, hasCount = true, target,
       target.output.map(a => a.name -> a).toMap))
 
@@ -94,30 +153,26 @@ object MaterializedViews {
   /** The substitution rule (runs in the user-provided optimizer batch). */
   object MvRewrite extends Rule[LogicalPlan] {
 
-    /** Peel pruning Projects and key-only Filters off the scan; returns
-      * (source paths, filter predicates that commute with the rollup —
-      * they reference grouping-key columns only, so they can re-apply
-      * on the MV, the MaterializedViewFilterRule analog). */
-    private def sourceOf(p: LogicalPlan): Option[(Set[String], Seq[Expression])] = p match {
-      case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        sourceOf(ch)
-      case logical.Filter(cond, ch) =>
-        sourceOf(ch).map { case (paths, fs) => (paths, cond +: fs) }
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          Some((fs.location.rootPaths.map(_.toString).toSet, Seq.empty))
-        case _ => None
-      }
-      case _ => None
-    }
-
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
-        sourceOf(child).flatMap { case (paths, filters) =>
+        // signatureOf peels pruning Projects and collects Filters;
+        // a query matches an MV when its scan+join shape is identical
+        // and every residual filter references grouping-key columns
+        // only (so it commutes with the rollup and can re-apply on the
+        // MV — the MaterializedViewFilterRule analog).
+        signatureOf(child).flatMap { case (sig, filters) =>
+          // isnotnull(join key) conjuncts are inferred by Catalyst from
+          // the inner join's constraints; the MV's own inner join
+          // already discarded null keys, so they are vacuous here.
+          val joinCols = sig.joinPairs.flatMap(p => Seq(p._1, p._2))
+          val residual = filters.flatMap(splitAnd).filterNot {
+            case IsNotNull(a: AttributeReference) => joinCols.contains(a.name)
+            case _ => false
+          }
           registry.values.toArray.collectFirst {
-            case mv: MvDef if mv.sourcePaths == paths &&
-                filters.forall(_.references.forall(a => mv.keys.contains(a.name))) =>
-              rewrite(agg, groupings, aggExprs, mv, filters)
+            case mv: MvDef if mv.signature == sig &&
+                residual.forall(_.references.forall(a => mv.keys.contains(a.name))) =>
+              rewrite(agg, groupings, aggExprs, mv, residual)
           }.flatten
         }.getOrElse(agg)
     }

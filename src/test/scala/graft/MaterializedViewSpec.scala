@@ -129,6 +129,49 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("join MV substitutes an aggregate over the same join, tolerant of pruning/hints/order") {
+    val li = T(spark, sfDir, "lineitem")
+    val part = T(spark, sfDir, "part")
+    val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+    MaterializedViews.register(spark, "mv_join", joined,
+      keys = Seq("p_brand", "l_returnflag"), sums = Seq("l_quantity"))
+    try {
+      // different join order + broadcast hint + pruned columns: same shape
+      val q = part.join(broadcast(li), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"), s"expected MV scan:\n$plan")
+      assert(plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"join must not be re-executed:\n$plan")
+
+      val expected = {
+        MaterializedViews.clear()
+        part.join(li, col("p_partkey") === col("l_partkey"))
+          .groupBy("p_brand").agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+          .orderBy("p_brand").collect()
+          .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+      }
+      MaterializedViews.register(spark, "mv_join", joined,
+        keys = Seq("p_brand", "l_returnflag"), sums = Seq("l_quantity"))
+      val got = q.collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (s1, n)) =>
+        assert(math.abs(s1 - expected(k)._1) <= 1e-9 * math.abs(expected(k)._1))
+        assert(n == expected(k)._2)
+      }
+
+      // an aggregate over the BARE fact must NOT match the join MV
+      // (fewer leaves), nor one joining on a different key pair
+      val q2 = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+      val q3 = li.join(part, col("l_suppkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+      assert(!q3.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    } finally MaterializedViews.clear()
+  }
+
   test("grand-total rollup (empty grouping) also substitutes") {
     MaterializedViews.register(spark, "mv_orders3", source,
       keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
