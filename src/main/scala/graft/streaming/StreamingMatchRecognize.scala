@@ -49,17 +49,74 @@ object StreamingMatchRecognize {
   final case class MrMatchRow(
       key: Long, match_no: Long, ts: Long, tiebreak: Long,
       value: Double, classifier: String)
+  /** ONE ROW PER MATCH output: the match extent plus named MEASURES. */
+  final case class MrMatchSummary(
+      key: Long, match_no: Long, start_ts: Long, end_ts: Long, n_rows: Long,
+      measures: Map[String, Double])
 
   /** Predicate over (current, previous-in-stream). */
   type Define = (MrEvent, Option[MrEvent]) => Boolean
 
+  /** A MEASURES aggregate over the match's (row, classifier) pairs —
+    * classifier-scoped measures filter on the classifier, e.g.
+    * `rows => rows.collect { case (e, "UP") => e.value }.max`. */
+  type Measure = Seq[(MrEvent, String)] => Double
+
+  /** ALL ROWS PER MATCH streaming output (see object doc). */
   def apply(
       events: Dataset[MrEvent],
       pattern: String,
       define: Map[String, Define],
       maxBuffer: Int = 10000,
       within: Option[Long] = None,
-      allowedLateness: Long = 0L): Dataset[MrMatchRow] = {
+      allowedLateness: Long = 0L): Dataset[MrMatchRow] =
+    core(events, pattern, define, maxBuffer, within, allowedLateness) {
+      (matchNo, rows, classifiers) =>
+        rows.zip(classifiers).iterator.collect {
+          // {- -} exclusions: consumed, not emitted
+          case (e, cls) if !cls.startsWith("-") =>
+            MrMatchRow(e.key, matchNo, e.ts, e.tiebreak, e.value, cls)
+        }
+    }(Encoders.product[MrMatchRow])
+
+  /** ONE ROW PER MATCH with MEASURES over a stream (ref: rel/core/Match
+    * .java:70 measures; batch analog MatchRecognize.oneRowPerMatch).
+    * Each completed match emits a single summary row the moment its
+    * micro-batch completes it; measures are FINAL semantics (the whole
+    * match is visible — it just completed). Excluded {- -} rows remain
+    * part of the match for measures, matching the standard (exclusion
+    * affects ALL-ROWS output, not aggregation). */
+  def oneRowPerMatch(
+      events: Dataset[MrEvent],
+      pattern: String,
+      define: Map[String, Define],
+      measures: Map[String, Measure],
+      maxBuffer: Int = 10000,
+      within: Option[Long] = None,
+      allowedLateness: Long = 0L): Dataset[MrMatchSummary] =
+    core(events, pattern, define, maxBuffer, within, allowedLateness) {
+      (matchNo, rows, classifiers) =>
+        val pairs = rows.zip(classifiers).map { case (e, cls) =>
+          (e, if (cls.startsWith("-")) cls.substring(1) else cls)
+        }
+        Iterator.single(MrMatchSummary(
+          rows.head.key, matchNo, rows.head.ts, rows.last.ts, rows.length,
+          measures.map { case (n, f) => n -> f(pairs) }))
+    }(Encoders.product[MrMatchSummary])
+
+  /** Shared stateful runner: buffers per key, runs the batch machine,
+    * hands each completed match (rows + classifiers, exclusion markers
+    * intact) to `emit`, and maintains cross-batch SKIP PAST LAST ROW +
+    * eviction/expiry state. */
+  private def core[O](
+      events: Dataset[MrEvent],
+      pattern: String,
+      define: Map[String, Define],
+      maxBuffer: Int,
+      within: Option[Long],
+      allowedLateness: Long)(
+      emit: (Long, IndexedSeq[MrEvent], List[String]) => Iterator[O])(
+      implicit outEnc: Encoder[O]): Dataset[O] = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val stateEnc: Encoder[MrKeyState] = Encoders.product[MrKeyState]
@@ -69,8 +126,8 @@ object StreamingMatchRecognize {
     // returns (matches, unmatched tail AFTER the last consumed row,
     // next matchNo, index of last consumed row or -1)
     def runMatcher(rows: IndexedSeq[MrEvent], startMatchNo: Long)
-        : (Seq[MrMatchRow], Seq[MrEvent], Long, Int) = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[MrMatchRow]
+        : (Seq[O], Seq[MrEvent], Long, Int) = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[O]
       var lastConsumed = -1
       var matchNo = startMatchNo
       var p = 0
@@ -83,13 +140,7 @@ object StreamingMatchRecognize {
                 f(rows(pos), if (pos == 0) None else Some(rows(pos - 1))))) match {
           case Some(classifiers) =>
             matchNo += 1
-            classifiers.zipWithIndex.foreach { case (cls, i) =>
-              // {- -} exclusions: consumed, not emitted
-              if (!cls.startsWith("-")) {
-                val e = rows(p + i)
-                out += MrMatchRow(e.key, matchNo, e.ts, e.tiebreak, e.value, cls)
-              }
-            }
+            out ++= emit(matchNo, rows.slice(p, p + classifiers.length), classifiers)
             lastConsumed = p + classifiers.length - 1
             p += classifiers.length
           case None => p += 1
@@ -102,7 +153,7 @@ object StreamingMatchRecognize {
     }
 
     def fn(key: Long, it: Iterator[MrEvent], state: GroupState[MrKeyState])
-        : Iterator[MrMatchRow] = {
+        : Iterator[O] = {
       val prev = state.getOption
         .getOrElse(MrKeyState(Seq.empty, 0L, Long.MinValue, Long.MinValue, 0L,
           Long.MinValue, 0L))

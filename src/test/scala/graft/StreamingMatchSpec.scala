@@ -108,6 +108,36 @@ class StreamingMatchSpec extends SparkSpec {
     assert(got.toSeq == Seq("DOWN", "DOWN", "STRT", "UP"))
   }
 
+  test("ONE ROW PER MATCH measures match the batch aggregates, across batch boundaries") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[MrEvent]
+    val measures: Map[String, StreamingMatchRecognize.Measure] = Map(
+      "bottom" -> (rows => rows.collect { case (e, "DOWN") => e.value }.min),
+      "peak_up" -> (rows => rows.collect { case (e, "UP") => e.value }.max),
+      "avg_all" -> (rows => rows.map(_._1.value).sum / rows.length))
+    val out = StreamingMatchRecognize.oneRowPerMatch(
+      mem.toDS(), "STRT DOWN+ UP+", define, measures)
+    val q = out.writeStream.format("memory").queryName("smr_measures")
+      .outputMode("update").start()
+    try {
+      // V split across batches: 10 9 | 8 9 12, then a second V in one batch
+      mem.addData(Seq(ev(9, 0, 10), ev(9, 1, 9))); q.processAllAvailable()
+      mem.addData(Seq(ev(9, 2, 8), ev(9, 3, 9), ev(9, 4, 12))); q.processAllAvailable()
+      mem.addData(Seq(ev(9, 5, 6), ev(9, 6, 3), ev(9, 7, 7))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("smr_measures").as[StreamingMatchRecognize.MrMatchSummary]
+      .collect().sortBy(_.match_no)
+    assert(got.length == 2)
+    val m1 = got(0)
+    assert(m1.match_no == 1L && m1.start_ts == 0L && m1.end_ts == 4000L && m1.n_rows == 5L)
+    assert(m1.measures("bottom") == 8.0)
+    assert(m1.measures("peak_up") == 12.0)
+    assert(math.abs(m1.measures("avg_all") - (10 + 9 + 8 + 9 + 12) / 5.0) < 1e-12)
+    val m2 = got(1)
+    assert(m2.match_no == 2L && m2.n_rows == 3L)
+    assert(m2.measures("bottom") == 3.0 && m2.measures("peak_up") == 7.0)
+  }
+
   test("keys are isolated and matches number independently") {
     val mixed = Seq(
       ev(1, 0, 5), ev(1, 1, 4), ev(1, 2, 6),
