@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.all ++ Windows.all ++ SetOps.all ++ Subqueries.all ++
       Collections.all ++ Scalars.all ++ Advanced.all ++ Custom.all ++
       Stats.all ++ Lateral.all ++ Patterns.all ++ Extras.all ++ Json.all ++
-      Temporal.all ++ Tpch.all ++ Tpcds.all ++ Quantified.all ++
+      Temporal.all ++ Tpch.all ++ Tpcds.all ++ Library2.all ++ Quantified.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
       IvfAnn.all
 

@@ -57,7 +57,32 @@ object Custom {
         SELECT n * 2, depth + 1 FROM t WHERE n * 2 <= 1000)
       SELECT n, depth FROM t ORDER BY n, depth"""))
 
+  /** The same recursion through the SQL surface: Spark 4 parses
+    * WITH RECURSIVE natively (UnionLoop execution), so GraftSql
+    * delegates — this query proves the SQL path end-to-end against the
+    * DuckDB recursive oracle (ref: recursive_queries.iq;
+    * rel/core/RepeatUnion.java:1). The depth column is computed
+    * per-iteration, the classic transitive-closure shape. */
+  val q104_recursive_sql = Q(
+    (s, dir) => {
+      T(s, dir, "nation").createOrReplaceTempView("nation")
+      graft.sql.GraftSql.sql(s, """
+        WITH RECURSIVE t(n, depth) AS (
+          SELECT CAST(n_nationkey AS BIGINT), 0
+          FROM nation WHERE n_nationkey > 0 AND n_nationkey < 10
+          UNION ALL
+          SELECT n * 2, depth + 1 FROM t WHERE n * 2 <= 1000)
+        SELECT n, depth FROM t ORDER BY n, depth""")
+    },
+    Some("""
+      WITH RECURSIVE t(n, depth) AS (
+        SELECT CAST(n_nationkey AS BIGINT), 0 FROM nation WHERE n_nationkey > 0 AND n_nationkey < 10
+        UNION ALL
+        SELECT n * 2, depth + 1 FROM t WHERE n * 2 <= 1000)
+      SELECT n, depth FROM t ORDER BY n, depth"""))
+
   val all: Map[String, Q] = Map(
     "q96_asof_join" -> q96_asof_join,
-    "q97_recursive_union" -> q97_recursive_union)
+    "q97_recursive_union" -> q97_recursive_union,
+    "q104_recursive_sql" -> q104_recursive_sql)
 }
