@@ -204,10 +204,85 @@ object Dedup {
           (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.6
       ORDER BY doc_a, doc_b"""
 
+  /** Near-duplicate CLUSTERING: connected components over the exact
+    * Jaccard pair graph (d04's relation), with the component's minimum
+    * doc_id as the canonical representative — the step that turns
+    * pairwise near-dup hits into keep/drop decisions in a training
+    * pipeline. Distributed label propagation: every doc starts labeled
+    * with itself; each round takes the min of its own and its
+    * neighbors' labels; convergence after O(component diameter) rounds
+    * — each round is one join + one aggregate, lineage cut per round
+    * with an eager localCheckpoint so the plan stays flat at any
+    * iteration count. Near-dup components are tiny by construction
+    * (dozens of docs, not millions), so the loop converges in a few
+    * rounds at any corpus size. Oracle: DuckDB transitive closure via
+    * WITH RECURSIVE + MIN over the reachable set. */
+  val d15_neardup_components = Q(
+    (s, dir) => {
+      val ds = docShingles(s, dir)
+      val ex = ds.select(col("doc_id"), col("sz"), explode(col("ws")).as("sh"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sh"))
+      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")) >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint(true)
+      var labels = T(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("component"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(labels, col("doc_a") === col("doc_id"))
+          .groupBy(col("doc_b").as("nid"))
+          .agg(min(col("component")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, col("doc_id") === col("nid"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.select(col("doc_id").as("pid"), col("component").as("old")),
+            col("doc_id") === col("pid"))
+          .filter(col("component") =!= col("old"))
+          .count()
+        labels = next
+      }
+      labels
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      w AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS ws
+            FROM t),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.6),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      SELECT a AS doc_id, MIN(b) AS component, a = MIN(b) AS is_canonical
+      FROM reach GROUP BY a ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01_dedup_exact,
     "d02_fingerprint_dedup" -> d02_fingerprint_dedup,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_jaccard_pairs" -> d04_jaccard_pairs,
-    "d05_simhash" -> d05_simhash)
+    "d05_simhash" -> d05_simhash,
+    "d15_neardup_components" -> d15_neardup_components)
 }
