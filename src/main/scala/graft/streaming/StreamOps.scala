@@ -49,6 +49,24 @@ object StreamOps {
       .drop("w")
   }
 
+  /** Streaming exact deduplication — the streaming counterpart of the
+    * batch content-hash dedup (d01): keep the first arrival per dedup
+    * key. With an event-time column + watermark delay, state for keys
+    * older than the watermark is dropped (bounded state at any stream
+    * length — `dropDuplicatesWithinWatermark`); without one, state
+    * grows with distinct keys (exact, unbounded — the batch-parity
+    * mode). At 100 TB/day the watermarked form is the only viable one;
+    * the key should be a content hash (md5/xxhash64), not the payload. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String],
+      eventTimeCol: Option[String] = None,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    eventTimeCol match {
+      case Some(tc) if df.isStreaming =>
+        df.withWatermark(tc, watermarkDelay)
+          .dropDuplicatesWithinWatermark(keyCols)
+      case _ => df.dropDuplicates(keyCols)
+    }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/batch-replay harness). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -43,6 +43,26 @@ class StreamingAdvancedSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("streaming dedup keeps one row per key and matches batch distinct keys") {
+    // duplicate every event_type on purpose: dedup key = (user_id % 5)
+    val keyed = stream().withColumn("k", pmod(col("user_id"), lit(5)))
+    val deduped = StreamOps.dedupStream(keyed, Seq("k"),
+      eventTimeCol = Some("ts"), watermarkDelay = "1 hour")
+    val got = StreamOps.runToMemory(spark, deduped, "ss_dedup")
+      .select("k").collect().map(_.getLong(0)).toSeq
+    // exactly one survivor per distinct key (all duplicates arrive well
+    // inside the watermark in a single replay)
+    assert(got.sorted == got.distinct.sorted)
+    val expect = batch().withColumn("k", pmod(col("user_id"), lit(5)))
+      .select("k").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.toSet == expect)
+
+    // batch fallback: same operator, non-streaming input
+    val b = StreamOps.dedupStream(
+      batch().withColumn("k", pmod(col("user_id"), lit(5))), Seq("k"))
+    assert(b.select("k").collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("stream-stream time-interval join matches the batch range join") {
     val purchases = stream().filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
