@@ -10,8 +10,8 @@ class OperatorSmokeSpec extends SparkSpec {
   // queries whose result may be legitimately empty at sf=0.001
   private val mayBeEmpty = Set(
     "q33_except", "q41_not_exists_anti", "q03_topk_join", "q14_having",
-    "q73_similar_to", "q99_match_adjacent_high", "q39_nation_pairs",
-    "d03_minhash_lsh", "d04_jaccard_pairs")
+    "q73_similar_to", "q99_match_adjacent_high", "q100_match_sql",
+    "q39_nation_pairs", "d03_minhash_lsh", "d04_jaccard_pairs")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name runs") {
