@@ -45,6 +45,26 @@ object GraftOps {
     def tablesample(fraction: Double, seed: Long): DataFrame =
       df.sample(withReplacement = false, fraction, seed)
 
+    /** SYSTEM TABLESAMPLE with REPEATABLE seed (rel/core/Sample.java
+      * isBernoulli=false; tablesample.iq): block sampling — each
+      * PARTITION is kept or dropped whole by a seeded coin flip. The
+      * cheap form at scale (a dropped partition's files are never
+      * read past the iterator), with block-level variance: per-run row
+      * counts swing with partition sizes, exactly like the reference's
+      * SYSTEM mode. Deterministic for a fixed (seed, partitioning). */
+    def tablesampleSystem(fraction: Double, seed: Long): DataFrame = {
+      val enc = org.apache.spark.sql.Encoders.row(df.schema)
+      df.mapPartitions { it =>
+        // partition index via TaskContext — stable for a fixed plan
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        // byteswap-mix the (seed, pid) pair: java.util.Random's first
+        // draw is correlated across near-sequential seeds
+        val mixed = scala.util.hashing.byteswap64(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        val rng = new java.util.Random(mixed)
+        if (rng.nextDouble() < fraction) it else Iterator.empty
+      }(enc)
+    }
+
     /** MATCH_RECOGNIZE ... ONE ROW PER MATCH with MEASURES — collapse an
       * ALL-ROWS match output (this frame) to one measured row per match. */
     def oneRowPerMatch(partitionKeys: Seq[String], measures: Seq[Column]): DataFrame =

@@ -51,4 +51,22 @@ class GraftOpsSpec extends SparkSpec {
     val sampled = orders.tablesample(0.5, seed = 7L)
     assert(sampled.count() > 0 && sampled.count() < orders.count())
   }
+
+  test("SYSTEM tablesample is block-wise, repeatable, and keeps whole partitions") {
+    val orders = T(spark, sfDir, "orders").repartition(16, col("o_orderkey"))
+    val s1 = orders.tablesampleSystem(0.5, seed = 11L)
+    val s2 = orders.tablesampleSystem(0.5, seed = 11L)
+    // repeatable for a fixed (seed, partitioning)
+    assert(s1.count() == s2.count())
+    assert(s1.agg(sum(col("o_orderkey"))).collect()(0).get(0) ==
+      s2.agg(sum(col("o_orderkey"))).collect()(0).get(0))
+    // different seed → (almost surely) different block subset
+    val s3 = orders.tablesampleSystem(0.5, seed = 12L)
+    assert(s3.count() != s1.count() ||
+      s3.agg(sum(col("o_orderkey"))).collect()(0).get(0) !=
+        s1.agg(sum(col("o_orderkey"))).collect()(0).get(0))
+    // fraction 1 keeps everything; fraction 0 keeps nothing
+    assert(orders.tablesampleSystem(1.0, 5L).count() == orders.count())
+    assert(orders.tablesampleSystem(0.0, 5L).count() == 0L)
+  }
 }
