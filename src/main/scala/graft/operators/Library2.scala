@@ -88,7 +88,55 @@ object Library2 {
         CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
       FROM orders ORDER BY o_orderkey"""))
 
+  /** SQL/JSON predicates and accessors (ref: SqlStdOperatorTable
+    * IS_JSON_VALUE :1694, JSON_EXISTS :1641, JSON_QUERY :1664,
+    * JSON_VALUE covered by functions/JsonValue.scala): docs are built
+    * identically on both sides (valid object / invalid prose / array
+    * by p_partkey mod 3), then IS JSON ≡ `get_json_object(doc,'$') IS
+    * NOT NULL` (Spark returns NULL for malformed input), JSON_EXISTS ≡
+    * path non-null, JSON_QUERY ≡ the compact fragment both engines
+    * print for arrays/objects. */
+  val q106_json_predicates = Q(
+    (s, dir) => {
+      T(s, dir, "part")
+        .withColumn("doc",
+          when(col("p_partkey") % 3 === 0,
+            concat(lit("{\"k\":"), col("p_partkey").cast(StringType),
+              lit(",\"a\":[1,2,"), (col("p_partkey") % 7).cast(StringType), lit("]}")))
+            .when(col("p_partkey") % 3 === 1, col("p_name"))
+            .otherwise(concat(lit("["), col("p_partkey").cast(StringType), lit(", 1]"))))
+        .select(
+          col("p_partkey"),
+          get_json_object(col("doc"), "$").isNotNull.as("is_json"),
+          get_json_object(col("doc"), "$.k").isNotNull.as("has_k"),
+          get_json_object(col("doc"), "$.a").as("frag_a"),
+          json_array_length(when(col("p_partkey") % 3 === 2, col("doc"))).as("alen"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        json_valid(doc) AS is_json,
+        json_extract(vdoc, '$.k') IS NOT NULL AS has_k,
+        CAST(json_extract(vdoc, '$.a') AS VARCHAR) AS frag_a,
+        CASE WHEN p_partkey % 3 = 2
+             THEN CAST(json_array_length(vdoc) AS INT) END AS alen
+      FROM (
+        SELECT p_partkey, doc,
+          -- vectorized execution does not short-circuit CASE/AND around
+          -- json_extract, so invalid docs are nulled out up front
+          CASE WHEN json_valid(doc) THEN doc END AS vdoc
+        FROM (
+        SELECT p_partkey,
+          CASE WHEN p_partkey % 3 = 0
+               THEN '{"k":' || CAST(p_partkey AS VARCHAR) ||
+                    ',"a":[1,2,' || CAST(p_partkey % 7 AS VARCHAR) || ']}'
+               WHEN p_partkey % 3 = 1 THEN p_name
+               ELSE '[' || CAST(p_partkey AS VARCHAR) || ', 1]' END AS doc
+        FROM part) t0) t
+      ORDER BY p_partkey"""))
+
   val all: Map[String, Q] = Map(
     "q103_lib_funcs2" -> q103_lib_funcs2,
-    "q105_lib_datetime2" -> q105_lib_datetime2)
+    "q105_lib_datetime2" -> q105_lib_datetime2,
+    "q106_json_predicates" -> q106_json_predicates)
 }
