@@ -19,8 +19,9 @@ object SparkEntry {
       Collections.all ++ Scalars.all ++ Advanced.all ++ Custom.all ++
       Stats.all ++ Lateral.all ++ Patterns.all ++ Extras.all ++ Json.all ++
       Temporal.all ++ Tpch.all ++ Tpcds.all ++ Library2.all ++ Quantified.all ++
+      Round4.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
-      IvfAnn.all
+      IvfAnn.all ++ Pipeline2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -78,5 +78,12 @@ object GraftOps {
     /** NEXT_VALUE FOR seq as a column (block-allocated, no global counter). */
     def withSequence(seqName: String, colName: String): DataFrame =
       Sequences.withSequence(df, seqName, colName)
+
+    /** LEFT MARK join (JoinRelType.java:97-119): keep every row of this
+      * frame and add a boolean `markName` column with IN-subquery
+      * three-valued semantics (TRUE / FALSE / NULL-for-UNKNOWN). */
+    def markJoin(right: DataFrame, leftKey: String, rightKey: String,
+        markName: String): DataFrame =
+      graft.plans.MarkJoin.leftMark(df, right, leftKey, rightKey, markName)
   }
 }
