@@ -1,0 +1,49 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lattice tile recommendation (ref: materialize/Lattice.java,
+  * materialize/TileSuggester.java — propose aggregate materializations
+  * over a star's dimension lattice, sized with the HLL profiler of
+  * profile/ProfilerImpl.java). Spark-first shape: ONE profiling pass
+  * collects per-dimension HLL cardinalities, tile sizes are estimated
+  * as min(rowCount, Π card(dim)) (the profiler's independence model),
+  * and a greedy sweep keeps the largest dimension sets that fit the
+  * row budget and are not already answerable from a kept tile by
+  * rollup. A kept tile feeds `MaterializedViews.register`, whose
+  * substitution rule then rewrites matching aggregates — together the
+  * profile → recommend → materialize → rewrite loop of the reference.
+  */
+object Lattice {
+
+  final case class TileSuggestion(
+      dims: Seq[String], estRows: Long, compression: Double)
+
+  def suggestTiles(df: DataFrame, dims: Seq[String],
+      budgetRows: Long, maxTiles: Int = 3): Seq[TileSuggestion] = {
+    require(dims.nonEmpty && dims.size <= 12, "1..12 dimensions")
+    val aggs = dims.map(c => approx_count_distinct(col(c)).as(c))
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val n = row.getLong(0)
+    val card = dims.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    val subsets = (1 to dims.size).flatMap(k => dims.combinations(k))
+    val sized = subsets.map { ds =>
+      val prod = ds.foldLeft(1.0)((acc, d) => acc * card(d).max(1))
+      val est = math.min(n.toDouble, prod).toLong
+      TileSuggestion(ds, est, n.toDouble / est.max(1))
+    }
+    val inBudget = sized.filter(_.estRows <= budgetRows)
+      .sortBy(t => (-t.dims.size, t.estRows))
+    // greedy: keep a tile only if no kept tile already covers it
+    val kept = scala.collection.mutable.ArrayBuffer.empty[TileSuggestion]
+    for (t <- inBudget if kept.size < maxTiles)
+      if (!kept.exists(k => t.dims.forall(k.dims.contains))) kept += t
+    kept.toSeq
+  }
+
+  /** Materialize a suggested tile as a substitutable MV. */
+  def materialize(spark: SparkSession, name: String, source: DataFrame,
+      tile: TileSuggestion, sums: Seq[String]): DataFrame =
+    graft.plans.MaterializedViews.register(spark, name, source, tile.dims, sums)
+}

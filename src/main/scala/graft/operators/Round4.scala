@@ -187,7 +187,33 @@ object Round4 {
       WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
       ORDER BY id_a, id_b"""))
 
+  /** Library stragglers (ref: SqlLibraryOperators AGE :2818,
+    * CONTAINS_SUBSTR :1076): calendar AGE decomposition (Postgres
+    * borrow semantics) and case-insensitive deep containment. The
+    * non-oracle-able siblings (DIFFERENCE, URL_ENCODE/DECODE,
+    * COMPRESS/UNCOMPRESS — DuckDB 1.0 lacks them) are spec-verified in
+    * Round4Spec. */
+  val q112_lib3 = Q(
+    (s, dir) => {
+      val base = lit("1990-02-17").cast(TimestampType)
+      T(s, dir, "orders").filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"),
+          graft.functions.Misc.age_parts(col("o_orderdate"), base).as("a"),
+          graft.functions.Misc.contains_substr(col("o_orderpriority"), "URG").as("has_urg"))
+        .select(col("o_orderkey"), col("a.age_y"), col("a.age_m"), col("a.age_d"),
+          col("has_urg"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(date_part('year', age(o_orderdate, TIMESTAMP '1990-02-17')) AS INT) AS age_y,
+        CAST(date_part('month', age(o_orderdate, TIMESTAMP '1990-02-17')) AS INT) AS age_m,
+        CAST(date_part('day', age(o_orderdate, TIMESTAMP '1990-02-17')) AS INT) AS age_d,
+        position('urg' in lower(o_orderpriority)) > 0 AS has_urg
+      FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey"""))
+
   val all: Map[String, Q] = Map(
+    "q112_lib3" -> q112_lib3,
     "q107_mark_join" -> q107_mark_join,
     "q108_format_models" -> q108_format_models,
     "q109_time_type" -> q109_time_type,

@@ -59,7 +59,17 @@ object Multimodal {
           round(element_at(col("histogram"), 2), 6).as("h1"))
         .orderBy("doc_id")
     },
-    None)
+    // The stub's features are pure functions of the UTF-8 bytes (ASCII
+    // corpus: bytes == chars), so the oracle restates them over the
+    // text: h1 = share of bytes in [0x40,0x7f] (byte >> 6 == 1).
+    Some("""
+      SELECT doc_id,
+        CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+        CAST(16 + LENGTH(text) % 64 AS INT) AS width,
+        CAST(9 + LENGTH(text) % 36 AS INT) AS height,
+        ROUND(CAST(len(regexp_extract_all(text, '[\x40-\x7f]')) AS DOUBLE)
+          / GREATEST(LENGTH(text), 1), 6) AS h1
+      FROM documents ORDER BY doc_id"""))
 
   val all: Map[String, Q] = Map(
     "d11_multimodal_features" -> d11_multimodal_features)

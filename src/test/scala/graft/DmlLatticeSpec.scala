@@ -1,0 +1,97 @@
+package graft
+
+import graft.catalog.Lattice
+import graft.plans.{MaterializedViews, TableDml}
+import org.apache.spark.sql.functions._
+
+/** TableModify DML (update/delete/merge copy-on-write) and the lattice
+  * tile recommender feeding MV substitution.
+  */
+class DmlLatticeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dml").toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "amt").write.parquet(dir)
+    dir
+  }
+
+  test("UPDATE rewrites matching rows, keeps the rest") {
+    val dir = freshTable()
+    val n = TableDml.update(spark, dir, col("id") <= 2,
+      Map("amt" -> (col("amt") * 2), "tag" -> upper(col("tag"))))
+    assert(n == 2)
+    val got = spark.read.parquet(dir).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "A", 20.0), (2L, "B", 40.0), (3L, "c", 30.0)))
+  }
+
+  test("DELETE removes matching rows and reports the count") {
+    val dir = freshTable()
+    val n = TableDml.delete(spark, dir, col("amt") > 15.0)
+    assert(n == 2)
+    assert(spark.read.parquet(dir).as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 10.0)))
+  }
+
+  test("MERGE upserts: update matched, insert new, keep untouched") {
+    val dir = freshTable()
+    val source = Seq((2L, "B2", 99.0), (4L, "d", 40.0)).toDF("id", "tag", "amt")
+    TableDml.merge(spark, dir, source, "id")
+    val got = spark.read.parquet(dir).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("MERGE rejects duplicate source keys (cardinality violation)") {
+    val dir = freshTable()
+    val dup = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "tag", "amt")
+    val e = intercept[IllegalArgumentException] {
+      TableDml.merge(spark, dir, dup, "id")
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("INSERT INTO appends") {
+    val dir = freshTable()
+    TableDml.insertInto(spark, dir, Seq((9L, "z", 1.0)).toDF("id", "tag", "amt"))
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("lattice suggester picks the largest tile within budget") {
+    val li = T(spark, sfDir, "lineitem")
+    val dims = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+    val tiles = Lattice.suggestTiles(li, dims, budgetRows = 100, maxTiles = 3)
+    assert(tiles.nonEmpty)
+    // the full 3-dim tile is tiny (3*2*7 combos) — it should be kept
+    // first and cover every sub-grouping, so nothing else is suggested
+    assert(tiles.head.dims.toSet == dims.toSet)
+    assert(tiles.size == 1)
+    assert(tiles.head.estRows <= 100)
+    assert(tiles.head.compression > 10)
+    // an impossible budget yields no tiles rather than a bad one
+    assert(Lattice.suggestTiles(li, dims, budgetRows = 1).isEmpty)
+  }
+
+  test("materialized tile answers rollup queries via MV substitution") {
+    val li = T(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_linenumber", "l_quantity")
+    val tiles = Lattice.suggestTiles(li, Seq("l_returnflag", "l_linestatus", "l_linenumber"), 100)
+    Lattice.materialize(spark, "tile0", li, tiles.head, sums = Seq("l_quantity"))
+    try {
+      val q = li.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"), s"expected MV rewrite:\n$plan")
+      // values still correct vs a fresh (non-rewritten) computation
+      val fresh = T(spark, sfDir, "lineitem").groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      q.collect().foreach { r =>
+        val (s, n) = fresh(r.getString(0))
+        assert(math.abs(r.getDouble(1) - s) < 1e-6 && r.getLong(2) == n)
+      }
+    } finally MaterializedViews.drop(spark, "tile0")
+  }
+}

@@ -91,6 +91,29 @@ class Round4Spec extends SparkSpec {
     assert(grid.length == naive)
   }
 
+  test("misc library: DIFFERENCE, URL codec, MySQL COMPRESS") {
+    import graft.functions.Misc
+    val df = Seq(("Smith", "Smyth", "a b&c=d"), ("Robert", "Rupert", "x/y z"))
+      .toDF("s1", "s2", "u")
+      .select(
+        Misc.difference(col("s1"), col("s2")).as("d"),
+        Misc.url_decode(Misc.url_encode(col("u"))).as("u2"),
+        col("u"),
+        Misc.uncompress(Misc.compress(col("u"))).as("c2"),
+        length(Misc.compress(col("u"))).as("clen"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 4) // Smith/Smyth: identical soundex
+    assert(rows(1).getInt(0) == 4) // Robert/Rupert: R163 both
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2)) // url round trip
+      assert(r.getString(3) == r.getString(2)) // compress round trip
+      assert(r.getInt(4) > 4) // 4-byte LE header + deflate stream
+    }
+    val far = Seq(("Apple", "Zucchini")).toDF("s1", "s2")
+      .select(Misc.difference(col("s1"), col("s2")).as("d")).head().getInt(0)
+    assert(far < 4)
+  }
+
   test("time type: millis-of-day round trip") {
     val out = run("q109_time_type")
     val bad = out.filter(
