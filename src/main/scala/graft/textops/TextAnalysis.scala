@@ -65,8 +65,11 @@ object TextAnalysis {
   /** Language ID via word-frequency profiles (naive Bayes with add-1
     * smoothing). The per-(lang, word) profile is one aggregation over the
     * corpus (tiny result → broadcast); scoring is an explode + broadcast
-    * join + log-prob sum — no O(corpus × langs) shuffle. Log-prob sums
-    * are order-dependent doubles → rows-only (spec-tested). */
+    * join + log-prob sum — no O(corpus × langs) shuffle. Log-probs are
+    * quantized to integer micro-nats (round(ln·1e6) per model entry —
+    * one deterministic rounding each) so the per-doc score is a sum of
+    * BIGINTs: order-independent under any shuffle, hence oracle-checkable
+    * exactly. Ties break to the lexicographically larger language. */
   val d08_langid = Q(
     (s, dir) => {
       val docs = T(s, dir, "documents")
@@ -77,17 +80,42 @@ object TextAnalysis {
         count(lit(1)).as("vocab"))
       val model = broadcast(profile.join(langTotals, "lang")
         .select(col("lang").as("m_lang"), col("w"),
-          log((col("cnt") + 1).cast(DoubleType) / (col("tot") + col("vocab"))).as("logp")))
+          round(log((col("cnt") + 1).cast(DoubleType) / (col("tot") + col("vocab"))) * 1e6)
+            .cast(LongType).as("logp_u")))
       val scored = words.select(col("doc_id"), col("w"))
         .join(model, Seq("w"), "inner")
         .groupBy(col("doc_id"), col("m_lang"))
-        .agg(sum(col("logp")).as("score"))
+        .agg(sum(col("logp_u")).as("score"))
       val best = scored.groupBy(col("doc_id"))
         .agg(max_by(col("m_lang"), struct(col("score"), col("m_lang"))).as("pred_lang"))
       docs.select(col("doc_id"), col("lang")).join(best, "doc_id")
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      wf AS (SELECT * FROM words WHERE w <> ''),
+      profile AS (
+        SELECT lang, w, COUNT(*) AS cnt FROM wf GROUP BY lang, w),
+      totals AS (
+        SELECT lang, SUM(cnt) AS tot, COUNT(*) AS vocab
+        FROM profile GROUP BY lang),
+      model AS (
+        SELECT p.lang AS m_lang, p.w,
+          CAST(ROUND(ln(CAST(p.cnt + 1 AS DOUBLE) / (t.tot + t.vocab)) * 1e6) AS BIGINT) AS logp_u
+        FROM profile p JOIN totals t ON p.lang = t.lang),
+      scored AS (
+        SELECT wf.doc_id, m.m_lang, SUM(m.logp_u) AS score
+        FROM wf JOIN model m ON wf.w = m.w
+        GROUP BY wf.doc_id, m.m_lang),
+      best AS (
+        SELECT doc_id, m_lang AS pred_lang
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang DESC) = 1)
+      SELECT d.doc_id, d.lang, b.pred_lang
+      FROM documents d JOIN best b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id"""))
 
   /** The composed training-data pipeline: quality gate → exact dedup
     * (md5 canonical = min doc_id) → per-language corpus stats. One

@@ -60,6 +60,27 @@ class PlanQualitySpec extends SparkSpec {
       "query vectors must broadcast")
   }
 
+  test("q111 grid spatial join: equi-join on cells, no cartesian product") {
+    val p = plan("q111_spatial_grid_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid banding must keep the join equi-keyed on cells:\n$p")
+  }
+
+  test("q107 mark join: no row duplication path (distinct right keys)") {
+    val p = plan("q107_mark_join")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"right key-set must be deduplicated before the mark join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mark join must stay keyed:\n$p")
+  }
+
+  test("d16 stratified sample: no shuffle before the filter") {
+    // the keep decision is row-local — the only exchange is the final
+    // per-stratum count aggregate
+    val p = plan("d16_stratified_sample")
+    val exchanges = "Exchange".r.findAllIn(p.replace("BroadcastExchange", "")).size
+    assert(exchanges <= 2, s"sampling must not shuffle the corpus:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = run("q01_pricing_summary").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
