@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{Q, T}
+import graft.functions.{TimestampTz, Unsigned}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The last two SURVEY §7.2 "semantic gap" rows, closed: unsigned
+  * integer types and offset-preserving TIMESTAMP_TZ. Both are encoding
+  * layers over builtin types (no UDFs), oracle-checked against DuckDB's
+  * native UTINYINT/USMALLINT/UINTEGER and interval arithmetic.
+  */
+object Gaps {
+
+  /** Unsigned types (ref: SqlTypeName.java:61-64, unsigned.iq): cast
+    * into range-checked widened carriers, unsigned arithmetic with
+    * range re-checks, aggregation and widening back to signed. DuckDB
+    * computes the same in native unsigned types — values must agree
+    * exactly. Error paths (negative → UTINYINT, subtraction below
+    * zero) are spec-tested in GapsSpec, not here. */
+  val q113_unsigned = Q(
+    (s, dir) => {
+      val li = T(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+      li.select(
+          col("l_orderkey"),
+          Unsigned.castUnsigned(col("l_linenumber"), "utinyint").as("u8"),
+          Unsigned.castUnsigned(col("l_quantity"), "usmallint").as("u16"),
+          Unsigned.castUnsigned(col("l_partkey"), "uinteger").as("u32"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("u8")).cast(LongType).as("sum_u8"),
+          max(col("u16")).cast(LongType).as("max_u16"),
+          Unsigned.umul(min(col("u32")), lit(2), "uinteger").cast(LongType).as("min_u32_x2"),
+          Unsigned.usub(max(col("u16")).cast(LongType) + 7,
+            min(col("u8")).cast(LongType), "usmallint").cast(LongType).as("span"))
+        .orderBy("l_orderkey")
+    },
+    Some("""
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_linenumber AS UTINYINT)) AS BIGINT) AS sum_u8,
+        CAST(MAX(CAST(l_quantity AS USMALLINT)) AS BIGINT) AS max_u16,
+        CAST(MIN(CAST(l_partkey AS UINTEGER)) * 2 AS BIGINT) AS min_u32_x2,
+        CAST(MAX(CAST(l_quantity AS USMALLINT)) + 7 - MIN(CAST(l_linenumber AS UTINYINT)) AS BIGINT) AS span
+      FROM lineitem WHERE l_orderkey <= 2000
+      GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  /** TIMESTAMP_TZ (ref: SqlTypeName.java:81): per-row source offsets
+    * are preserved through AT-ZONE re-anchoring, rendering, and
+    * instant-ordering — the DuckDB oracle recomputes the identical
+    * struct fields with plain interval arithmetic. Offsets span
+    * -6:30..+6:30 in 30-minute steps, so half-hour zones are covered. */
+  val q114_timestamp_tz = Q(
+    (s, dir) => {
+      val ev = T(s, dir, "events").filter(col("event_id") <= 500)
+      val offset = ((col("user_id") % 27) - lit(13)).cast(IntegerType) * 30
+      val tz = TimestampTz.makeTz(col("ts"), offset)
+      ev.select(col("event_id"), tz.as("tz"))
+        .select(
+          col("event_id"),
+          TimestampTz.instant(col("tz")).as("utc"),
+          TimestampTz.render(col("tz")).as("rendered"),
+          TimestampTz.localTime(TimestampTz.atOffset(col("tz"), lit(330))).as("ist_local"),
+          hour(TimestampTz.localTime(col("tz"))).as("local_hour"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, ts,
+               CAST(((user_id % 27) - 13) * 30 AS INT) AS off
+        FROM events WHERE event_id <= 500),
+      t AS (SELECT event_id, off, ts - TO_MINUTES(off) AS utc FROM e)
+      SELECT event_id, utc,
+        strftime(utc + TO_MINUTES(off), '%Y-%m-%d %H:%M:%S') ||
+          (CASE WHEN off < 0 THEN '-' ELSE '+' END) ||
+          lpad(CAST(abs(off) // 60 AS VARCHAR), 2, '0') || ':' ||
+          lpad(CAST(abs(off) % 60 AS VARCHAR), 2, '0') AS rendered,
+        utc + TO_MINUTES(330) AS ist_local,
+        CAST(hour(utc + TO_MINUTES(off)) AS INT) AS local_hour
+      FROM t ORDER BY event_id"""))
+
+  val all: Map[String, Q] = Map(
+    "q113_unsigned" -> q113_unsigned,
+    "q114_timestamp_tz" -> q114_timestamp_tz)
+}
