@@ -81,6 +81,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"sampling must not shuffle the corpus:\n$p")
   }
 
+  test("q115 count-bug: decorrelates to outer join over a keyed count, no product") {
+    val p = plan("q115_count_bug")
+    assert(p.contains("LeftOuter"), s"COUNT subquery must decorrelate to an outer join:\n$p")
+    assert(p.contains("partial_count"), "count must partial-aggregate before its shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must stay keyed:\n$p")
+  }
+
+  test("q116 NOT IN: plans as a null-aware anti join, not a product") {
+    val p = plan("q116_not_in_null")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"null-aware NOT IN must stay hashed:\n$p")
+  }
+
+  test("q117 EXISTS-under-OR: plans as an existence join") {
+    assert(plan("q117_exists_or").contains("ExistenceJoin"))
+  }
+
+  test("q113 unsigned: range checks stay inside codegen") {
+    val p = run("q113_unsigned").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), "unsigned checks fell out of codegen")
+  }
+
+  test("q114 timestamp_tz: no UDF in the plan (pure builtin arithmetic)") {
+    val p = plan("q114_timestamp_tz")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"tz surface must be builtin expressions:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = run("q01_pricing_summary").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
