@@ -1,0 +1,127 @@
+package graft.textops
+
+import graft.{Q, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators — the selection/filtering stages of a
+  * large-scale training-data pipeline, beyond the reference's scope
+  * (like textops/Dedup): per-domain capping, repetition-based quality
+  * filtering (the Gopher-style heuristics of Rae et al. '21 §A1.1),
+  * and benchmark decontamination by n-gram overlap.
+  *
+  * Scale design: d19 is one shuffle on the domain key (row_number
+  * window — skewed hot domains are bounded by the cap itself: the
+  * window scans but emits ≤K); d20 is row-local arithmetic plus one
+  * bigram-count shuffle keyed by (doc, bigram); d21 broadcasts the
+  * benchmark n-gram set (benchmarks are small by definition) so the
+  * corpus is scanned exactly once, shuffle-free.
+  */
+object Curation {
+
+  /** Per-domain cap: keep at most K docs per source, chosen by a
+    * deterministic hash order (reproducible "random" sample per domain,
+    * layout-independent — same device as d16's stratified sampler). */
+  val d19_domain_cap = Q(
+    (s, dir) => {
+      val k = 10
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      T(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        FROM documents) WHERE rk <= 10 ORDER BY doc_id"""))
+
+  /** Repetition signals per document: duplicate-word fraction and the
+    * share of the most frequent bigram — the "repetitious document"
+    * quality gate. Ratios are exact (small-int division), so the
+    * keep-flag threshold compares identically in both engines. */
+  val d20_repetition_filter = Q(
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val base = docs.select(
+        col("doc_id"), size(col("w")).as("n_words"),
+        (lit(1.0) - size(array_distinct(col("w"))).cast(DoubleType) /
+          size(col("w"))).as("dup_frac"))
+      val topBigram = docs
+        .select(col("doc_id"), size(col("w")).as("n"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bg"))
+        .groupBy(col("doc_id"), col("n"), col("bg")).count()
+        .groupBy(col("doc_id"), col("n")).agg(max(col("count")).as("mx"))
+        .select(col("doc_id"),
+          (col("mx").cast(DoubleType) / (col("n") - 1)).as("top_bigram_frac"))
+      base.join(topBigram, "doc_id")
+        .withColumn("keep", col("dup_frac") < 0.8 && col("top_bigram_frac") < 0.2)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                                   for i in range(1, len(w))]) AS bg FROM t),
+      c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+      m AS (SELECT doc_id, max(c) AS mx FROM c GROUP BY 1)
+      SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_words,
+        1.0 - CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w) AS dup_frac,
+        CAST(m.mx AS DOUBLE) / (len(t.w) - 1) AS top_bigram_frac,
+        (1.0 - CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w)) < 0.8
+          AND CAST(m.mx AS DOUBLE) / (len(t.w) - 1) < 0.2 AS keep
+      FROM t JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id"""))
+
+  /** Benchmark decontamination: flag corpus docs whose distinct 8-gram
+    * overlap with a benchmark set (here: source 'src0') exceeds 10% —
+    * the n-gram-collision test-set leak check. The benchmark n-gram
+    * set broadcasts; the corpus is scanned once. */
+  val d21_decontaminate = Q(
+    (s, dir) => {
+      val n = 8
+      val grams = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            s"array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' ')))"))
+            .as("ng"))
+      val bench = grams.filter(col("source") === "src0")
+        .select(col("ng")).distinct()
+      val corpus = grams.filter(col("source") =!= "src0")
+      corpus
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("ng"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total"), sum(coalesce(col("hit"), lit(0))).as("hits"))
+        .select(col("doc_id"), col("total"), col("hits"),
+          (col("hits").cast(DoubleType) / col("total")).as("ratio"),
+          (col("hits").cast(DoubleType) / col("total") >= 0.1).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents),
+      g AS (SELECT doc_id, source,
+              unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+                                    for i in range(1, len(w) - 7 + 1)])) AS ng
+            FROM t WHERE len(w) >= 8),
+      bench AS (SELECT DISTINCT ng FROM g WHERE source = 'src0'),
+      corpus AS (SELECT doc_id, ng FROM g WHERE source <> 'src0')
+      SELECT c.doc_id, count(*) AS total, count(b.ng) AS hits,
+        CAST(count(b.ng) AS DOUBLE) / count(*) AS ratio,
+        CAST(count(b.ng) AS DOUBLE) / count(*) >= 0.1 AS contaminated
+      FROM corpus c LEFT JOIN bench b ON c.ng = b.ng
+      GROUP BY c.doc_id ORDER BY c.doc_id"""))
+
+  val all: Map[String, Q] = Map(
+    "d19_domain_cap" -> d19_domain_cap,
+    "d20_repetition_filter" -> d20_repetition_filter,
+    "d21_decontaminate" -> d21_decontaminate)
+}
