@@ -11,7 +11,7 @@ class OperatorSmokeSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "q33_except", "q41_not_exists_anti", "q03_topk_join", "q14_having",
     "q73_similar_to", "q99_match_adjacent_high", "q100_match_sql",
-    "q39_nation_pairs", "d03_minhash_lsh", "d04_jaccard_pairs")
+    "q39_nation_pairs", "d03_minhash_lsh", "d04_jaccard_pairs", "q116_not_in_null")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name runs") {
