@@ -78,7 +78,36 @@ object Gaps {
         CAST(hour(utc + TO_MINUTES(off)) AS INT) AS local_hour
       FROM t ORDER BY event_id"""))
 
+  /** LIKE-family stragglers (ref: SqlLibraryOperators ILIKE :1149 /
+    * NOT_ILIKE :1154; SqlStdOperatorTable ESCAPE :1757): ILIKE,
+    * NOT ILIKE, and LIKE with a custom ESCAPE character, all through
+    * the SQL surface so the parser path is what's exercised. The
+    * escape pattern `%r_d%` with `ESCAPE '\'` has no escaped chars —
+    * `r_d` keeps `_` as a wildcard — while `%r\_d%` matches a literal
+    * underscore (absent from part names), separating the two paths. */
+  val q120_like_escape = Q(
+    (s, dir) => {
+      T(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""
+        SELECT p_partkey,
+          p_name ILIKE '%RED%' AS has_red_ci,
+          p_name NOT ILIKE '%WIDGET%' AS not_widget_ci,
+          p_name LIKE '%r_d%' ESCAPE '\\' AS wild_underscore,
+          p_name LIKE '%r\\_d%' ESCAPE '\\' AS literal_underscore,
+          upper(p_name) LIKE 'BLUE%' AS starts_blue
+        FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""")
+    },
+    Some("""
+      SELECT p_partkey,
+        p_name ILIKE '%RED%' AS has_red_ci,
+        p_name NOT ILIKE '%WIDGET%' AS not_widget_ci,
+        p_name LIKE '%r_d%' ESCAPE '\' AS wild_underscore,
+        p_name LIKE '%r\_d%' ESCAPE '\' AS literal_underscore,
+        upper(p_name) LIKE 'BLUE%' AS starts_blue
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey"""))
+
   val all: Map[String, Q] = Map(
     "q113_unsigned" -> q113_unsigned,
-    "q114_timestamp_tz" -> q114_timestamp_tz)
+    "q114_timestamp_tz" -> q114_timestamp_tz,
+    "q120_like_escape" -> q120_like_escape)
 }
