@@ -70,7 +70,58 @@ object GraftSql {
   }
 
   private[graft] def rewrite(sql: String): String =
-    rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(sql))))
+    rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
+      rewriteStarReplace(sql)))))
+
+  /** BigQuery `SELECT [t.]* REPLACE (expr AS col, ...)` (babel corpus
+    * big-query.iq; Spark parses `* EXCEPT` natively but not REPLACE) →
+    * `[t.]* EXCEPT (cols...), expr AS col, ...`. Column ORDER differs
+    * from BigQuery (replaced columns move to the end) — positional
+    * parity would need the resolved schema at rewrite time; name-based
+    * consumers (including the driver compare, which sorts columns) see
+    * identical results. */
+  private def rewriteStarReplace(sql: String): String = {
+    val re = "(?is)\\*\\s+REPLACE\\s*\\(".r
+    re.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = closeParen(sql, open)
+        if (close < 0) return sql
+        val items = splitTopLevel(sql.substring(open + 1, close))
+        val names = items.map { it =>
+          val asAt = "(?is)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+          asAt.findFirstMatchIn(it).map(_.group(1)).getOrElse(
+            return sql) // malformed — leave for Spark's parser to report
+        }
+        val star = sql.substring(m.start, m.start + 1) // the '*'
+        val head = sql.substring(0, m.start)
+        val rewritten = head + star +
+          s" EXCEPT (${names.mkString(", ")}), ${items.map(_.trim).mkString(", ")}" +
+          sql.substring(close + 1)
+        rewriteStarReplace(rewritten)
+    }
+  }
+
+  /** Split on top-level commas (paren- and string-aware). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
 
   /** Lower SQL/JSON `JSON_VALUE(doc, 'path' [behavior ON EMPTY]
     * [behavior ON ERROR])` (behavior = NULL | ERROR | DEFAULT <expr>;

@@ -151,6 +151,25 @@ class GraftSqlSpec extends SparkSpec {
     } finally GraftSql.sql(spark, "DROP SEQUENCE sq_sel")
   }
 
+  test("SELECT * REPLACE lowers to * EXCEPT + aliased expressions (big-query surface)") {
+    init()
+    val got = GraftSql.sql(spark, """
+      SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) FROM orders
+      WHERE o_orderkey = 1""").collect()(0)
+    val cols = GraftSql.sql(spark,
+      "SELECT * REPLACE (o_totalprice * 2 AS o_totalprice) FROM orders WHERE o_orderkey = 1").columns
+    val base = spark.sql("SELECT * FROM orders WHERE o_orderkey = 1").collect()(0)
+    assert(cols.toSet == spark.table("orders").columns.toSet) // same column set
+    val gotPrice = got.getDouble(cols.indexOf("o_totalprice"))
+    val basePrice = base.getDouble(spark.table("orders").columns.indexOf("o_totalprice"))
+    assert(gotPrice == basePrice * 2)
+    // two replacements at once
+    val two = GraftSql.sql(spark, """
+      SELECT * REPLACE (o_totalprice * 2 AS o_totalprice, upper(o_orderstatus) AS o_orderstatus)
+      FROM orders WHERE o_orderkey = 1""").collect()(0)
+    assert(two.schema.fieldNames.toSet == spark.table("orders").columns.toSet)
+  }
+
   test("rewriter leaves quoted strings and subqueries alone") {
     assert(GraftSql.rewrite("SELECT ' QUALIFY x ' AS s") == "SELECT ' QUALIFY x ' AS s")
     assert(GraftSql.rewrite("SELECT (SELECT 1 LIMIT 1) AS s") == "SELECT (SELECT 1 LIMIT 1) AS s")
