@@ -63,7 +63,12 @@ object MaterializedViews {
       maxs: Set[String],
       hasCount: Boolean,
       target: LogicalPlan,
-      targetOut: Map[String, Attribute])
+      targetOut: Map[String, Attribute],
+      keysSeq: Seq[String],
+      sumsSeq: Seq[String],
+      minsSeq: Seq[String],
+      maxsSeq: Seq[String],
+      mvDf: DataFrame)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -122,15 +127,27 @@ object MaterializedViews {
     require(srcFilters.isEmpty,
       "MV source must be unfiltered (filter the querying aggregate instead)")
 
-    val aggCols =
-      sums.map(c => sum(col(c)).as(s"__mv_sum_$c")) ++
-        // per-column non-null count, so AVG(x) rolls up as
-        // SUM(sum_x)/SUM(cntn_x) even when x has NULLs
-        sums.map(c => count(col(c)).as(s"__mv_cntn_$c")) ++
-        mins.map(c => min(col(c)).as(s"__mv_min_$c")) ++
-        maxs.map(c => max(col(c)).as(s"__mv_max_$c")) :+
-        count(lit(1)).as("__mv_cnt")
-    val mv = source.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val cols = partialAggCols(sums, mins, maxs)
+    val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    store(spark, name, signature, keys, sums, mins, maxs, mv, None)
+  }
+
+  /** The partial-aggregate columns an MV carries per group. */
+  private def partialAggCols(sums: Seq[String], mins: Seq[String],
+      maxs: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    sums.map(c => sum(col(c)).as(s"__mv_sum_$c")) ++
+      // per-column non-null count, so AVG(x) rolls up as
+      // SUM(sum_x)/SUM(cntn_x) even when x has NULLs
+      sums.map(c => count(col(c)).as(s"__mv_cntn_$c")) ++
+      mins.map(c => min(col(c)).as(s"__mv_min_$c")) ++
+      maxs.map(c => max(col(c)).as(s"__mv_max_$c")) :+
+      count(lit(1)).as("__mv_cnt")
+
+  /** Persist `mv`, splice it into the registry, keep the rewrite rule
+    * installed; unpersists the MV generation it replaces. */
+  private def store(spark: SparkSession, name: String, signature: Signature,
+      keys: Seq[String], sums: Seq[String], mins: Seq[String],
+      maxs: Seq[String], mv: DataFrame, replaced: Option[DataFrame]): DataFrame = {
     mv.persist()
     mv.count() // materialize now
 
@@ -139,12 +156,43 @@ object MaterializedViews {
     val target = mv.queryExecution.withCachedData
     registry.put(name, MvDef(name, signature, keys.toSet, sums.toSet,
       mins.toSet, maxs.toSet, hasCount = true, target,
-      target.output.map(a => a.name -> a).toMap))
+      target.output.map(a => a.name -> a).toMap,
+      keys, sums, mins, maxs, mv))
+    replaced.foreach(_.unpersist())
 
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MvRewrite
     mv
+  }
+
+  /** Incremental maintenance (ref: materialize/MaterializationService
+    * .java — the reference re-populates tiles; here the merge is
+    * algebraic): given `delta` = rows APPENDED to the MV's source since
+    * registration/last refresh, fold them in without rescanning the
+    * source. Every carried partial is a commutative monoid — SUM and
+    * the counts merge by SUM, MIN/MAX by MIN/MAX — so
+    * refresh(MV, delta) ≡ register(source ∪ delta) exactly, at the
+    * cost of aggregating only the delta (the 100 TB nightly-load path:
+    * the fact table is never rescanned). Caller contract: delta holds
+    * only new rows (append-only source); updates/deletes need DML-side
+    * recompute of the affected partitions. */
+  def refreshIncremental(spark: SparkSession, name: String, delta: DataFrame): DataFrame = {
+    val d = Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"unknown MV: $name"))
+    val cols = partialAggCols(d.sumsSeq, d.minsSeq, d.maxsSeq)
+    val deltaAgg = delta.groupBy(d.keysSeq.map(col): _*).agg(cols.head, cols.tail: _*)
+    val mergeCols =
+      d.sumsSeq.map(c => sum(col(s"__mv_sum_$c")).as(s"__mv_sum_$c")) ++
+        d.sumsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+        d.minsSeq.map(c => min(col(s"__mv_min_$c")).as(s"__mv_min_$c")) ++
+        d.maxsSeq.map(c => max(col(s"__mv_max_$c")).as(s"__mv_max_$c")) :+
+        sum(col("__mv_cnt")).as("__mv_cnt")
+    val merged = d.mvDf.unionByName(deltaAgg)
+      .groupBy(d.keysSeq.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+    store(spark, name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
+      d.maxsSeq, merged, Some(d.mvDf))
   }
 
   def drop(spark: SparkSession, name: String): Unit = registry.remove(name)

@@ -188,4 +188,41 @@ class MaterializedViewSpec extends SparkSpec {
       assert(math.abs(got - direct) < 1e-6 * math.abs(direct))
     } finally MaterializedViews.clear()
   }
+
+  test("incremental refresh folds a delta in without rescanning; rewrite still fires") {
+    // simulate an append-only source: register over the first half,
+    // refresh with the second half, compare against the full aggregate
+    val half1 = source.filter(col("o_orderkey") % 2 === 0)
+    val half2 = source.filter(col("o_orderkey") % 2 === 1)
+    // the MV's defining source must be a file scan, so register over the
+    // full table but rebuild its content from half1 by refreshing from
+    // an empty registration is not expressible — instead register on the
+    // full source, then append a NEW batch (reusing half2 rows as the
+    // delta) and check the merge algebra against a direct recompute.
+    MaterializedViews.register(spark, "mv_inc", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"),
+      mins = Seq("o_orderdate"), maxs = Seq("o_orderdate"))
+    try {
+      val refreshed = MaterializedViews.refreshIncremental(spark, "mv_inc", half2)
+      val expect = source.unionByName(half2).groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"),
+          min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val gotRows = refreshed.collect()
+      assert(gotRows.length == expect.size)
+      gotRows.foreach { r =>
+        val e = expect(r.getString(0))
+        val sumIx = refreshed.columns.indexOf("__mv_sum_o_totalprice")
+        val cntIx = refreshed.columns.indexOf("__mv_cnt")
+        assert(math.abs(r.getDouble(sumIx) - e.getDouble(1)) <= 1e-9 * math.abs(e.getDouble(1)))
+        assert(r.getLong(cntIx) == e.getLong(2))
+        assert(r.get(refreshed.columns.indexOf("__mv_min_o_orderdate")) == e.get(3))
+        assert(r.get(refreshed.columns.indexOf("__mv_max_o_orderdate")) == e.get(4))
+      }
+      // the rewrite rule still answers rollups from the refreshed MV
+      val q = source.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "rewrite must target the refreshed generation")
+    } finally MaterializedViews.clear()
+  }
 }
