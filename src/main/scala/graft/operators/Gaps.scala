@@ -106,8 +106,46 @@ object Gaps {
         upper(p_name) LIKE 'BLUE%' AS starts_blue
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey"""))
 
+  /** GROUP_ID() with duplicate grouping sets (ref: SqlStdOperatorTable
+    * .java:248 GROUP_ID; Calcite expands it by unioning one aggregate
+    * per duplicate occurrence — AggregateExpandDistinctAggregatesRule
+    * docs note the same device — since no engine evaluates it
+    * natively; Spark has no GROUP_ID at all). Here: GROUPING SETS
+    * ((status), (status), ()) → the (status) rollup appears twice,
+    * group_id 0 and 1, the grand total once with group_id 0. The
+    * expansion runs the distinct-set aggregate ONCE per occurrence
+    * count tier, not per duplicate (occurrence tiers reuse one
+    * aggregate result via union of literals). */
+  val q122_group_id = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val byStatus = orders.groupBy(col("o_orderstatus"))
+        .agg(T.dsum(col("o_totalprice")).as("total"))
+      val grand = orders.groupBy()
+        .agg(T.dsum(col("o_totalprice")).as("total"))
+        .select(lit(null).cast(StringType).as("o_orderstatus"), col("total"))
+      byStatus.select(col("o_orderstatus"), col("total"), lit(0).as("group_id"))
+        .unionByName(byStatus.select(col("o_orderstatus"), col("total"), lit(1).as("group_id")))
+        .unionByName(grand.select(col("o_orderstatus"), col("total"), lit(0).as("group_id")))
+        .orderBy(col("group_id"), col("o_orderstatus").asc_nulls_last)
+    },
+    Some("""
+      WITH s AS (SELECT o_orderstatus,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+                 FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, total, 0 AS group_id FROM s
+      UNION ALL
+      SELECT o_orderstatus, total, 1 AS group_id FROM s
+      UNION ALL
+      SELECT NULL AS o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             0 AS group_id
+      FROM orders
+      ORDER BY group_id, o_orderstatus NULLS LAST"""))
+
   val all: Map[String, Q] = Map(
     "q113_unsigned" -> q113_unsigned,
     "q114_timestamp_tz" -> q114_timestamp_tz,
-    "q120_like_escape" -> q120_like_escape)
+    "q120_like_escape" -> q120_like_escape,
+    "q122_group_id" -> q122_group_id)
 }
