@@ -71,6 +71,42 @@ object Multimodal {
           / GREATEST(LENGTH(text), 1), 6) AS h1
       FROM documents ORDER BY doc_id"""))
 
+  /** Video-style frame sampling over an opaque media column: fixed
+    * frame width, strided sampling (every 2nd frame here), one output
+    * row per sampled frame with a per-frame signature — the
+    * `frame-sample` stage of a video ingestion pipeline. The "frames"
+    * are deterministic character windows standing in for the codec
+    * (same stub policy as d11); everything else — the row-per-frame
+    * explode, 0-based frame numbering, per-frame hashing, pruned
+    * projection — is the real operator shape. Row-local (explode, no
+    * shuffle) until the final presentation sort. */
+  val d22_frame_sample = Q(
+    (s, dir) => {
+      val width = 64
+      val stride = 128
+      T(s, dir, "documents")
+        .filter(length(col("text")) >= width)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, CAST(floor((length(text) - $width) / $stride) AS INT)), i -> substring(text, i * $stride + 1, $width))"))
+            .as(Seq("frame_no", "frame")))
+        .select(col("doc_id"), col("frame_no"),
+          md5(encode(col("frame"), "UTF-8")).as("frame_sig"),
+          length(col("frame")).as("frame_chars"))
+        .orderBy("doc_id", "frame_no")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, text, length(text) AS len
+                 FROM documents WHERE length(text) >= 64),
+      f AS (SELECT doc_id, text,
+              unnest(range(0, CAST(floor((len - 64) / 128) AS INT) + 1)) AS frame_no
+            FROM t)
+      SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+        md5(substring(text, CAST(frame_no * 128 + 1 AS INT), 64)) AS frame_sig,
+        CAST(length(substring(text, CAST(frame_no * 128 + 1 AS INT), 64)) AS INT) AS frame_chars
+      FROM f ORDER BY doc_id, frame_no"""))
+
   val all: Map[String, Q] = Map(
-    "d11_multimodal_features" -> d11_multimodal_features)
+    "d11_multimodal_features" -> d11_multimodal_features,
+    "d22_frame_sample" -> d22_frame_sample)
 }
