@@ -45,6 +45,23 @@ class GapsSpec extends SparkSpec {
     assert(one(Unsigned.castUnsigned(lit(null).cast(IntegerType), "utinyint")) == null)
   }
 
+  test("CHECKED_* arithmetic maps to ANSI mode; SAFE_* to try_* (SqlStdOperatorTable :312-1036)") {
+    val max = Int.MaxValue
+    // default (non-ANSI): wraparound, the reference's unchecked ops
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      assert(one(lit(max) + lit(1)) == Int.MinValue)
+      // CHECKED_PLUS: ANSI mode raises on overflow
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val e = intercept[Exception](one(lit(max) + lit(1)))
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.toLowerCase.contains("overflow"))))
+      // SAFE_ADD / SAFE_DIVIDE stay NULL-on-error even under ANSI
+      assert(one(try_add(lit(max), lit(1))) == null)
+      assert(one(try_divide(lit(1), lit(0))) == null)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("timestamp_tz: same instant at different offsets is equal and sorts together") {
     val df = Seq(
       ("a", "2024-01-01 10:00:00", 330), // +05:30 → 04:30Z
