@@ -40,7 +40,7 @@ class HilbertSpec extends SparkSpec {
 
     val dir = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
     // force many row groups so skipping has granularity to work with
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20000")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
     Hilbert.clusterByHilbert(pts, "x", "y", order, 10)
       .write.mode("overwrite").parquet(s"$dir/clustered")
     pts.write.mode("overwrite").parquet(s"$dir/random")
