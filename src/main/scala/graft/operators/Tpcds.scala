@@ -162,9 +162,96 @@ object Tpcds {
       WHERE rk <= 3
       ORDER BY n_name ASC NULLS FIRST, gid, rk"""))
 
+  /** TPC-DS Q51 shape: cumulative revenue race between two channels —
+    * per-month running totals via window over a channel-pivoted
+    * aggregate, reporting months where the lineitem cumulative exceeds
+    * the orders cumulative. One fact pass per channel, one monthly
+    * aggregate shuffle; the running windows ride on 12·years rows. */
+  val ds05_cumulative_race = Q(
+    (s, dir) => {
+      // cumulative sums stay DECIMAL through the window (exact, engine-
+      // independent association) and cast to double only on output
+      val li = T(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("mo"))
+        .agg(sum(T.dec2(col("l_extendedprice"))).as("li_rev"))
+      val or = T(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(sum(T.dec2(col("o_totalprice"))).as("or_rev"))
+      val zero = lit(0).cast(DecimalType(12, 2))
+      val w = Window.orderBy(col("mo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.join(or, Seq("mo"), "full_outer")
+        .select(col("mo"),
+          sum(coalesce(col("li_rev"), zero)).over(w).as("li_cum_d"),
+          sum(coalesce(col("or_rev"), zero)).over(w).as("or_cum_d"))
+        .filter(col("or_cum_d") > col("li_cum_d"))
+        .select(col("mo"),
+          col("li_cum_d").cast(DoubleType).as("li_cum"),
+          col("or_cum_d").cast(DoubleType).as("or_cum"),
+          (col("or_cum_d") - col("li_cum_d")).cast(DoubleType).as("gap"))
+        .orderBy("mo")
+    },
+    Some("""
+      WITH li AS (
+        SELECT date_trunc('month', l_shipdate) AS mo,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS li_rev
+        FROM lineitem GROUP BY 1),
+      orr AS (
+        SELECT date_trunc('month', o_orderdate) AS mo,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS or_rev
+        FROM orders GROUP BY 1),
+      j AS (SELECT coalesce(li.mo, orr.mo) AS mo,
+                   coalesce(li_rev, CAST(0 AS DECIMAL(12,2))) AS li_rev,
+                   coalesce(or_rev, CAST(0 AS DECIMAL(12,2))) AS or_rev
+            FROM li FULL OUTER JOIN orr ON li.mo = orr.mo)
+      SELECT mo, CAST(li_cum_d AS DOUBLE) AS li_cum, CAST(or_cum_d AS DOUBLE) AS or_cum,
+             CAST(or_cum_d - li_cum_d AS DOUBLE) AS gap FROM (
+        SELECT mo,
+          SUM(li_rev) OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS li_cum_d,
+          SUM(or_rev) OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS or_cum_d
+        FROM j) t
+      WHERE or_cum_d > li_cum_d
+      ORDER BY mo"""))
+
+  /** TPC-DS Q36 shape: gross-margin-style ratio per rollup stratum with
+    * a LOCHIERARCHY grouping-depth column (grouping() arithmetic) and
+    * rank within each hierarchy level — the canonical GROUPING()/
+    * ROLLUP/window composition. */
+  val ds06_margin_lochierarchy = Q(
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val agg = li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(T.dsum(col("l_extendedprice")).as("rev"),
+          T.dsum(col("l_quantity")).as("qty"),
+          (grouping(col("l_returnflag")) + grouping(col("l_linestatus")))
+            .cast(IntegerType).as("lochierarchy"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("lochierarchy"), (col("rev") / col("qty")).as("ratio"))
+      val w = Window.partitionBy(col("lochierarchy"))
+        .orderBy(col("ratio").desc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+      agg.withColumn("rk", row_number().over(w))
+        .orderBy(col("lochierarchy").desc, col("rk"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INT) AS lochierarchy,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) /
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ratio,
+        CAST(row_number() OVER (
+          PARTITION BY GROUPING(l_returnflag) + GROUPING(l_linestatus)
+          ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) /
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) DESC,
+                   l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST) AS INT) AS rk
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY lochierarchy DESC, rk"""))
+
   val all: Map[String, Q] = Map(
     "ds01_channel_rollup" -> ds01_channel_rollup,
     "ds02_rank_ratio" -> ds02_rank_ratio,
     "ds03_yoy_growth" -> ds03_yoy_growth,
-    "ds04_rollup_topn" -> ds04_rollup_topn)
+    "ds04_rollup_topn" -> ds04_rollup_topn,
+    "ds05_cumulative_race" -> ds05_cumulative_race,
+    "ds06_margin_lochierarchy" -> ds06_margin_lochierarchy)
 }
