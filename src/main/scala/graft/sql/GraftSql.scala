@@ -71,7 +71,45 @@ object GraftSql {
 
   private[graft] def rewrite(sql: String): String =
     rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
-      rewriteStarReplace(sql)))))
+      rewriteStarReplace(rewriteCastFormat(sql))))))
+
+  /** SQL:2016 `CAST(expr AS type FORMAT 'model')` (cast-with-format.iq;
+    * parsed by SqlCastFunction, evaluated via util/format/FormatModels
+    * .java): lower to to_timestamp/to_date with the Oracle format model
+    * translated to a Java pattern at rewrite time (string → temporal),
+    * or date_format (temporal → character). The .iq's TZH/TZM/FF9
+    * cases are feature-gated off in the reference itself
+    * (fixed.calcite6375) and stay unsupported here. */
+  private def rewriteCastFormat(sql: String): String = {
+    val kw = "CAST"
+    var at = topLevelIndexAnyDepth(sql, kw)
+    while (at >= 0) {
+      val open = sql.indexOf('(', at + kw.length)
+      if (open < 0 || sql.substring(at + kw.length, open).trim.nonEmpty)
+        return sql
+      val close = closeParen(sql, open)
+      if (close < 0) return sql
+      val inner = sql.substring(open + 1, close)
+      val re = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s+FORMAT\\s+'((?:[^']|'')*)'\\s*$".r
+      inner match {
+        case re(expr, ty, fmt) =>
+          val javaFmt = graft.functions.FormatModels.ora2java(fmt.replace("''", "'"))
+          val lowered = ty.toUpperCase match {
+            case "TIMESTAMP" => s"to_timestamp(($expr), '$javaFmt')"
+            case "DATE" => s"to_date(($expr), '$javaFmt')"
+            case "VARCHAR" | "CHAR" | "STRING" => s"date_format(($expr), '$javaFmt')"
+            case _ => return sql // unsupported target: leave for the parser
+          }
+          return rewriteCastFormat(
+            sql.substring(0, at) + lowered + sql.substring(close + 1))
+        case _ =>
+          // plain CAST — look for the next one
+          val next = topLevelIndexAnyDepth(sql.substring(at + kw.length), kw)
+          at = if (next < 0) -1 else at + kw.length + next
+      }
+    }
+    sql
+  }
 
   /** BigQuery `SELECT [t.]* REPLACE (expr AS col, ...)` (babel corpus
     * big-query.iq; Spark parses `* EXCEPT` natively but not REPLACE) →

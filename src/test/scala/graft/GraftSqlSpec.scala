@@ -170,6 +170,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(two.schema.fieldNames.toSet == spark.table("orders").columns.toSet)
   }
 
+  test("CAST ... FORMAT lowers to format-model parse/render (cast-with-format.iq)") {
+    init()
+    // string → timestamp with a reordered Oracle model
+    val ts = GraftSql.sql(spark,
+      "SELECT CAST('12-2010-05' AS TIMESTAMP FORMAT 'DD-YYYY-MM') AS t").collect()(0)
+    assert(ts.getTimestamp(0).toString.startsWith("2010-05-12 00:00:00"))
+    // punctuation separators pass through
+    val d = GraftSql.sql(spark,
+      "SELECT CAST('2017/06/01' AS DATE FORMAT 'YYYY/MM/DD') AS d").collect()(0)
+    assert(d.getDate(0).toString == "2017-06-01")
+    // temporal → character renders with the model
+    val sv = GraftSql.sql(spark,
+      "SELECT CAST(DATE'2017-05-01' AS VARCHAR FORMAT 'DD-MM-YYYY') AS s").collect()(0)
+    assert(sv.getString(0) == "01-05-2017")
+    // plain CAST is untouched
+    assert(GraftSql.sql(spark, "SELECT CAST('5' AS INT) AS v").collect()(0).getInt(0) == 5)
+  }
+
   test("rewriter leaves quoted strings and subqueries alone") {
     assert(GraftSql.rewrite("SELECT ' QUALIFY x ' AS s") == "SELECT ' QUALIFY x ' AS s")
     assert(GraftSql.rewrite("SELECT (SELECT 1 LIMIT 1) AS s") == "SELECT (SELECT 1 LIMIT 1) AS s")
