@@ -71,7 +71,24 @@ object GraftSql {
 
   private[graft] def rewrite(sql: String): String =
     rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
-      rewriteStarReplace(rewriteCastFormat(sql))))))
+      rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(sql))))))))
+
+  /** ANSI `OFFSET n ROWS FETCH FIRST|NEXT m ROWS ONLY` (fetch.iq,
+    * offset.iq; Sort.fetch/offset in the algebra) → Spark's
+    * LIMIT/OFFSET clauses. */
+  private def rewriteFetch(sql: String): String = {
+    val both = "(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\s+FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r
+    val fetchOnly = "(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r
+    val offsetRows = "(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS\\b".r
+    val s1 = both.replaceAllIn(sql, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    val s2 = fetchOnly.replaceAllIn(s1, m => s"LIMIT ${m.group(1)}")
+    offsetRows.replaceAllIn(s2, m => s"OFFSET ${m.group(1)}")
+  }
+
+  /** Oracle `FROM DUAL` (babel; dual-table-query.iq) — a FROM-less
+    * scalar select in Spark. */
+  private def rewriteDual(sql: String): String =
+    sql.replaceAll("(?is)\\bFROM\\s+DUAL\\b", "")
 
   /** SQL:2016 `CAST(expr AS type FORMAT 'model')` (cast-with-format.iq;
     * parsed by SqlCastFunction, evaluated via util/format/FormatModels

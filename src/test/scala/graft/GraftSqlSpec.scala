@@ -188,6 +188,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.sql(spark, "SELECT CAST('5' AS INT) AS v").collect()(0).getInt(0) == 5)
   }
 
+  test("OFFSET/FETCH FIRST and FROM DUAL lower to LIMIT/OFFSET and FROM-less selects") {
+    init()
+    val rows = GraftSql.sql(spark, """
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey
+      OFFSET 5 ROWS FETCH FIRST 3 ROWS ONLY""").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(5L, 6L, 7L))
+    val one = GraftSql.sql(spark, """
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey
+      FETCH NEXT 1 ROW ONLY""").collect()(0).getLong(0)
+    assert(one == 0L)
+    assert(GraftSql.sql(spark, "SELECT 1 + 1 AS v FROM DUAL").collect()(0).getInt(0) == 2)
+  }
+
   test("rewriter leaves quoted strings and subqueries alone") {
     assert(GraftSql.rewrite("SELECT ' QUALIFY x ' AS s") == "SELECT ' QUALIFY x ' AS s")
     assert(GraftSql.rewrite("SELECT (SELECT 1 LIMIT 1) AS s") == "SELECT (SELECT 1 LIMIT 1) AS s")
