@@ -198,6 +198,24 @@ object MaterializedViews {
   def drop(spark: SparkSession, name: String): Unit = registry.remove(name)
   def clear(): Unit = registry.clear()
 
+  /** Continuous MV maintenance from a stream (ref: the reference's
+    * materializations never see streams — this is the Spark-native
+    * composition: STREAM Δ rows ARE the append-only delta contract of
+    * refreshIncremental). Each micro-batch folds into the MV inside
+    * foreachBatch, so rollup queries against the MV see data as fresh
+    * as the last completed batch — a continuously-maintained lattice
+    * tile. Returns the StreamingQuery handle (caller stops it). */
+  def maintainFromStream(spark: SparkSession, name: String,
+      delta: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(delta.isStreaming, "maintainFromStream needs a streaming DataFrame")
+    delta.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { refreshIncremental(spark, name, batch); () }
+      }
+      .start()
+  }
+
   /** The substitution rule (runs in the user-provided optimizer batch). */
   object MvRewrite extends Rule[LogicalPlan] {
 

@@ -225,4 +225,27 @@ class MaterializedViewSpec extends SparkSpec {
         "rewrite must target the refreshed generation")
     } finally MaterializedViews.clear()
   }
+
+  test("stream-maintained MV: each micro-batch folds in; counts track the feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    MaterializedViews.register(spark, "mv_live", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      val baseCnt = source.count()
+      val mem = MemoryStream[(String, Double)]
+      val delta = mem.toDS().toDF("o_orderstatus", "o_totalprice")
+      val q = MaterializedViews.maintainFromStream(spark, "mv_live", delta)
+      try {
+        mem.addData(Seq(("O", 10.0), ("F", 20.0)))
+        q.processAllAvailable()
+        mem.addData(Seq(("O", 30.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // rollup through the rewrite: grand total count = base + 3 streamed
+      val n = source.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      assert(n == baseCnt + 3, s"expected ${baseCnt + 3}, got $n")
+    } finally MaterializedViews.clear()
+  }
 }
