@@ -143,9 +143,40 @@ object Gaps {
       FROM orders
       ORDER BY group_id, o_orderstatus NULLS LAST"""))
 
+  /** The FETCH/OFFSET dialect surface END TO END: the same ANSI text
+    * runs through GraftSql's rewriter on Spark and natively on DuckDB
+    * (which parses OFFSET .. FETCH FIRST directly) — a cross-engine
+    * check of the rewrite itself, not just its output shape. */
+  private val fetchSql = """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      OFFSET 10 ROWS FETCH FIRST 15 ROWS ONLY"""
+  val q123_fetch_clause = Q(
+    (s, dir) => {
+      T.tableNames.foreach(t => T(s, dir, t).createOrReplaceTempView(t))
+      graft.sql.GraftSql.sql(s, fetchSql)
+    },
+    Some(fetchSql))
+
+  /** QUALIFY end to end against DuckDB's native QUALIFY — the same
+    * text, raw window function in the predicate (the qualify.iq
+    * canonical form the rewriter projects out as a synthetic column). */
+  private val qualifySql = """
+      SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""
+  val q124_qualify_sql = Q(
+    (s, dir) => {
+      T.tableNames.foreach(t => T(s, dir, t).createOrReplaceTempView(t))
+      graft.sql.GraftSql.sql(s, qualifySql)
+    },
+    Some(qualifySql))
+
   val all: Map[String, Q] = Map(
     "q113_unsigned" -> q113_unsigned,
     "q114_timestamp_tz" -> q114_timestamp_tz,
     "q120_like_escape" -> q120_like_escape,
-    "q122_group_id" -> q122_group_id)
+    "q122_group_id" -> q122_group_id,
+    "q123_fetch_clause" -> q123_fetch_clause,
+    "q124_qualify_sql" -> q124_qualify_sql)
 }
