@@ -73,8 +73,75 @@ object TableDml {
     val tmp = path + ".__dml_tmp"
     next.write.mode("overwrite").parquet(tmp)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new Path(path), true)
+    // retire the pre-image as a numbered version instead of deleting it:
+    // DML history IS the temporal table (rel/core/Snapshot.java reads it)
+    val v = history(spark, path).size
+    if (!fs.rename(new Path(path), new Path(versionDir(path, v))))
+      throw new java.io.IOException(s"DML commit failed: archive v$v")
+    appendLog(fs, path, s"$v,${System.currentTimeMillis()}")
     if (!fs.rename(new Path(tmp), new Path(path)))
       throw new java.io.IOException(s"DML commit failed: rename $tmp -> $path")
+  }
+
+  // ---- time travel over the DML write history -------------------------
+  // (ref: rel/core/Snapshot.java:51-80 FOR SYSTEM_TIME AS OF; the
+  // reference validates against TemporalTable — here the temporal store
+  // is the retired copy-on-write pre-images. Full-copy versions: a
+  // table format does file-level reuse; the OPERATOR semantics are
+  // what's provided. vacuum() bounds the storage.)
+
+  private def versionDir(path: String, v: Int) = s"$path.__v$v"
+  private def logPath(path: String) = new Path(s"$path.__versions")
+
+  private def appendLog(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      line: String): Unit = {
+    val existing = readLog(fs, path)
+    val out = fs.create(logPath(path), true)
+    try out.write(((existing :+ line).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLog(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] =
+    if (!fs.exists(logPath(path))) Nil
+    else {
+      val in = fs.open(logPath(path))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+
+  /** (version, commitTimeMillis) of each retired pre-image, oldest
+    * first; the live directory is version history.size. */
+  def history(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    readLog(fs, path).map { l =>
+      val Array(v, ts) = l.split(","); (v.toInt, ts.toLong)
+    }
+  }
+
+  /** Read the table as of version `v` (0-based write sequence; the
+    * current table is version history.size). */
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
+    val hist = history(spark, path)
+    if (v >= hist.size) spark.read.parquet(path)
+    else spark.read.parquet(versionDir(path, v))
+  }
+
+  /** FOR SYSTEM_TIME AS OF `tsMillis`: the newest version whose commit
+    * time is at or before the timestamp (pre-image v was live until
+    * its log entry's commit; so the version live AT ts is the first
+    * entry committed after ts, else the current table). */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    history(spark, path).find(_._2 > tsMillis) match {
+      case Some((v, _)) => readVersion(spark, path, v)
+      case None => spark.read.parquet(path)
+    }
+
+  /** Drop all but the newest `keepLast` retired versions. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    history(spark, path).dropRight(keepLast).foreach { case (v, _) =>
+      fs.delete(new Path(versionDir(path, v)), true)
+    }
   }
 }

@@ -59,6 +59,36 @@ class DmlLatticeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("DML history is a temporal table: version reads, AS OF, vacuum") {
+    val dir = freshTable()
+    val t0 = System.currentTimeMillis()
+    TableDml.update(spark, dir, col("id") === 1L, Map("amt" -> lit(99.0)))
+    Thread.sleep(5)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(5)
+    TableDml.delete(spark, dir, col("id") === 3L)
+
+    val hist = TableDml.history(spark, dir)
+    assert(hist.map(_._1) == Seq(0, 1), s"got $hist")
+    // v0 = pristine pre-image, v1 = post-update, live = post-delete
+    assert(TableDml.readVersion(spark, dir, 0)
+      .filter(col("id") === 1L).collect()(0).getDouble(2) == 10.0)
+    assert(TableDml.readVersion(spark, dir, 1)
+      .filter(col("id") === 1L).collect()(0).getDouble(2) == 99.0)
+    assert(TableDml.readVersion(spark, dir, 2).count() == 2)
+    // AS OF: before the first commit → v0; between commits → v1; now → live
+    assert(TableDml.readAsOf(spark, dir, t0 - 1).count() == 3)
+    assert(TableDml.readAsOf(spark, dir, t0 - 1)
+      .filter(col("id") === 1L).collect()(0).getDouble(2) == 10.0)
+    assert(TableDml.readAsOf(spark, dir, tMid)
+      .filter(col("id") === 1L).collect()(0).getDouble(2) == 99.0)
+    assert(TableDml.readAsOf(spark, dir, System.currentTimeMillis()).count() == 2)
+    // vacuum to the newest retired version only: v0 gone, v1 readable
+    TableDml.vacuum(spark, dir, keepLast = 1)
+    intercept[Exception](TableDml.readVersion(spark, dir, 0).count())
+    assert(TableDml.readVersion(spark, dir, 1).count() == 3)
+  }
+
   test("lattice suggester picks the largest tile within budget") {
     val li = T(spark, sfDir, "lineitem")
     val dims = Seq("l_returnflag", "l_linestatus", "l_linenumber")
