@@ -71,7 +71,7 @@ object GraftSql {
 
   private[graft] def rewrite(sql: String): String =
     rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
-      rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(sql))))))))
+      rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(rewriteExtend(sql)))))))))
 
   /** ANSI `OFFSET n ROWS FETCH FIRST|NEXT m ROWS ONLY` (fetch.iq,
     * offset.iq; Sort.fetch/offset in the algebra) → Spark's
@@ -89,6 +89,33 @@ object GraftSql {
     * scalar select in Spark. */
   private def rewriteDual(sql: String): String =
     sql.replaceAll("(?is)\\bFROM\\s+DUAL\\b", "")
+
+  /** Calcite `FROM t EXTEND (c TYPE, ...)` (SqlStdOperatorTable.java
+    * :265 EXTEND — declare columns a schemaless/dynamic table doesn't
+    * list; they read as typed NULLs when absent): lower to a subselect
+    * appending `CAST(NULL AS TYPE) AS c` for each declared column.
+    * Static parquet always "lacks" the declared column, matching the
+    * dynamic-table case the clause exists for. */
+  private[sql] def rewriteExtend(sql: String): String = {
+    val re = "(?is)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+EXTEND\\s*\\(".r
+    re.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = closeParen(sql, open)
+        if (close < 0) return sql
+        val decls = splitTopLevel(sql.substring(open + 1, close)).map(_.trim).map { d =>
+          val parts = d.split("\\s+", 2)
+          require(parts.length == 2, s"EXTEND: malformed column declaration '$d'")
+          s"CAST(NULL AS ${parts(1)}) AS ${parts(0)}"
+        }
+        val table = m.group(1)
+        val replaced = sql.substring(0, m.start) +
+          s"FROM (SELECT *, ${decls.mkString(", ")} FROM $table) $table" +
+          sql.substring(close + 1)
+        rewriteExtend(replaced)
+    }
+  }
 
   /** SQL:2016 `CAST(expr AS type FORMAT 'model')` (cast-with-format.iq;
     * parsed by SqlCastFunction, evaluated via util/format/FormatModels

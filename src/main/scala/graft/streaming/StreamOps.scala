@@ -67,6 +67,27 @@ object StreamOps {
       case _ => df.dropDuplicates(keyCols)
     }
 
+  /** Continuous upsert into a DML-managed parquet table: each
+    * micro-batch MERGEs on `key` via TableDml (matched rows replaced,
+    * new rows inserted, history versioned for time travel) — the CDC
+    * apply-loop over the copy-on-write table. Dedupes the batch on
+    * `key` (last row wins per batch) since MERGE requires unique
+    * source keys. */
+  def upsertStream(spark: SparkSession, path: String, delta: DataFrame,
+      key: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(delta.isStreaming, "upsertStream needs a streaming DataFrame")
+    delta.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val unique = batch.dropDuplicates(key)
+          graft.plans.TableDml.merge(spark, path, unique, key)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/batch-replay harness). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

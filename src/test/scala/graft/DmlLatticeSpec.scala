@@ -89,6 +89,40 @@ class DmlLatticeSpec extends SparkSpec {
     assert(TableDml.readVersion(spark, dir, 1).count() == 3)
   }
 
+  test("streaming upsert: micro-batches MERGE into the table, history versioned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = freshTable()
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.StreamOps.upsertStream(
+      spark, dir, mem.toDS().toDF("id", "tag", "amt"), "id")
+    try {
+      mem.addData(Seq((2L, "b2", 200.0), (4L, "d", 40.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((4L, "d2", 44.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 200.0),
+      (3L, "c", 30.0), (4L, "d2", 44.0)))
+    // both MERGE commits archived pre-images
+    assert(TableDml.history(spark, dir).size == 2)
+    assert(TableDml.readVersion(spark, dir, 0).count() == 3)
+  }
+
+  test("EXTEND clause reads declared-but-absent columns as typed NULLs") {
+    T(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    val df = graft.sql.GraftSql.sql(spark, """
+      SELECT n_name, wiki_url, population + 1 AS pop1
+      FROM nation EXTEND (wiki_url STRING, population BIGINT)
+      ORDER BY n_name LIMIT 3""")
+    val r = df.collect()
+    assert(r.length == 3)
+    assert(r.forall(x => x.isNullAt(1) && x.isNullAt(2)))
+    assert(df.schema("wiki_url").dataType.typeName == "string")
+  }
+
   test("lattice suggester picks the largest tile within budget") {
     val li = T(spark, sfDir, "lineitem")
     val dims = Seq("l_returnflag", "l_linestatus", "l_linenumber")
