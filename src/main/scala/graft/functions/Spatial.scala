@@ -46,8 +46,63 @@ object Spatial {
         LessThanOrEqual(field(p, "y"), field(env, "ymax"))).reduce(And)
     }))
 
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (n, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "scala_udf")
     }
+    registerPolygonUdfs(spark)
+  }
+
+  // ---- polygon ops (ref: runtime/SpatialTypeFunctions.java ST_Within/
+  // ST_Area over JTS; here pure-Scala ray casting + shoelace over an
+  // array<struct<x,y>> ring — no geometry library in this container).
+  // UDFs, not codegen Expressions: polygon predicates are join/filter
+  // seldom-hot compared to the distance ops above, and the ring is an
+  // arbitrary-length array.
+
+  /** Ray casting: odd crossings of a rightward ray = inside. Boundary
+    * behavior follows the half-open convention (stable for tiling). */
+  private[graft] def pointInPolygon(px: Double, py: Double,
+      ring: Seq[(Double, Double)]): Boolean = {
+    var inside = false
+    var i = 0
+    val n = ring.length
+    while (i < n) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % n)
+      if ((y1 > py) != (y2 > py)) {
+        val xCross = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+        if (px < xCross) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
+
+  /** Shoelace area of a simple ring (absolute value; vertex order
+    * agnostic). */
+  private[graft] def ringArea(ring: Seq[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = ring.length
+    while (i < n) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % n)
+      s += x1 * y2 - x2 * y1
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  private def registerPolygonUdfs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.Row
+    val within = org.apache.spark.sql.functions.udf(
+      (p: Row, ring: Seq[Row]) =>
+        pointInPolygon(p.getDouble(0), p.getDouble(1),
+          ring.map(r => (r.getDouble(0), r.getDouble(1)))))
+    val area = org.apache.spark.sql.functions.udf(
+      (ring: Seq[Row]) => ringArea(ring.map(r => (r.getDouble(0), r.getDouble(1)))))
+    spark.udf.register("st_within_poly", within)
+    spark.udf.register("st_area", area)
+  }
 }

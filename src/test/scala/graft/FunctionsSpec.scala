@@ -82,6 +82,21 @@ class FunctionsSpec extends SparkSpec {
     assert(sql1("code_points_to_string(to_code_points('round-trip'))") == "round-trip")
   }
 
+  test("polygon ops: ray-casting containment and shoelace area (spatial.iq family)") {
+    graft.functions.Spatial.registerAll(spark)
+    // unit square
+    assert(sql1("""st_within_poly(st_point(0.5, 0.5),
+      array(st_point(0,0), st_point(1,0), st_point(1,1), st_point(0,1)))""") == true)
+    assert(sql1("""st_within_poly(st_point(1.5, 0.5),
+      array(st_point(0,0), st_point(1,0), st_point(1,1), st_point(0,1)))""") == false)
+    // concave L-shape: the notch is outside
+    val l = "array(st_point(0,0), st_point(2,0), st_point(2,1), st_point(1,1), st_point(1,2), st_point(0,2))"
+    assert(sql1(s"st_within_poly(st_point(0.5, 1.5), $l)") == true)
+    assert(sql1(s"st_within_poly(st_point(1.5, 1.5), $l)") == false)
+    assert(sql1(s"st_area($l)") == 3.0)
+    assert(sql1("""st_area(array(st_point(0,0), st_point(4,0), st_point(4,3), st_point(0,3)))""") == 12.0)
+  }
+
   test("functions are usable from the Column DSL too") {
     import spark.implicits._
     val df = Seq(("abcdef", "abc%")).toDF("s", "p")
