@@ -33,6 +33,36 @@ class ExchangeHintsSpec extends SparkSpec {
     assert(merge.collect()(0).getLong(0) == bcast.collect()(0).getLong(0))
   }
 
+  test("runtime bloom filter injects on a selective fact-fact join (InjectRuntimeFilter)") {
+    // the reference's LoptSemiJoinOptimizer/JoinAddRedundantSemiJoinRule
+    // territory — Spark's runtime-filter injection supersedes it: a
+    // selective filter on one join side materializes a bloom filter that
+    // pre-filters the probe side's scan before the shuffle.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "500MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = T(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val ords = T(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+      val q = li.join(ords,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") ||
+        plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("REPARTITION hint inserts the exchange") {
     T.registerViews(spark, sfDir)
     val df = spark.sql("SELECT /*+ REPARTITION(4, l_suppkey) */ * FROM lineitem")
