@@ -21,7 +21,7 @@ object SparkEntry {
       Temporal.all ++ Tpch.all ++ Tpcds.all ++ Library2.all ++ Quantified.all ++
       Round4.all ++ Gaps.all ++ Subqueries2.all ++ Tvf.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
-      IvfAnn.all ++ PqAnn.all ++ Pipeline2.all ++ Curation.all
+      IvfAnn.all ++ PqAnn.all ++ Bpe.all ++ Pipeline2.all ++ Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
