@@ -19,7 +19,7 @@ object SparkEntry {
       Collections.all ++ Scalars.all ++ Advanced.all ++ Custom.all ++
       Stats.all ++ Lateral.all ++ Patterns.all ++ Extras.all ++ Json.all ++
       Temporal.all ++ Tpch.all ++ Tpcds.all ++ Library2.all ++ Quantified.all ++
-      Round4.all ++ Gaps.all ++ Subqueries2.all ++ Tvf.all ++
+      Round4.all ++ Gaps.all ++ Subqueries2.all ++ Tvf.all ++ Funnel.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
       IvfAnn.all ++ PqAnn.all ++ Bpe.all ++ Pipeline2.all ++ Curation.all
 
