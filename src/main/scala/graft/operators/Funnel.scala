@@ -52,5 +52,60 @@ object Funnel {
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id"""))
 
-  val all: Map[String, Q] = Map("q125_funnel" -> q125_funnel)
+  /** Cohort retention: users grouped by first-seen week, counting how
+    * many return in each subsequent week — two passes over events
+    * keyed by user then (cohort, week): the self-join-free formulation
+    * (first_seen joins back by key, not by inequality). */
+  val q126_cohort_retention = Q(
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast(IntegerType).as("week_n"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort", "week_n")
+    },
+    Some("""
+      WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1)
+      SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_n,
+             count(DISTINCT ev.user_id) AS active_users
+      FROM ev JOIN first ON ev.user_id = first.user_id
+      GROUP BY 1, 2 ORDER BY cohort, week_n"""))
+
+  /** Histogram binning both ways: equi-width via explicit bucket
+    * arithmetic (DuckDB 1.0 lacks width_bucket) and equi-depth via ntile over the value
+    * order — the profiler's histogram device as a first-class query. */
+  val q127_histograms = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = T(s, dir, "orders")
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      val binned = o.select(col("o_orderkey"), col("o_totalprice"),
+        expr("CAST(LEAST(floor(o_totalprice / 50000) + 1, 12) AS INT)").as("wb"),
+        ntile(8).over(w).as("depth_bin"))
+      binned.groupBy(col("wb"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("depth_bin")).cast(IntegerType).as("n_depth_bins"),
+          T.dsum(col("o_totalprice")).as("mass"))
+        .orderBy("wb")
+    },
+    Some("""
+      WITH b AS (
+        SELECT o_orderkey, o_totalprice,
+          CAST(LEAST(floor(o_totalprice / 50000) + 1, 12) AS INT) AS wb,
+          ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS depth_bin
+        FROM orders)
+      SELECT wb, count(*) AS n,
+        CAST(count(DISTINCT depth_bin) AS INT) AS n_depth_bins,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mass
+      FROM b GROUP BY wb ORDER BY wb"""))
+
+  val all: Map[String, Q] = Map(
+    "q125_funnel" -> q125_funnel,
+    "q126_cohort_retention" -> q126_cohort_retention,
+    "q127_histograms" -> q127_histograms)
 }
