@@ -104,8 +104,47 @@ object Funnel {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mass
       FROM b GROUP BY wb ORDER BY wb"""))
 
+  /** Data-quality check run over orders (+ lineitem referential
+    * integrity against it): one conditional-count pass for the
+    * row-local rules, a groupBy for unique, an anti join for the FK —
+    * violations per rule, oracle-checked. */
+  val q128_dq_checks = Q(
+    (s, dir) => {
+      import graft.catalog.Checks._
+      run(T(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        InRange("o_totalprice", 0.0, 500000.0),
+        Unique("o_orderkey"),
+        RefIntegrity("o_custkey", T(s, dir, "customer"), "c_custkey")))
+    },
+    Some("""
+      SELECT 'accepted_values' AS rule, 'o_orderstatus' AS "column",
+             count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')
+                              OR o_orderstatus IS NULL) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'in_range', 'o_totalprice',
+             count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 500000
+                              OR o_totalprice IS NULL)
+      FROM orders
+      UNION ALL
+      SELECT 'not_null', 'o_custkey',
+             count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+      UNION ALL
+      SELECT 'ref_integrity', 'o_custkey',
+             (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             coalesce((SELECT sum(n) FROM (
+               SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+               HAVING count(*) > 1) d), 0)
+      ORDER BY rule, "column""""))
+
   val all: Map[String, Q] = Map(
     "q125_funnel" -> q125_funnel,
     "q126_cohort_retention" -> q126_cohort_retention,
-    "q127_histograms" -> q127_histograms)
+    "q127_histograms" -> q127_histograms,
+    "q128_dq_checks" -> q128_dq_checks)
 }
