@@ -142,9 +142,38 @@ object Funnel {
                HAVING count(*) > 1) d), 0)
       ORDER BY rule, "column""""))
 
+  /** SCD2 dimension build (ref: the warehouse pattern behind
+    * rel/core/Snapshot.java's sys_start/sys_end convention): each
+    * user's event history becomes validity-interval versions —
+    * effective_from = event time, effective_to = next event's time
+    * (NULL while current) — one window pass on the entity key. */
+  val q129_scd2 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .filter(col("user_id") <= 30)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("effective_from", col("ts"))
+        .withColumn("effective_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("effective_to").isNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+        .orderBy("user_id", "effective_from", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type,
+        ts AS effective_from,
+        lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+        lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      FROM events WHERE user_id <= 30
+      ORDER BY user_id, effective_from, event_id"""))
+
   val all: Map[String, Q] = Map(
     "q125_funnel" -> q125_funnel,
     "q126_cohort_retention" -> q126_cohort_retention,
     "q127_histograms" -> q127_histograms,
-    "q128_dq_checks" -> q128_dq_checks)
+    "q128_dq_checks" -> q128_dq_checks,
+    "q129_scd2" -> q129_scd2)
 }

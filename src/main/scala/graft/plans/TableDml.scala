@@ -137,6 +137,34 @@ object TableDml {
       case None => spark.read.parquet(path)
     }
 
+  /** Change data feed between two versions: per `key`, rows classified
+    * insert / delete / update_pre / update_post — the CDC read side of
+    * the versioned table (diff by full outer join on the key; an
+    * update is a key present in both with any non-key difference). */
+  def changes(spark: SparkSession, path: String, key: String,
+      fromV: Int, toV: Int): DataFrame = {
+    val a = readVersion(spark, path, fromV)
+    val b = readVersion(spark, path, toV)
+    val cols = a.columns
+    val aa = a.select(cols.map(c => col(c).as(s"__a_$c")): _*)
+    val bb = b.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+    val j = aa.join(bb, col(s"__a_$key") === col(s"__b_$key"), "full_outer")
+    val changed = cols.filter(_ != key)
+      .map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val pre = cols.map(c => col(s"__a_$c").as(c))
+    val post = cols.map(c => col(s"__b_$c").as(c))
+    val ins = j.filter(col(s"__a_$key").isNull)
+      .select(post :+ lit("insert").as("change_type"): _*)
+    val del = j.filter(col(s"__b_$key").isNull)
+      .select(pre :+ lit("delete").as("change_type"): _*)
+    val updPre = j.filter(col(s"__a_$key").isNotNull && col(s"__b_$key").isNotNull && changed)
+      .select(pre :+ lit("update_pre").as("change_type"): _*)
+    val updPost = j.filter(col(s"__a_$key").isNotNull && col(s"__b_$key").isNotNull && changed)
+      .select(post :+ lit("update_post").as("change_type"): _*)
+    ins.unionByName(del).unionByName(updPre).unionByName(updPost)
+  }
+
   /** Drop all but the newest `keepLast` retired versions. */
   def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())

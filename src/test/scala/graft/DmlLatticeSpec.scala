@@ -123,6 +123,21 @@ class DmlLatticeSpec extends SparkSpec {
     assert(df.schema("wiki_url").dataType.typeName == "string")
   }
 
+  test("change data feed classifies insert/delete/update between versions") {
+    val dir = freshTable()
+    TableDml.update(spark, dir, col("id") === 2L, Map("amt" -> lit(99.0)))
+    TableDml.delete(spark, dir, col("id") === 3L)
+    TableDml.insertInto(spark, dir,
+      Seq((4L, "d", 40.0)).toDF("id", "tag", "amt"))
+    // v0 (pristine) vs live (= version history.size)
+    val live = TableDml.history(spark, dir).size
+    val ch = TableDml.changes(spark, dir, "id", 0, live)
+      .select("id", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((4L, "insert"), (3L, "delete"),
+      (2L, "update_pre"), (2L, "update_post")), s"got $ch")
+  }
+
   test("lattice suggester picks the largest tile within budget") {
     val li = T(spark, sfDir, "lineitem")
     val dims = Seq("l_returnflag", "l_linestatus", "l_linenumber")
