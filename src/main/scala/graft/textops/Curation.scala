@@ -120,8 +120,44 @@ object Curation {
       FROM corpus c LEFT JOIN bench b ON c.ng = b.ng
       GROUP BY c.doc_id ORDER BY c.doc_id"""))
 
+  /** Fuzzy string join: part-name pairs within Levenshtein distance 2,
+    * without the cross join — lossless length banding (distance ≤ 2
+    * implies length diff ≤ 2, so rows replicate into 3 adjacent
+    * length-bands and every qualifying pair meets in ≥1 common band),
+    * exact verification inside bands only. The DuckDB oracle computes
+    * the quadratic ground truth, so the banding is PROVEN lossless on
+    * this corpus, not assumed. At 100 TB add a second blocking key
+    * (e.g. first-token soundex) to shrink bands further. */
+  val d25_fuzzy_join = Q(
+    (s, dir) => {
+      val names = T(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), length(col("p_name")).as("len"))
+      val banded = names.select(col("p_partkey"), col("p_name"),
+        explode(array((col("len") / 3).cast("int") - 1,
+          (col("len") / 3).cast("int"),
+          (col("len") / 3).cast("int") + 1)).as("band"))
+      val a = banded.select(col("band"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = banded.select(col("band"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("band"))
+        .filter(col("key_a") < col("key_b"))
+        .filter(col("name_a") =!= col("name_b"))
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b")).distinct()
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("key_a"), col("key_b"), col("dist"))
+        .orderBy("key_a", "key_b")
+    },
+    Some("""
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE a.p_name <> b.p_name
+        AND levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY key_a, key_b"""))
+
   val all: Map[String, Q] = Map(
     "d19_domain_cap" -> d19_domain_cap,
     "d20_repetition_filter" -> d20_repetition_filter,
-    "d21_decontaminate" -> d21_decontaminate)
+    "d21_decontaminate" -> d21_decontaminate,
+    "d25_fuzzy_join" -> d25_fuzzy_join)
 }
