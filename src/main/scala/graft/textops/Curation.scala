@@ -155,9 +155,53 @@ object Curation {
         AND levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY key_a, key_b"""))
 
+  /** Bigram language-model scoring (the CCNet-style quality signal:
+    * docs scored by a corpus LM; low average log-prob = atypical text).
+    * MLE bigram model trained in one aggregation; per-doc score is a
+    * SUM of integer micro-nats (round(ln·1e6) per model entry, the d08
+    * device) so partial aggregation is order-independent and the
+    * result engine-exact; the average divides two exact integers. */
+  val d26_lm_score = Q(
+    (s, dir) => {
+      val bigrams = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val model = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+        .withColumn("c1", sum(col("c2")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+        .withColumn("logp_u",
+          round(log(col("c2").cast(DoubleType) / col("c1")) * 1e6).cast(LongType))
+        .select(col("w1"), col("w2"), col("logp_u"))
+      bigrams.join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_u")).as("score_u"))
+        .withColumn("avg_nats",
+          col("score_u").cast(DoubleType) / col("n_bigrams") / 1e6)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+            FROM t, unnest(range(1, len(w))) AS u(i)),
+      m AS (SELECT w1, w2, count(*) AS c2,
+              SUM(count(*)) OVER (PARTITION BY w1) AS c1
+            FROM b GROUP BY w1, w2),
+      m2 AS (SELECT w1, w2,
+               CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1e6) AS BIGINT) AS logp_u
+             FROM m)
+      SELECT b.doc_id, count(*) AS n_bigrams, SUM(logp_u) AS score_u,
+             CAST(SUM(logp_u) AS DOUBLE) / count(*) / 1e6 AS avg_nats
+      FROM b JOIN m2 ON b.w1 = m2.w1 AND b.w2 = m2.w2
+      GROUP BY b.doc_id ORDER BY b.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "d19_domain_cap" -> d19_domain_cap,
     "d20_repetition_filter" -> d20_repetition_filter,
     "d21_decontaminate" -> d21_decontaminate,
-    "d25_fuzzy_join" -> d25_fuzzy_join)
+    "d25_fuzzy_join" -> d25_fuzzy_join,
+    "d26_lm_score" -> d26_lm_score)
 }
