@@ -198,10 +198,49 @@ object Curation {
       FROM b JOIN m2 ON b.w1 = m2.w1 AND b.w2 = m2.w2
       GROUP BY b.doc_id ORDER BY b.doc_id"""))
 
+  /** Leakage-free train/validation split: the split decision hashes
+    * the near-dup COMPONENT id (d15's connected components), not the
+    * document — so near-duplicates land on the same side by
+    * construction and the eval set can't be contaminated by training
+    * near-copies. Deterministic (md5 threshold, ~80/20), reproducible
+    * under any partitioning. */
+  val d27_leakage_free_split = Q(
+    (s, dir) => {
+      val comps = Dedup.d15_neardup_components.build(s, dir)
+        .select(col("doc_id"), col("component"))
+      comps.withColumn("split",
+          when(conv(substring(md5(col("component").cast(StringType)), 1, 8), 16, 10)
+            .cast(LongType) % 100 < 80, "train").otherwise("val"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      w AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS ws
+            FROM t),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.6),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+      SELECT doc_id, component,
+        CASE WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+             THEN 'train' ELSE 'val' END AS split
+      FROM comp ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "d19_domain_cap" -> d19_domain_cap,
     "d20_repetition_filter" -> d20_repetition_filter,
     "d21_decontaminate" -> d21_decontaminate,
     "d25_fuzzy_join" -> d25_fuzzy_join,
-    "d26_lm_score" -> d26_lm_score)
+    "d26_lm_score" -> d26_lm_score,
+    "d27_leakage_free_split" -> d27_leakage_free_split)
 }
