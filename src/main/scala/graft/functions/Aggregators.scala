@@ -40,6 +40,41 @@ object Aggregators {
     override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
   }
 
+  /** Misra–Gries heavy-hitters sketch (Misra & Gries '82; the
+    * frequent-items companion to the profiler's HLL — the reference
+    * only sketches distinct counts, profile/ProfilerImpl.java:34).
+    * K counters; decrement-on-overflow. MERGEABLE: the union sketch
+    * adds counters pairwise then re-trims to K (Agarwal et al. '12),
+    * so partial aggregation holds and a 1000-way tree merge is exact
+    * to the same ±n/K error bound as single-pass. Guarantee: every
+    * item with true frequency > n/K survives — spec-checked. */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    private def offer(b: Map[String, Long], item: String, w: Long): Map[String, Long] =
+      b.get(item) match {
+        case Some(c) => b.updated(item, c + w)
+        case None if b.size < k => b.updated(item, w)
+        case None =>
+          // decrement all by the min slack; drop zeros; residual inserts
+          val dec = math.min(w, b.values.min)
+          val shrunk = b.map { case (i, c) => i -> (c - dec) }.filter(_._2 > 0)
+          if (w > dec && shrunk.size < k) shrunk.updated(item, w - dec) else shrunk
+      }
+
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (a == null) b else offer(b, a, 1L)
+
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      y.foldLeft(x) { case (acc, (item, w)) => offer(acc, item, w) }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** INTERSECTION of string-array multisets across rows. Buffer None =
     * identity (no rows yet). Output is sorted for determinism. */
   class MultisetIntersectionAgg

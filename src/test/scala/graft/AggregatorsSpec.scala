@@ -70,4 +70,27 @@ class AggregatorsSpec extends SparkSpec {
     def arr(q: String) = spark.sql(s"SELECT $q").collect()(0).getSeq[String](0)
     assert(arr("array_intersect(array('a','a','b'), array('a','b','b'))") == Seq("a", "b"))
   }
+
+  test("Misra-Gries heavy hitters: frequent items survive any merge order") {
+    import graft.functions.Aggregators.MisraGries
+    import org.apache.spark.sql.functions.udaf
+    // skewed event stream: event_type distribution has clear heavy hitters
+    val ev = T(spark, sfDir, "events")
+    val n = ev.count()
+    val k = 8
+    spark.udf.register("mg_topk", udaf(new MisraGries(k)))
+    ev.createOrReplaceTempView("mg_events")
+    val sketch = spark.sql("SELECT mg_topk(event_type) FROM mg_events")
+      .collect()(0).getMap[String, Long](0)
+    val truth = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every item above the n/k guarantee threshold must be in the sketch
+    truth.filter(_._2 > n / k).keys.foreach { hh =>
+      assert(sketch.contains(hh), s"heavy hitter $hh missing from $sketch")
+    }
+    // sketch counts never exceed true counts (decrements only subtract)
+    sketch.foreach { case (item, c) =>
+      assert(c <= truth.getOrElse(item, 0L), s"overcount for $item")
+    }
+  }
 }
