@@ -137,6 +137,46 @@ object TableDml {
       case None => spark.read.parquet(path)
     }
 
+  /** Partition-scoped UPDATE over a `partCol`-partitioned layout: only
+    * partitions containing matching rows are rewritten — the rewrite
+    * cost is bounded by touched data, which is the 100 TB contract
+    * (SCALE.md "DML"). Untouched partition directories are not read
+    * beyond the pruning scan and not written at all. Returns
+    * (updatedRows, rewrittenPartitions). No version archive at the
+    * partition level (the whole-table ops keep history; here the win
+    * IS avoiding whole-table I/O — pair with external backups or a
+    * table format for point-in-time on partitioned layouts). */
+  def updatePartitioned(spark: SparkSession, path: String, partCol: String,
+      cond: Column, set: Map[String, Column]): (Long, Int) = {
+    val table = spark.read.parquet(path)
+    // partition pruning finds the affected partition values (small set)
+    val affected = table.filter(cond).select(col(partCol)).distinct()
+      .collect().map(_.get(0))
+    var updated = 0L
+    affected.foreach { v =>
+      val sub = s"$path/$partCol=$v"
+      // the partition column is directory-encoded, not in the files:
+      // restore it as a literal so `cond` can reference it, and write
+      // back only the data columns
+      val raw = spark.read.parquet(sub)
+      val part = raw.withColumn(partCol, lit(v))
+      updated += part.filter(cond).count()
+      val next = part.select(raw.columns.map { c =>
+        set.get(c) match {
+          case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      val tmp = sub + ".__dml_tmp"
+      next.write.mode("overwrite").parquet(tmp)
+      val fs = new Path(sub).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(sub), true)
+      if (!fs.rename(new Path(tmp), new Path(sub)))
+        throw new java.io.IOException(s"partitioned DML commit failed: $sub")
+    }
+    (updated, affected.length)
+  }
+
   /** Change data feed between two versions: per `key`, rows classified
     * insert / delete / update_pre / update_post — the CDC read side of
     * the versioned table (diff by full outer join on the key; an

@@ -138,6 +138,28 @@ class DmlLatticeSpec extends SparkSpec {
       (2L, "update_pre"), (2L, "update_post")), s"got $ch")
   }
 
+  test("partition-scoped UPDATE rewrites only the touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("dmlp").toString + "/t"
+    T(spark, sfDir, "orders")
+      .write.partitionBy("o_orderstatus").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mtimes(status: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/o_orderstatus=$status")
+      fs.listStatus(p).filter(_.isFile).map(_.getModificationTime).toSeq.sorted
+    }
+    val fBefore = mtimes("F")
+    val (n, parts) = TableDml.updatePartitioned(spark, dir, "o_orderstatus",
+      col("o_orderstatus") === "O" && col("o_totalprice") > 100000,
+      Map("o_totalprice" -> lit(0.0)))
+    assert(parts == 1, s"only the O partition must rewrite, got $parts")
+    assert(n > 0)
+    assert(mtimes("F") == fBefore, "untouched partition files must not be rewritten")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000).count() == 0)
+    assert(after.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000).count() > 0)
+  }
+
   test("lattice suggester picks the largest tile within budget") {
     val li = T(spark, sfDir, "lineitem")
     val dims = Seq("l_returnflag", "l_linestatus", "l_linenumber")
