@@ -172,11 +172,38 @@ object Gaps {
     },
     Some(qualifySql))
 
+  /** The plan→SQL unparser exercised END TO END through the oracle
+    * gate: a DataFrame plan (filter+aggregate+having+sort) unparses to
+    * SQL text, THAT TEXT executes via spark.sql, and DuckDB computes
+    * the handwritten equivalent — so the generated SQL is proven to
+    * denote the same relation cross-engine, the JdbcImplementor
+    * contract (ship unparsed subtrees to a foreign engine). */
+  val q130_unparsed_pushdown = Q(
+    (s, dir) => {
+      val df = T(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), max(col("l_quantity")).as("mx"))
+        .filter(col("n") > 50)
+        .orderBy("l_returnflag", "l_linestatus")
+      val sqlText = graft.sql.Unparser.unparse(df).getOrElse(
+        throw new IllegalStateException("plan must be unparseable"))
+      s.sql(sqlText)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n, max(l_quantity) AS mx
+      FROM lineitem
+      WHERE l_quantity >= 30
+      GROUP BY l_returnflag, l_linestatus
+      HAVING count(*) > 50
+      ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Map[String, Q] = Map(
     "q113_unsigned" -> q113_unsigned,
     "q114_timestamp_tz" -> q114_timestamp_tz,
     "q120_like_escape" -> q120_like_escape,
     "q122_group_id" -> q122_group_id,
     "q123_fetch_clause" -> q123_fetch_clause,
-    "q124_qualify_sql" -> q124_qualify_sql)
+    "q124_qualify_sql" -> q124_qualify_sql,
+    "q130_unparsed_pushdown" -> q130_unparsed_pushdown)
 }
