@@ -106,7 +106,54 @@ object Multimodal {
         CAST(length(substring(text, CAST(frame_no * 128 + 1 AS INT), 64)) AS INT) AS frame_chars
       FROM f ORDER BY doc_id, frame_no"""))
 
+  /** Resize stage: decoded media normalized to a fixed target shape
+    * (224×126 here — the fixed-input-tensor contract of a vision
+    * model), with the scale factors and a letterbox/crop decision per
+    * row. The geometry is REAL (aspect-preserving scale + pad math over
+    * the decoded dims); only the pixels are stubbed, same policy as
+    * d11/d22. Row-local — the resize stage adds zero shuffles to an
+    * ingestion pipeline. */
+  val d28_resize = Q(
+    (s, dir) => {
+      import s.implicits._
+      val (tw, th) = (224, 126)
+      T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val f = decodeStub(id, bytes)
+          // aspect-preserving scale to fit, then symmetric letterbox
+          val scale = math.min(tw.toDouble / f.width, th.toDouble / f.height)
+          val sw = math.round(f.width * scale).toInt
+          val sh = math.round(f.height * scale).toInt
+          (id, f.width, f.height, sw, sh,
+            math.floor(scale * 1e6) / 1e6,
+            (tw - sw) / 2, (th - sh) / 2)
+        })
+        .toDF("doc_id", "src_w", "src_h", "out_w", "out_h",
+          "scale", "pad_x", "pad_y")
+        .orderBy("doc_id")
+    },
+    // the geometry restated over the decode-stub dims in DuckDB: same
+    // floor-quantized scale, so the doubles compare exactly
+    Some("""
+      WITH d AS (SELECT doc_id,
+                   CAST(16 + LENGTH(text) % 64 AS INT) AS src_w,
+                   CAST(9 + LENGTH(text) % 36 AS INT) AS src_h
+                 FROM documents),
+      s AS (SELECT doc_id, src_w, src_h,
+              LEAST(224.0 / src_w, 126.0 / src_h) AS sc
+            FROM d)
+      SELECT doc_id, src_w, src_h,
+        CAST(round(src_w * sc) AS INT) AS out_w,
+        CAST(round(src_h * sc) AS INT) AS out_h,
+        floor(sc * 1e6) / 1e6 AS scale,
+        CAST((224 - CAST(round(src_w * sc) AS INT)) // 2 AS INT) AS pad_x,
+        CAST((126 - CAST(round(src_h * sc) AS INT)) // 2 AS INT) AS pad_y
+      FROM s ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "d11_multimodal_features" -> d11_multimodal_features,
-    "d22_frame_sample" -> d22_frame_sample)
+    "d22_frame_sample" -> d22_frame_sample,
+    "d28_resize" -> d28_resize)
 }
