@@ -236,11 +236,56 @@ object Curation {
              THEN 'train' ELSE 'val' END AS split
       FROM comp ORDER BY doc_id"""))
 
+  /** Quality-aware dedup keep-policy: within each near-dup component,
+    * keep the HIGHEST-QUALITY member (longest doc; doc_id tie-break),
+    * not the arbitrary smallest id — the policy real pipelines use so
+    * dedup doesn't systematically keep truncated variants. One window
+    * over the (tiny) component relation. */
+  val d29_keep_best = Q(
+    (s, dir) => {
+      val comps = Dedup.d15_neardup_components.build(s, dir)
+        .select(col("doc_id"), col("component"))
+      val words = T(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("words"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("words").desc, col("doc_id"))
+      comps.join(words, "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("component"), col("words"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ws AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
+            FROM t),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+      wc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+             FROM documents)
+      SELECT c.doc_id, c.component, wc.words,
+        row_number() OVER (PARTITION BY c.component
+                           ORDER BY wc.words DESC, c.doc_id) = 1 AS keep
+      FROM comp c JOIN wc ON c.doc_id = wc.doc_id
+      ORDER BY c.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "d19_domain_cap" -> d19_domain_cap,
     "d20_repetition_filter" -> d20_repetition_filter,
     "d21_decontaminate" -> d21_decontaminate,
     "d25_fuzzy_join" -> d25_fuzzy_join,
     "d26_lm_score" -> d26_lm_score,
-    "d27_leakage_free_split" -> d27_leakage_free_split)
+    "d27_leakage_free_split" -> d27_leakage_free_split,
+    "d29_keep_best" -> d29_keep_best)
 }
