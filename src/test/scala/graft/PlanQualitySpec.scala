@@ -111,6 +111,22 @@ class PlanQualitySpec extends SparkSpec {
       s"tz surface must be builtin expressions:\n$p")
   }
 
+  test("q125 funnel: all stages keyed, no product joins") {
+    val p = plan("q125_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel must stay keyed on user_id:\n$p")
+  }
+
+  test("d21 decontamination: benchmark n-gram set broadcasts") {
+    val p = plan("d21_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set must broadcast:\n$p")
+  }
+
+  test("d25 fuzzy join: banding keeps the join hashed, not a cross product") {
+    val p = plan("d25_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), s"length banding must avoid the cross join:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = run("q01_pricing_summary").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
