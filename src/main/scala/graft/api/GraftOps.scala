@@ -85,5 +85,31 @@ object GraftOps {
     def markJoin(right: DataFrame, leftKey: String, rightKey: String,
         markName: String): DataFrame =
       graft.plans.MarkJoin.leftMark(df, right, leftKey, rightKey, markName)
+
+    /** Banded range join: rows of this frame joined to every `intervals`
+      * row whose `[lo, hi)` contains `pointCol` — a hash equi-join on a
+      * bin key instead of a nested-loop theta join (plans/RangeJoin). */
+    def rangeJoin(intervals: DataFrame, pointCol: String, lo: String,
+        hi: String, binWidth: Double): DataFrame =
+      graft.plans.RangeJoin.pointInInterval(df, pointCol, intervals, lo, hi, binWidth)
+
+    /** Event-time temporal join (Flink-style `FOR SYSTEM_TIME AS OF
+      * left.time` over a versioned dimension; the join form of
+      * rel/core/Snapshot.java): each left row picks the version whose
+      * `[vstart, vend)` validity contains its `time`; no version → NULL
+      * payload (LEFT semantics). Versions must be non-overlapping per
+      * key. Lowered onto the ASOF machinery (one equi-key shuffle +
+      * in-partition carry), then the carried row is invalidated when the
+      * left time falls past the carried version's end. */
+    def temporalJoin(versions: DataFrame, key: String, time: String,
+        vstart: String, vend: String, payload: Seq[String]): DataFrame = {
+      val carried = AsofJoin.leftAsof(
+        df, versions, key, time, vstart, payload :+ vend)
+      val valid = col(vend).isNotNull && col(time) < col(vend)
+      val nulled = (payload :+ vstart).foldLeft(carried) { case (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.when(valid, col(c)))
+      }
+      nulled.drop(vend)
+    }
   }
 }

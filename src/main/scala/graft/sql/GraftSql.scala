@@ -71,7 +71,43 @@ object GraftSql {
 
   private[graft] def rewrite(sql: String): String =
     rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
-      rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(rewriteExtend(sql)))))))))
+      rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(
+        rewriteExtend(rewriteWindowTvf(sql))))))))))
+
+  /** Windowing table-valued functions (SqlWindowTableFunction.java:53-68;
+    * SqlStdOperatorTable TUMBLE/HOP/SESSION :2606-2612): lower
+    * `TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL 'n' UNIT))` — and
+    * HOP's (slide, size) pair — to a subselect projecting Spark's
+    * `window()` struct as the TVF's `window_start`/`window_end` columns
+    * (:116-117). Catalyst's TimeWindowing rule turns the projection into
+    * epoch-aligned arithmetic (tumble) or an Expand over the overlapped
+    * slides (hop) — no shuffle, codegen-friendly. SESSION has no
+    * per-row form (gap windows only exist under aggregation): route to
+    * StreamOps.sessionTvf / session_window + groupBy instead. */
+  private[sql] def rewriteWindowTvf(sql: String): String = {
+    val re = ("(?is)\\bTABLE\\s*\\(\\s*(TUMBLE|HOP|SESSION)\\s*\\(\\s*TABLE\\s+(\\w+)\\s*," +
+      "\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)" +
+      "(?:\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+))?\\s*\\)\\s*\\)").r
+    re.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val (fn, tbl, ts) = (m.group(1).toUpperCase, m.group(2), m.group(3))
+        def dur(n: String, u: String) = s"$n ${u.toLowerCase}"
+        val win = fn match {
+          case "TUMBLE" => s"window($ts, '${dur(m.group(4), m.group(5))}')"
+          case "HOP" =>
+            require(m.group(6) != null, "HOP needs (slide, size) intervals")
+            // Calcite arg order: slide first, size second; Spark: size, slide.
+            s"window($ts, '${dur(m.group(6), m.group(7))}', '${dur(m.group(4), m.group(5))}')"
+          case "SESSION" => throw new IllegalArgumentException(
+            "SESSION TVF has no per-row form; use session_window under GROUP BY (StreamOps)")
+        }
+        val lowered =
+          s"(SELECT * EXCEPT (__w), __w.start AS window_start, __w.end AS window_end " +
+            s"FROM (SELECT *, $win AS __w FROM $tbl) __tvf_in) $tbl"
+        rewriteWindowTvf(sql.substring(0, m.start) + lowered + sql.substring(m.end))
+    }
+  }
 
   /** ANSI `OFFSET n ROWS FETCH FIRST|NEXT m ROWS ONLY` (fetch.iq,
     * offset.iq; Sort.fetch/offset in the algebra) → Spark's
