@@ -100,11 +100,16 @@ object GraftOps {
       * payload (LEFT semantics). Versions must be non-overlapping per
       * key. Lowered onto the ASOF machinery (one equi-key shuffle +
       * in-partition carry), then the carried row is invalidated when the
-      * left time falls past the carried version's end. */
+      * left time falls past the carried version's end. Two versions
+      * sharing a vstart (legal under non-overlap only when one is the
+      * empty [ts,ts)) tie-break on vend: the longest-lived version is
+      * carried, matching the interval join (which never matches the
+      * empty interval). */
     def temporalJoin(versions: DataFrame, key: String, time: String,
         vstart: String, vend: String, payload: Seq[String]): DataFrame = {
       val carried = AsofJoin.leftAsof(
-        df, versions, key, time, vstart, payload :+ vend)
+        df, versions, key, time, vstart, payload :+ vend,
+        rightTiebreak = Seq(vend))
       val valid = col(vend).isNotNull && col(time) < col(vend)
       val nulled = (payload :+ vstart).foldLeft(carried) { case (d, c) =>
         d.withColumn(c, org.apache.spark.sql.functions.when(valid, col(c)))

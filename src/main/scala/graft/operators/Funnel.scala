@@ -120,8 +120,8 @@ object Funnel {
     },
     Some("""
       SELECT 'accepted_values' AS rule, 'o_orderstatus' AS "column",
-             count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')
-                              OR o_orderstatus IS NULL) AS violations
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')
+                              OR o_orderstatus IS NULL) AS BIGINT) AS violations
       FROM orders
       UNION ALL
       SELECT 'in_range', 'o_totalprice',
@@ -137,9 +137,9 @@ object Funnel {
               AND o_custkey NOT IN (SELECT c_custkey FROM customer))
       UNION ALL
       SELECT 'unique', 'o_orderkey',
-             coalesce((SELECT sum(n) FROM (
+             CAST(coalesce((SELECT sum(n) FROM (
                SELECT count(*) AS n FROM orders GROUP BY o_orderkey
-               HAVING count(*) > 1) d), 0)
+               HAVING count(*) > 1) d), 0) AS BIGINT)
       ORDER BY rule, "column""""))
 
   /** SCD2 dimension build (ref: the warehouse pattern behind

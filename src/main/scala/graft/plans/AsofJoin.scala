@@ -35,6 +35,10 @@ object AsofJoin {
     * @param leftTime   left event-time column name
     * @param rightTime  right event-time column name
     * @param payload    right columns to carry onto each left row
+    * @param rightTiebreak  extra right columns ordering right rows that
+    *                   share (key, rightTime) — the LARGEST tiebreak
+    *                   value wins (it sorts last, so the carry picks it).
+    *                   Without one, equal-time right rows tie arbitrarily.
     */
   def leftAsof(
       left: DataFrame,
@@ -42,7 +46,8 @@ object AsofJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     val t = "__asof_t"
     val tag = "__asof_is_left"
@@ -63,7 +68,13 @@ object AsofJoin {
 
     // (time, tag) ordering puts right rows before left rows at equal time,
     // so an exact-tie right row is visible to the left row (>= semantics).
-    val w = Window.partitionBy(col(key)).orderBy(col(t), col(tag))
+    // Trailing tiebreaks order equal-time right rows deterministically
+    // (largest value last = carried); they ride the unioned frame, so they
+    // must be carried columns.
+    require(rightTiebreak.forall((payload :+ rightTime).contains),
+      s"rightTiebreak ${rightTiebreak} must be a subset of payload :+ rightTime")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(t) +: col(tag) +: rightTiebreak.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // Carry the matched right row as ONE struct (null on left rows) so all

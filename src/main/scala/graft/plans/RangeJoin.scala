@@ -26,7 +26,15 @@ object RangeJoin {
 
   /** Join `points` rows to every `intervals` row whose `[lo, hi)` range
     * contains `points(pointCol)`. All columns from both sides survive;
-    * matching is inner. `lo`/`hi`/`pointCol` must be numeric.
+    * matching is inner. `lo`/`hi`/`pointCol` must be numeric. The two
+    * sides must not share column names (same precondition as AsofJoin —
+    * rename before joining); enforced eagerly, since a silent collision
+    * surfaces later as an ambiguous-reference error mid-plan.
+    *
+    * `maxBinsPerInterval` bounds the replication blow-up: an interval
+    * much wider than `binWidth` would otherwise materialize an unbounded
+    * bin array (executor OOM). Exceeding it raises at runtime with the
+    * offending width — the caller should re-bin with a wider `binWidth`.
     */
   def pointInInterval(
       points: DataFrame,
@@ -34,15 +42,23 @@ object RangeJoin {
       intervals: DataFrame,
       lo: String,
       hi: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double,
+      maxBinsPerInterval: Int = 1 << 16): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"pointInInterval: both sides carry column(s) ${shared.mkString(", ")} — rename one side first")
     val bin = "__rj_bin"
     val pb = points.withColumn(bin, floor(col(pointCol) / binWidth).cast(LongType))
+    val binLo = floor(col(lo) / binWidth).cast(LongType)
+    val binHi = floor(col(hi) / binWidth).cast(LongType)
     val ib = intervals
       .filter(col(lo) <= col(hi))
-      .withColumn(bin, explode(sequence(
-        floor(col(lo) / binWidth).cast(LongType),
-        floor(col(hi) / binWidth).cast(LongType))))
+      .withColumn(bin, explode(
+        when(binHi - binLo < lit(maxBinsPerInterval.toLong), sequence(binLo, binHi))
+          .otherwise(raise_error(format_string(
+            s"rangeJoin: interval [%s, %s) spans more than $maxBinsPerInterval bins of width $binWidth — increase binWidth",
+            col(lo).cast("string"), col(hi).cast("string"))).cast("array<bigint>"))))
     pb.join(ib, Seq(bin))
       .filter(col(pointCol) >= col(lo) && col(pointCol) < col(hi))
       .drop(bin)

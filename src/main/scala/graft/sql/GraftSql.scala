@@ -20,8 +20,13 @@ import graft.functions.GraftFunctions
   */
 object GraftSql {
 
-  def sql(spark: SparkSession, text: String): DataFrame = {
+  def sql(spark: SparkSession, rawText: String): DataFrame = {
     GraftFunctions.registerAll(spark)
+    // Comments go first (string-aware): every downstream rewrite is a
+    // token scan, and a keyword inside `-- ...` or `/* ... */` must not
+    // fire it (the reference's lexer discards comments before the
+    // parser ever sees them — Parser.jj SKIP section).
+    val text = stripComments(rawText)
     ddl(spark, text.trim)
       .orElse(MatchRecognizeSql.maybeRun(spark, text))
       .getOrElse {
@@ -31,7 +36,7 @@ object GraftSql {
       // SqlStdOperatorTable NEXT_VALUE :2555, sequence.iq.
       val nextVal =
         "(?is)NEXT\\s+VALUE\\s+FOR\\s+(\\w+)\\s+AS\\s+(\\w+)\\s*(,)?".r
-      nextVal.findFirstMatchIn(text) match {
+      nextVal.findFirstMatchIn(maskLiterals(text)) match {
         case Some(m) =>
           val (seqName, alias) = (m.group(1), m.group(2))
           val stripped =
@@ -46,6 +51,67 @@ object GraftSql {
       }
     }
   }
+
+  // ---- literal/comment safety -----------------------------------------
+
+  /** Remove `-- ...` and `/* ... */` comments (string-aware — a dash-dash
+    * inside a literal is content, not a comment). Each comment collapses
+    * to one space so token boundaries survive. */
+  private[graft] def stripComments(s: String): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; sb.append(c); i += 1 }
+      else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        sb.append(' ')
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        i = if (end < 0) s.length else end + 2
+        sb.append(' ')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Same-length copy with every char INSIDE a '...' literal replaced by
+    * U+0001 (quotes preserved): regexes FIND on the mask — positions map
+    * 1:1 — while replacement text is spliced from the original, so a
+    * keyword inside a string literal can never trigger a rewrite. */
+  private[graft] def maskLiterals(s: String): String = {
+    val a = s.toCharArray
+    var inStr = false
+    var i = 0
+    while (i < a.length) {
+      if (inStr) { if (a(i) == '\'') inStr = false else a(i) = '\u0001' }
+      else if (a(i) == '\'') inStr = true
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** replaceAllIn driven by matches on the MASKED text; `f` receives the
+    * masked match (positions valid in the original) plus the original
+    * text for group extraction. */
+  private def replaceMasked(sql: String, re: scala.util.matching.Regex)(
+      f: (scala.util.matching.Regex.Match, String) => String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(maskLiterals(sql)).foreach { m =>
+      sb.append(sql.substring(last, m.start)).append(f(m, sql))
+      last = m.end
+    }
+    sb.append(sql.substring(last))
+    sb.toString
+  }
+
+  /** Group `i` of a masked match, read from the ORIGINAL text (masked
+    * group content would have its literal chars destroyed). */
+  private def origGroup(m: scala.util.matching.Regex.Match, orig: String, i: Int): String =
+    if (m.start(i) < 0) null else orig.substring(m.start(i), m.end(i))
 
   /** Statement-level DDL the engine owns (ref: server module,
     * sql/ddl/SqlCreateSequence via SqlDdlParserImpl): CREATE/DROP
@@ -84,21 +150,27 @@ object GraftSql {
     * slides (hop) — no shuffle, codegen-friendly. SESSION has no
     * per-row form (gap windows only exist under aggregation): route to
     * StreamOps.sessionTvf / session_window + groupBy instead. */
-  private[sql] def rewriteWindowTvf(sql: String): String = {
+  private[graft] def rewriteWindowTvf(sql: String): String = {
+    // the interval counts sit INSIDE quotes, so find on the mask and read
+    // groups back from the original (origGroup)
     val re = ("(?is)\\bTABLE\\s*\\(\\s*(TUMBLE|HOP|SESSION)\\s*\\(\\s*TABLE\\s+(\\w+)\\s*," +
-      "\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)" +
-      "(?:\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+))?\\s*\\)\\s*\\)").r
-    re.findFirstMatchIn(sql) match {
+      "\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'([^']+)'\\s+(\\w+)" +
+      "(?:\\s*,\\s*INTERVAL\\s+'([^']+)'\\s+(\\w+))?\\s*\\)\\s*\\)").r
+    re.findFirstMatchIn(maskLiterals(sql)) match {
       case None => sql
       case Some(m) =>
-        val (fn, tbl, ts) = (m.group(1).toUpperCase, m.group(2), m.group(3))
-        def dur(n: String, u: String) = s"$n ${u.toLowerCase}"
+        def g(i: Int) = origGroup(m, sql, i)
+        val (fn, tbl, ts) = (g(1).toUpperCase, g(2), g(3))
+        def dur(n: String, u: String) = {
+          require(n.matches("\\d+"), s"window TVF: non-numeric interval '$n'")
+          s"$n ${u.toLowerCase}"
+        }
         val win = fn match {
-          case "TUMBLE" => s"window($ts, '${dur(m.group(4), m.group(5))}')"
+          case "TUMBLE" => s"window($ts, '${dur(g(4), g(5))}')"
           case "HOP" =>
-            require(m.group(6) != null, "HOP needs (slide, size) intervals")
+            require(g(6) != null, "HOP needs (slide, size) intervals")
             // Calcite arg order: slide first, size second; Spark: size, slide.
-            s"window($ts, '${dur(m.group(6), m.group(7))}', '${dur(m.group(4), m.group(5))}')"
+            s"window($ts, '${dur(g(6), g(7))}', '${dur(g(4), g(5))}')"
           case "SESSION" => throw new IllegalArgumentException(
             "SESSION TVF has no per-row form; use session_window under GROUP BY (StreamOps)")
         }
@@ -116,15 +188,15 @@ object GraftSql {
     val both = "(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\s+FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r
     val fetchOnly = "(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r
     val offsetRows = "(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS\\b".r
-    val s1 = both.replaceAllIn(sql, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
-    val s2 = fetchOnly.replaceAllIn(s1, m => s"LIMIT ${m.group(1)}")
-    offsetRows.replaceAllIn(s2, m => s"OFFSET ${m.group(1)}")
+    val s1 = replaceMasked(sql, both)((m, _) => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    val s2 = replaceMasked(s1, fetchOnly)((m, _) => s"LIMIT ${m.group(1)}")
+    replaceMasked(s2, offsetRows)((m, _) => s"OFFSET ${m.group(1)}")
   }
 
   /** Oracle `FROM DUAL` (babel; dual-table-query.iq) — a FROM-less
     * scalar select in Spark. */
   private def rewriteDual(sql: String): String =
-    sql.replaceAll("(?is)\\bFROM\\s+DUAL\\b", "")
+    replaceMasked(sql, "(?is)\\bFROM\\s+DUAL\\b".r)((_, _) => "")
 
   /** Calcite `FROM t EXTEND (c TYPE, ...)` (SqlStdOperatorTable.java
     * :265 EXTEND — declare columns a schemaless/dynamic table doesn't
@@ -134,7 +206,7 @@ object GraftSql {
     * dynamic-table case the clause exists for. */
   private[sql] def rewriteExtend(sql: String): String = {
     val re = "(?is)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+EXTEND\\s*\\(".r
-    re.findFirstMatchIn(sql) match {
+    re.findFirstMatchIn(maskLiterals(sql)) match {
       case None => sql
       case Some(m) =>
         val open = m.end - 1
@@ -200,7 +272,7 @@ object GraftSql {
     * identical results. */
   private def rewriteStarReplace(sql: String): String = {
     val re = "(?is)\\*\\s+REPLACE\\s*\\(".r
-    re.findFirstMatchIn(sql) match {
+    re.findFirstMatchIn(maskLiterals(sql)) match {
       case None => sql
       case Some(m) =>
         val open = m.end - 1
@@ -395,18 +467,18 @@ object GraftSql {
   }
 
   private def rewriteSafeCast(sql: String): String =
-    sql.replaceAll("(?i)\\bSAFE_CAST\\s*\\(", "TRY_CAST(")
+    replaceMasked(sql, "(?i)\\bSAFE_CAST\\s*\\(".r)((_, _) => "TRY_CAST(")
 
   /** `<ident or dotted ident> [NOT] SIMILAR TO '<pattern>'` →
     * `[NOT] similar_to(ident, '<pattern>')`. */
   private def rewriteSimilarTo(sql: String): String = {
     val re = ("(?i)([A-Za-z_][A-Za-z0-9_\\.]*)\\s+(NOT\\s+)?SIMILAR\\s+TO\\s+" +
       "('(?:[^']|'')*')").r
-    re.replaceAllIn(sql, m => {
+    // the pattern literal (group 3) is masked — splice it from the original
+    replaceMasked(sql, re) { (m, orig) =>
       val not = if (m.group(2) != null) "NOT " else ""
-      java.util.regex.Matcher.quoteReplacement(
-        s"${not}similar_to(${m.group(1)}, ${m.group(3)})")
-    })
+      s"${not}similar_to(${m.group(1)}, ${origGroup(m, orig, 3)})"
+    }
   }
 
   /** Lower QUALIFY (recursing into subqueries/CTEs first): everything up

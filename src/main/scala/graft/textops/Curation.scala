@@ -11,24 +11,58 @@ import org.apache.spark.sql.types._
   * filtering (the Gopher-style heuristics of Rae et al. '21 §A1.1),
   * and benchmark decontamination by n-gram overlap.
   *
-  * Scale design: d19 is one shuffle on the domain key (row_number
-  * window — skewed hot domains are bounded by the cap itself: the
-  * window scans but emits ≤K); d20 is row-local arithmetic plus one
+  * Scale design: d19 is a map-side bounded-heap pre-cap (no shuffle)
+  * followed by one shuffle of the ≤ K·P survivors on the domain key —
+  * a skewed hot domain costs O(K) per map task, never one straggler
+  * window task over the whole domain; d20 is row-local arithmetic plus one
   * bigram-count shuffle keyed by (doc, bigram); d21 broadcasts the
   * benchmark n-gram set (benchmarks are small by definition) so the
   * corpus is scanned exactly once, shuffle-free.
   */
 object Curation {
 
+  /** Map-side pre-cap for the per-domain cap: every input partition
+    * keeps at most `k` (hash, doc_id)-smallest rows per source via a
+    * bounded heap — O(k · sources-per-partition) memory, no shuffle.
+    * Order-statistic safety: the global k smallest of a source are each
+    * among the k smallest of whichever partition holds them, so the
+    * union of per-partition top-ks is a superset of the global top-k
+    * and the exact window over it returns identical ranks. A dominant
+    * domain thus reaches the window as ≤ k·P rows, not its full row
+    * count — the single-straggler-task shape is gone. */
+  private[graft] def domainPreCap(
+      docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), col("source"), md5(col("doc_id").cast(StringType)).as("h"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+        it.foreach { case (id, src, h) =>
+          val heap = heaps.getOrElseUpdate(src,
+            scala.collection.mutable.PriorityQueue.empty[(String, Long)]) // max-heap
+          heap.enqueue((h, id))
+          if (heap.size > k) heap.dequeue() // evict the largest: keep k smallest
+        }
+        heaps.iterator.flatMap { case (src, heap) =>
+          heap.iterator.map { case (h, id) => (id, src, h) }
+        }
+      }
+      .toDF("doc_id", "source", "h")
+  }
+
   /** Per-domain cap: keep at most K docs per source, chosen by a
     * deterministic hash order (reproducible "random" sample per domain,
-    * layout-independent — same device as d16's stratified sampler). */
+    * layout-independent — same device as d16's stratified sampler).
+    * Two-level: bounded-heap pre-cap per partition (domainPreCap), then
+    * the exact rank window over the ≤ K·P survivors. */
   val d19_domain_cap = Q(
     (s, dir) => {
       val k = 10
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
-      T(s, dir, "documents")
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      domainPreCap(T(s, dir, "documents"), k)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
         .select(col("doc_id"), col("source"), col("rk"))
@@ -160,7 +194,9 @@ object Curation {
     * MLE bigram model trained in one aggregation; per-doc score is a
     * SUM of integer micro-nats (round(ln·1e6) per model entry, the d08
     * device) so partial aggregation is order-independent and the
-    * result engine-exact; the average divides two exact integers. */
+    * result engine-exact. The score stays integer end to end — a
+    * derived double average would re-introduce the value-canonicalization
+    * hazard the micro-nat encoding exists to remove. */
   val d26_lm_score = Q(
     (s, dir) => {
       val bigrams = T(s, dir, "documents")
@@ -179,8 +215,6 @@ object Curation {
       bigrams.join(model, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_u")).as("score_u"))
-        .withColumn("avg_nats",
-          col("score_u").cast(DoubleType) / col("n_bigrams") / 1e6)
         .orderBy("doc_id")
     },
     Some("""
@@ -193,8 +227,8 @@ object Curation {
       m2 AS (SELECT w1, w2,
                CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1e6) AS BIGINT) AS logp_u
              FROM m)
-      SELECT b.doc_id, count(*) AS n_bigrams, SUM(logp_u) AS score_u,
-             CAST(SUM(logp_u) AS DOUBLE) / count(*) / 1e6 AS avg_nats
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             CAST(SUM(logp_u) AS BIGINT) AS score_u
       FROM b JOIN m2 ON b.w1 = m2.w1 AND b.w2 = m2.w2
       GROUP BY b.doc_id ORDER BY b.doc_id"""))
 

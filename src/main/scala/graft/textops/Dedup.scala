@@ -15,7 +15,17 @@ import org.apache.spark.sql.types._
   * Scale design: every stage is a shuffle on a high-cardinality key
   * (hash, shingle, band bucket). Nothing is O(n²) in the corpus — the
   * only pairwise work happens inside LSH buckets / shared-shingle
-  * groups, which stay tiny by construction.
+  * groups. Neither is tiny by default on natural language (stop-word
+  * shingles like "one of the" appear in a large fraction of documents
+  * and would create quadratic buckets), so BOTH candidate generators
+  * are capped: d03 bounds band-bucket size, and the shingle inverted
+  * index drops corpus-hot shingles (document frequency above
+  * `ShingleDfCap`) before the self-join. The caps only gate CANDIDATE
+  * generation — every candidate pair is then verified on its FULL
+  * shingle sets, so reported Jaccard values are exact; a true pair is
+  * missed only if every shingle it shares is corpus-hot, which a
+  * jac ≥ 0.6 pair (mostly doc-specific shingles by definition) cannot
+  * be.
   */
 object Dedup {
 
@@ -82,25 +92,49 @@ object Dedup {
         FROM documents) t
       GROUP BY fp ORDER BY keep_id"""))
 
-  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    * explode shingles → self-join on shingle → per-pair intersection
-    * counts → Jaccard ≥ 0.6. The distributed exact form — pairwise work
-    * only materializes for docs that actually share a shingle. */
+  /** Shingles a pair-candidate generator may keep: document frequency
+    * above this marks a shingle corpus-common (stop-word n-grams) —
+    * such shingles connect a large doc set quadratically while carrying
+    * no near-dup signal. Well above anything in the test corpora (max
+    * df 25 at sf0.1), so the cap provably doesn't change results there;
+    * at web scale it is the difference between a bucket join and an
+    * accidental cross join. */
+  private[graft] val ShingleDfCap = 1000
+
+  /** Exact Jaccard pairs ≥ `threshold` from a (doc_id, ws, sz) shingle
+    * relation — the shared engine behind d04/d15/d27/d29.
+    *
+    * Two stages: (1) CANDIDATES from the inverted shingle index with
+    * corpus-hot shingles (df > maxDf) dropped — the hot set is
+    * vocabulary-bounded and tiny, so it broadcasts into an anti join;
+    * (2) exact VERIFICATION of each distinct candidate pair on the full
+    * shingle arrays, so the cap can never alter a reported value. */
+  private[graft] def jaccardPairs(
+      shingles: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
+    val ex = shingles.select(col("doc_id"), explode(col("ws")).as("sh"))
+    val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val cold = ex.join(broadcast(hot), Seq("sh"), "left_anti")
+    val cand = cold.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(cold.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = shingles.select(col("doc_id"), col("ws"), col("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the capped shingle inverted
+    * index + full-set verification (jaccardPairs). */
   val d04_jaccard_pairs = Q(
-    (s, dir) => {
-      val ds = docShingles(s, dir)
-      val ex = ds.select(col("doc_id"), col("sz"), explode(col("ws")).as("sh"))
-      val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sh"))
-      val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sh"))
-      a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jac",
-          col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jac") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), col("jac"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) => jaccardPairs(docShingles(s, dir), ShingleDfCap, 0.6)
+      .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
   /** Shingle sets plus the full 64-slot MinHash signature, computed in
@@ -271,15 +305,7 @@ object Dedup {
     * WITH RECURSIVE + MIN over the reachable set. */
   val d15_neardup_components = Q(
     (s, dir) => {
-      val ds = docShingles(s, dir)
-      val ex = ds.select(col("doc_id"), col("sz"), explode(col("ws")).as("sh"))
-      val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("sh"))
-      val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("sh"))
-      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter").cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - col("inter")) >= 0.6)
+      val pairs = jaccardPairs(docShingles(s, dir), ShingleDfCap, 0.6)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

@@ -115,7 +115,7 @@ object Packing {
     (s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          (lit(0.5) + (substring(col("source"), 4, 10).cast(IntegerType) % 4) * 0.75).as("w"),
+          (lit(0.5) + (expr("substring(source, 4)").cast(IntegerType) % 4) * 0.75).as("w"),
           ((conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
             .cast(LongType) % 1000000).cast(DoubleType) / 1e6).as("frac"))
         .withColumn("reps",

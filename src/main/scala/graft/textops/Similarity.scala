@@ -109,19 +109,40 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate removal: a vector is kept iff no
     * LOWER-id vector is within cosine ≥ 0.4 (the keep-first canonical
-    * rule). Exact pairwise definition so the result is value-checkable;
-    * the scale path replaces the pair join's candidate generation with
-    * the LSH buckets of d10 (same rerank + anti join afterwards) —
-    * candidates only, never the full n². */
+    * rule).
+    *
+    * The semantics are EXACT all-pairs (a threshold this close to the
+    * gaussian bulk carries no locality an index can exploit — LSH
+    * candidates cap recall below 1, see d10), so the scale hazard is
+    * MEMORY, not the inherent pair count. Block-pair decomposition:
+    * vectors hash into B blocks; every unordered block pair (i ≤ j)
+    * becomes one equi-join key, so a task materializes only two blocks
+    * (~n/B vectors each) — bounded memory at any corpus size, B(B+1)/2
+    * tasks of even work, a plain shuffled hash/sort-merge join (AQE-
+    * splittable), and no broadcast of anything but the B²-row pair
+    * table. The previous form (broadcast the whole corpus into a
+    * BroadcastNestedLoopJoin) OOMs at ~10M vectors; this one just adds
+    * tasks. For sublinear pair work accept approximation and use d10's
+    * LSH candidates — kept separate because it cannot be value-exact. */
   val d14_embedding_neardup = Q(
     (s, dir) => {
+      import s.implicits._
+      val nBlocks = 16
       val emb = withNorm(T(s, dir, "embeddings"), "embedding", "nrm")
-      val a = emb.select(col("vec_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
-      val dups = a.join(broadcast(b), col("b_id") < col("vec_id"))
-        .withColumn("sim", dot("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")))
-        .filter(col("sim") >= 0.4)
-        .select(col("vec_id")).distinct()
+      val blocked = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+        pmod(col("vec_id"), lit(nBlocks)).cast(IntegerType).as("blk"))
+      val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks }
+        yield (i * nBlocks + j, i, j)).toDF("bp", "blk_a", "blk_b")
+      val aSide = blocked.join(broadcast(blockPairs), col("blk") === col("blk_a"))
+        .select(col("bp"), col("vec_id").as("a_id"),
+          col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+      val bSide = blocked.join(broadcast(blockPairs), col("blk") === col("blk_b"))
+        .select(col("bp"), col("vec_id").as("b_id"),
+          col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+      val dups = aSide.join(bSide, Seq("bp"))
+        .filter(col("a_id") =!= col("b_id"))
+        .filter(dot("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")) >= 0.4)
+        .select(greatest(col("a_id"), col("b_id")).as("vec_id")).distinct()
       emb.join(dups, Seq("vec_id"), "left_anti")
         .select(col("vec_id"))
         .orderBy("vec_id")

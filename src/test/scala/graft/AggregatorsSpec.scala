@@ -93,4 +93,31 @@ class AggregatorsSpec extends SparkSpec {
       assert(c <= truth.getOrElse(item, 0L), s"overcount for $item")
     }
   }
+
+  test("count-min: merge-equivalent under any split, estimate in [true, true + eN]") {
+    import graft.functions.Sketches
+    import org.apache.spark.sql.functions.udaf
+    // skewed stream: 37 moderate keys + one hot key
+    val items = (1 to 2000).map(i => s"k${i % 37}") ++ Seq.fill(500)("hot")
+    val cm = new Sketches.CountMin
+    def sketchOf(xs: Seq[String]) = xs.foldLeft(cm.zero)((b, a) => cm.reduce(b, a))
+    val whole = sketchOf(items)
+    // mergeability: 8-way partial aggregation == single pass, element-exact
+    val merged = items.grouped(313).toSeq.map(sketchOf).reduce(cm.merge)
+    assert(java.util.Arrays.equals(whole, merged))
+    // the same sketch through Spark's partial-agg machinery (8 partitions)
+    import spark.implicits._
+    val cmUdaf = udaf(new Sketches.CountMin)
+    val viaSpark = items.toDF("s").repartition(8)
+      .agg(cmUdaf(col("s"))).collect()(0).getSeq[Long](0)
+    assert(viaSpark == whole.toSeq)
+    // point-estimate contract: never under, over by at most eN (e = e/W)
+    val n = items.size.toLong
+    val slack = math.ceil(math.E / Sketches.CmsWidth * n).toLong
+    items.groupBy(identity).foreach { case (k, v) =>
+      val est = Sketches.cmsEstimate(whole, k)
+      assert(est >= v.size, s"undercount for $k")
+      assert(est <= v.size + slack, s"estimate $est breaches eN bound for $k")
+    }
+  }
 }

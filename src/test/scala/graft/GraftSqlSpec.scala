@@ -205,4 +205,51 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.rewrite("SELECT ' QUALIFY x ' AS s") == "SELECT ' QUALIFY x ' AS s")
     assert(GraftSql.rewrite("SELECT (SELECT 1 LIMIT 1) AS s") == "SELECT (SELECT 1 LIMIT 1) AS s")
   }
+
+  test("adversarial literals: keywords inside strings never trigger a rewrite") {
+    // every rewrite keyword, as literal content — all must pass through
+    for (lit <- Seq(
+        "FETCH FIRST 3 ROWS ONLY", "OFFSET 4 ROWS", "FROM DUAL",
+        "SAFE_CAST(x AS INT)", "a SIMILAR TO ''b''",
+        "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR))",
+        "* REPLACE (1 AS x)", "FROM t EXTEND (c INT)")) {
+      val q = s"SELECT '$lit' AS s"
+      assert(GraftSql.rewrite(q) == q, s"literal rewritten: $lit")
+    }
+    // end-to-end: the literal survives execution verbatim
+    val v = GraftSql.sql(spark, "SELECT 'NEXT VALUE FOR seq AS x' AS s")
+      .collect()(0).getString(0)
+    assert(v == "NEXT VALUE FOR seq AS x")
+  }
+
+  test("comments are stripped string-aware; keywords in comments are inert") {
+    init()
+    // NEXT VALUE FOR inside a comment must not append a sequence column
+    val df = GraftSql.sql(spark,
+      "SELECT r_regionkey FROM region -- NEXT VALUE FOR seq AS x\nORDER BY 1")
+    assert(df.columns.toSeq == Seq("r_regionkey"))
+    // block comment holding QUALIFY
+    val df2 = GraftSql.sql(spark,
+      "SELECT r_regionkey /* QUALIFY row_number() over () = 1 */ FROM region")
+    assert(df2.count() == 5)
+    // a dash-dash INSIDE a literal is content, not a comment
+    assert(GraftSql.stripComments("SELECT '--not a comment' AS s") ==
+      "SELECT '--not a comment' AS s")
+  }
+
+  test("window TVF: HOP swaps Calcite (slide, size) into Spark (size, slide)") {
+    val out = GraftSql.rewriteWindowTvf(
+      "SELECT * FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))")
+    assert(out.contains("window(ts, '10 minute', '5 minute')"), out)
+  }
+
+  test("window TVF: SESSION raises its documented error; non-TVF text passes through") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.rewriteWindowTvf(
+        "SELECT * FROM TABLE(SESSION(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE))")
+    }
+    assert(e.getMessage.contains("session_window"))
+    val plain = "SELECT window_start FROM somewhere"
+    assert(GraftSql.rewriteWindowTvf(plain) == plain)
+  }
 }

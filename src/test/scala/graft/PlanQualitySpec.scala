@@ -127,6 +127,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"length banding must avoid the cross join:\n$p")
   }
 
+  test("d14 embedding neardup: block-pair equi-join, no full-corpus broadcast BNLJ") {
+    val p = plan("d14_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs work must decompose into the block-pair equi-join:\n$p")
+  }
+
+  test("d19 domain cap: window input is pre-capped map-side (no full-table window)") {
+    val p = plan("d19_domain_cap")
+    // the bounded-heap pre-cap is a typed mapPartitions stage; the window
+    // must sit ABOVE it, never directly over the scan
+    val winAt = p.indexOf("Window")
+    val mapAt = math.max(p.indexOf("MapPartitions"), p.indexOf("SerializeFromObject"))
+    assert(winAt >= 0 && mapAt >= 0 && winAt < mapAt, // executedPlan prints top-down
+      s"window must consume the pre-capped relation:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = run("q01_pricing_summary").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))

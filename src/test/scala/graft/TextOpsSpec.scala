@@ -109,4 +109,56 @@ class TextOpsSpec extends SparkSpec {
     info(f"IVF mean recall@3 = $mean%.2f over ${bf.size} queries (nProbe=4/16 cells)")
     assert(mean > 0.1, "IVF should beat random cell selection")
   }
+
+  test("shingle df cap: hot shingles leave candidate generation, results stay exact") {
+    import spark.implicits._
+    // 40 docs all sharing one corpus-hot shingle ("HOT HOT HOT"); docs
+    // 0/1 are also true near-dups through doc-specific shingles
+    val mk: Int => Seq[String] = i => Seq("HOT", "HOT", "HOT") ++
+      (if (i <= 1) Seq(s"alpha", "beta", "gamma", "delta", "epsilon")
+       else Seq(s"u$i", s"v$i", s"w$i", s"x$i", s"y$i"))
+    val docs = (0 until 40).map { i =>
+      val w = mk(i)
+      val ws = w.sliding(3).map(_.mkString(" ")).toArray.distinct
+      (i.toLong, ws, ws.length)
+    }.toDF("doc_id", "ws", "sz")
+    // cap ENGAGES: with maxDf=10 the HOT-only shingle is dropped, so the
+    // all-pairs bucket it would create never materializes …
+    val capped = Dedup.jaccardPairs(docs, maxDf = 10, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // … but the true near-dup pair rides its doc-specific shingles
+    assert(capped == Set((0L, 1L)), s"got $capped")
+    // and the verification is on FULL sets: jac includes the hot shingle
+    val jac = Dedup.jaccardPairs(docs, maxDf = 10, threshold = 0.6)
+      .collect().head.getDouble(2)
+    // docs 0,1 share all shingles (identical text) -> jac == 1.0
+    assert(jac == 1.0, s"full-set verification must include capped shingles, jac=$jac")
+    // uncapped control: the hot shingle creates 40*39/2 candidate pairs;
+    // capped candidate generation must not (observable as identical
+    // output but vastly fewer verified pairs — assert via a low threshold)
+    val uncappedLow = Dedup.jaccardPairs(docs, maxDf = 1000, threshold = 0.01).count()
+    val cappedLow = Dedup.jaccardPairs(docs, maxDf = 10, threshold = 0.01).count()
+    assert(uncappedLow == 40L * 39 / 2, s"control: hot shingle connects all pairs, got $uncappedLow")
+    assert(cappedLow == 1L, s"cap must keep only the doc-specific candidate, got $cappedLow")
+  }
+
+  test("domain pre-cap: a skewed source reaches the window as <= k*partitions rows") {
+    import spark.implicits._
+    val k = 10
+    val skewed = (1 to 5000).map(i => (i.toLong, if (i <= 4900) "hot.com" else s"s${i % 7}"))
+      .toDF("doc_id", "source").repartition(8)
+    val pre = graft.textops.Curation.domainPreCap(skewed, k)
+    val hotRows = pre.filter(col("source") === "hot.com").count()
+    assert(hotRows <= k * 8, s"pre-cap must bound the hot domain, got $hotRows")
+    // end-to-end equivalence with the single-window reference
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ref = skewed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("doc_id", "source", "rk").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val got = pre.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select("doc_id", "source", "rk").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == ref, "two-level cap must match the single-window result")
+  }
 }
