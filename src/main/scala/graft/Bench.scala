@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * Methodology (BASELINE.md): per query one uncounted warmup, then
-  * median of 3 timed runs; each run materializes every row through the
+  * median of 5 timed runs; each run materializes every row through the
   * noop sink (count() would let Catalyst prune the project away).
+  * Median of 5 (was 3 through round 4) because the recorded BENCH_r04
+  * caught two one-off machine-contention spikes that a wider median
+  * absorbs — the number reported must be the steady-state cost.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -40,8 +43,8 @@ object Bench {
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       try {
         once(name) // warmup: JIT + codegen + file-index caches
-        val times = (1 to 3).map(_ => once(name)).sorted
-        name -> times(1)
+        val times = (1 to 5).map(_ => once(name)).sorted
+        name -> times(2)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

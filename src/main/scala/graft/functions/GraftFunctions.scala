@@ -83,7 +83,19 @@ object GraftFunctions {
         ArrayTransform(args.head,
           LambdaFunction(Chr(UnresolvedNamedLambdaVariableHack.v("c")),
             Seq(UnresolvedNamedLambdaVariableHack.v("c")))),
-        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("")), None)))
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("")), None)),
+    // context functions (ref: SqlStdOperatorTable.java:2120-2162 — USER,
+    // CURRENT_USER, SESSION_USER, SYSTEM_USER, CURRENT_PATH, CURRENT_ROLE,
+    // CURRENT_SCHEMA). Spark natively covers current_user/current_catalog/
+    // current_database; the delta maps onto the same session state:
+    // USER/SYSTEM_USER ≡ CURRENT_USER (Calcite's DataContext exposes one
+    // user identity), CURRENT_SCHEMA ≡ the session database, and
+    // CURRENT_PATH/CURRENT_ROLE are '' in Calcite's default context.
+    "user" -> (_ => CurrentUser()),
+    "system_user" -> (_ => CurrentUser()),
+    "current_schema" -> (_ => CurrentDatabase()),
+    "current_path" -> (_ => Literal("")),
+    "current_role" -> (_ => Literal("")))
 
   /** Register everything into a session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {

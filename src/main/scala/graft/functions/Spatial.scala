@@ -51,6 +51,7 @@ object Spatial {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "scala_udf")
     }
     registerPolygonUdfs(spark)
+    registerGeomUdfs(spark)
   }
 
   // ---- polygon ops (ref: runtime/SpatialTypeFunctions.java ST_Within/
@@ -104,5 +105,229 @@ object Spatial {
       (ring: Seq[Row]) => ringArea(ring.map(r => (r.getDouble(0), r.getDouble(1)))))
     spark.udf.register("st_within_poly", within)
     spark.udf.register("st_area", area)
+  }
+
+  // ---- WKT/WKB geometry family ------------------------------------------
+  // ref: runtime/SpatialTypeFunctions.java ST_GeomFromText/ST_AsText/
+  // ST_Intersects/ST_Buffer/ST_Union/ST_AsWKB/ST_GeomFromWKB (JTS-backed
+  // there; pure planar Scala here — no geometry library in the container).
+  // Representation: struct<gtype string, ring array<struct<x,y>>> — POINT
+  // is a 1-element ring, POLYGON stores its (closed) outer ring as in WKT
+  // (holes unsupported, documented deviation). UDFs rather than codegen
+  // expressions: these are parse/emit/predicate calls off the hot path
+  // (the codegen distance/contains pack above serves the join-heavy ops).
+
+  final case class GPoint(x: Double, y: Double)
+  final case class Geometry(gtype: String, ring: Seq[GPoint])
+
+  /** JTS WKTWriter-style number: integral doubles print without ".0". */
+  private def fmt(v: Double): String =
+    if (!v.isInfinite && v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  private[graft] def parseWkt(wkt: String): Geometry = {
+    val s = wkt.trim
+    val open = s.indexOf('(')
+    require(open > 0, s"malformed WKT: $wkt")
+    val typ = s.substring(0, open).trim.toUpperCase
+    val body = s.substring(open + 1, s.lastIndexOf(')'))
+    def pts(inner: String): Seq[GPoint] = inner.split(",").toSeq.map { p =>
+      val nums = p.trim.stripPrefix("(").stripSuffix(")").trim.split("\\s+")
+      GPoint(nums(0).toDouble, nums(1).toDouble)
+    }
+    typ match {
+      case "POINT" | "LINESTRING" | "MULTIPOINT" => Geometry(typ, pts(body))
+      case "POLYGON" =>
+        // outer ring only: text between the first '(' and its match
+        val a = body.indexOf('(')
+        val b = body.indexOf(')', a)
+        require(a >= 0 && b > a, s"malformed POLYGON: $wkt")
+        Geometry("POLYGON", pts(body.substring(a + 1, b)))
+      case other => throw new IllegalArgumentException(s"unsupported WKT type: $other")
+    }
+  }
+
+  private[graft] def asText(g: Geometry): String = {
+    def pt(p: GPoint) = s"${fmt(p.x)} ${fmt(p.y)}"
+    g.gtype match {
+      case "POINT" => s"POINT (${pt(g.ring.head)})"
+      case "LINESTRING" => g.ring.map(pt).mkString("LINESTRING (", ", ", ")")
+      case "MULTIPOINT" => g.ring.map(p => s"(${pt(p)})").mkString("MULTIPOINT (", ", ", ")")
+      case "POLYGON" => g.ring.map(pt).mkString("POLYGON ((", ", ", "))")
+    }
+  }
+
+  // -- planar predicates ----------------------------------------------------
+
+  private def orient(a: GPoint, b: GPoint, c: GPoint): Int = {
+    val v = (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+    if (v > 0) 1 else if (v < 0) -1 else 0
+  }
+  private def onSeg(a: GPoint, b: GPoint, p: GPoint): Boolean =
+    orient(a, b, p) == 0 &&
+      p.x >= math.min(a.x, b.x) && p.x <= math.max(a.x, b.x) &&
+      p.y >= math.min(a.y, b.y) && p.y <= math.max(a.y, b.y)
+  private def segIntersect(a: GPoint, b: GPoint, c: GPoint, d: GPoint): Boolean = {
+    val (o1, o2, o3, o4) = (orient(a, b, c), orient(a, b, d), orient(c, d, a), orient(c, d, b))
+    (o1 != o2 && o3 != o4) ||
+      onSeg(a, b, c) || onSeg(a, b, d) || onSeg(c, d, a) || onSeg(c, d, b)
+  }
+  private def segments(g: Geometry): Seq[(GPoint, GPoint)] = {
+    val r = if (g.gtype == "POLYGON" && g.ring.length > 1 && g.ring.head != g.ring.last)
+      g.ring :+ g.ring.head else g.ring
+    if (r.length < 2) Nil else r.zip(r.tail)
+  }
+  private def inPolygon(p: GPoint, poly: Geometry): Boolean =
+    pointInPolygon(p.x, p.y, poly.ring.map(q => (q.x, q.y))) ||
+      segments(poly).exists { case (a, b) => onSeg(a, b, p) } // boundary counts (JTS)
+
+  /** ST_Intersects over any pair of the supported types (point ∩ point/
+    * line/polygon, line ∩ line/polygon, polygon ∩ polygon, multipoint as
+    * a disjunction of its members). */
+  private[graft] def intersects(a: Geometry, b: Geometry): Boolean = (a.gtype, b.gtype) match {
+    case ("MULTIPOINT", _) => a.ring.exists(p => intersects(Geometry("POINT", Seq(p)), b))
+    case (_, "MULTIPOINT") => intersects(b, a)
+    case ("POINT", "POINT") => a.ring.head == b.ring.head
+    case ("POINT", "LINESTRING") =>
+      segments(b).exists { case (c, d) => onSeg(c, d, a.ring.head) }
+    case ("LINESTRING", "POINT") => intersects(b, a)
+    case ("POINT", "POLYGON") => inPolygon(a.ring.head, b)
+    case ("POLYGON", "POINT") => intersects(b, a)
+    case ("LINESTRING", "LINESTRING") =>
+      segments(a).exists { case (p, q) => segments(b).exists { case (c, d) => segIntersect(p, q, c, d) } }
+    case ("LINESTRING", "POLYGON") =>
+      a.ring.exists(inPolygon(_, b)) ||
+        segments(a).exists { case (p, q) => segments(b).exists { case (c, d) => segIntersect(p, q, c, d) } }
+    case ("POLYGON", "LINESTRING") => intersects(b, a)
+    case ("POLYGON", "POLYGON") =>
+      a.ring.exists(inPolygon(_, b)) || b.ring.exists(inPolygon(_, a)) ||
+        segments(a).exists { case (p, q) => segments(b).exists { case (c, d) => segIntersect(p, q, c, d) } }
+    case _ => false
+  }
+
+  /** ST_Buffer of a POINT: regular 32-gon (closed ring), the planar
+    * analog of JTS's default 8-quadrant-segment circle approximation.
+    * Other input types are unsupported (documented deviation). */
+  private[graft] def buffer(g: Geometry, dist: Double): Geometry = {
+    require(g.gtype == "POINT", s"ST_Buffer: only POINT supported, got ${g.gtype}")
+    val GPoint(cx, cy) = g.ring.head
+    val n = 32
+    val pts = (0 until n).map { k =>
+      val t = 2 * math.Pi * k / n
+      GPoint(cx + dist * math.cos(t), cy + dist * math.sin(t))
+    }
+    Geometry("POLYGON", pts :+ pts.head)
+  }
+
+  /** ST_Union of point sets: distinct members ordered by (x, y); a
+    * single survivor collapses to POINT (JTS does the same). Polygon/
+    * line union needs a clipping kernel — unsupported, error clearly. */
+  private[graft] def union(a: Geometry, b: Geometry): Geometry = {
+    require(Set("POINT", "MULTIPOINT")(a.gtype) && Set("POINT", "MULTIPOINT")(b.gtype),
+      s"ST_Union: point/multipoint only, got ${a.gtype}/${b.gtype}")
+    val pts = (a.ring ++ b.ring).distinct.sortBy(p => (p.x, p.y))
+    if (pts.length == 1) Geometry("POINT", pts) else Geometry("MULTIPOINT", pts)
+  }
+
+  /** ST_Centroid: POINT itself; vertex mean for line/multipoint;
+    * area-weighted (shoelace) centroid for polygons. */
+  private[graft] def centroid(g: Geometry): Geometry = g.gtype match {
+    case "POINT" => g
+    case "LINESTRING" | "MULTIPOINT" =>
+      val n = g.ring.length
+      Geometry("POINT", Seq(GPoint(g.ring.map(_.x).sum / n, g.ring.map(_.y).sum / n)))
+    case "POLYGON" =>
+      val r = if (g.ring.length > 1 && g.ring.head == g.ring.last) g.ring.dropRight(1) else g.ring
+      var (sa, sx, sy) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < r.length) {
+        val (p, q) = (r(i), r((i + 1) % r.length))
+        val c = p.x * q.y - q.x * p.y
+        sa += c; sx += (p.x + q.x) * c; sy += (p.y + q.y) * c
+        i += 1
+      }
+      Geometry("POINT", Seq(GPoint(sx / (3 * sa), sy / (3 * sa))))
+  }
+
+  // -- WKB (OGC, little-endian) ----------------------------------------------
+
+  private def wkbType(t: String): Int = t match {
+    case "POINT" => 1
+    case "LINESTRING" => 2
+    case "POLYGON" => 3
+    case "MULTIPOINT" => 4
+  }
+
+  private[graft] def toWkb(g: Geometry): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val size = g.gtype match {
+      case "POINT" => 21
+      case "LINESTRING" => 9 + 16 * g.ring.length
+      case "POLYGON" => 13 + 16 * g.ring.length
+      case "MULTIPOINT" => 9 + 21 * g.ring.length
+    }
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(wkbType(g.gtype))
+    g.gtype match {
+      case "POINT" => bb.putDouble(g.ring.head.x).putDouble(g.ring.head.y)
+      case "LINESTRING" =>
+        bb.putInt(g.ring.length)
+        g.ring.foreach(p => bb.putDouble(p.x).putDouble(p.y))
+      case "POLYGON" =>
+        bb.putInt(1).putInt(g.ring.length)
+        g.ring.foreach(p => bb.putDouble(p.x).putDouble(p.y))
+      case "MULTIPOINT" =>
+        bb.putInt(g.ring.length)
+        g.ring.foreach { p =>
+          bb.put(1.toByte).putInt(1).putDouble(p.x).putDouble(p.y)
+        }
+    }
+    bb.array()
+  }
+
+  private[graft] def fromWkb(bytes: Array[Byte]): Geometry = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def rdr(bb: ByteBuffer): ByteBuffer = {
+      val order = if (bb.get() == 1.toByte) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      bb.order(order)
+    }
+    val bb = rdr(ByteBuffer.wrap(bytes))
+    bb.getInt() match {
+      case 1 => Geometry("POINT", Seq(GPoint(bb.getDouble(), bb.getDouble())))
+      case 2 =>
+        val n = bb.getInt()
+        Geometry("LINESTRING", (0 until n).map(_ => GPoint(bb.getDouble(), bb.getDouble())))
+      case 3 =>
+        val rings = bb.getInt()
+        require(rings >= 1, "empty POLYGON WKB")
+        val n = bb.getInt()
+        Geometry("POLYGON", (0 until n).map(_ => GPoint(bb.getDouble(), bb.getDouble())))
+      case 4 =>
+        val n = bb.getInt()
+        Geometry("MULTIPOINT", (0 until n).map { _ =>
+          val sub = rdr(bb)
+          require(sub.getInt() == 1, "MULTIPOINT member must be POINT")
+          GPoint(sub.getDouble(), sub.getDouble())
+        })
+      case t => throw new IllegalArgumentException(s"unsupported WKB type $t")
+    }
+  }
+
+  private def geomOf(r: org.apache.spark.sql.Row): Geometry =
+    Geometry(r.getString(0),
+      r.getSeq[org.apache.spark.sql.Row](1).map(p => GPoint(p.getDouble(0), p.getDouble(1))))
+
+  private def registerGeomUdfs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.udf
+    spark.udf.register("st_geomfromtext", udf((wkt: String) => parseWkt(wkt)))
+    spark.udf.register("st_astext", udf((g: Row) => asText(geomOf(g))))
+    spark.udf.register("st_intersects", udf((a: Row, b: Row) => intersects(geomOf(a), geomOf(b))))
+    spark.udf.register("st_buffer", udf((g: Row, d: Double) => buffer(geomOf(g), d)))
+    spark.udf.register("st_union", udf((a: Row, b: Row) => union(geomOf(a), geomOf(b))))
+    spark.udf.register("st_centroid", udf((g: Row) => centroid(geomOf(g))))
+    spark.udf.register("st_npoints", udf((g: Row) => geomOf(g).ring.length))
+    spark.udf.register("st_aswkb", udf((g: Row) => toWkb(geomOf(g))))
+    spark.udf.register("st_geomfromwkb", udf((b: Array[Byte]) => fromWkb(b)))
   }
 }

@@ -57,19 +57,37 @@ object Advanced {
         UNION ALL SELECT day, 'view', view FROM p) t
       ORDER BY day, event_type"""))
 
-  /** TABLESAMPLE BERNOULLI with REPEATABLE seed (ref:
-    * rel/core/Sample.java:65-98, tablesample.iq). Sampling RNGs differ
-    * across engines, so no value oracle — the driver records rows-only;
-    * the spec asserts the fraction statistically. */
+  /** TABLESAMPLE BERNOULLI(10) REPEATABLE (ref: rel/core/Sample.java
+    * :65-98, tablesample.iq). The keep decision is a deterministic
+    * uniform — u01 = first 8 md5 hex digits of the row key / 2^32 —
+    * which IS Bernoulli sampling, with a REPEATABLE guarantee stronger
+    * than a seeded RNG's: the sample is identical under any partition
+    * layout or engine, so the oracle value-checks it (Spark's own
+    * partition-seeded `df.sample` stays exercised via
+    * api/GraftOps.tablesample + GraftOpsSpec — its draws follow the
+    * physical layout and can't be value-compared). */
   val q92_sample = Q(
     (s, dir) => {
+      val u01 = expr(
+        "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+        .cast(DoubleType) / lit(4294967296.0)
       T(s, dir, "lineitem")
-        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .withColumn("u", u01)
+        .filter(col("u") < 0.1)
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"), round(min(col("u")), 6).as("min_u"))
         .orderBy("l_returnflag")
     },
-    None)
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag,
+          CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+            CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 AS u
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n, ROUND(MIN(u), 6) AS min_u
+      FROM s WHERE u < 0.1
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Gaps-and-islands sessionization: 30-min inactivity gap → session ids
     * per user (ref: SESSION window TVF, SqlStdOperatorTable.java:2612;

@@ -12,6 +12,14 @@ object Patterns {
     * (match.iq / stock-ticker): STRT DOWN+ UP+ per user over event
     * values, one match per V, ALL ROWS PER MATCH output. Hash-family-free
     * but engine-specific greedy semantics → spec-tested, no SQL oracle. */
+  /** V-shape detection (match.iq's canonical STRT DOWN+ UP+ stock
+    * pattern, unanchored): a match is a maximal strictly-descending run
+    * immediately followed by a strictly-ascending run, AFTER MATCH SKIP
+    * PAST LAST ROW. Without an anchor row the skip mode can't consume
+    * the next match's start, so the match set equals the run-length-
+    * encoded relation (runs of sign(value - prev) paired D→U) — which
+    * is the DuckDB oracle, making the greedy-quantifier + skip-past
+    * machinery value-checked end to end. */
   val q98_match_recognize_v = Q(
     (s, dir) => {
       val ev = T(s, dir, "events")
@@ -20,15 +28,57 @@ object Patterns {
         ev,
         partitionKeys = Seq("user_id"),
         orderKeys = Seq("ts", "event_id"),
-        pattern = "STRT DOWN+ UP+",
+        pattern = "DOWN+ UP+",
         define = Map(
           "DOWN" -> ((cur, prev) => prev.exists(p => cur.getDouble(3) < p.getDouble(3))),
           "UP" -> ((cur, prev) => prev.exists(p => cur.getDouble(3) > p.getDouble(3)))),
         afterMatch = SkipPastLastRow)
-        .select(col("user_id"), col("event_id"), col("value"), col("match_no"), col("classifier"))
-        .orderBy("user_id", "match_no", "event_id")
+        .groupBy(col("user_id"), col("match_no"))
+        .agg(
+          min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("start_event_id"),
+          max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("end_event_id"),
+          sum(when(col("classifier") === "DOWN", 1L).otherwise(0L)).as("n_down"),
+          sum(when(col("classifier") === "UP", 1L).otherwise(0L)).as("n_up"),
+          min(col("value")).as("trough"))
+        .select(col("user_id"), col("match_no"), col("start_event_id"),
+          col("end_event_id"), col("n_down"), col("n_up"), col("trough"))
+        .orderBy("user_id", "match_no")
     },
-    None)
+    Some("""
+      WITH s AS (
+        SELECT user_id, event_id, ts, value,
+          LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      d AS (
+        SELECT *, CASE WHEN pv IS NULL THEN 'F' WHEN value < pv THEN 'D'
+                       WHEN value > pv THEN 'U' ELSE 'F' END AS dir
+        FROM s),
+      r AS (
+        SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+        FROM d),
+      runs AS (
+        SELECT user_id, dir, grp, MIN(rn) AS r0, MAX(rn) AS r1, COUNT(*) AS len
+        FROM r GROUP BY user_id, dir, grp),
+      pairs AS (
+        SELECT a.user_id, a.r0 AS d0, a.r1 AS d1, b.r1 AS u1,
+               a.len AS n_down, b.len AS n_up
+        FROM runs a JOIN runs b
+          ON a.user_id = b.user_id AND a.dir = 'D' AND b.dir = 'U'
+         AND b.r0 = a.r1 + 1),
+      m AS (
+        SELECT user_id, d0, d1, u1, n_down, n_up,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d0) AS match_no
+        FROM pairs)
+      SELECT m.user_id AS user_id, CAST(m.match_no AS BIGINT) AS match_no,
+        st.event_id AS start_event_id, en.event_id AS end_event_id,
+        CAST(m.n_down AS BIGINT) AS n_down, CAST(m.n_up AS BIGINT) AS n_up,
+        tr.value AS trough
+      FROM m
+      JOIN d st ON st.user_id = m.user_id AND st.rn = m.d0
+      JOIN d en ON en.user_id = m.user_id AND en.rn = m.u1
+      JOIN d tr ON tr.user_id = m.user_id AND tr.rn = m.d1
+      ORDER BY m.user_id, match_no"""))
 
   /** Two consecutive high-value events, AFTER MATCH SKIP TO NEXT ROW —
     * with this skip mode the match set is exactly the lead()-based SQL

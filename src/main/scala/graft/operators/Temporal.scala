@@ -74,7 +74,12 @@ object Temporal {
           expr("xpath_boolean(xml, '/part/missing')").as("has_missing"))
         .orderBy("p_partkey")
     },
-    None)
+    // the XML is constructed from the source columns, so extraction must
+    // round-trip back to them — DuckDB needs no xpath engine to check it
+    Some("""
+      SELECT p_partkey, p_brand AS brand, CAST(p_size AS INT) AS size,
+             false AS has_missing
+      FROM part WHERE p_partkey <= 100 ORDER BY p_partkey"""))
 
   /** ST_DWithin proximity join on synthesized planar coordinates
     * (ref: runtime/SpatialTypeFunctions.java ST_DWithin;

@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector demo (SURVEY §2.2): a headered-CSV
+  * TableProvider with BOTH scan-time optimizations the V2 API offers —
+  * `SupportsPushDownFilters` (comparison/null predicates evaluate inside
+  * the reader; Spark re-applies only what we decline) and
+  * `SupportsPushDownRequiredColumns` (only projected columns are parsed).
+  * This is the pattern the reference's adapters implement on their own
+  * algebra (arrow/.../ArrowRules.java pushes projects/filters into the
+  * Arrow scan; file/.../CsvTranslatableTable.java the CSV analog).
+  *
+  * Scale shape: the file splits into byte-range partitions (default 4,
+  * option `partitions`) exactly like Hadoop text splits — each reader
+  * seeks to the first full line past its start offset and reads through
+  * the first line ending past its end offset, so workers scan disjoint
+  * ranges with no coordination and no driver-side row handling.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.GraftCsv")
+  *     .option("schema", "id:long,name:string,price:double")
+  *     .load("/path/file.csv")
+  * }}}
+  */
+class GraftCsv extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftCsv.schemaOf(options.get("schema"))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftCsvTable(GraftCsv.pathOf(opts), schema,
+      math.max(1, opts.getInt("partitions", 4)))
+  }
+}
+
+object GraftCsv {
+  private[sources] def schemaOf(spec: String): StructType = {
+    require(spec != null, "graft-csv requires .option(\"schema\", \"name:type,...\")")
+    StructType(spec.split(",").map { f =>
+      val Array(n, t) = f.trim.split(":")
+      val dt = t.trim.toLowerCase match {
+        case "int" | "integer" => IntegerType
+        case "long" | "bigint" => LongType
+        case "double" => DoubleType
+        case "string" | "varchar" => StringType
+        case other => throw new IllegalArgumentException(s"graft-csv: unsupported type $other")
+      }
+      StructField(n.trim, dt)
+    })
+  }
+
+  private[sources] def pathOf(opts: CaseInsensitiveStringMap): String = {
+    val p = Option(opts.get("path")).orElse(Option(opts.get("paths")).map { ps =>
+      // `load(path)` arrives as a JSON array under "paths"
+      ps.stripPrefix("[\"").stripSuffix("\"]")
+    })
+    p.getOrElse(throw new IllegalArgumentException("graft-csv: no path given"))
+  }
+}
+
+private[sources] class GraftCsvTable(path: String, schema: StructType, parts: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-csv:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCsvScanBuilder(path, schema, parts)
+}
+
+private[sources] class GraftCsvScanBuilder(path: String, schema: StructType, parts: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
+    case _ => false
+  }
+
+  /** Keep the comparisons we can evaluate in the reader; everything else
+    * returns to Spark as a residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition(supported)
+    pushed = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GraftCsvScan(path, schema, required, pushed, parts)
+}
+
+private[sources] class GraftCsvScan(
+    path: String, full: StructType, required: StructType,
+    pushed: Array[Filter], parts: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCsvScan PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val len = new java.io.File(path).length()
+    val chunk = math.max(1L, (len + parts - 1) / parts)
+    (0 until parts).map { i =>
+      GraftCsvPartition(path, i * chunk, math.min(len, (i + 1) * chunk))
+    }.filter(p => p.start < p.end).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCsvReaderFactory(full, required, pushed)
+}
+
+private[sources] case class GraftCsvPartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class GraftCsvReaderFactory(
+    full: StructType, required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftCsvReader(partition.asInstanceOf[GraftCsvPartition], full, required, pushed)
+}
+
+/** Byte-range reader: seeks to the first full line after `start` (or
+  * skips the header at offset 0), stops after the first newline at or
+  * past `end`. Parses ONLY the required columns; applies the pushed
+  * filters before emitting — the V2 contract that makes `PushedFilters`
+  * in the plan an execution fact, not an annotation. */
+private[sources] class GraftCsvReader(
+    p: GraftCsvPartition, full: StructType, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val raf = new java.io.RandomAccessFile(p.path, "r")
+  private var pos: Long = {
+    if (p.start == 0) {
+      raf.seek(0)
+      raf.readLine() // header
+    } else {
+      // Hadoop split convention: back up one byte and consume through the
+      // next newline — a line STARTING exactly at p.start stays ours
+      // (the previous reader stops once its pointer reaches its end).
+      raf.seek(p.start - 1)
+      raf.readLine()
+    }
+    raf.getFilePointer
+  }
+  private val fieldIdx = full.fields.map(_.name).zipWithIndex.toMap
+  private val outIdx = required.fields.map(f => fieldIdx(f.name))
+  private var current: Array[String] = _
+
+  private def parse(line: String): Array[String] = line.split(",", -1)
+
+  private def typed(name: String, raw: Array[String]): Any = {
+    val v = raw(fieldIdx(name))
+    if (v.isEmpty) null
+    else full(fieldIdx(name)).dataType match {
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case DoubleType => v.toDouble
+      case _ => v
+    }
+  }
+
+  private def cmp(name: String, value: Any, raw: Array[String]): Option[Int] = {
+    val l = typed(name, raw)
+    if (l == null) None
+    else Some(l match {
+      case i: Int => java.lang.Integer.compare(i, value.asInstanceOf[Number].intValue)
+      case i: Long => java.lang.Long.compare(i, value.asInstanceOf[Number].longValue)
+      case d: Double => java.lang.Double.compare(d, value.asInstanceOf[Number].doubleValue)
+      case s: String => s.compareTo(value.toString)
+    })
+  }
+
+  private def eval(f: Filter, raw: Array[String]): Boolean = f match {
+    case EqualTo(a, v) => cmp(a, v, raw).contains(0)
+    case GreaterThan(a, v) => cmp(a, v, raw).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(a, v, raw).exists(_ >= 0)
+    case LessThan(a, v) => cmp(a, v, raw).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(a, v, raw).exists(_ <= 0)
+    case IsNotNull(a) => raw(fieldIdx(a)).nonEmpty
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    while (pos < p.end) {
+      val line = raf.readLine()
+      pos = raf.getFilePointer
+      if (line == null) return false
+      if (line.nonEmpty) {
+        val raw = parse(line)
+        if (raw.length == full.length && pushed.forall(eval(_, raw))) {
+          current = raw
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val vals = required.fields.map { f =>
+      typed(f.name, current) match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def close(): Unit = raf.close()
+}

@@ -103,4 +103,18 @@ class FunctionsSpec extends SparkSpec {
     val got = df.select(GraftFunctions.similar_to($"s", $"p")).collect()(0).getBoolean(0)
     assert(got)
   }
+
+  test("context functions: USER family resolves to session identity (SqlStdOperatorTable:2120-2162)") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT user() AS u, system_user() AS su, current_user() AS cu,
+             current_schema() AS sch, current_database() AS db,
+             current_path() AS p, current_role() AS role""").collect()(0)
+    assert(r.getString(0).nonEmpty)
+    assert(r.getString(0) == r.getString(2), "USER must alias CURRENT_USER")
+    assert(r.getString(1) == r.getString(2), "SYSTEM_USER must alias CURRENT_USER")
+    assert(r.getString(3) == r.getString(4), "CURRENT_SCHEMA must be the session database")
+    assert(r.getString(5) == "" && r.getString(6) == "",
+      "CURRENT_PATH/CURRENT_ROLE are '' in the default context")
+  }
 }

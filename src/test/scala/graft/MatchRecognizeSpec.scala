@@ -178,18 +178,28 @@ class MatchRecognizeSpec extends SparkSpec {
   }
 
   test("q98 output: every match is a valid V per user") {
+    // replay each reported match against the ordered event stream
+    val ev = T(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3.getTime, t._2)).toIndexedSeq).toMap
     val rows = run("q98_match_recognize_v").collect()
-      .map(r => (r.getLong(0), r.getLong(3), r.getString(4), r.getDouble(2)))
     assert(rows.nonEmpty)
-    rows.groupBy(t => (t._1, t._2)).foreach { case (_, m) =>
-      val cls = m.map(_._3)
-      assert(cls.head == "STRT")
-      val vals = m.map(_._4)
-      val downLen = cls.count(_ == "DOWN")
-      val descent = vals.slice(0, downLen + 1)
-      val ascent = vals.slice(downLen, vals.length)
-      assert(descent.sliding(2).forall { case Array(a, b) => b < a; case _ => true })
-      assert(ascent.sliding(2).forall { case Array(a, b) => b > a; case _ => true })
+    rows.foreach { r =>
+      val (u, start, end) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val (nDown, nUp) = (r.getLong(4).toInt, r.getLong(5).toInt)
+      assert(nDown >= 1 && nUp >= 1)
+      val seq = ev(u)
+      val i0 = seq.indexWhere(_._2 == start)
+      val i1 = seq.indexWhere(_._2 == end)
+      assert(i0 >= 1, "a DOWN row needs a predecessor")
+      assert(i1 - i0 + 1 == nDown + nUp, "match rows = down-run + up-run")
+      val vals = seq.slice(i0 - 1, i1 + 1).map(_._4) // peak .. trough .. end
+      val descent = vals.slice(0, nDown + 1)
+      val ascent = vals.slice(nDown, vals.length)
+      assert(descent.sliding(2).forall { case Seq(a, b) => b < a; case _ => true })
+      assert(ascent.sliding(2).forall { case Seq(a, b) => b > a; case _ => true })
+      assert(r.getDouble(6) == vals(nDown), "trough is the run boundary value")
     }
   }
 
