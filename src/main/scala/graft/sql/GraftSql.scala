@@ -138,7 +138,21 @@ object GraftSql {
   private[graft] def rewrite(sql: String): String =
     rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
       rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(
-        rewriteExtend(rewriteWindowTvf(sql))))))))))
+        rewriteExtend(rewriteWindowTvf(rewriteTop(sql)))))))))))
+
+  /** T-SQL `SELECT TOP n ...` (babel's mssql surface) → trailing
+    * `LIMIT n`. Outermost select only — anchored at the statement head,
+    * so a TOP inside a subquery (valid T-SQL, rare) deliberately passes
+    * through to Spark's parser for a clear error rather than a silent
+    * mis-scope. */
+  private def rewriteTop(sql: String): String = {
+    val re = "(?is)^(\\s*SELECT)\\s+TOP\\s+(\\d+)\\s".r
+    re.findFirstMatchIn(maskLiterals(sql)) match {
+      case Some(m) =>
+        sql.substring(0, m.end(1)) + " " + sql.substring(m.end) + s" LIMIT ${m.group(2)}"
+      case None => sql
+    }
+  }
 
   /** Windowing table-valued functions (SqlWindowTableFunction.java:53-68;
     * SqlStdOperatorTable TUMBLE/HOP/SESSION :2606-2612): lower
@@ -466,8 +480,13 @@ object GraftSql {
     -1
   }
 
+  /** BigQuery SAFE_ family (SqlLibraryOperators SAFE_CAST :2725,
+    * SAFE_ADD/SAFE_SUBTRACT/SAFE_MULTIPLY/SAFE_DIVIDE :2594-2718) →
+    * Spark's TRY_ builtins (identical NULL-on-error semantics). */
   private def rewriteSafeCast(sql: String): String =
-    replaceMasked(sql, "(?i)\\bSAFE_CAST\\s*\\(".r)((_, _) => "TRY_CAST(")
+    replaceMasked(sql,
+      "(?i)\\bSAFE_(CAST|ADD|SUBTRACT|MULTIPLY|DIVIDE)\\s*\\(".r)(
+      (m, _) => s"TRY_${m.group(1).toUpperCase}(")
 
   /** `<ident or dotted ident> [NOT] SIMILAR TO '<pattern>'` →
     * `[NOT] similar_to(ident, '<pattern>')`. */

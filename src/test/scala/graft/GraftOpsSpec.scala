@@ -69,4 +69,25 @@ class GraftOpsSpec extends SparkSpec {
     assert(orders.tablesampleSystem(1.0, 5L).count() == orders.count())
     assert(orders.tablesampleSystem(0.0, 5L).count() == 0L)
   }
+
+  test("temporalJoin: equal-vstart versions tie-break to the longest-lived one") {
+    import graft.api.GraftOps._
+    import spark.implicits._
+    // key 1 has TWO versions starting at t=10: an empty [10,10) and a
+    // live [10,20). The interval join matches only the live one; the
+    // ASOF lowering must carry it deterministically, not an arbitrary
+    // tie winner (the pre-fix failure mode: the empty version wins and
+    // nulls the payload).
+    val left = Seq((1L, 10L), (1L, 15L), (1L, 25L)).toDF("k", "t")
+    val versions = Seq(
+      (1L, 10L, 10L, "empty"),
+      (1L, 10L, 20L, "live"),
+      (1L, 20L, 30L, "next")).toDF("k", "vs", "ve", "payload")
+    val got = left.temporalJoin(versions, key = "k", time = "t",
+      vstart = "vs", vend = "ve", payload = Seq("payload"))
+      .select("t", "payload")
+      .orderBy("t").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq(
+      (10L, Some("live")), (15L, Some("live")), (25L, Some("next"))), s"got $got")
+  }
 }

@@ -237,6 +237,25 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT '--not a comment' AS s")
   }
 
+  test("T-SQL SELECT TOP n lowers to LIMIT; TOP inside a literal is inert") {
+    init()
+    val got = GraftSql.sql(spark,
+      "SELECT TOP 3 r_regionkey FROM region ORDER BY r_regionkey DESC")
+      .collect().map(_.get(0).toString.toLong).toSeq
+    assert(got == Seq(4L, 3L, 2L))
+    assert(GraftSql.rewrite("SELECT 'TOP 3' AS s") == "SELECT 'TOP 3' AS s")
+  }
+
+  test("BigQuery SAFE_ arithmetic family lowers to TRY_ builtins") {
+    val r = GraftSql.sql(spark, """
+      SELECT SAFE_DIVIDE(1, 0) AS d, SAFE_ADD(9223372036854775807, 1) AS a,
+             SAFE_MULTIPLY(9223372036854775807, 2) AS m,
+             SAFE_SUBTRACT(-9223372036854775808, 1) AS s,
+             SAFE_DIVIDE(10, 4) AS ok""").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) == 2.5)
+  }
+
   test("window TVF: HOP swaps Calcite (slide, size) into Spark (size, slide)") {
     val out = GraftSql.rewriteWindowTvf(
       "SELECT * FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))")
