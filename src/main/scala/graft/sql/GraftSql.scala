@@ -52,6 +52,65 @@ object GraftSql {
     }
   }
 
+  // ---- validation-error surface -----------------------------------------
+
+  /** One validator diagnostic, positioned like the reference's
+    * `From line {0}, column {1}` convention. */
+  final case class ValidationError(
+      message: String,
+      errorClass: String,
+      line: Option[Int],
+      column: Option[Int]) {
+    /** Rendered in the reference's wrapper format
+      * (CalciteContextException / resource `validatorContext`). */
+    def render: String = (line, column) match {
+      case (Some(l), Some(c)) => s"At line $l, column ${c + 1}: $message"
+      case _ => message
+    }
+  }
+
+  /** Validate without executing: analyze the (rewritten) statement and
+    * map Spark's error conditions onto the reference validator's message
+    * contract (runtime/CalciteResource.properties:57,83,88,92 — "No
+    * match found for function signature {0}", "Object ''{0}'' not
+    * found", "Column ''{0}'' not found in any table", "Column ''{0}''
+    * is ambiguous"; produced by SqlValidatorImpl.newValidationError).
+    * Empty result = the statement validates. */
+  def validate(spark: SparkSession, text: String): Seq[ValidationError] = {
+    try {
+      spark.sql(rewrite(stripComments(text))).queryExecution.assertAnalyzed()
+      Nil
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException => Seq(toValidationError(e))
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        Seq(ValidationError(e.getSimpleMessage, "PARSE_SYNTAX_ERROR",
+          e.line, e.startPosition))
+    }
+  }
+
+  private def toValidationError(
+      e: org.apache.spark.sql.AnalysisException): ValidationError = {
+    val cls = Option(e.getCondition).getOrElse("")
+    def param(k: String): Option[String] =
+      Option(e.getMessageParameters.get(k)).map(_.replace("`", ""))
+    val msg = cls match {
+      case c if c.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
+        s"Object '${param("relationName").getOrElse("?")}' not found"
+      case c if c.startsWith("UNRESOLVED_COLUMN") =>
+        val base = s"Column '${param("objectName").getOrElse("?")}' not found in any table"
+        param("proposal") match {
+          case Some(p) => s"$base; did you mean '${p.split(",").head.trim}'?"
+          case None => base
+        }
+      case c if c.startsWith("UNRESOLVED_ROUTINE") =>
+        s"No match found for function signature ${param("routineName").getOrElse("?")}"
+      case c if c.startsWith("AMBIGUOUS_REFERENCE") =>
+        s"Column '${param("name").getOrElse("?")}' is ambiguous"
+      case _ => e.getSimpleMessage
+    }
+    ValidationError(msg, cls, e.line, e.startPosition)
+  }
+
   // ---- literal/comment safety -----------------------------------------
 
   /** Remove `-- ...` and `/* ... */` comments (string-aware — a dash-dash
