@@ -249,6 +249,32 @@ object Spatial {
       Geometry("POINT", Seq(GPoint(sx / (3 * sa), sy / (3 * sa))))
   }
 
+  /** ST_Envelope: the axis-aligned bounding box as a closed POLYGON
+    * (degenerate for a single point — JTS returns the point itself). */
+  private[graft] def envelope(g: Geometry): Geometry = {
+    if (g.gtype == "POINT") g
+    else {
+      val (xs, ys) = (g.ring.map(_.x), g.ring.map(_.y))
+      val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
+      Geometry("POLYGON", Seq(
+        GPoint(x0, y0), GPoint(x1, y0), GPoint(x1, y1), GPoint(x0, y1), GPoint(x0, y0)))
+    }
+  }
+
+  /** ST_Length of a LINESTRING (0 for points, per JTS). */
+  private[graft] def length(g: Geometry): Double = g.gtype match {
+    case "LINESTRING" =>
+      g.ring.zip(g.ring.tail).map { case (a, b) => math.hypot(b.x - a.x, b.y - a.y) }.sum
+    case _ => 0.0
+  }
+
+  /** ST_Perimeter of a POLYGON's outer ring (0 for other types). */
+  private[graft] def perimeter(g: Geometry): Double = g.gtype match {
+    case "POLYGON" =>
+      segments(g).map { case (a, b) => math.hypot(b.x - a.x, b.y - a.y) }.sum
+    case _ => 0.0
+  }
+
   // -- WKB (OGC, little-endian) ----------------------------------------------
 
   private def wkbType(t: String): Int = t match {
@@ -329,5 +355,8 @@ object Spatial {
     spark.udf.register("st_npoints", udf((g: Row) => geomOf(g).ring.length))
     spark.udf.register("st_aswkb", udf((g: Row) => toWkb(geomOf(g))))
     spark.udf.register("st_geomfromwkb", udf((b: Array[Byte]) => fromWkb(b)))
+    spark.udf.register("st_envelope", udf((g: Row) => envelope(geomOf(g))))
+    spark.udf.register("st_length", udf((g: Row) => length(geomOf(g))))
+    spark.udf.register("st_perimeter", udf((g: Row) => perimeter(geomOf(g))))
   }
 }

@@ -82,6 +82,15 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(cy - (4 * 0.5 + 3 * 2.5) / 7) < 1e-9, s"cy=$cy")
   }
 
+  test("st_envelope / st_length / st_perimeter") {
+    val env = Spatial.envelope(g("LINESTRING (1 4, 3 0, 2 2)"))
+    assert(Spatial.asText(env) == "POLYGON ((1 0, 3 0, 3 4, 1 4, 1 0))")
+    assert(Spatial.envelope(g("POINT (5 5)")) == g("POINT (5 5)"))
+    assert(Spatial.length(g("LINESTRING (0 0, 3 4, 3 10)")) == 11.0)
+    assert(Spatial.length(g("POINT (1 1)")) == 0.0)
+    assert(Spatial.perimeter(g("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")) == 14.0)
+  }
+
   test("SQL surface: the geometry functions compose inside spark.sql") {
     graft.functions.Spatial.registerAll(spark)
     val r = spark.sql("""
