@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   * Median of 5 (was 3 through round 4) because the recorded BENCH_r04
   * caught two one-off machine-contention spikes that a wider median
   * absorbs — the number reported must be the steady-state cost.
+  * Round 6 adds a variance guard (contended 5-run windows are re-run)
+  * and records per-query min and max/min spread in the artifact.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -40,20 +42,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Variance guard (round 6): three rounds running the recorded artifact was
+    // polluted by co-tenant load lasting the whole 5-run window — median can't
+    // absorb that. If max/min across the 5 timed runs exceeds 3x, the window
+    // was contended: pause and re-run the whole batch (up to 3 retries), and
+    // always record min + max/min so pollution is visible in the artifact.
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       try {
         once(name) // warmup: JIT + codegen + file-index caches
-        val times = (1 to 5).map(_ => once(name)).sorted
-        name -> times(2)
+        var times = (1 to 5).map(_ => once(name)).sorted
+        var attempts = 1
+        while (times.last / times.head > 3.0 && attempts < 4) {
+          System.err.println(f"[bench] $name max/min ${times.last / times.head}%.1fx — contended window, pausing and re-running")
+          Thread.sleep(8000)
+          times = (1 to 5).map(_ => once(name)).sorted
+          attempts += 1
+        }
+        name -> times
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          name -> Seq(-1.0)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(f: Seq[Double] => Double) =
+      results.map { case (k, ts) => "\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
+    val qs = fmt(ts => if (ts.head < 0) -1.0 else ts(ts.size / 2))
+    val qsMin = fmt(_.head)
+    val spread = fmt(ts => if (ts.head <= 0) -1.0 else math.rint(ts.last / ts.head * 100) / 100)
+    val total = results.map { case (_, ts) => if (ts.head < 0) 0.0 else ts(ts.size / 2) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"spread_max_over_min":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

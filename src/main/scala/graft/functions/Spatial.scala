@@ -246,7 +246,12 @@ object Spatial {
         sa += c; sx += (p.x + q.x) * c; sy += (p.y + q.y) * c
         i += 1
       }
-      Geometry("POINT", Seq(GPoint(sx / (3 * sa), sy / (3 * sa))))
+      if (sa == 0.0) {
+        // Degenerate (collinear / zero-area) ring: the area-weighted form
+        // divides by zero. Fall back to the vertex mean, as JTS does for
+        // zero-area geometries, instead of emitting NaN coordinates.
+        Geometry("POINT", Seq(GPoint(r.map(_.x).sum / r.length, r.map(_.y).sum / r.length)))
+      } else Geometry("POINT", Seq(GPoint(sx / (3 * sa), sy / (3 * sa))))
   }
 
   /** ST_Envelope: the axis-aligned bounding box as a closed POLYGON

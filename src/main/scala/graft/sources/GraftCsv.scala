@@ -68,10 +68,38 @@ object GraftCsv {
 
   private[sources] def pathOf(opts: CaseInsensitiveStringMap): String = {
     val p = Option(opts.get("path")).orElse(Option(opts.get("paths")).map { ps =>
-      // `load(path)` arrives as a JSON array under "paths"
-      ps.stripPrefix("[\"").stripSuffix("\"]")
+      // `load(path)` arrives as a JSON string array under "paths". Unwrap a
+      // single element properly (honoring \-escapes) and reject multi-path
+      // loads with a clear error instead of garbling them into one path.
+      val elems = parseJsonStringArray(ps)
+      if (elems.length != 1)
+        throw new IllegalArgumentException(
+          s"graft-csv: exactly one path is supported, got ${elems.length}: ${elems.mkString(", ")}")
+      elems.head
     })
     p.getOrElse(throw new IllegalArgumentException("graft-csv: no path given"))
+  }
+
+  /** Minimal parser for the `["a","b"]` string-array encoding Spark uses
+    * for the `paths` option (elements may contain escaped quotes). */
+  private[sources] def parseJsonStringArray(s: String): Seq[String] = {
+    val t = s.trim
+    require(t.startsWith("[") && t.endsWith("]"), s"graft-csv: malformed paths option: $s")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var i = 1
+    var inStr = false
+    while (i < t.length - 1) {
+      val c = t.charAt(i)
+      if (inStr) c match {
+        case '\\' if i + 1 < t.length - 1 =>
+          sb.append(t.charAt(i + 1)); i += 1
+        case '"' => out += sb.toString; sb.clear(); inStr = false
+        case other => sb.append(other)
+      } else if (c == '"') inStr = true
+      i += 1
+    }
+    out.toSeq
   }
 }
 
@@ -145,30 +173,71 @@ private[sources] class GraftCsvReaderFactory(
   * skips the header at offset 0), stops after the first newline at or
   * past `end`. Parses ONLY the required columns; applies the pushed
   * filters before emitting — the V2 contract that makes `PushedFilters`
-  * in the plan an execution fact, not an annotation. */
+  * in the plan an execution fact, not an annotation.
+  *
+  * Lines are read as raw bytes and decoded UTF-8 (RandomAccessFile
+  * .readLine decodes Latin-1 and would corrupt multi-byte values);
+  * fields follow RFC 4180 quoting ("" escapes a quote inside a quoted
+  * field). Embedded newlines inside quoted fields are NOT supported —
+  * byte-range splits cannot re-find record boundaries under them. */
 private[sources] class GraftCsvReader(
     p: GraftCsvPartition, full: StructType, required: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val raf = new java.io.RandomAccessFile(p.path, "r")
-  private var pos: Long = {
-    if (p.start == 0) {
-      raf.seek(0)
-      raf.readLine() // header
-    } else {
-      // Hadoop split convention: back up one byte and consume through the
-      // next newline — a line STARTING exactly at p.start stays ours
-      // (the previous reader stops once its pointer reaches its end).
-      raf.seek(p.start - 1)
-      raf.readLine()
-    }
-    raf.getFilePointer
+  private val fis = new java.io.FileInputStream(p.path)
+  private val in = new java.io.BufferedInputStream(fis, 1 << 16)
+  private var pos: Long = if (p.start == 0) 0L else p.start - 1
+  locally {
+    // At offset 0 the skipped line is the header; elsewhere the Hadoop
+    // split convention — back up one byte and consume through the next
+    // newline, so a line STARTING exactly at p.start stays ours (the
+    // previous reader stops once its pointer reaches its end).
+    fis.getChannel.position(pos)
+    readLine()
   }
   private val fieldIdx = full.fields.map(_.name).zipWithIndex.toMap
   private val outIdx = required.fields.map(f => fieldIdx(f.name))
   private var current: Array[String] = _
 
-  private def parse(line: String): Array[String] = line.split(",", -1)
+  /** One line as UTF-8, consuming through '\n'; strips a trailing '\r';
+    * null at EOF. Advances `pos` by the exact byte count consumed. */
+  private def readLine(): String = {
+    var b = in.read()
+    if (b < 0) return null
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var consumed = 0L
+    while (b >= 0 && b != '\n') { buf.write(b); consumed += 1; b = in.read() }
+    if (b == '\n') consumed += 1
+    pos += consumed
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes.last == '\r') bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** RFC 4180 field split: commas inside double-quoted fields don't
+    * separate; `""` inside a quoted field is a literal quote. */
+  private def parse(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+          else inQ = false
+        } else sb.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += sb.toString; sb.clear()
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toArray
+  }
 
   private def typed(name: String, raw: Array[String]): Any = {
     val v = raw(fieldIdx(name))
@@ -204,8 +273,7 @@ private[sources] class GraftCsvReader(
 
   override def next(): Boolean = {
     while (pos < p.end) {
-      val line = raf.readLine()
-      pos = raf.getFilePointer
+      val line = readLine()
       if (line == null) return false
       if (line.nonEmpty) {
         val raw = parse(line)
@@ -228,5 +296,5 @@ private[sources] class GraftCsvReader(
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
-  override def close(): Unit = raf.close()
+  override def close(): Unit = in.close()
 }

@@ -114,22 +114,31 @@ object GraftSql {
   // ---- literal/comment safety -----------------------------------------
 
   /** Remove `-- ...` and `/* ... */` comments (string-aware — a dash-dash
-    * inside a literal is content, not a comment). Each comment collapses
-    * to one space so token boundaries survive. */
+    * inside a literal or a backtick-quoted identifier is content, not a
+    * comment; bracketed comments NEST, as Spark's lexer allows). Each
+    * comment collapses to one space so token boundaries survive. */
   private[graft] def stripComments(s: String): String = {
     val sb = new StringBuilder
     var inStr = false
+    var inTick = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false; sb.append(c); i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; sb.append(c); i += 1 }
       else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '`') { inTick = true; sb.append(c); i += 1 }
       else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1
         sb.append(' ')
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        val end = s.indexOf("*/", i + 2)
-        i = if (end < 0) s.length else end + 2
+        var depth = 1
+        i += 2
+        while (i < s.length && depth > 0) {
+          if (s.startsWith("/*", i)) { depth += 1; i += 2 }
+          else if (s.startsWith("*/", i)) { depth -= 1; i += 2 }
+          else i += 1
+        }
         sb.append(' ')
       } else { sb.append(c); i += 1 }
     }
@@ -139,14 +148,18 @@ object GraftSql {
   /** Same-length copy with every char INSIDE a '...' literal replaced by
     * U+0001 (quotes preserved): regexes FIND on the mask — positions map
     * 1:1 — while replacement text is spliced from the original, so a
-    * keyword inside a string literal can never trigger a rewrite. */
+    * keyword inside a string literal or a backtick-quoted identifier can
+    * never trigger a rewrite (backtick content is masked too). */
   private[graft] def maskLiterals(s: String): String = {
     val a = s.toCharArray
     var inStr = false
+    var inTick = false
     var i = 0
     while (i < a.length) {
       if (inStr) { if (a(i) == '\'') inStr = false else a(i) = '\u0001' }
+      else if (inTick) { if (a(i) == '`') inTick = false else a(i) = '\u0001' }
       else if (a(i) == '\'') inStr = true
+      else if (a(i) == '`') inTick = true
       i += 1
     }
     new String(a)
@@ -203,14 +216,42 @@ object GraftSql {
     * `LIMIT n`. Outermost select only — anchored at the statement head,
     * so a TOP inside a subquery (valid T-SQL, rare) deliberately passes
     * through to Spark's parser for a clear error rather than a silent
-    * mis-scope. */
+    * mis-scope. Likewise a statement with a TOP-LEVEL set operator
+    * passes through: T-SQL binds TOP to its own SELECT branch, and a
+    * trailing LIMIT would silently limit the whole union. A trailing
+    * semicolon is stripped before the LIMIT is appended. */
   private def rewriteTop(sql: String): String = {
     val re = "(?is)^(\\s*SELECT)\\s+TOP\\s+(\\d+)\\s".r
-    re.findFirstMatchIn(maskLiterals(sql)) match {
-      case Some(m) =>
-        sql.substring(0, m.end(1)) + " " + sql.substring(m.end) + s" LIMIT ${m.group(2)}"
-      case None => sql
+    val masked = maskLiterals(sql)
+    re.findFirstMatchIn(masked) match {
+      case Some(m) if !hasTopLevelSetOp(masked, m.end) =>
+        val body = sql.substring(m.end).replaceFirst("(?s)\\s*;\\s*$", "")
+        sql.substring(0, m.end(1)) + " " + body + s" LIMIT ${m.group(2)}"
+      case _ => sql
     }
+  }
+
+  /** True if a paren-depth-0 UNION / INTERSECT / EXCEPT keyword occurs at
+    * or after `from` in the masked text (literals already neutralized). */
+  private def hasTopLevelSetOp(masked: String, from: Int): Boolean = {
+    val up = masked.toUpperCase
+    var depth = 0
+    var i = from
+    while (i < up.length) {
+      up.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0)
+            for (kw <- Seq("UNION", "INTERSECT", "EXCEPT"))
+              if (up.startsWith(kw, i) &&
+                  (i == 0 || !up.charAt(i - 1).isLetterOrDigit) &&
+                  (i + kw.length >= up.length || !up.charAt(i + kw.length).isLetterOrDigit))
+                return true
+      }
+      i += 1
+    }
+    false
   }
 
   /** Windowing table-valued functions (SqlWindowTableFunction.java:53-68;
@@ -445,11 +486,14 @@ object GraftSql {
   private def topLevelIndexAnyDepth(s: String, keyword: String): Int = {
     val words = keyword.toUpperCase.split("\\s+")
     var inStr = false
+    var inTick = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
       else if (c == '\'') inStr = true
+      else if (c == '`') inTick = true
       else if (matchWords(s, i, words) >= 0) return i
       i += 1
     }
@@ -460,12 +504,15 @@ object GraftSql {
   private def topLevelIndex(s: String, token: String, wordy: Boolean): Int = {
     var depth = 0
     var inStr = false
+    var inTick = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
       else c match {
         case '\'' => inStr = true
+        case '`' => inTick = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ => if (depth == 0 && s.startsWith(token, i)) return i
@@ -484,12 +531,15 @@ object GraftSql {
     val words = keyword.toUpperCase.split("\\s+")
     var depth = 0
     var inStr = false
+    var inTick = false
     var i = from
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
       else c match {
         case '\'' => inStr = true
+        case '`' => inTick = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>

@@ -64,47 +64,50 @@ object Similarity {
     * derive from a seeded integer hash (pure, replayable — no RNG
     * object). Note: the synthetic embeddings are i.i.d. gaussian, so
     * near-neighbors are barely above the bulk and LSH recall is
-    * intrinsically weak here; the spec reports recall instead of
-    * asserting it. */
+    * intrinsically weak here; the spec therefore ALSO runs this core on
+    * planted clustered fixtures where recall is assertable (≥0.6 gate in
+    * TextOpsSpec) while the corpus run reports recall informationally. */
+  private[graft] def lshKnn(
+      raw: DataFrame, dim: Int, nTables: Int = 8, bitsPerTable: Int = 4,
+      k: Int = 3, queryMax: Long = 20): DataFrame = {
+    def weight(t: Int, b: Int, d: Int): Double = {
+      val h = scala.util.hashing.MurmurHash3.productHash((t, b, d, 42))
+      (h % 1000) / 1000.0
+    }
+    // per-table signature: `bitsPerTable` sign bits of hyperplane projections
+    def sigExpr(vecCol: String, t: Int) = {
+      (0 until bitsPerTable).map { b =>
+        val arr = (0 until dim).map(weight(t, b, _))
+          .mkString("CAST(array(", ", ", ") AS ARRAY<DOUBLE>)")
+        when(graft.functions.GraftFunctions.dot_product(col(vecCol), expr(arr)) > 0,
+          lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val emb = withNorm(raw, "embedding", "nrm")
+    val tabled = emb.select(
+      col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array((0 until nTables).map(t => sigExpr("embedding", t)): _*))
+        .as(Seq("table_id", "bucket")))
+    val q = tabled.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("q_id"), col("table_id"), col("bucket"))
+    val cand = tabled.select(col("vec_id").as("n_id"), col("table_id"), col("bucket"))
+    val pairs = q.join(cand, Seq("table_id", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    // exact re-rank of the candidate union
+    val qv = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+    val nv = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    pairs.join(broadcast(qv), Seq("q_id")).join(nv, Seq("n_id"))
+      .withColumn("sim", dot("q_vec", "n_vec") / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"), col("sim"))
+      .orderBy("q_id", "rk")
+  }
+
   val d10_knn_lsh = Q(
-    (s, dir) => {
-      val nTables = 8
-      val bitsPerTable = 4
-      def weight(t: Int, b: Int, d: Int): Double = {
-        val h = scala.util.hashing.MurmurHash3.productHash((t, b, d, 42))
-        (h % 1000) / 1000.0
-      }
-      // per-table signature: 4 sign bits of hyperplane projections
-      def sigExpr(vecCol: String, t: Int) = {
-        (0 until bitsPerTable).map { b =>
-          val arr = (0 until 64).map(weight(t, b, _))
-            .mkString("CAST(array(", ", ", ") AS ARRAY<DOUBLE>)")
-          when(graft.functions.GraftFunctions.dot_product(col(vecCol), expr(arr)) > 0,
-            lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _)
-      }
-      val emb = withNorm(T(s, dir, "embeddings"), "embedding", "nrm")
-      val tabled = emb.select(
-        col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(array((0 until nTables).map(t => sigExpr("embedding", t)): _*))
-          .as(Seq("table_id", "bucket")))
-      val q = tabled.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("table_id"), col("bucket"))
-      val cand = tabled.select(col("vec_id").as("n_id"), col("table_id"), col("bucket"))
-      val pairs = q.join(cand, Seq("table_id", "bucket"))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id")).distinct()
-      // exact re-rank of the candidate union
-      val qv = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
-      val nv = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("nrm").as("n_nrm"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-      pairs.join(broadcast(qv), Seq("q_id")).join(nv, Seq("n_id"))
-        .withColumn("sim", dot("q_vec", "n_vec") / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("q_id"), col("n_id"), col("rk"), col("sim"))
-        .orderBy("q_id", "rk")
-    },
+    (s, dir) => lshKnn(T(s, dir, "embeddings"), dim = 64),
     None)
 
   /** Embedding-cosine near-duplicate removal: a vector is kept iff no
@@ -127,7 +130,15 @@ object Similarity {
   val d14_embedding_neardup = Q(
     (s, dir) => {
       import s.implicits._
-      val nBlocks = 16
+      // B is derived from corpus size, not a constant: a task holds two
+      // blocks of ~targetRows vectors (128-dim float ≈ 0.5 KB/row → ~2×50 MB
+      // per task), so B grows with the corpus and task memory stays bounded.
+      // Floor 4 keeps the block-pair plan shape at tiny SFs (plan gate);
+      // cap 256 bounds the pair-table at B(B+1)/2 = 32,896 tasks. Counting
+      // the raw scan is parquet-footer-only — no column data is read.
+      val targetRows = 100000L
+      val n = T(s, dir, "embeddings").count()
+      val nBlocks = math.min(256L, math.max(4L, (n + targetRows - 1) / targetRows)).toInt
       val emb = withNorm(T(s, dir, "embeddings"), "embedding", "nrm")
       val blocked = emb.select(col("vec_id"), col("embedding"), col("nrm"),
         pmod(col("vec_id"), lit(nBlocks)).cast(IntegerType).as("blk"))

@@ -59,4 +59,34 @@ class GraftCsvV2Spec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 9)
     assert(df.count() == 1000)
   }
+
+  test("UTF-8 values survive the byte-range reader (no Latin-1 corruption)") {
+    val f = Files.createTempFile("graftcsv-utf8", ".csv")
+    Files.writeString(f,
+      "id,name,price\n1,héllo wörld,1.0\n2,日本語テキスト,2.0\n3,emoji ✓ done,3.0")
+    val names = spark.read.format("graft.sources.GraftCsv")
+      .option("schema", "id:long,name:string,price:double")
+      .load(f.toString).orderBy("id").collect().map(_.getString(1))
+    assert(names.toSeq == Seq("héllo wörld", "日本語テキスト", "emoji ✓ done"))
+  }
+
+  test("RFC-4180 quoting: commas and doubled quotes inside quoted fields") {
+    val f = Files.createTempFile("graftcsv-quote", ".csv")
+    Files.writeString(f,
+      "id,name,price\n1,\"a, b, c\",1.0\n2,\"say \"\"hi\"\"\",2.0\n3,plain,3.0")
+    val rows = spark.read.format("graft.sources.GraftCsv")
+      .option("schema", "id:long,name:string,price:double")
+      .load(f.toString).orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("a, b, c", "say \"hi\"", "plain"))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("multi-path load fails with a clear single-path error") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.GraftCsv")
+        .option("schema", "id:long,name:string,price:double")
+        .load(csv, csv).count()
+    }
+    assert(e.getMessage.contains("exactly one path"), e.getMessage)
+  }
 }

@@ -244,6 +244,31 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(_.get(0).toString.toLong).toSeq
     assert(got == Seq(4L, 3L, 2L))
     assert(GraftSql.rewrite("SELECT 'TOP 3' AS s") == "SELECT 'TOP 3' AS s")
+    // trailing semicolon: the LIMIT must land BEFORE it, not after
+    val withSemi = GraftSql.sql(spark,
+      "SELECT TOP 2 r_regionkey FROM region ORDER BY r_regionkey;")
+      .collect().map(_.get(0).toString.toLong).toSeq
+    assert(withSemi == Seq(0L, 1L))
+    // top-level set operator: T-SQL binds TOP to its own branch — the
+    // lowering must NOT limit the whole union (passes through unchanged)
+    val unionSql = "SELECT TOP 3 r_regionkey FROM region UNION ALL SELECT r_regionkey FROM region"
+    assert(GraftSql.rewrite(unionSql) == unionSql)
+    // a parenthesized (subquery) UNION is fine — only depth-0 blocks it
+    assert(GraftSql.rewrite(
+      "SELECT TOP 1 x FROM (SELECT 1 AS x UNION ALL SELECT 2) t")
+      .endsWith("LIMIT 1"))
+  }
+
+  test("nested bracketed comments and backtick identifiers survive the lexer") {
+    // Spark allows NESTED /* /* */ */ comments — depth must be tracked
+    assert(GraftSql.stripComments("SELECT /* a /* b */ c */ 1 AS x") ==
+      "SELECT   1 AS x")
+    // dash-dash inside a backtick-quoted identifier is content
+    val tick = "SELECT 1 AS `weird--name`"
+    assert(GraftSql.stripComments(tick) == tick)
+    // keywords inside backtick identifiers must not fire rewrites
+    val qualifyTick = "SELECT 1 AS `has QUALIFY inside`"
+    assert(GraftSql.rewrite(qualifyTick) == qualifyTick)
   }
 
   test("BigQuery SAFE_ arithmetic family lowers to TRY_ builtins") {

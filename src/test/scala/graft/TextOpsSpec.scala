@@ -54,6 +54,50 @@ class TextOpsSpec extends SparkSpec {
     assert(ann.nonEmpty, "LSH should return candidates for at least some queries")
   }
 
+  test("knn LSH: recall@3 >= 0.6 on planted clustered fixtures") {
+    // The corpus embeddings are i.i.d. gaussian (near-neighbors sit in
+    // the bulk — no LSH can separate them), so the quality floor is
+    // asserted on PLANTED clusters instead: 12 well-separated centers ×
+    // 10 members each, member = center + small noise. A cluster
+    // member's true top-3 are overwhelmingly its cluster-mates, which
+    // random-hyperplane buckets DO co-locate.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(12)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 10
+    } yield (c.toLong * 10 + m,
+      centers(c).map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val ann = graft.textops.Similarity.lshKnn(emb, dim = dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // exact cosine top-3 as truth
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+    val exact = q.crossJoin(emb.select(col("vec_id").as("n_id"), col("embedding")))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.dot_product(col("q"), col("embedding")) /
+          (sqrt(graft.functions.GraftFunctions.dot_product(col("q"), col("q"))) *
+           sqrt(graft.functions.GraftFunctions.dot_product(col("embedding"), col("embedding")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val truth = exact.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 3).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val recalls = truth.keys.toSeq.map { qid =>
+      (ann.getOrElse(qid, Set.empty) intersect truth(qid)).size.toDouble / truth(qid).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"clustered-fixture LSH recall@3 = $mean%.2f over ${truth.size} queries")
+    assert(mean >= 0.6, f"LSH recall on clustered fixtures too low: $mean%.2f")
+  }
+
   test("sample: fraction lands near 10%") {
     val total = T(spark, sfDir, "lineitem").count()
     val sampled = run("q92_sample").agg(sum("n")).collect()(0).getLong(0)
