@@ -210,7 +210,8 @@ object GraftSql {
   private[graft] def rewrite(sql: String): String =
     rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
       rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(
-        rewriteExtend(rewriteWindowTvf(rewriteTop(sql)))))))))))
+        rewriteExtend(rewriteWindowTvf(rewriteTop(
+          SubqueryRewrites(sql))))))))))))
 
   /** T-SQL `SELECT TOP n ...` (babel's mssql surface) → trailing
     * `LIMIT n`. Outermost select only — anchored at the statement head,
