@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** Function registry — the engine's operator-table plug-in layer (ref:
   * sql/SqlOperatorTable.java chaining in prepare/CalcitePrepareImpl.java:
@@ -80,7 +80,8 @@ object GraftFunctions {
           Seq(UnresolvedNamedLambdaVariableHack.v("i"))))),
     "code_points_to_string" -> (args =>
       ArrayJoin(
-        ArrayTransform(args.head,
+        // cast pins the element type so a bare NULL argument resolves
+        ArrayTransform(Cast(args.head, ArrayType(LongType)),
           LambdaFunction(Chr(UnresolvedNamedLambdaVariableHack.v("c")),
             Seq(UnresolvedNamedLambdaVariableHack.v("c")))),
         Literal(org.apache.spark.unsafe.types.UTF8String.fromString("")), None)),
@@ -103,6 +104,7 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       registry.createOrReplaceTempFunction(name, b, "scala_udf")
     }
+    BigQueryFns.registerAll(spark)
   }
 
   /** Registered function names (for docs/tests). */

@@ -1,0 +1,337 @@
+package graft.sql
+
+/** BigQuery → Spark SQL dialect adapter (ref: the babel module's
+  * BigQuery parser config; conformance corpus
+  * babel/src/test/resources/sql/big-query.iq). Textual surface only —
+  * function SEMANTICS live in graft.functions.BigQueryFns; standard
+  * rewrites (SAFE_CAST, QUALIFY, ...) still run via GraftSql.sql on the
+  * adapted text.
+  *
+  * Covered: double-quoted string literals, TIMESTAMP WITH TIME ZONE
+  * literals, the regexp/parse/split function families (re2-flavored
+  * semantics under bq_ names), boundary-counting *_DIFF with bare unit
+  * keywords, [OFFSET(n)]/[ORDINAL(n)] array subscripts, and EXTRACT
+  * field spellings.
+  */
+object BigQueryDialect {
+
+  def rewrite(sql: String): String =
+    rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteTruncs(rewriteDiffs(rewriteCtors(
+      rewriteAddSub(renameFns(rewriteArrayLiteral(rewriteCurrentDatetime(
+        rewriteTimeLiteral(rewriteDatetimeLiteral(rewriteTsTzLiteral(
+          rewriteStrings(sql))))))))))))))
+
+  /** `DATETIME '2008-12-25 15:30:00'` — BigQuery's DATETIME is Spark's
+    * TIMESTAMP_NTZ. */
+  private def rewriteDatetimeLiteral(sql: String): String =
+    maskedReplace(sql, "(?i)\\bDATETIME\\s+'".r)((_, _) => "TIMESTAMP_NTZ '")
+
+  private def rewriteCurrentDatetime(sql: String): String =
+    maskedReplace(sql,
+      "(?i)(?<![.\\w])CURRENT_DATETIME\\s*(\\(\\s*('[^']*')?\\s*\\))?".r) { (m, orig) =>
+      if (m.start(2) >= 0)
+        s"CAST(from_utc_timestamp(current_timestamp(), ${orig.substring(m.start(2), m.end(2))}) AS TIMESTAMP_NTZ)"
+      else "localtimestamp()"
+    }
+
+  /** `TIME '15:30:00'` → the engine's string TIME encoding. */
+  private def rewriteTimeLiteral(sql: String): String =
+    maskedReplace(sql, "(?i)\\bTIME\\s+'".r)((_, _) => "'")
+
+  /** `ARRAY['a', 'b']` → `array('a', 'b')` (bracket list literal). */
+  private[sql] def rewriteArrayLiteral(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\bARRAY\\s*\\[".r
+    re.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        var depth = 1
+        var i = m.end
+        while (i < masked.length && depth > 0) {
+          val c = masked.charAt(i)
+          if (c == '[') depth += 1 else if (c == ']') depth -= 1
+          i += 1
+        }
+        if (depth != 0) sql
+        else rewriteArrayLiteral(sql.substring(0, m.start) + "array(" +
+          sql.substring(m.end, i - 1) + ")" + sql.substring(i))
+    }
+  }
+
+  /** BigQuery LOG(x, base) is base-last — Spark's log(base, x) is
+    * base-first. Lowered to a ln ratio so the output can't re-match. */
+  private[sql] def rewriteLog(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\bLOG\\s*\\(".r
+    re.findAllMatchIn(masked).foreach { m =>
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0) {
+        val args = splitTop(sql.substring(open + 1, close)).map(_.trim)
+        if (args.size == 2)
+          return rewriteLog(sql.substring(0, m.start) +
+            s"(ln(${args(0)}) / ln(${args(1)}))" + sql.substring(close + 1))
+      }
+    }
+    sql
+  }
+
+  /** `DATETIME_TRUNC(x, DAY)` / `TIMESTAMP_TRUNC(x, DAY[, tz])` →
+    * date_trunc (unit becomes a string); TIME_TRUNC uses the string
+    * TIME runtime. */
+  private[sql] def rewriteTruncs(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\b(DATETIME|TIMESTAMP|TIME)_TRUNC\\s*\\(".r
+    re.findAllMatchIn(masked).foreach { m =>
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0) {
+        val args = splitTop(sql.substring(open + 1, close)).map(_.trim)
+        val unit = if (args.size >= 2) args(1).stripPrefix("`").stripSuffix("`") else ""
+        if (args.size >= 2 && unit.matches("(?i)\\w+")) {
+          val repl = m.group(1).toUpperCase match {
+            case "TIME" => s"bq_time_trunc(${args(0)}, '${unit.toUpperCase}')"
+            case "DATETIME" =>
+              s"CAST(date_trunc('${unit.toUpperCase}', ${args(0)}) AS TIMESTAMP_NTZ)"
+            case _ => s"date_trunc('${unit.toUpperCase}', ${args(0)})"
+          }
+          return rewriteTruncs(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+        }
+      }
+    }
+    sql
+  }
+
+  /** Generic masked find/replace: matches on the literal-masked text,
+    * splices replacement text computed from the original. */
+  private def maskedReplace(sql: String, re: scala.util.matching.Regex)(
+      f: (scala.util.matching.Regex.Match, String) => String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      sb.append(sql.substring(last, m.start)).append(f(m, sql))
+      last = m.end
+    }
+    sb.append(sql.substring(last)).toString
+  }
+
+  /** BigQuery quotes strings with EITHER ' or "; Spark reads " as an
+    * identifier quote. Re-quote "..." as '...', doubling inner quotes. */
+  private[sql] def rewriteStrings(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inSingle = false
+    var inTick = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false; sb.append(c); i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; sb.append(c); i += 1 }
+      else if (c == '\'') { inSingle = true; sb.append(c); i += 1 }
+      else if (c == '`') { inTick = true; sb.append(c); i += 1 }
+      else if (c == '"') {
+        val e = sql.indexOf('"', i + 1)
+        if (e < 0) { sb.append(c); i += 1 }
+        else {
+          val body = sql.substring(i + 1, e).replace("'", "''")
+          sb.append('\'').append(body).append('\'')
+          i = e + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `TIMESTAMP WITH TIME ZONE '2020-01-01 00:00:00 America/New_York'`
+    * → `to_utc_timestamp('2020-01-01 00:00:00', 'America/New_York')`
+    * (the dialect session pins UTC, so the UTC instant IS the value). */
+  private[sql] def rewriteTsTzLiteral(sql: String): String = {
+    val re = "(?i)\\bTIMESTAMP\\s+WITH\\s+TIME\\s+ZONE\\s+'([^']*)'".r
+    re.replaceAllIn(sql, m => {
+      val lit = m.group(1)
+      "^(.*\\d:\\d\\d(?:\\.\\d+)?)\\s+(\\S+)$".r.findFirstMatchIn(lit) match {
+        case Some(p) =>
+          scala.util.matching.Regex.quoteReplacement(
+            s"to_utc_timestamp('${p.group(1)}', '${p.group(2)}')")
+        case None => scala.util.matching.Regex.quoteReplacement(s"TIMESTAMP '$lit'")
+      }
+    })
+  }
+
+  private val renames = Seq(
+    "REGEXP_EXTRACT_ALL" -> "bq_regexp_extract_all",
+    "REGEXP_EXTRACT" -> "bq_regexp_extract",
+    "REGEXP_SUBSTR" -> "bq_regexp_extract",
+    "REGEXP_INSTR" -> "bq_regexp_instr",
+    "SPLIT" -> "bq_split",
+    "PARSE_DATE" -> "bq_parse_date",
+    "PARSE_DATETIME" -> "bq_parse_datetime",
+    "PARSE_TIMESTAMP" -> "bq_parse_timestamp",
+    "FORMAT_DATE" -> "bq_format_date",
+    "FORMAT_DATETIME" -> "bq_format_datetime",
+    "FORMAT_TIMESTAMP" -> "bq_format_timestamp",
+    "FORMAT_TIME" -> "bq_format_time",
+    "PARSE_TIME" -> "bq_parse_time",
+    "REGEXP_REPLACE" -> "bq_regexp_replace")
+
+  /** `DATE_ADD(d, INTERVAL 5 DAY)` → date/timestamp arithmetic (Spark's
+    * own date_add takes an integer day count, so only the INTERVAL form
+    * is rewritten). DATETIME/TIMESTAMP variants return their own type. */
+  private[sql] def rewriteAddSub(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\b(DATE|DATETIME|TIMESTAMP|TIME)_(ADD|SUB)\\s*\\(".r
+    re.findAllMatchIn(masked).foreach { m =>
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0) {
+        val args = splitTop(sql.substring(open + 1, close))
+        if (args.size == 2 && args(1).trim.toUpperCase.startsWith("INTERVAL")) {
+          val add = m.group(2).equalsIgnoreCase("ADD")
+          val repl = m.group(1).toUpperCase match {
+            case "TIME" => // string TIME encoding: wraparound micros math
+              intervalMicros(args(1).trim).map { us =>
+                s"bq_time_add_micros(${args(0).trim}, ${if (add) us else -us}L)"
+              }.getOrElse(return sql)
+            case kind =>
+              val core = s"(${args(0).trim}) ${if (add) "+" else "-"} ${args(1).trim}"
+              if (kind == "DATE") s"CAST($core AS DATE)"
+              else if (kind == "DATETIME") s"CAST($core AS TIMESTAMP_NTZ)"
+              else s"($core)"
+          }
+          return rewriteAddSub(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+        }
+      }
+    }
+    sql
+  }
+
+  /** BigQuery value constructors: DATETIME(y,m,d,h,mi,s) /
+    * DATETIME(expr[, tz]) / DATE(y,m,d) / DATE(ts, tz) /
+    * TIMESTAMP(expr[, tz]). TIME(...) is left alone — Spark has no TIME
+    * type (the engine's TIME surface is covered separately, q109). */
+  private[sql] def rewriteCtors(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\b(DATETIME|DATE|TIMESTAMP|TIME)\\s*\\(".r
+    re.findAllMatchIn(masked).foreach { m =>
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0) {
+        val args = splitTop(sql.substring(open + 1, close)).map(_.trim)
+        val name = m.group(1).toUpperCase
+        val repl: Option[String] = (name, args.size) match {
+          case ("DATETIME", 6) => Some(s"make_timestamp_ntz(${args.mkString(", ")})")
+          case ("DATETIME", 1) => Some(s"CAST(${args(0)} AS TIMESTAMP_NTZ)")
+          case ("DATETIME", 2) if args(1).startsWith("'") =>
+            Some(s"CAST(from_utc_timestamp(${args(0)}, ${args(1)}) AS TIMESTAMP_NTZ)")
+          case ("DATETIME", 2) => // DATETIME(date, time): string TIME encoding
+            Some(s"CAST(concat(CAST(CAST(${args(0)} AS DATE) AS STRING), ' ', ${args(1)}) AS TIMESTAMP_NTZ)")
+          case ("DATE", 3) => Some(s"make_date(${args.mkString(", ")})")
+          case ("DATE", 2) if args(1).startsWith("'") =>
+            Some(s"CAST(from_utc_timestamp(${args(0)}, ${args(1)}) AS DATE)")
+          case ("TIMESTAMP", 1) => Some(s"CAST(${args(0)} AS TIMESTAMP)")
+          case ("TIMESTAMP", 2) if args(1).startsWith("'") =>
+            Some(s"to_utc_timestamp(${args(0)}, ${args(1)})")
+          case ("TIME", 3) => Some(s"bq_time3(${args.mkString(", ")})")
+          case ("TIME", 1) => Some(s"bq_time_from(${args(0)})")
+          case ("TIME", 2) if args(1).startsWith("'") =>
+            Some(s"bq_time_from(from_utc_timestamp(${args(0)}, ${args(1)}))")
+          case _ => None
+        }
+        repl.foreach { r =>
+          return rewriteCtors(sql.substring(0, m.start) + r + sql.substring(close + 1))
+        }
+      }
+    }
+    sql
+  }
+
+  private def renameFns(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    var out = sql
+    var m = masked
+    for ((from, to) <- renames) {
+      val re = ("(?i)\\b" + from + "\\s*\\(").r
+      val sb = new StringBuilder
+      val sbM = new StringBuilder
+      var last = 0
+      re.findAllMatchIn(m).foreach { mm =>
+        sb.append(out.substring(last, mm.start)).append(to).append("(")
+        sbM.append(m.substring(last, mm.start)).append(to).append("(")
+        last = mm.end
+      }
+      sb.append(out.substring(last)); sbM.append(m.substring(last))
+      out = sb.toString; m = sbM.toString
+    }
+    out
+  }
+
+  /** `DATE_DIFF(a, b, DAY)` → `bq_date_diff(a, b, 'DAY')` (boundary
+    * counting); DATETIME/TIMESTAMP variants share bq_datetime_diff.
+    * Parameterized units like WEEK(MONDAY) pass through untouched (and
+    * fail visibly) — a documented gap. */
+  private[sql] def rewriteDiffs(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\b(DATE_DIFF|DATETIME_DIFF|TIMESTAMP_DIFF|TIME_DIFF)\\s*\\(".r
+    re.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = GraftSql.closeParen(masked, open)
+        if (close < 0) return sql
+        val args = splitTop(sql.substring(open + 1, close))
+        if (args.size != 3) return sql
+        val unit0 = args(2).trim.stripPrefix("`").stripSuffix("`")
+        if (!unit0.matches("(?i)\\w+")) return sql // WEEK(MONDAY) etc.
+        val fn = m.group(1).toUpperCase match {
+          case "DATE_DIFF" => "bq_date_diff"
+          case "TIME_DIFF" => "bq_time_diff"
+          case _ => "bq_datetime_diff"
+        }
+        val repl = s"$fn(${args(0).trim}, ${args(1).trim}, '${unit0.toUpperCase}')"
+        rewriteDiffs(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+    }
+  }
+
+  /** `INTERVAL 10 MINUTE` → micros, for the wraparound TIME runtime. */
+  private def intervalMicros(s: String): Option[Long] = {
+    "(?i)^INTERVAL\\s+(\\d+)\\s+(\\w+)$".r.findFirstMatchIn(s.trim).flatMap { m =>
+      val n = m.group(1).toLong
+      m.group(2).toUpperCase match {
+        case "MICROSECOND" => Some(n)
+        case "MILLISECOND" => Some(n * 1000L)
+        case "SECOND" => Some(n * 1000000L)
+        case "MINUTE" => Some(n * 60000000L)
+        case "HOUR" => Some(n * 3600000000L)
+        case _ => None
+      }
+    }
+  }
+
+  /** `arr[OFFSET(i)]` (0-based) → `arr[(i)]`; `arr[ORDINAL(i)]`
+    * (1-based) → `arr[-1+(i)]` — Spark subscripts are 0-based. */
+  private def rewriteBrackets(sql: String): String = sql
+    .replaceAll("(?i)\\[\\s*OFFSET\\(", "[(")
+    .replaceAll("(?i)\\[\\s*ORDINAL\\(", "[-1+(")
+
+  private def rewriteExtractFields(sql: String): String =
+    sql.replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*DAYOFYEAR\\b", "EXTRACT(DOY")
+
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') depth -= 1
+      else if (c == ',' && depth == 0) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+}

@@ -590,13 +590,13 @@ object GraftSql {
     -1
   }
 
-  /** BigQuery SAFE_ family (SqlLibraryOperators SAFE_CAST :2725,
-    * SAFE_ADD/SAFE_SUBTRACT/SAFE_MULTIPLY/SAFE_DIVIDE :2594-2718) →
-    * Spark's TRY_ builtins (identical NULL-on-error semantics). */
+  /** BigQuery SAFE_CAST (SqlLibraryOperators.java:2725) → TRY_CAST
+    * (identical NULL-on-error semantics). The SAFE_ arithmetic family
+    * (SAFE_ADD/SUBTRACT/MULTIPLY/DIVIDE/NEGATE :2594-2718) is registered
+    * as functions instead — functions/BigQueryFns.scala — because TRY_
+    * returns Infinity on DOUBLE overflow where SAFE_ must return NULL. */
   private def rewriteSafeCast(sql: String): String =
-    replaceMasked(sql,
-      "(?i)\\bSAFE_(CAST|ADD|SUBTRACT|MULTIPLY|DIVIDE)\\s*\\(".r)(
-      (m, _) => s"TRY_${m.group(1).toUpperCase}(")
+    replaceMasked(sql, "(?i)\\bSAFE_CAST\\s*\\(".r)((_, _) => "TRY_CAST(")
 
   /** `<ident or dotted ident> [NOT] SIMILAR TO '<pattern>'` →
     * `[NOT] similar_to(ident, '<pattern>')`. */

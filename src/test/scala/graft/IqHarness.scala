@@ -1,0 +1,264 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.sql.GraftSql
+
+/** Shared quidem (.iq) machinery for the reference conformance specs:
+  * parses statements + recorded expected tables out of the read-only
+  * reference checkout at test time (nothing is copied into this repo),
+  * and value-compares a Spark result against the recorded output.
+  *
+  * Quidem grammar notes the parser honors:
+  *  - one statement can carry SEVERAL (expected-block, !directive)
+  *    sections (e.g. `!type` output then `!ok` output) — scan ahead to
+  *    the next `!` command line; a ';'-terminated line seen first means
+  *    the remaining lines start a NEW statement instead;
+  *  - `!if (cond) { ... !}` wraps disabled/conditional tests in the
+  *    reference corpora — skipped wholesale (they are off upstream too);
+  *  - `!update` statements are DDL/DML the corpus expects to execute.
+  */
+trait IqHarness extends SparkSpec {
+
+  case class IqCase(file: String, line: Int, use: String, sql: String,
+      header: Seq[String], rows: Seq[Seq[String]], ddl: Boolean = false)
+
+  def parseIq(f: java.io.File): Seq[IqCase] = {
+    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+    val out = ArrayBuffer.empty[IqCase]
+    var use = ""
+    var fmt = "mysql"
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l.startsWith("!if")) {
+        i += 1
+        var depth = 1
+        while (i < lines.length && depth > 0) {
+          val t = lines(i).trim
+          if (t.startsWith("!if")) depth += 1
+          else if (t == "!}") depth -= 1
+          i += 1
+        }
+      }
+      else if (l.startsWith("!use ")) { use = l.stripPrefix("!use ").trim; i += 1 }
+      else if (l.startsWith("!set outputformat ")) { fmt = l.stripPrefix("!set outputformat ").trim; i += 1 }
+      else if (l.startsWith("#") || l.startsWith("!") || l.isEmpty) i += 1
+      else {
+        // statement: accumulate until a line ending in ';'
+        val start = i
+        val stmt = new StringBuilder
+        var done = false
+        while (i < lines.length && !done) {
+          val s = lines(i)
+          if (!s.trim.startsWith("#")) {
+            stmt.append(s).append('\n')
+            if (s.trim.endsWith(";")) done = true
+          }
+          i += 1
+        }
+        // one or more (expected-block, !directive) sections follow
+        var more = true
+        while (more) {
+          var j = i
+          var found = -1
+          var newStmt = false
+          while (j < lines.length && found < 0 && !newStmt) {
+            val t = lines(j).trim
+            if (t.startsWith("!")) found = j
+            else if (t.endsWith(";")) newStmt = true
+            else j += 1
+          }
+          if (found < 0) more = false
+          else {
+            val d = lines(found).trim
+            if (d.startsWith("!if")) {
+              // conditional (disabled) section attached to this statement —
+              // e.g. a guarded !plan — skip it and keep scanning: the real
+              // !ok section may follow the closing !}
+              var k = found + 1
+              var depth = 1
+              while (k < lines.length && depth > 0) {
+                val t = lines(k).trim
+                if (t.startsWith("!if")) depth += 1
+                else if (t == "!}") depth -= 1
+                k += 1
+              }
+              i = k
+            } else if (d.startsWith("!use") || d.startsWith("!set") || d == "!}") {
+              more = false // context directive — belongs to the outer loop
+            } else {
+              if (d == "!ok") {
+                parseExpected(lines.slice(i, found), fmt).foreach { case (hdr, rows) =>
+                  out += IqCase(f.getName, start + 1, use,
+                    stmt.toString.trim.stripSuffix(";"), hdr, rows)
+                }
+              } else if (d == "!update") {
+                out += IqCase(f.getName, start + 1, use,
+                  stmt.toString.trim.stripSuffix(";"), Nil, Nil, ddl = true)
+              }
+              i = found + 1
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** mysql format: | a | b | rows between the 2nd and last +--- separator;
+    * oracle format: fixed-width columns spanned by the dashes line. */
+  def parseExpected(block: Seq[String], fmt: String): Option[(Seq[String], Seq[Seq[String]])] = fmt match {
+    case "mysql" =>
+      val seps = block.zipWithIndex.filter(_._1.trim.startsWith("+-")).map(_._2)
+      if (seps.size < 2) {
+        // zero-column or malformed — only accept the explicit empty form
+        if (block.exists(_.trim.matches("\\(0 rows\\)"))) Some((Nil, Nil)) else None
+      } else {
+        val hdr = splitPipes(block(seps(0) + 1))
+        val dataLines = block.slice(seps(1) + 1, seps.last)
+        val rows = dataLines.filter(_.trim.startsWith("|")).map(splitPipes)
+        // a cell containing a literal '|' would mis-split: count check
+        if (rows.exists(_.size != hdr.size)) None else Some((hdr, rows))
+      }
+    case "oracle" =>
+      block.zipWithIndex.find(_._1.trim.matches("-+( -+)*")) match {
+        case None =>
+          if (block.exists(_.trim.matches("0 rows selected\\.?"))) Some((Nil, Nil)) else None
+        case Some((dashes, di)) =>
+          // column spans = runs of '-' in the dashes line
+          val spans = ArrayBuffer.empty[(Int, Int)]
+          var j = 0
+          while (j < dashes.length) {
+            if (dashes.charAt(j) == '-') {
+              val s = j
+              while (j < dashes.length && dashes.charAt(j) == '-') j += 1
+              spans += ((s, j))
+            } else j += 1
+          }
+          def cells(s: String): Seq[String] = spans.toSeq.zipWithIndex.map { case ((a, b), k) =>
+            // last column runs to end of line (left-aligned strings can overflow the dashes)
+            val hi = if (k == spans.size - 1) s.length else math.min(b, s.length)
+            if (a >= s.length) "" else s.substring(a, hi).trim
+          }
+          val hdr = cells(block(di - 1))
+          val rows = block.drop(di + 1).takeWhile(_.trim.nonEmpty).map(cells)
+          Some((hdr, rows))
+      }
+    case _ => None
+  }
+
+  private def splitPipes(l: String): Seq[String] = {
+    val t = l.trim.stripPrefix("|").stripSuffix("|")
+    t.split("\\|", -1).map(_.trim).toSeq
+  }
+
+  // ---- normalization + compare -----------------------------------------
+
+  private val numRe = "-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?".r
+
+  /** Numerics are rounded to 9 significant digits before compare: the
+    * reference computes DECIMAL where Spark computes DOUBLE for several
+    * aggregates (REGR_*, scalar-subquery division), so exact strings
+    * differ in the last ulps while both are correct. */
+  def normCell(s: String): String = s match {
+    case "" => ""
+    case v if numRe.matches(v) =>
+      val bd = new java.math.BigDecimal(v)
+        .round(new java.math.MathContext(9)).stripTrailingZeros()
+      if (bd.compareTo(java.math.BigDecimal.ZERO) == 0) "0" else bd.toPlainString
+    case v if v.startsWith("[") && v.endsWith("]") => // collection cells
+      v.substring(1, v.length - 1).split(", ", -1).map(normCell).mkString("[", ", ", "]")
+    case v => v
+  }
+
+  def normValue(v: Any): String = v match {
+    case null => ""
+    case b: java.math.BigDecimal => normCell(b.toPlainString)
+    case b: scala.math.BigDecimal => normCell(b.bigDecimal.toPlainString)
+    case d: java.lang.Double => normCell(d.toString)
+    case f: java.lang.Float => normCell(f.toString)
+    case t: java.sql.Timestamp => t.toString.stripSuffix(".0")
+    case d: java.sql.Date => d.toString
+    case ldt: java.time.LocalDateTime => // TIMESTAMP_NTZ: space, full seconds
+      ldt.format(java.time.format.DateTimeFormatter.ofPattern(
+        if (ldt.getNano == 0) "uuuu-MM-dd HH:mm:ss" else "uuuu-MM-dd HH:mm:ss.SSSSSS"))
+    case b: Array[Byte] => b.map(x => f"${x & 0xff}%02x").mkString
+    case arr: scala.collection.Seq[_] => arr.map(normValue).mkString("[", ", ", "]")
+    case r: org.apache.spark.sql.Row => // ROW constructor prints {a, b}
+      (0 until r.length).map(i => normValue(r.get(i))).mkString("{", ", ", "}")
+    case m: scala.collection.Map[_, _] => // MAP prints {k=v, ...} sorted
+      m.toSeq.map { case (k, v) => s"${normValue(k)}=${normValue(v)}" }
+        .sorted.mkString("{", ", ", "}")
+    case other =>
+      // expected-side cells are whitespace/control-trimmed by the table
+      // parser; trim symmetrically here
+      normCell(other.toString.trim)
+  }
+
+  /** Run `cleaned` through GraftSql and value-compare against the case's
+    * recorded table. None = pass; Some(reason) = mismatch/error. Row
+    * MULTISETS are compared (ORDER BY tie order is engine-specific). */
+  def compareCase(c: IqCase, cleaned: String): Option[String] = {
+    try {
+      val got = GraftSql.sql(spark, cleaned)
+      val rows = got.collect()
+      if (got.columns.length != c.header.size)
+        return Some(s"column count ${got.columns.length} != expected ${c.header.size} (${c.header.mkString(",")})")
+      val gotNorm = rows.map(r => (0 until r.length).map(i => normValue(r.get(i))).toSeq)
+      val expNorm = c.rows.map(_.map(normCell))
+      if (gotNorm.length != expNorm.length)
+        return Some(s"row count ${gotNorm.length} != expected ${expNorm.length}")
+      val g = gotNorm.sortBy(_.mkString(" "))
+      val e = expNorm.sortBy(_.mkString(" "))
+      if (g.map(_.toList).toList != e.map(_.toList).toList) {
+        val diff = g.zip(e).collectFirst { case (a, b) if a != b => s"got $a expected $b" }
+        return Some(s"value mismatch: ${diff.getOrElse("?")}")
+      }
+      None
+    } catch {
+      case ex: Throwable =>
+        Some(s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+    }
+  }
+
+  /** The public scott demo schema (EMP/DEPT/BONUS/SALGRADE) with the
+    * reference dataset's values (scott-data-hsqldb). */
+  def registerScott(): Unit = {
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW emp AS
+      SELECT empno, ename, job, mgr, hiredate,
+             CAST(sal AS DECIMAL(7,2)) AS sal,
+             CAST(comm AS DECIMAL(7,2)) AS comm, deptno
+      FROM VALUES
+        (7369,'SMITH','CLERK',7902,DATE'1980-12-17',800.00,CAST(NULL AS DECIMAL(7,2)),20),
+        (7499,'ALLEN','SALESMAN',7698,DATE'1981-02-20',1600.00,300.00,30),
+        (7521,'WARD','SALESMAN',7698,DATE'1981-02-22',1250.00,500.00,30),
+        (7566,'JONES','MANAGER',7839,DATE'1981-02-04',2975.00,CAST(NULL AS DECIMAL(7,2)),20),
+        (7654,'MARTIN','SALESMAN',7698,DATE'1981-09-28',1250.00,1400.00,30),
+        (7698,'BLAKE','MANAGER',7839,DATE'1981-01-05',2850.00,CAST(NULL AS DECIMAL(7,2)),30),
+        (7782,'CLARK','MANAGER',7839,DATE'1981-06-09',2450.00,CAST(NULL AS DECIMAL(7,2)),10),
+        (7788,'SCOTT','ANALYST',7566,DATE'1987-04-19',3000.00,CAST(NULL AS DECIMAL(7,2)),20),
+        (7839,'KING','PRESIDENT',CAST(NULL AS INT),DATE'1981-11-17',5000.00,CAST(NULL AS DECIMAL(7,2)),10),
+        (7844,'TURNER','SALESMAN',7698,DATE'1981-09-08',1500.00,0.00,30),
+        (7876,'ADAMS','CLERK',7788,DATE'1987-05-23',1100.00,CAST(NULL AS DECIMAL(7,2)),20),
+        (7900,'JAMES','CLERK',7698,DATE'1981-12-03',950.00,CAST(NULL AS DECIMAL(7,2)),30),
+        (7902,'FORD','ANALYST',7566,DATE'1981-12-03',3000.00,CAST(NULL AS DECIMAL(7,2)),20),
+        (7934,'MILLER','CLERK',7782,DATE'1982-01-23',1300.00,CAST(NULL AS DECIMAL(7,2)),10)
+        AS t(empno, ename, job, mgr, hiredate, sal, comm, deptno)""")
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW dept AS SELECT * FROM VALUES
+        (10,'ACCOUNTING','NEW YORK'),(20,'RESEARCH','DALLAS'),
+        (30,'SALES','CHICAGO'),(40,'OPERATIONS','BOSTON')
+        AS t(deptno, dname, loc)""")
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW bonus AS
+      SELECT CAST(NULL AS STRING) AS ename, CAST(NULL AS STRING) AS job,
+             CAST(NULL AS DECIMAL(7,2)) AS sal, CAST(NULL AS DECIMAL(7,2)) AS comm
+      WHERE 1 = 0""")
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW salgrade AS SELECT * FROM VALUES
+        (1,700,1200),(2,1201,1400),(3,1401,2000),(4,2001,3000),(5,3001,9999)
+        AS t(grade, losal, hisal)""")
+  }
+}
