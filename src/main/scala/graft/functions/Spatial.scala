@@ -118,7 +118,10 @@ object Spatial {
   // (the codegen distance/contains pack above serves the join-heavy ops).
 
   final case class GPoint(x: Double, y: Double)
-  final case class Geometry(gtype: String, ring: Seq[GPoint])
+  /** POLYGON: `ring` is the (closed) outer ring, `holes` the interior
+    * rings (SpatialTypeFunctions' JTS polygons carry both). Other types
+    * leave `holes` empty. */
+  final case class Geometry(gtype: String, ring: Seq[GPoint], holes: Seq[Seq[GPoint]] = Nil)
 
   /** JTS WKTWriter-style number: integral doubles print without ".0". */
   private def fmt(v: Double): String =
@@ -138,11 +141,17 @@ object Spatial {
     typ match {
       case "POINT" | "LINESTRING" | "MULTIPOINT" => Geometry(typ, pts(body))
       case "POLYGON" =>
-        // outer ring only: text between the first '(' and its match
-        val a = body.indexOf('(')
-        val b = body.indexOf(')', a)
-        require(a >= 0 && b > a, s"malformed POLYGON: $wkt")
-        Geometry("POLYGON", pts(body.substring(a + 1, b)))
+        // every parenthesized ring: first is the outer, the rest holes
+        val rings = scala.collection.mutable.ArrayBuffer.empty[Seq[GPoint]]
+        var a = body.indexOf('(')
+        while (a >= 0) {
+          val b = body.indexOf(')', a)
+          require(b > a, s"malformed POLYGON: $wkt")
+          rings += pts(body.substring(a + 1, b))
+          a = body.indexOf('(', b)
+        }
+        require(rings.nonEmpty, s"malformed POLYGON: $wkt")
+        Geometry("POLYGON", rings.head, rings.tail.toSeq)
       case other => throw new IllegalArgumentException(s"unsupported WKT type: $other")
     }
   }
@@ -153,7 +162,9 @@ object Spatial {
       case "POINT" => s"POINT (${pt(g.ring.head)})"
       case "LINESTRING" => g.ring.map(pt).mkString("LINESTRING (", ", ", ")")
       case "MULTIPOINT" => g.ring.map(p => s"(${pt(p)})").mkString("MULTIPOINT (", ", ", ")")
-      case "POLYGON" => g.ring.map(pt).mkString("POLYGON ((", ", ", "))")
+      case "POLYGON" =>
+        (g.ring +: g.holes).map(_.map(pt).mkString("(", ", ", ")"))
+          .mkString("POLYGON (", ", ", ")")
     }
   }
 
@@ -172,14 +183,21 @@ object Spatial {
     (o1 != o2 && o3 != o4) ||
       onSeg(a, b, c) || onSeg(a, b, d) || onSeg(c, d, a) || onSeg(c, d, b)
   }
-  private def segments(g: Geometry): Seq[(GPoint, GPoint)] = {
-    val r = if (g.gtype == "POLYGON" && g.ring.length > 1 && g.ring.head != g.ring.last)
-      g.ring :+ g.ring.head else g.ring
+  private def ringSegments(ring: Seq[GPoint], close: Boolean): Seq[(GPoint, GPoint)] = {
+    val r = if (close && ring.length > 1 && ring.head != ring.last) ring :+ ring.head else ring
     if (r.length < 2) Nil else r.zip(r.tail)
   }
-  private def inPolygon(p: GPoint, poly: Geometry): Boolean =
-    pointInPolygon(p.x, p.y, poly.ring.map(q => (q.x, q.y))) ||
-      segments(poly).exists { case (a, b) => onSeg(a, b, p) } // boundary counts (JTS)
+  private def segments(g: Geometry): Seq[(GPoint, GPoint)] = {
+    val outer = ringSegments(g.ring, g.gtype == "POLYGON")
+    if (g.gtype == "POLYGON") outer ++ g.holes.flatMap(ringSegments(_, close = true))
+    else outer
+  }
+  private def inPolygon(p: GPoint, poly: Geometry): Boolean = {
+    val onBoundary = segments(poly).exists { case (a, b) => onSeg(a, b, p) }
+    if (onBoundary) true // any ring's boundary is part of the polygon (JTS)
+    else pointInPolygon(p.x, p.y, poly.ring.map(q => (q.x, q.y))) &&
+      !poly.holes.exists(h => pointInPolygon(p.x, p.y, h.map(q => (q.x, q.y))))
+  }
 
   /** ST_Intersects over any pair of the supported types (point ∩ point/
     * line/polygon, line ∩ line/polygon, polygon ∩ polygon, multipoint as
@@ -237,21 +255,91 @@ object Spatial {
       val n = g.ring.length
       Geometry("POINT", Seq(GPoint(g.ring.map(_.x).sum / n, g.ring.map(_.y).sum / n)))
     case "POLYGON" =>
-      val r = if (g.ring.length > 1 && g.ring.head == g.ring.last) g.ring.dropRight(1) else g.ring
-      var (sa, sx, sy) = (0.0, 0.0, 0.0)
-      var i = 0
-      while (i < r.length) {
-        val (p, q) = (r(i), r((i + 1) % r.length))
-        val c = p.x * q.y - q.x * p.y
-        sa += c; sx += (p.x + q.x) * c; sy += (p.y + q.y) * c
-        i += 1
-      }
-      if (sa == 0.0) {
+      // outer ring minus hole contributions, each by the shoelace form
+      val (oa, ox, oy) = ringCentroid(g.ring)
+      val hs = g.holes.map(ringCentroid)
+      val area = oa - hs.map(_._1).sum
+      if (area == 0.0) {
         // Degenerate (collinear / zero-area) ring: the area-weighted form
         // divides by zero. Fall back to the vertex mean, as JTS does for
         // zero-area geometries, instead of emitting NaN coordinates.
+        val r = if (g.ring.length > 1 && g.ring.head == g.ring.last) g.ring.dropRight(1) else g.ring
         Geometry("POINT", Seq(GPoint(r.map(_.x).sum / r.length, r.map(_.y).sum / r.length)))
-      } else Geometry("POINT", Seq(GPoint(sx / (3 * sa), sy / (3 * sa))))
+      } else Geometry("POINT", Seq(
+        GPoint((ox * oa - hs.map(h => h._2 * h._1).sum) / area,
+          (oy * oa - hs.map(h => h._3 * h._1).sum) / area)))
+  }
+
+  /** (|area|, cx, cy) of one ring by the shoelace formula. */
+  private def ringCentroid(ring0: Seq[GPoint]): (Double, Double, Double) = {
+    val r = if (ring0.length > 1 && ring0.head == ring0.last) ring0.dropRight(1) else ring0
+    var (sa, sx, sy) = (0.0, 0.0, 0.0)
+    var i = 0
+    while (i < r.length) {
+      val (p, q) = (r(i), r((i + 1) % r.length))
+      val c = p.x * q.y - q.x * p.y
+      sa += c; sx += (p.x + q.x) * c; sy += (p.y + q.y) * c
+      i += 1
+    }
+    if (sa == 0.0) (0.0, 0.0, 0.0) else (math.abs(sa / 2), sx / (3 * sa), sy / (3 * sa))
+  }
+
+  /** ST_Area over the geometry (outer minus holes); 0 for non-areal. */
+  private[graft] def geomArea(g: Geometry): Double = g.gtype match {
+    case "POLYGON" => ringCentroid(g.ring)._1 - g.holes.map(ringCentroid(_)._1).sum
+    case _ => 0.0
+  }
+
+  /** ST_ConvexHull: Andrew's monotone chain over every vertex. Output is
+    * a closed CCW POLYGON starting at the lexicographically smallest
+    * point; 1-2 distinct points degrade to POINT/LINESTRING. */
+  private[graft] def convexHull(g: Geometry): Geometry = {
+    val pts = (g.ring ++ g.holes.flatten).distinct.sortBy(p => (p.x, p.y))
+    if (pts.length == 1) Geometry("POINT", pts)
+    else if (pts.length == 2) Geometry("LINESTRING", pts)
+    else {
+      def chain(ps: Seq[GPoint]): Seq[GPoint] = {
+        val h = scala.collection.mutable.ArrayBuffer.empty[GPoint]
+        for (p <- ps) {
+          while (h.length >= 2 && orient(h(h.length - 2), h(h.length - 1), p) <= 0)
+            h.remove(h.length - 1)
+          h += p
+        }
+        h.toSeq
+      }
+      val lower = chain(pts)
+      val upper = chain(pts.reverse)
+      val hull = lower.dropRight(1) ++ upper.dropRight(1)
+      if (hull.length < 3) Geometry("LINESTRING", Seq(pts.head, pts.last))
+      else Geometry("POLYGON", hull :+ hull.head)
+    }
+  }
+
+  /** ST_Simplify: Douglas–Peucker with tolerance `tol`, endpoint-
+    * preserving (JTS DouglasPeuckerSimplifier semantics on lines; the
+    * polygon case simplifies each ring, keeping closure). */
+  private[graft] def simplify(g: Geometry, tol: Double): Geometry = {
+    def perpDist(p: GPoint, a: GPoint, b: GPoint): Double = {
+      val (dx, dy) = (b.x - a.x, b.y - a.y)
+      val len = math.hypot(dx, dy)
+      if (len == 0) math.hypot(p.x - a.x, p.y - a.y)
+      else math.abs(dy * p.x - dx * p.y + b.x * a.y - b.y * a.x) / len
+    }
+    def dp(ps: Seq[GPoint]): Seq[GPoint] =
+      if (ps.length < 3) ps
+      else {
+        val (a, b) = (ps.head, ps.last)
+        val (maxD, maxI) = ps.zipWithIndex.drop(1).dropRight(1)
+          .map { case (p, i) => (perpDist(p, a, b), i) }
+          .maxBy(_._1)
+        if (maxD <= tol) Seq(a, b)
+        else dp(ps.take(maxI + 1)) ++ dp(ps.drop(maxI)).tail
+      }
+    g.gtype match {
+      case "LINESTRING" => Geometry("LINESTRING", dp(g.ring))
+      case "POLYGON" => Geometry("POLYGON", dp(g.ring), g.holes.map(dp))
+      case _ => g
+    }
   }
 
   /** ST_Envelope: the axis-aligned bounding box as a closed POLYGON
@@ -273,7 +361,8 @@ object Spatial {
     case _ => 0.0
   }
 
-  /** ST_Perimeter of a POLYGON's outer ring (0 for other types). */
+  /** ST_Perimeter of a POLYGON — outer ring plus interior rings, as
+    * JTS sums every ring's boundary (0 for other types). */
   private[graft] def perimeter(g: Geometry): Double = g.gtype match {
     case "POLYGON" =>
       segments(g).map { case (a, b) => math.hypot(b.x - a.x, b.y - a.y) }.sum
@@ -291,10 +380,11 @@ object Spatial {
 
   private[graft] def toWkb(g: Geometry): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
+    val rings = g.ring +: g.holes
     val size = g.gtype match {
       case "POINT" => 21
       case "LINESTRING" => 9 + 16 * g.ring.length
-      case "POLYGON" => 13 + 16 * g.ring.length
+      case "POLYGON" => 9 + rings.map(r => 4 + 16 * r.length).sum
       case "MULTIPOINT" => 9 + 21 * g.ring.length
     }
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
@@ -305,8 +395,11 @@ object Spatial {
         bb.putInt(g.ring.length)
         g.ring.foreach(p => bb.putDouble(p.x).putDouble(p.y))
       case "POLYGON" =>
-        bb.putInt(1).putInt(g.ring.length)
-        g.ring.foreach(p => bb.putDouble(p.x).putDouble(p.y))
+        bb.putInt(rings.length)
+        rings.foreach { r =>
+          bb.putInt(r.length)
+          r.foreach(p => bb.putDouble(p.x).putDouble(p.y))
+        }
       case "MULTIPOINT" =>
         bb.putInt(g.ring.length)
         g.ring.foreach { p =>
@@ -331,8 +424,12 @@ object Spatial {
       case 3 =>
         val rings = bb.getInt()
         require(rings >= 1, "empty POLYGON WKB")
-        val n = bb.getInt()
-        Geometry("POLYGON", (0 until n).map(_ => GPoint(bb.getDouble(), bb.getDouble())))
+        def ring(): Seq[GPoint] = {
+          val n = bb.getInt()
+          (0 until n).map(_ => GPoint(bb.getDouble(), bb.getDouble()))
+        }
+        val outer = ring()
+        Geometry("POLYGON", outer, (1 until rings).map(_ => ring()))
       case 4 =>
         val n = bb.getInt()
         Geometry("MULTIPOINT", (0 until n).map { _ =>
@@ -346,7 +443,11 @@ object Spatial {
 
   private def geomOf(r: org.apache.spark.sql.Row): Geometry =
     Geometry(r.getString(0),
-      r.getSeq[org.apache.spark.sql.Row](1).map(p => GPoint(p.getDouble(0), p.getDouble(1))))
+      r.getSeq[org.apache.spark.sql.Row](1).map(p => GPoint(p.getDouble(0), p.getDouble(1))),
+      if (r.length > 2 && !r.isNullAt(2))
+        r.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](2)
+          .map(_.toSeq.map(p => GPoint(p.getDouble(0), p.getDouble(1))))
+      else Nil)
 
   private def registerGeomUdfs(spark: SparkSession): Unit = {
     import org.apache.spark.sql.Row
@@ -357,11 +458,17 @@ object Spatial {
     spark.udf.register("st_buffer", udf((g: Row, d: Double) => buffer(geomOf(g), d)))
     spark.udf.register("st_union", udf((a: Row, b: Row) => union(geomOf(a), geomOf(b))))
     spark.udf.register("st_centroid", udf((g: Row) => centroid(geomOf(g))))
-    spark.udf.register("st_npoints", udf((g: Row) => geomOf(g).ring.length))
+    spark.udf.register("st_npoints",
+      udf((g: Row) => { val x = geomOf(g); x.ring.length + x.holes.map(_.length).sum }))
     spark.udf.register("st_aswkb", udf((g: Row) => toWkb(geomOf(g))))
     spark.udf.register("st_geomfromwkb", udf((b: Array[Byte]) => fromWkb(b)))
     spark.udf.register("st_envelope", udf((g: Row) => envelope(geomOf(g))))
     spark.udf.register("st_length", udf((g: Row) => length(geomOf(g))))
     spark.udf.register("st_perimeter", udf((g: Row) => perimeter(geomOf(g))))
+    spark.udf.register("st_geom_area", udf((g: Row) => geomArea(geomOf(g))))
+    spark.udf.register("st_convexhull", udf((g: Row) => convexHull(geomOf(g))))
+    spark.udf.register("st_simplify", udf((g: Row, tol: Double) => simplify(geomOf(g), tol)))
+    spark.udf.register("st_x", udf((g: Row) => geomOf(g).ring.head.x))
+    spark.udf.register("st_y", udf((g: Row) => geomOf(g).ring.head.y))
   }
 }

@@ -62,6 +62,57 @@ object Geo {
         'POINT (' || xi || ' ' || yi || ')' AS wkb_rt
       FROM n ORDER BY n_nationkey"""))
 
+  /** Spatial long tail (ref: runtime/SpatialTypeFunctions.java ST_Area/
+    * ST_Perimeter/ST_Centroid over polygons WITH HOLES, ST_ConvexHull,
+    * ST_Simplify, ST_Length, ST_X/ST_Y): per nation, a square polygon of
+    * side s with a unit hole, a 5-point convex hull, a Douglas–Peucker
+    * simplification, and a 3-4-5 line length — every value a closed-form
+    * the oracle states in plain SQL. */
+  val q137_spatial_tail = Q(
+    (s, dir) => {
+      graft.functions.Spatial.registerAll(s)
+      T(s, dir, "nation")
+        .select(col("n_nationkey"),
+          expr("CAST(4 + n_nationkey % 3 AS INT)").as("s"),
+          expr("CAST(1 + n_nationkey % 3 AS INT)").as("k"))
+        .withColumn("poly", expr(
+          """st_geomfromtext(concat('POLYGON ((0 0, ', s, ' 0, ', s, ' ', s,
+             ', 0 ', s, ', 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))'))"""))
+        .select(col("n_nationkey"),
+          expr("st_geom_area(poly)").as("area"),
+          expr("st_perimeter(poly)").as("perim"),
+          expr("st_npoints(poly)").as("npts"),
+          round(expr("st_x(st_centroid(poly))"), 6).as("cen_x"),
+          expr("st_intersects(poly, st_geomfromtext('POINT (1.5 1.5)'))").as("in_hole"),
+          expr("st_intersects(poly, st_geomfromtext('POINT (1 1.5)'))").as("on_hole_edge"),
+          expr("st_intersects(poly, st_geomfromtext('POINT (0.5 0.5)'))").as("in_body"),
+          expr("""st_astext(st_convexhull(st_geomfromtext(concat(
+            'MULTIPOINT ((0 0), (', s, ' 0), (', s, ' ', s, '), (0 ', s, '), (2 1))'))))""").as("hull"),
+          expr("""st_astext(st_simplify(st_geomfromtext(
+            'LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), CAST(0.1 AS DOUBLE)))""").as("simp"),
+          expr("st_length(st_geomfromtext(concat('LINESTRING (0 0, ', 3 * k, ' ', 4 * k, ')')))").as("len"))
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      WITH n AS (
+        SELECT n_nationkey,
+               CAST(4 + n_nationkey % 3 AS INT) AS s,
+               CAST(1 + n_nationkey % 3 AS INT) AS k
+        FROM nation)
+      SELECT n_nationkey,
+        CAST(s * s - 1 AS DOUBLE) AS area,
+        CAST(4 * s + 4 AS DOUBLE) AS perim,
+        CAST(10 AS INT) AS npts,
+        round((s / 2.0 * s * s - 1.5) / (s * s - 1), 6) AS cen_x,
+        FALSE AS in_hole,
+        TRUE AS on_hole_edge,
+        TRUE AS in_body,
+        'POLYGON ((0 0, ' || s || ' 0, ' || s || ' ' || s || ', 0 ' || s || ', 0 0))' AS hull,
+        'LINESTRING (0 0, 4 0)' AS simp,
+        CAST(5 * k AS DOUBLE) AS len
+      FROM n ORDER BY n_nationkey"""))
+
   val all: Map[String, Q] = Map(
-    "q136_spatial_wkt" -> q136_spatial_wkt)
+    "q136_spatial_wkt" -> q136_spatial_wkt,
+    "q137_spatial_tail" -> q137_spatial_tail)
 }

@@ -75,16 +75,75 @@ object GraftSql {
     * match found for function signature {0}", "Object ''{0}'' not
     * found", "Column ''{0}'' not found in any table", "Column ''{0}''
     * is ambiguous"; produced by SqlValidatorImpl.newValidationError).
-    * Empty result = the statement validates. */
+    * Empty result = the statement validates.
+    *
+    * Unlike Spark's analyzer (first error wins), this collects MULTIPLE
+    * diagnostics the way the reference validator walks independent
+    * nodes: when the outer statement is a plain SELECT, each select-list
+    * item is re-analyzed independently (plus one pass for the
+    * FROM/WHERE/GROUP side), and every distinct failure is reported,
+    * positioned at its item's own offset in the original text. */
   def validate(spark: SparkSession, text: String): Seq[ValidationError] = {
+    val clean = stripComments(text)
+    val first = validateOne(spark, clean)
+    if (first.isEmpty) return Nil
+    if (first.head.errorClass == "PARSE_SYNTAX_ERROR") return first
+
+    // per-select-item decomposition of the outer SELECT
+    val masked = maskLiterals(clean)
+    val up = clean.trim.toUpperCase
+    val selAt = masked.toUpperCase.indexOf("SELECT")
+    val fromAt = topLevelIndex(masked, "FROM")
+    if (!up.startsWith("SELECT") || fromAt < 0) return first
+    val listStart = selAt + "SELECT".length
+    val items = splitTopLevel(clean.substring(listStart, fromAt))
+    if (items.isEmpty) return first
+    val tail = clean.substring(fromAt)
+    // select items re-analyze over the FROM clause alone — a failing
+    // WHERE/GROUP side must not mask an item's own diagnostic (the
+    // FROM side gets its own pass below)
+    val fromOnlyEnd = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "QUALIFY")
+      .map(kw => topLevelIndex(masked, kw, fromAt)).filter(_ >= 0)
+      .reduceOption(_ min _).getOrElse(clean.length)
+    val fromOnly = clean.substring(fromAt, fromOnlyEnd)
+
+    def position(offset: Int): (Option[Int], Option[Int]) = {
+      val upTo = clean.substring(0, offset)
+      val line = upTo.count(_ == '\n') + 1
+      val col = offset - (upTo.lastIndexOf('\n') + 1)
+      (Some(line), Some(col))
+    }
+    var cursor = listStart
+    val perItem = items.flatMap { it =>
+      val at = cursor + it.takeWhile(_.isWhitespace).length
+      cursor += it.length + 1 // the consumed comma
+      validateOne(spark, s"SELECT ${it.trim} $fromOnly").map { e =>
+        val (l, c) = position(at)
+        e.copy(line = l, column = c)
+      }
+    }
+    val fromSide = validateOne(spark, s"SELECT 1 $tail").map { e =>
+      val (l, c) = position(fromAt)
+      e.copy(line = l, column = c)
+    }
+    val all = (perItem ++ fromSide).foldLeft(Vector.empty[ValidationError]) {
+      (acc, e) => if (acc.exists(a => a.message == e.message)) acc else acc :+ e
+    }
+    if (all.nonEmpty) all else first
+  }
+
+  private def validateOne(spark: SparkSession, clean: String): Seq[ValidationError] = {
     try {
-      spark.sql(rewrite(stripComments(text))).queryExecution.assertAnalyzed()
+      spark.sql(rewrite(clean)).queryExecution.assertAnalyzed()
       Nil
     } catch {
       case e: org.apache.spark.sql.AnalysisException => Seq(toValidationError(e))
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
         Seq(ValidationError(e.getSimpleMessage, "PARSE_SYNTAX_ERROR",
           e.line, e.startPosition))
+      case scala.util.control.NonFatal(e) =>
+        Seq(ValidationError(Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
+          "VALIDATION_ERROR", None, None))
     }
   }
 
@@ -106,6 +165,15 @@ object GraftSql {
         s"No match found for function signature ${param("routineName").getOrElse("?")}"
       case c if c.startsWith("AMBIGUOUS_REFERENCE") =>
         s"Column '${param("name").getOrElse("?")}' is ambiguous"
+      case c if c.startsWith("TABLE_OR_VIEW_ALREADY_EXISTS") =>
+        // CalciteResource tableExists: "Table ''{0}'' already exists"
+        // (unqualified, as the reference names it)
+        s"Table '${param("relationName").map(_.split('.').last).getOrElse("?")}' already exists"
+      case c if c.startsWith("WRONG_NUM_ARGS") =>
+        // CalciteResource invalidArgCount: "Invalid number of arguments
+        // to function ''{0}''. Was expecting {1} arguments"
+        s"Invalid number of arguments to function '${param("functionName").getOrElse("?")}'. " +
+          s"Was expecting ${param("expectedNum").getOrElse("?")} arguments"
       case _ => e.getSimpleMessage
     }
     ValidationError(msg, cls, e.line, e.startPosition)

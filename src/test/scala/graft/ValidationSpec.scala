@@ -54,6 +54,48 @@ class ValidationSpec extends SparkSpec {
     assert(errs.head.render.startsWith("At line 1, column "), errs.head.render)
   }
 
+  test("two independent bad select items produce TWO positioned diagnostics") {
+    init()
+    val errs = GraftSql.validate(spark,
+      "SELECT r_bad1, r_regionkey, r_bad2 FROM region")
+    assert(errs.length == 2, errs)
+    assert(errs(0).message.startsWith("Column 'r_bad1' not found in any table"), errs(0))
+    assert(errs(1).message.startsWith("Column 'r_bad2' not found in any table"), errs(1))
+    // positions point at each item's own offset, ascending
+    assert(errs(0).column.exists(c => errs(1).column.exists(_ > c)), errs)
+  }
+
+  test("select-side and where-side errors are both reported") {
+    init()
+    val errs = GraftSql.validate(spark,
+      "SELECT r_bad1 FROM region WHERE r_alsobad = 1")
+    assert(errs.length == 2, errs)
+    assert(errs.exists(_.message.startsWith("Column 'r_bad1' not found")), errs)
+    assert(errs.exists(_.message.startsWith("Column 'r_alsobad' not found")), errs)
+  }
+
+  test("duplicate failures dedup to one diagnostic") {
+    init()
+    val errs = GraftSql.validate(spark, "SELECT r_bad1, r_bad1 FROM region")
+    assert(errs.length == 1, errs)
+  }
+
+  test("table exists: Table 'x' already exists") {
+    init()
+    spark.sql("CREATE TABLE IF NOT EXISTS validation_probe_t (i INT)")
+    try {
+      val errs = GraftSql.validate(spark, "CREATE TABLE validation_probe_t (i INT)")
+      assert(errs.length == 1)
+      assert(errs.head.message == "Table 'validation_probe_t' already exists", errs.head)
+    } finally spark.sql("DROP TABLE IF EXISTS validation_probe_t")
+  }
+
+  test("wrong argument count: Invalid number of arguments to function") {
+    val errs = GraftSql.validate(spark, "SELECT substring()")
+    assert(errs.length == 1)
+    assert(errs.head.message.startsWith("Invalid number of arguments to function"), errs.head)
+  }
+
   test("syntax errors surface as parse diagnostics, not exceptions") {
     val errs = GraftSql.validate(spark, "SELEC 1")
     assert(errs.length == 1)
