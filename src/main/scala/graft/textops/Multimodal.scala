@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque binary columns with typed
-  * metadata, decoded/feature-extracted per partition. The container has
-  * no image/audio codecs, so `decodeStub` is a clearly-marked
-  * deterministic fake — the Spark-side plumbing (binary schema, batch
-  * iteration via mapPartitions, typed output Encoder, partition-local
-  * batching) is the real, tested part and is what matters at 100 TB:
-  * decode runs once per row inside a partition with no shuffle, and the
-  * feature schema flows through Catalyst as ordinary columns.
+  * metadata, decoded/feature-extracted per partition. Real images
+  * (PNG/JPEG/GIF/BMP) decode through the JDK's javax.imageio —
+  * [[Multimodal.decodeImage]]/[[Multimodal.resizeImage]] produce true
+  * pixel dimensions, luminance histograms, and letterboxed re-encodes;
+  * non-image bytes fall back to the deterministic [[Multimodal.decodeStub]]
+  * twin so the text-only test corpus stays DuckDB-oracle-checkable. The
+  * Spark-side plumbing (binary schema, batch iteration via
+  * mapPartitions, typed output Encoder, partition-local batching) is
+  * shared by both paths and is what matters at 100 TB: decode runs once
+  * per row inside a partition with no shuffle, and the feature schema
+  * flows through Catalyst as ordinary columns.
   */
 object Multimodal {
 
@@ -44,6 +48,75 @@ object Multimodal {
       histogram = hist.map(_ / n))
   }
 
+  /** REAL decode: when the binary column holds an actual encoded image
+    * (PNG/JPEG/GIF/BMP — whatever the JDK's javax.imageio reads), the
+    * true pixel dimensions and a 4-bucket LUMINANCE histogram come out;
+    * anything that isn't a decodable image falls back to [[decodeStub]],
+    * so one operator serves mixed corpora. The synthetic text corpus
+    * takes the stub twin (whose features the DuckDB oracle restates);
+    * TextOpsSpec drives this path with a generated PNG. */
+  private[graft] def decodeMedia(docId: Long, bytes: Array[Byte]): MediaFeatures =
+    decodeImage(docId, bytes).getOrElse(decodeStub(docId, bytes))
+
+  private[graft] def decodeImage(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (!looksLikeImage(bytes)) return None // cheap magic-byte sniff before ImageIO
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Double](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 6) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(MediaFeatures(docId, bytes.length.toLong, w, h, hist.map(_ / n)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length > 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte) ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) || // JPEG SOI
+      (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) ||
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte))
+
+  /** Real resize: decode, aspect-preserving scale, symmetric letterbox
+    * onto a target canvas, PNG re-encode. Returns the encoded canvas
+    * plus the scaled content dims; None when the bytes aren't an image
+    * (callers then keep the stub geometry path). */
+  private[graft] def resizeImage(bytes: Array[Byte], tw: Int, th: Int): Option[(Array[Byte], Int, Int)] = {
+    decodeImage(0L, bytes).flatMap { f =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val scale = math.min(tw.toDouble / f.width, th.toDouble / f.height)
+        val sw = math.round(f.width * scale).toInt
+        val sh = math.round(f.height * scale).toInt
+        val canvas = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, (tw - sw) / 2, (th - sh) / 2, sw, sh, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(canvas, "png", out)
+        Some((out.toByteArray, sw, sh))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Binary ingest → partition-local decode → typed features → SQL-able
     * aggregation. The binary column here is fabricated from text (the
     * corpus has no real media), which exercises the identical plumbing. */
@@ -53,7 +126,7 @@ object Multimodal {
       val bin = T(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       val features = bin.as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
       features.toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           round(element_at(col("histogram"), 2), 6).as("h1"))
@@ -121,7 +194,7 @@ object Multimodal {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
-          val f = decodeStub(id, bytes)
+          val f = decodeMedia(id, bytes)
           // aspect-preserving scale to fit, then symmetric letterbox
           val scale = math.min(tw.toDouble / f.width, th.toDouble / f.height)
           val sw = math.round(f.width * scale).toInt

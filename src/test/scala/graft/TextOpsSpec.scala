@@ -121,6 +121,47 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq, "decode stub must be deterministic")
   }
 
+  test("multimodal: REAL PNG bytes decode to true dimensions and luminance histogram") {
+    import graft.textops.Multimodal
+    // 40x20 PNG: left half black (luminance bucket 0), right half white (bucket 3)
+    val img = new java.awt.image.BufferedImage(40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    // direct decode: real dims, not the stub's length-derived ones
+    val f = Multimodal.decodeMedia(7L, png)
+    assert(f.width == 40 && f.height == 20, s"${f.width}x${f.height}")
+    assert(math.abs(f.histogram(0) - 0.5) < 1e-9 && math.abs(f.histogram(3) - 0.5) < 1e-9,
+      f.histogram.toSeq)
+
+    // the same bytes through the Spark pipeline shape (binary col → mapPartitions)
+    import spark.implicits._
+    val row = Seq((7L, png)).toDF("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => Multimodal.decodeMedia(id, b) })
+      .collect().head
+    assert(row.width == 40 && row.height == 20)
+
+    // non-image bytes keep the deterministic stub twin (oracle path)
+    val stub = Multimodal.decodeMedia(1L, "plain text".getBytes("UTF-8"))
+    assert(stub.width == 16 + "plain text".length % 64)
+  }
+
+  test("multimodal: real resize letterboxes onto the target canvas") {
+    import graft.textops.Multimodal
+    val img = new java.awt.image.BufferedImage(40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val Some((resized, sw, sh)) = Multimodal.resizeImage(baos.toByteArray, 224, 126)
+    // scale = min(224/40, 126/20) = 5.6 → content 224x112, canvas 224x126
+    assert((sw, sh) == (224, 112), s"${sw}x$sh")
+    val back = Multimodal.decodeMedia(0L, resized)
+    assert(back.width == 224 && back.height == 126, s"${back.width}x${back.height}")
+    assert(Multimodal.resizeImage("not an image".getBytes, 224, 126).isEmpty)
+  }
+
   test("asof join: every matched click is at-or-before its purchase") {
     val out = run("q96_asof_join").collect()
     assert(out.length > 0)
