@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * an infinite table whose rows a converter maps to columns).
   *
   * Spark's real connector is `spark.readStream.format("kafka")`, which
-  * yields the fixed wire schema below. This container has no broker, so
-  * `kafkaStream` produces the SAME wire schema from any underlying
-  * stream (rate / memory / file) — everything DOWNSTREAM of the source
-  * (the value deserialization, the converter, watermarks, aggregation)
-  * is the production code path and is what the tests pin. Swapping in
-  * the real broker is a one-line source change.
+  * yields the fixed wire schema below. This container has no broker (no
+  * kafka jars, no network egress), so the topic side is served by
+  * graft.sources.GraftKafkaLog — a full DataSourceV2 MicroBatchStream
+  * (`format("graft-kafka")`) over per-partition append-only logs with
+  * Kafka's exact offset semantics, checkpoint/resume included
+  * (KafkaLogSpec drives it end to end). `kafkaStream` below additionally
+  * wires the SAME wire schema onto the rate source for load-shaped
+  * tests. Everything DOWNSTREAM (value deserialization, the converter,
+  * watermarks, aggregation) is the production code path either way;
+  * swapping in the real broker is a one-line source change.
   *
   * Scale: parse/convert are per-row narrow operations (codegen'd
   * from_json, no shuffle); partition count follows the source (with a

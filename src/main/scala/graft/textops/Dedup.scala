@@ -41,10 +41,30 @@ object Dedup {
     * The corpus arrives as few large parquet files, so we repartition by
     * doc with an explicit count first (AQE would coalesce the byte-small
     * shuffle to one partition and serialize the CPU-heavy work). */
-  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame = {
+  /** Partition count for the CPU-heavy per-doc passes: spread across
+    * the full parallelism once there are enough input bytes to amortize
+    * a task, but don't schedule 32 near-empty tasks for a megabyte
+    * corpus — per-stage latency would dominate (the explicit repartition
+    * exists to defeat AQE's byte-based coalescing at LARGE inputs,
+    * where shingling is CPU-bound on few bytes; at small inputs we size
+    * like AQE would). */
+  private def docParts(s: SparkSession, dir: String): Int = {
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(dir, "documents.parquet"))
+      catch { case _: Exception => Long.MaxValue }
+    math.max(2, math.min(s.sparkContext.defaultParallelism, (bytes / (4L << 20)).toInt))
+  }
+
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
+    shingleOf(s, T(s, dir, "documents"), docParts(s, dir))
+
+  /** Same shingling over an arbitrary (doc_id, text, ...) relation —
+    * callers that only need a SUBSET (e.g. candidate verification)
+    * filter first so the per-doc compute is subset-bounded. */
+  private[graft] def shingleOf(s: SparkSession, docs: DataFrame, parts: Int = 0): DataFrame = {
     import s.implicits._
-    val parallelism = s.sparkContext.defaultParallelism
-    T(s, dir, "documents")
+    val parallelism = if (parts > 0) parts else s.sparkContext.defaultParallelism
+    docs
       .select(col("doc_id"), col("text"))
       .repartition(parallelism, col("doc_id"))
       .as[(Long, String)]
@@ -137,59 +157,63 @@ object Dedup {
       .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
-  /** Shingle sets plus the full 64-slot MinHash signature, computed in
-    * ONE typed pass per document: each shingle is xxhash64'd once
+  /** Per-document 64-slot MinHash signature, computed in ONE typed pass
+    * per document: each shingle is xxhash64'd once
     * (seed 42, Spark's default — `XXH64.hashUTF8String`) and the
-    * 64-member family re-hashes those 8 bytes with per-slot seeds
-    * (`XXH64.hashLong(h, slot)`), taking running minimums. Bit-identical
-    * to the declarative explode + 64×`min(xxhash64Seeded)` aggregate it
-    * replaces (including the short-doc edge: a doc with no 3-gram
-    * contributes no non-null input, and XxHash64 over a null input
-    * returns its seed, so the signature degenerates to (0..63)), but
-    * without materializing the ~200×-larger (doc, shingle-hash)
-    * relation through a shuffle and a 64-column hash aggregate —
-    * measured ~2.5× faster at sf0.1. Checkpointed because both the
-    * banding branch and the candidate-verification branch consume it;
-    * localCheckpoint keeps the executor-local-disk materialization
-    * pattern that scales to a 1000-executor cluster (no driver
-    * involvement, cleaned by the ContextCleaner when unreferenced). */
+    * 64-member family is the standard one-hash affine construction
+    * (slot i takes `a_i*h + b_i`, `a_i` odd — [[MinHashPerm]]), taking
+    * running minimums. One strong hash + 64 multiply-adds per shingle
+    * instead of 64 full mixers; the banding guarantees are those of any
+    * pairwise-independent permutation family, and the emitted pairs are
+    * exact-Jaccard verified regardless. Short-doc edge: a doc with no
+    * 3-gram degenerates to signature (0..63). Computed typed, not
+    * declarative, to avoid materializing the ~200×-larger
+    * (doc, shingle-hash) relation through a shuffle and a 64-column
+    * hash aggregate — measured ~2.5× faster at sf0.1. The shingle
+    * arrays themselves are NOT kept (they'd be ~4× the text bytes
+    * through a checkpoint): d03 re-shingles only its candidate docs for
+    * verification, which at any scale is cheaper than materializing a
+    * corpus-sized shingle relation. */
   private[graft] def docShinglesSig(s: SparkSession, dir: String, nHash: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    val parallelism = s.sparkContext.defaultParallelism
     T(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-      .repartition(parallelism, col("doc_id"))
+      .repartition(docParts(s, dir), col("doc_id"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val w = text.split(' ')
-        val ws =
-          if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toArray.distinct
-          else Array(null: String)
         val sig = new Array[Long](nHash)
-        if (ws(0) == null) {
+        if (w.length < 3) {
           var i = 0
-          while (i < nHash) { sig(i) = i.toLong; i += 1 } // null input → seed
+          while (i < nHash) { sig(i) = i.toLong; i += 1 } // no 3-gram -> seed
         } else {
           java.util.Arrays.fill(sig, Long.MaxValue)
+          // hash every word ONCE, combine per trigram - no shingle
+          // strings, no mkString allocations; duplicate shingles can't
+          // change a MIN, so no distinct either
+          val wh = new Array[Long](w.length)
+          var i = 0
+          while (i < w.length) {
+            wh(i) = XXH64.hashUTF8String(UTF8String.fromString(w(i)), 42L)
+            i += 1
+          }
           var k = 0
-          while (k < ws.length) {
-            val h = XXH64.hashUTF8String(UTF8String.fromString(ws(k)), 42L)
-            var i = 0
-            while (i < nHash) {
-              val hi = XXH64.hashLong(h, i.toLong)
-              if (hi < sig(i)) sig(i) = hi
-              i += 1
+          while (k + 2 < w.length) {
+            val h = XXH64.hashLong(wh(k + 2), XXH64.hashLong(wh(k + 1), wh(k)))
+            var j = 0
+            while (j < nHash) {
+              val hj = MinHashPerm.a(j) * h + MinHashPerm.b(j)
+              if (hj < sig(j)) sig(j) = hj
+              j += 1
             }
             k += 1
           }
         }
-        (id, ws, sig)
+        (id, sig)
       })
-      .toDF("doc_id", "ws", "sig")
-      .select(col("doc_id"), col("ws"), size(col("ws")).as("sz"), col("sig"))
-      .localCheckpoint(true)
+      .toDF("doc_id", "sig")
   }
 
   /** MinHash + LSH banding near-dup detection: 64 deterministic hash
@@ -203,7 +227,13 @@ object Dedup {
     (s, dir) => {
       val nHash = 64
       val nBands = 32 // 2 rows per band
-      val ds = docShinglesSig(s, dir, nHash)
+      // SIGNATURES ONLY feed the banding: the shingle arrays (≈4× the
+      // text bytes) never materialize corpus-wide — no checkpoint IO.
+      // Verification below re-shingles just the candidate docs, a
+      // second parquet scan whose shingling work is candidate-bounded
+      // (candidates << corpus at any scale, so scan + tiny compute
+      // beats writing/reading a corpus-sized shingle relation).
+      val ds = docShinglesSig(s, dir, nHash).select(col("doc_id"), col("sig"))
       val bands = ds.select(col("doc_id"),
         posexplode(array((0 until nBands).map(j =>
           xxhash64(lit(1000 + j),
@@ -225,9 +255,12 @@ object Dedup {
                transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"""))
           .as("p"))
         .select(col("p.doc_a"), col("p.doc_b")).distinct()
-      // exact verification on candidates only (broadcast the shingle sets
-      // of candidate docs; candidate count << corpus at any scale)
-      val sets = ds.select(col("doc_id"), col("ws"), col("sz"))
+      // exact verification on candidates only: semi-join the corpus down
+      // to candidate docs (broadcast — the pair set is tiny), THEN
+      // shingle just those docs
+      val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val sets = Dedup.shingleOf(s,
+        T(s, dir, "documents").join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), Seq("doc_b"))
@@ -363,4 +396,18 @@ object Dedup {
     "d04_jaccard_pairs" -> d04_jaccard_pairs,
     "d05_simhash" -> d05_simhash,
     "d15_neardup_components" -> d15_neardup_components)
+}
+
+/** Fixed affine permutation family for the one-hash minhash signature:
+  * a_i odd (a bijection on Z/2^64), b_i arbitrary, both derived from a
+  * split-mix style expansion of the slot index so signatures are
+  * deterministic across runs and executors. */
+private[textops] object MinHashPerm {
+  private val N = 64
+  val a: Array[Long] = Array.tabulate(N) { i =>
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 0x9e3779b97f4a7c15L) | 1L
+  }
+  val b: Array[Long] = Array.tabulate(N) { i =>
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 0x2545f4914f6cdd1dL)
+  }
 }
