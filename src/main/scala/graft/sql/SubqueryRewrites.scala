@@ -44,7 +44,35 @@ object SubqueryRewrites {
 
   def apply(sql: String): String =
     rewriteInValues(rewriteCollect(rewriteGroupByEmpty(rewriteIsUnknown(
-      rewriteArrayMap(rewriteUnique(rewriteQuantified(rewriteArgMinMax(sql))))))))
+      rewriteArrayMap(rewriteUnique(rewriteQuantified(rewriteArgMinMax(
+        rewriteUnorderedRange(sql)))))))))
+
+  // ---- RANGE frame without ORDER BY -------------------------------------
+
+  /** `OVER (... RANGE ...)` with no ORDER BY: every row is a peer of
+    * every other, so the frame is the whole partition — standard SQL the
+    * reference accepts; Spark demands an ORDER BY for RANGE frames.
+    * Dropping the frame clause gives exactly the whole-partition
+    * aggregate. */
+  private[sql] def rewriteUnorderedRange(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\bOVER\\s*\\(".r
+    for (m <- re.findAllMatchIn(masked)) {
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0) {
+        val innerM = masked.substring(open + 1, close)
+        val rangeAt = "(?i)\\bRANGE\\b".r.findFirstMatchIn(innerM).map(_.start).getOrElse(-1)
+        val hasOrder = "(?i)\\bORDER\\s+BY\\b".r.findFirstIn(innerM).isDefined
+        if (rangeAt >= 0 && !hasOrder) {
+          val inner = sql.substring(open + 1, close)
+          return rewriteUnorderedRange(sql.substring(0, open + 1) +
+            inner.substring(0, rangeAt).trim + sql.substring(close))
+        }
+      }
+    }
+    sql
+  }
 
   // ---- ARG_MIN / ARG_MAX ------------------------------------------------
 
