@@ -105,6 +105,7 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(name, b, "scala_udf")
     }
     BigQueryFns.registerAll(spark)
+    PgDateTime.registerAll(spark)
   }
 
   /** Registered function names (for docs/tests). */

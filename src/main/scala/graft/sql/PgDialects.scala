@@ -1,0 +1,206 @@
+package graft.sql
+
+/** PostgreSQL / Redshift → Spark SQL dialect adapters (ref: the babel
+  * module's PostgresqlSqlDialect / RedshiftSqlDialect; conformance
+  * corpora babel/src/test/resources/sql/postgresql.iq, redshift.iq).
+  * Double quotes are already identifiers in these dialects (converted
+  * to backticks), `::` casts are a standard GraftSql rewrite, and the
+  * datetime format-model functions route to the PG engine in
+  * graft.functions.PgDateTime.
+  */
+object PostgresDialect {
+
+  def rewrite(sql: String): String =
+    rewriteArrayStringLiteral(rewriteDatePart(rewriteRegexOps(renameFns(rewriteQuotes(sql)))))
+
+  /** Double-quoted identifiers → backticks, but only OUTSIDE single-
+    * quoted string literals (a `"` inside '...' is content). */
+  private[sql] def rewriteQuotes(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; sb.append(c); i += 1 }
+      else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '"') {
+        val e = sql.indexOf('"', i + 1)
+        if (e < 0) { sb.append(c); i += 1 }
+        else { sb.append('`').append(sql.substring(i + 1, e)).append('`'); i = e + 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** PG regex-match operators: `~` (match), `~*` (case-insensitive),
+    * `!~` / `!~*` (negations) → RLIKE forms with identical NULL
+    * propagation. */
+  private[sql] def rewriteRegexOps(sql: String): String = {
+    val operand = "((?:\\w+\\.)?\\w+|'(?:[^']|'')*'|NULL)"
+    val re = ("(?i)" + operand + "\\s*(!~\\*|!~|~\\*|~)\\s*" + operand).r
+    val masked = GraftSql.maskLiterals(sql)
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      val lhs = sql.substring(m.start(1), m.end(1))
+      val rhs = sql.substring(m.start(3), m.end(3))
+      val op = m.group(2)
+      val core =
+        if (op.endsWith("*")) s"($lhs RLIKE concat('(?i)', $rhs))"
+        else s"($lhs RLIKE $rhs)"
+      sb.append(sql.substring(last, m.start))
+      sb.append(if (op.startsWith("!")) s"(NOT $core)" else core)
+      last = m.end
+    }
+    sb.append(sql.substring(last)).toString
+  }
+
+  private val renames = Seq(
+    "TO_CHAR" -> "pg_to_char",
+    "TO_TIMESTAMP" -> "pg_to_timestamp",
+    "TO_DATE" -> "pg_to_date",
+    "REGEXP_REPLACE" -> "pg_regexp_replace",
+    "STRING_TO_ARRAY" -> "pg_string_to_array")
+
+  private def renameFns(sql: String): String = {
+    var out = sql
+    var m = GraftSql.maskLiterals(sql)
+    for ((from, to) <- renames) {
+      val re = ("(?i)\\b" + from + "\\s*\\(").r
+      val sb = new StringBuilder
+      val sbM = new StringBuilder
+      var last = 0
+      re.findAllMatchIn(m).foreach { mm =>
+        sb.append(out.substring(last, mm.start)).append(to).append("(")
+        sbM.append(m.substring(last, mm.start)).append(to).append("(")
+        last = mm.end
+      }
+      sb.append(out.substring(last)); sbM.append(m.substring(last))
+      out = sb.toString; m = sbM.toString
+    }
+    out
+  }
+
+  /** `date_part(MINUTE, x)` — PG spells the unit as a bare keyword;
+    * Spark wants a string literal. PG's MICROSECOND/MILLISECOND fields
+    * INCLUDE the seconds (48.678s → 48678000µs), which Spark's extract
+    * has no field for — derived from the fractional SECOND. */
+  private def rewriteDatePart(sql: String): String = {
+    val quoted = sql.replaceAll("(?i)\\bdate_part\\s*\\(\\s*([A-Za-z_]+)\\s*,", "date_part('$1',")
+    val masked = GraftSql.maskLiterals(quoted)
+    val re = "(?i)\\bdate_part\\('(micro|milli)second',".r
+    re.findFirstMatchIn(masked) match {
+      case None => quoted
+      case Some(m) =>
+        val open = quoted.indexOf('(', m.start)
+        val close = GraftSql.closeParen(masked, open)
+        if (close < 0) quoted
+        else {
+          val arg = quoted.substring(quoted.indexOf(',', open) + 1, close).trim
+          val scale = if (m.group(1).equalsIgnoreCase("micro")) "1000000" else "1000"
+          rewriteDatePart(quoted.substring(0, m.start) +
+            s"CAST(date_part('SECOND', $arg) * $scale AS BIGINT)" +
+            quoted.substring(close + 1))
+        }
+    }
+  }
+
+  /** `array[1,2] = '{1,2}'`: PG coerces the brace literal to an array.
+    * Applied only when the statement uses an ARRAY[...] constructor, so
+    * ordinary brace-bearing strings (JSON etc.) stay untouched; the
+    * ARRAY[...] itself becomes array(...) afterwards. */
+  private[sql] def rewriteArrayStringLiteral(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    if ("(?i)\\bARRAY\\s*\\[".r.findFirstIn(masked).isEmpty) return sql
+    val braceLit = "'\\{([^{}']*)\\}'".r
+    val replaced = braceLit.replaceAllIn(sql, m => {
+      val items = m.group(1).split(",", -1).map(_.trim).map { it =>
+        if (it.startsWith("\"") && it.endsWith("\"") && it.length >= 2)
+          "'" + it.substring(1, it.length - 1).replace("'", "''") + "'"
+        else it
+      }
+      scala.util.matching.Regex.quoteReplacement(items.mkString("array(", ", ", ")"))
+    })
+    // ARRAY[...] constructor → array(...)
+    var out = replaced
+    val re = "(?i)\\bARRAY\\s*\\[".r
+    var continue = true
+    while (continue) {
+      val mm = GraftSql.maskLiterals(out)
+      re.findFirstMatchIn(mm) match {
+        case None => continue = false
+        case Some(m) =>
+          var depth = 1
+          var i = m.end
+          while (i < mm.length && depth > 0) {
+            val c = mm.charAt(i)
+            if (c == '[') depth += 1 else if (c == ']') depth -= 1
+            i += 1
+          }
+          if (depth != 0) continue = false
+          else out = out.substring(0, m.start) + "array(" +
+            out.substring(m.end, i - 1) + ")" + out.substring(i)
+      }
+    }
+    out
+  }
+}
+
+object RedshiftDialect {
+
+  def rewrite(sql: String): String =
+    rewriteSingleArgGreatest(rewriteTwoArgRegexpReplace(rewritePi(
+      PostgresDialect.rewriteQuotes(sql))))
+
+  /** Redshift exposes PI as a niladic keyword-style call site (but `pi`
+    * as an ALIAS stays an identifier). */
+  private def rewritePi(sql: String): String =
+    sql.replaceAll("(?i)(?<!as )\\bpi\\b(?!\\s*\\()", "pi()")
+
+  /** `greatest(x)` / `least(x)` with one argument is the identity in
+    * Redshift; Spark requires two. */
+  private def rewriteSingleArgGreatest(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\b(GREATEST|LEAST)\\s*\\(".r
+    for (m <- re.findAllMatchIn(masked)) {
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0) {
+        val inner = masked.substring(open + 1, close)
+        val topCommas = inner.foldLeft((0, 0)) { case ((d, n), c) =>
+          if (c == '(') (d + 1, n) else if (c == ')') (d - 1, n)
+          else if (c == ',' && d == 0) (d, n + 1) else (d, n)
+        }._2
+        if (topCommas == 0)
+          return rewriteSingleArgGreatest(
+            sql.substring(0, m.start) + "(" + sql.substring(open + 1, close) + ")" +
+              sql.substring(close + 1))
+      }
+    }
+    sql
+  }
+
+  /** `regexp_replace(s, re)` deletes matches in Redshift; Spark's needs
+    * the empty replacement spelled out. */
+  private def rewriteTwoArgRegexpReplace(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\bREGEXP_REPLACE\\s*\\(".r
+    for (m <- re.findAllMatchIn(masked)) {
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0) {
+        val inner = masked.substring(open + 1, close)
+        val commas = inner.foldLeft((0, 0)) { case ((depth, n), c) =>
+          if (c == '(') (depth + 1, n)
+          else if (c == ')') (depth - 1, n)
+          else if (c == ',' && depth == 0) (depth, n + 1)
+          else (depth, n)
+        }._2
+        if (commas == 1)
+          return rewriteTwoArgRegexpReplace(
+            sql.substring(0, close) + ", ''" + sql.substring(close))
+      }
+    }
+    sql
+  }
+}

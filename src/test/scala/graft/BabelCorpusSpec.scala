@@ -46,6 +46,41 @@ class BabelCorpusSpec extends IqHarness {
     3841 -> "DATE_TRUNC with WEEK(...)/ISOYEAR parameterized units not supported",
     4269 -> "IFNULL branch typing: reference keeps per-row value strings; Spark coerces the union to BIGINT and rejects 'b'")
 
+  private def cleanPg(sql: String): String = graft.sql.PostgresDialect.rewrite(sql)
+  private def cleanRs(sql: String): String = graft.sql.RedshiftDialect.rewrite(sql)
+
+  private def measureDialect(file: String, use: String, clean: String => String,
+      floor: Int): Unit = {
+    assume(babelDir.isDirectory, "reference checkout not present")
+    registerScott()
+    val cases = parseIq(new java.io.File(babelDir, file))
+      .filter(c => !c.ddl && c.use == use)
+    var pass = 0
+    val failures = ArrayBuffer.empty[String]
+    for (c <- cases) {
+      compareCase(c, clean(c.sql)) match {
+        case None => pass += 1
+        case Some(err) =>
+          failures += s"${c.file}:${c.line}: $err\n  SQL: ${c.sql.linesIterator.mkString(" ").take(160)}"
+      }
+    }
+    info(f"babel $file coverage: $pass/${cases.size} (${100.0 * pass / math.max(cases.size, 1)}%.1f%%)")
+    val fw = new java.io.PrintWriter(s"target/babel-$use-failures.txt", "UTF-8")
+    try failures.foreach(fw.println) finally fw.close()
+    assert(pass >= floor, s"$file coverage dropped: $pass passing (floor $floor)")
+  }
+
+  test("babel postgresql corpus: measured dialect coverage") {
+    // residue: Calcite-specific INTERVAL cast rendering (+3721.000000)
+    measureDialect("postgresql.iq", "scott-postgresql", cleanPg, 230)
+  }
+
+  test("babel redshift corpus: measured dialect coverage") {
+    // residue: the pinned AVG/STDDEV DECIMAL-scale divergence + window-
+    // without-ORDER-BY Spark restriction
+    measureDialect("redshift.iq", "scott-redshift", cleanRs, 95)
+  }
+
   test("babel big-query corpus: measured dialect coverage with a ratcheted floor") {
     assume(babelDir.isDirectory, "reference checkout not present")
     registerScott()

@@ -107,8 +107,19 @@ trait IqHarness extends SparkSpec {
   }
 
   /** mysql format: | a | b | rows between the 2nd and last +--- separator;
-    * oracle format: fixed-width columns spanned by the dashes line. */
+    * oracle format: fixed-width columns spanned by the dashes line;
+    * csv format: a header line then comma-separated rows (cells with
+    * embedded commas fail the arity check and drop the case — safe). */
   def parseExpected(block: Seq[String], fmt: String): Option[(Seq[String], Seq[Seq[String]])] = fmt match {
+    case "csv" =>
+      val lines = block.dropWhile(_.trim.isEmpty).takeWhile(_.trim.nonEmpty)
+      if (lines.isEmpty) None
+      else {
+        val hdr = lines.head.split(",", -1).map(_.trim).toSeq
+        val rows = lines.tail.map(_.split(",", -1).map(_.trim)
+          .map(c => if (c == "null") "" else c).toSeq) // csv prints NULL as "null"
+        if (rows.exists(_.size != hdr.size)) None else Some((hdr, rows))
+      }
     case "mysql" =>
       val seps = block.zipWithIndex.filter(_._1.trim.startsWith("+-")).map(_._2)
       if (seps.size < 2) {
@@ -184,7 +195,8 @@ trait IqHarness extends SparkSpec {
       ldt.format(java.time.format.DateTimeFormatter.ofPattern(
         if (ldt.getNano == 0) "uuuu-MM-dd HH:mm:ss" else "uuuu-MM-dd HH:mm:ss.SSSSSS"))
     case b: Array[Byte] => b.map(x => f"${x & 0xff}%02x").mkString
-    case arr: scala.collection.Seq[_] => arr.map(normValue).mkString("[", ", ", "]")
+    case arr: scala.collection.Seq[_] => // NULL elements print as "null"
+      arr.map(e => if (e == null) "null" else normValue(e)).mkString("[", ", ", "]")
     case r: org.apache.spark.sql.Row => // ROW constructor prints {a, b}
       (0 until r.length).map(i => normValue(r.get(i))).mkString("{", ", ", "}")
     case m: scala.collection.Map[_, _] => // MAP prints {k=v, ...} sorted
