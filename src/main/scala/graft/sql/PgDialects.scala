@@ -15,7 +15,7 @@ object PostgresDialect {
 
   /** Double-quoted identifiers → backticks, but only OUTSIDE single-
     * quoted string literals (a `"` inside '...' is content). */
-  private[sql] def rewriteQuotes(sql: String): String = {
+  def rewriteQuotes(sql: String): String = {
     val sb = new StringBuilder
     var i = 0
     var inStr = false

@@ -57,13 +57,15 @@ class BabelCorpusSpec extends IqHarness {
       .filter(c => !c.ddl && c.use == use)
     var pass = 0
     val failures = ArrayBuffer.empty[String]
-    for (c <- cases) {
+    // all recorded outputs come from an escape-preserving parser
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try for (c <- cases) {
       compareCase(c, clean(c.sql)) match {
         case None => pass += 1
         case Some(err) =>
           failures += s"${c.file}:${c.line}: $err\n  SQL: ${c.sql.linesIterator.mkString(" ").take(160)}"
       }
-    }
+    } finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
     info(f"babel $file coverage: $pass/${cases.size} (${100.0 * pass / math.max(cases.size, 1)}%.1f%%)")
     val fw = new java.io.PrintWriter(s"target/babel-$use-failures.txt", "UTF-8")
     try failures.foreach(fw.println) finally fw.close()
@@ -79,6 +81,13 @@ class BabelCorpusSpec extends IqHarness {
     // residue: the pinned AVG/STDDEV DECIMAL-scale divergence + window-
     // without-ORDER-BY Spark restriction
     measureDialect("redshift.iq", "scott-redshift", cleanRs, 95)
+  }
+
+  test("babel spark corpus: the home dialect passes near-verbatim") {
+    // Spark IS the engine here — only the corpus's double-quoted
+    // identifiers need conversion
+    measureDialect("spark.iq", "scott-spark",
+      graft.sql.PostgresDialect.rewriteQuotes, 50)
   }
 
   test("babel big-query corpus: measured dialect coverage with a ratcheted floor") {
