@@ -1,0 +1,82 @@
+package graft.sql
+
+/** SQL surface for ASOF JOIN (ref: SqlAsofJoin in the reference's
+  * parser — `A [LEFT] ASOF JOIN B MATCH_CONDITION cond ON equi`;
+  * conformance corpus core/src/test/resources/sql/asof.iq). The
+  * DataFrame-level operator lives in plans/AsofJoin.scala; this lowers
+  * the SQL form onto the same per-left-row best-match semantics:
+  *
+  *   join on (equi AND cond), rank right rows per left ROW (not per
+  *   key — duplicate left rows each keep their own match) by the
+  *   match-condition's right-side expression, keep rank 1. The
+  *   direction follows the operator: `r < l` / `r <= l` wants the
+  *   LARGEST matching r, `r > l` / `r >= l` the smallest. LEFT ASOF
+  *   keeps unmatched left rows via the outer join's null extension
+  *   (which produces exactly one row for an unmatched left row, so the
+  *   rank filter passes it through).
+  *
+  * Duplicate output names dedup with a `0` suffix (K, T, K0, T0), the
+  * reference's row-type behavior. Scope: the corpus's `SELECT * FROM
+  * <rel> AS a(cols) ASOF JOIN <rel> AS b(cols) ...` shape — statements
+  * outside it pass through untouched for a visible parser error. */
+object AsofSql {
+
+  private val asofRe = "(?i)\\b(LEFT\\s+)?ASOF\\s+JOIN\\b".r
+  private val headRe = "(?is)^\\s*SELECT\\s+\\*\\s+FROM\\b".r
+  private val aliasRe = "(?is)^(.*\\bAS\\s+(\\w+)\\s*\\(([^)]*)\\))\\s*$".r
+
+  def rewrite(sql0: String): String = {
+    val sql = sql0.trim.stripSuffix(";")
+    val masked = GraftSql.maskLiterals(sql)
+    val m = asofRe.findFirstMatchIn(masked).getOrElse(return sql0)
+    val head = headRe.findFirstMatchIn(masked).getOrElse(return sql0)
+    val isLeft = m.group(1) != null
+
+    val left = sql.substring(head.end, m.start).trim
+    val mcAt = GraftSql.topLevelIndex(masked, "MATCH_CONDITION", m.end)
+    if (mcAt < 0) return sql0
+    val right = sql.substring(m.end, mcAt).trim
+    val onAt = GraftSql.topLevelIndex(masked, "ON", mcAt)
+    if (onAt < 0) return sql0
+    val cond = sql.substring(mcAt + "MATCH_CONDITION".length, onAt).trim
+    val on = sql.substring(onAt + 2).trim
+
+    val (lalias, lcols) = left match {
+      case aliasRe(_, a, cs) => (a, cs.split(",").map(_.trim).toSeq)
+      case _ => return sql0
+    }
+    val (ralias, rcols) = right match {
+      case aliasRe(_, a, cs) => (a, cs.split(",").map(_.trim).toSeq)
+      case _ => return sql0
+    }
+
+    // the right-side expression of the match condition + sort direction
+    val cmp = "(<=|>=|<|>)".r.findFirstMatchIn(cond).getOrElse(return sql0)
+    val (lhs, op, rhs) = (cond.substring(0, cmp.start).trim, cmp.group(1),
+      cond.substring(cmp.end).trim)
+    def mentionsRight(e: String): Boolean =
+      s"(?i)\\b$ralias\\s*\\.".r.findFirstIn(e).isDefined ||
+        rcols.exists(c => s"(?i)^$c$$".r.findFirstIn(e.trim).isDefined)
+    val (rexpr, effOp) =
+      if (mentionsRight(lhs)) (lhs, op)
+      else if (mentionsRight(rhs)) (rhs, op match {
+        case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      })
+      else return sql0
+    val dir = if (effOp == "<" || effOp == "<=") "DESC" else "ASC"
+
+    val lower = lcols.map(_.toLowerCase)
+    def ren(c: String): String = if (lower.contains(c.toLowerCase)) c + "0" else c
+    val lSel = lcols.map(c => s"$lalias.$c AS $c").mkString(", ")
+    val rSel = rcols.map(c => s"$ralias.$c AS ${ren(c)}").mkString(", ")
+    val outCols = (lcols ++ rcols.map(ren)).mkString(", ")
+    val joinType = if (isLeft) "LEFT JOIN" else "JOIN"
+
+    s"""SELECT $outCols FROM (
+       SELECT $lSel, $rSel,
+         ROW_NUMBER() OVER (PARTITION BY $lalias.__asof_rid ORDER BY $rexpr $dir) AS __asof_rn
+       FROM (SELECT $lalias.*, monotonically_increasing_id() AS __asof_rid FROM $left) $lalias
+       $joinType $right ON ($on) AND ($cond)
+     ) WHERE __asof_rn = 1"""
+  }
+}

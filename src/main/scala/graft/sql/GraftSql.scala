@@ -279,7 +279,7 @@ object GraftSql {
     rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
       rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(
         rewriteExtend(rewriteWindowTvf(rewriteTop(
-          SubqueryRewrites(sql))))))))))))
+          SubqueryRewrites(AsofSql.rewrite(sql)))))))))))))
 
   /** T-SQL `SELECT TOP n ...` (babel's mssql surface) → trailing
     * `LIMIT n`. Outermost select only — anchored at the statement head,

@@ -234,7 +234,10 @@ class CorpusSpec extends IqHarness {
         "machinery; struct ITEM access covered by q52-q55"),
       ("operator.iq", 331) -> "same ROW-expansion + ordinal subscript shape",
       ("operator.iq", 344) -> "same ROW-expansion + ordinal subscript shape",
-      ("operator.iq", 357) -> "same ROW-expansion + ordinal subscript shape")
+      ("operator.iq", 357) -> "same ROW-expansion + ordinal subscript shape",
+      ("asof.iq", 256) -> ("ASOF JOIN chained after a regular LEFT JOIN " +
+        "with bare table aliases — the SQL lowering covers the corpus's " +
+        "single-pair SELECT * shape; the operator itself is q96/q132"))
   }
 
   private def constructSkip(sql: String): Option[String] =
@@ -247,7 +250,7 @@ class CorpusSpec extends IqHarness {
   private val corpusFiles = Seq(
     "agg.iq", "join.iq", "sub-query.iq", "some.iq", "qualify.iq",
     "winagg.iq", "conditions.iq", "scalar.iq", "agg-reduce.iq",
-    "aliasing.iq", "operator.iq")
+    "aliasing.iq", "operator.iq", "asof.iq")
 
   /** Spark-analyzer limitations this engine inherits (correlation shapes
     * Spark's decorrelator rejects, plus two known Spark internal errors
@@ -309,7 +312,7 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 590, s"corpus coverage dropped: $pass passing (floor 590)")
+    assert(pass >= 600, s"corpus coverage dropped: $pass passing (floor 600)")
     assert(engineLimits.size <= 42,
       s"Spark-limitation count grew: ${engineLimits.size} (was 39) — a rewrite regressed")
   }
