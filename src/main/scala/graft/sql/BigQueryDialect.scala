@@ -308,10 +308,60 @@ object BigQueryDialect {
   }
 
   /** `arr[OFFSET(i)]` (0-based) → `arr[(i)]`; `arr[ORDINAL(i)]`
-    * (1-based) → `arr[-1+(i)]` — Spark subscripts are 0-based. */
-  private def rewriteBrackets(sql: String): String = sql
-    .replaceAll("(?i)\\[\\s*OFFSET\\(", "[(")
-    .replaceAll("(?i)\\[\\s*ORDINAL\\(", "[-1+(")
+    * (1-based) → `arr[-1+(i)]` — Spark subscripts are 0-based. The
+    * SAFE_ variants return NULL out of bounds, which is
+    * `try_element_at` — that needs the SUBSCRIPTED expression, found by
+    * scanning backward over the identifier/call/paren chain. */
+  private def rewriteBrackets(sql: String): String = {
+    val simple = sql
+      .replaceAll("(?i)\\[\\s*OFFSET\\(", "[(")
+      .replaceAll("(?i)\\[\\s*ORDINAL\\(", "[-1+(")
+    rewriteSafeSubscript(simple)
+  }
+
+  private[sql] def rewriteSafeSubscript(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\[\\s*SAFE_(OFFSET|ORDINAL)\\s*\\(".r
+    val m = re.findFirstMatchIn(masked).getOrElse(return sql)
+    // the subscript's index expression
+    val open = masked.indexOf('(', m.start)
+    val closeIdx = GraftSql.closeParen(masked, open)
+    if (closeIdx < 0) return sql
+    val closeBracket = masked.indexOf(']', closeIdx)
+    if (closeBracket < 0) return sql
+    val idx = sql.substring(open + 1, closeIdx).trim
+    // backward scan for the start of the subscripted primary expression:
+    // identifier chains (a.b_c), call/paren groups, and prior subscripts
+    var s = m.start - 1
+    def depthBack(openCh: Char, closeCh: Char): Unit = {
+      var depth = 1
+      s -= 1
+      while (s >= 0 && depth > 0) {
+        val c = masked.charAt(s)
+        if (c == closeCh) depth += 1 else if (c == openCh) depth -= 1
+        s -= 1
+      }
+    }
+    var scanning = true
+    while (scanning && s >= 0) {
+      masked.charAt(s) match {
+        case c if c.isLetterOrDigit || c == '_' || c == '.' || c == '`' => s -= 1
+        case ')' => depthBack('(', ')')
+        case ']' => depthBack('[', ']')
+        case _ => scanning = false
+      }
+    }
+    val exprStart = s + 1
+    val target = sql.substring(exprStart, m.start).trim
+    if (target.isEmpty) return sql
+    // index 0 is a hard error even for try_element_at — nullif routes a
+    // negative OFFSET (or ORDINAL 0) to NULL, which IS the SAFE_ answer
+    val oneBased =
+      if (m.group(1).equalsIgnoreCase("OFFSET")) s"nullif(($idx) + 1, 0)"
+      else s"nullif(($idx), 0)"
+    rewriteSafeSubscript(sql.substring(0, exprStart) +
+      s"try_element_at($target, $oneBased)" + sql.substring(closeBracket + 1))
+  }
 
   private def rewriteExtractFields(sql: String): String =
     sql.replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*DAYOFYEAR\\b", "EXTRACT(DOY")

@@ -24,9 +24,6 @@ class BabelCorpusSpec extends IqHarness {
   private val skipCases: Map[Int, String] = Map(
     1064 -> "comma-join correlated UNNEST over an inline ARRAY — BigQuery implicit lateral; Spark needs LATERAL VIEW (engine UNNEST surface: q29/q50)",
     1083 -> "same correlated UNNEST shape",
-    1732 -> "[SAFE_OFFSET(i)] subscript — needs try_element_at over the preceding expression; postfix rewrite out of textual reach",
-    1754 -> "same SAFE_OFFSET subscript",
-    1764 -> "same SAFE_ORDINAL subscript",
     1949 -> "UNION branch coercion of INT vs VARCHAR SAFE_CAST results — reference coerces, Spark rejects",
     1972 -> "SAFE_CAST(... AS TIME) — Spark has no TIME type; TIME surface is string-encoded (q109)",
     2009 -> "INTERVAL cast display: +1 (reference) vs P1Y (Spark ANSI interval rendering)",
@@ -116,7 +113,7 @@ class BabelCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(total >= 200, s"parser found only $total cases — quidem parsing regressed")
     // ratchet: raise this floor when new dialect rewrites land
-    assert(pass >= 190, s"babel coverage dropped: $pass passing (floor 190)")
+    assert(pass >= 195, s"babel coverage dropped: $pass passing (floor 195)")
     assert(failures.isEmpty,
       s"undocumented babel failures (${failures.size}):\n${failures.take(10).mkString("\n")}")
   }
