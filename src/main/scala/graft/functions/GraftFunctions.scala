@@ -92,6 +92,10 @@ object GraftFunctions {
     // USER/SYSTEM_USER ≡ CURRENT_USER (Calcite's DataContext exposes one
     // user identity), CURRENT_SCHEMA ≡ the session database, and
     // CURRENT_PATH/CURRENT_ROLE are '' in Calcite's default context.
+    // MULTISET bag operators (functions/Multiset.scala) for the SQL path
+    "multiset_intersect_all" -> (args => MultisetIntersectAll(args(0), args(1))),
+    "multiset_except_all" -> (args => MultisetExceptAll(args(0), args(1))),
+    "submultiset_of" -> (args => SubmultisetOf(args(0), args(1))),
     "user" -> (_ => CurrentUser()),
     "system_user" -> (_ => CurrentUser()),
     "current_schema" -> (_ => CurrentDatabase()),

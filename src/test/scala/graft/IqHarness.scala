@@ -112,7 +112,9 @@ trait IqHarness extends SparkSpec {
     * embedded commas fail the arity check and drop the case — safe). */
   def parseExpected(block: Seq[String], fmt: String): Option[(Seq[String], Seq[Seq[String]])] = fmt match {
     case "csv" =>
-      val lines = block.dropWhile(_.trim.isEmpty).takeWhile(_.trim.nonEmpty)
+      // rows INCLUDE blank lines — a single-column empty-string row
+      // prints as one (quidem pads after the directive, not inside)
+      val lines = block.dropWhile(_.trim.isEmpty)
       if (lines.isEmpty) None
       else {
         val hdr = lines.head.split(",", -1).map(_.trim).toSeq
