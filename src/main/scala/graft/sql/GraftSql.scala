@@ -278,8 +278,58 @@ object GraftSql {
   private[graft] def rewrite(sql: String): String =
     rewriteQualify(rewriteSimilarTo(rewriteSafeCast(rewriteJsonValue(
       rewriteStarReplace(rewriteCastFormat(rewriteFetch(rewriteDual(
-        rewriteExtend(rewriteWindowTvf(rewriteTop(
-          SubqueryRewrites(AsofSql.rewrite(sql)))))))))))))
+        rewriteExtend(rewriteWindowTvf(rewriteTop(rewriteRowCtor(
+          rewriteRowNullCheck(rewriteExclude(
+            SubqueryRewrites(AsofSql.rewrite(sql))))))))))))))))
+
+  /** `ROW(f1, …) IS [NOT] NULL` — the reference follows the standard's
+    * degenerate-row rule (SqlStdOperatorTable IS_NULL over row types;
+    * struct.iq:131-145 CALCITE-3627): a row is NULL iff EVERY field is
+    * null, with nested rows recursing, and IS NOT NULL is its plain
+    * negation (not the all-fields-non-null form). Spark's struct IS NULL
+    * only tests the struct reference, so lower to the field conjunction
+    * before the constructor rewrite turns ROW into struct. */
+  private def rewriteRowNullCheck(sql: String): String = {
+    def fieldsNull(args: String): String =
+      splitTopLevel(args).map(_.trim).map { f =>
+        "(?is)^ROW\\s*\\((.*)\\)$".r.findFirstMatchIn(f) match {
+          case Some(inner) => fieldsNull(inner.group(1))
+          case None => s"$f IS NULL"
+        }
+      }.mkString("(", " AND ", ")")
+    val re = "(?is)\\bROW\\s*\\(".r
+    val masked = maskLiterals(sql)
+    val hit = re.findAllMatchIn(masked).flatMap { m =>
+      val close = closeParen(masked, masked.indexOf('(', m.start))
+      if (close < 0) None
+      else "(?is)^\\s*IS\\s+(NOT\\s+)?NULL".r.findFirstMatchIn(masked.substring(close + 1))
+        .map(t => (m.start, close, t.group(1) != null, close + 1 + t.end))
+    }.toSeq.headOption
+    hit match {
+      case None => sql
+      case Some((start, close, isNot, end)) =>
+        val conj = fieldsNull(sql.substring(masked.indexOf('(', start) + 1, close))
+        val repl = if (isNot) s"(NOT $conj)" else conj
+        rewriteRowNullCheck(sql.substring(0, start) + repl + sql.substring(end))
+    }
+  }
+
+  /** `ROW(a, b, …)` value constructor (SqlStdOperatorTable.ROW;
+    * struct.iq) → Spark's `struct(...)`; `ROW(*)` / `ROW(t.*)` expand
+    * the same way (CALCITE-7311). The harness compares by position so
+    * the col1/col2 field names Spark assigns don't matter. */
+  private def rewriteRowCtor(sql: String): String =
+    replaceMasked(sql, "(?is)\\bROW\\s*\\(".r)((_, _) => "struct(")
+
+  /** `* EXCLUDE(cols)` (SqlSelect EXCLUDE, struct.iq:190-230) → Spark's
+    * `* EXCEPT (cols)`, with column qualifiers inside the list dropped
+    * (Spark's EXCEPT list takes bare names). */
+  private def rewriteExclude(sql: String): String =
+    replaceMasked(sql, "(?is)\\*\\s+EXCLUDE\\s*\\(([^)]*)\\)".r)((m, o) => {
+      val cols = origGroup(m, o, 1).split(",")
+        .map(c => c.trim.replaceAll("^\\w+\\s*\\.\\s*", "")).mkString(", ")
+      s"* EXCEPT ($cols)"
+    })
 
   /** T-SQL `SELECT TOP n ...` (babel's mssql surface) → trailing
     * `LIMIT n`. Outermost select only — anchored at the statement head,
@@ -368,12 +418,27 @@ object GraftSql {
     * offset.iq; Sort.fetch/offset in the algebra) → Spark's
     * LIMIT/OFFSET clauses. */
   private def rewriteFetch(sql: String): String = {
-    val both = "(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\s+FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r
-    val fetchOnly = "(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r
-    val offsetRows = "(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS\\b".r
-    val s1 = replaceMasked(sql, both)((m, _) => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
-    val s2 = replaceMasked(s1, fetchOnly)((m, _) => s"LIMIT ${m.group(1)}")
-    replaceMasked(s2, offsetRows)((m, _) => s"OFFSET ${m.group(1)}")
+    val both = "(?is)\\bOFFSET\\s+(.+?)\\s+ROWS?\\s+FETCH\\s+(?:FIRST|NEXT)\\s+(.+?)\\s+ROWS?\\s+ONLY".r
+    val fetchOnly = "(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(.+?)\\s+ROWS?\\s+ONLY".r
+    val offsetRows = "(?is)\\bOFFSET\\s+(.+?)\\s+ROWS\\b".r
+    // the count may be any expression (fetch.iq:23-173 — `(1 + abs(-2))`,
+    // fractional `(1.5)` rounds half-up, beyond-BIGINT values mean "all
+    // rows"); a plain integer passes through untouched, an expression is
+    // clamped into Spark's INT limit domain and left to constant folding
+    def num(e: String): Option[String] =
+      if (e.matches("\\d+")) Some(e)
+      else if (e.length > 200 ||
+        "(?is)\\b(SELECT|FROM|WHERE|ORDER|GROUP)\\b".r.findFirstIn(e).isDefined) None
+      else Some(s"(CAST(LEAST(ROUND($e), 2147483647) AS INT))")
+    val s1 = replaceMasked(sql, both)((m, o) =>
+      (num(origGroup(m, o, 1)), num(origGroup(m, o, 2))) match {
+        case (Some(off), Some(lim)) => s"LIMIT $lim OFFSET $off"
+        case _ => o.substring(m.start, m.end)
+      })
+    val s2 = replaceMasked(s1, fetchOnly)((m, o) =>
+      num(origGroup(m, o, 1)).map(l => s"LIMIT $l").getOrElse(o.substring(m.start, m.end)))
+    replaceMasked(s2, offsetRows)((m, o) =>
+      num(origGroup(m, o, 1)).map(x => s"OFFSET $x").getOrElse(o.substring(m.start, m.end)))
   }
 
   /** Oracle `FROM DUAL` (babel; dual-table-query.iq) — a FROM-less

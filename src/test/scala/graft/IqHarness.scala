@@ -199,8 +199,20 @@ trait IqHarness extends SparkSpec {
     case b: Array[Byte] => b.map(x => f"${x & 0xff}%02x").mkString
     case arr: scala.collection.Seq[_] => // NULL elements print as "null"
       arr.map(e => if (e == null) "null" else normValue(e)).mkString("[", ", ", "]")
-    case r: org.apache.spark.sql.Row => // ROW constructor prints {a, b}
-      (0 until r.length).map(i => normValue(r.get(i))).mkString("{", ", ", "}")
+    case r: org.apache.spark.sql.Row => // ROW constructor prints {a, b}; null fields as "null"
+      // fields print reference-style (decimals keep their scale: 800.00)
+      // because the expected side's brace cell is compared verbatim
+      def rowValue(v: Any): String = v match {
+        case null => "null"
+        case b: java.math.BigDecimal => b.toPlainString
+        case b: scala.math.BigDecimal => b.bigDecimal.toPlainString
+        case rr: org.apache.spark.sql.Row =>
+          (0 until rr.length).map(i => rowValue(if (rr.isNullAt(i)) null else rr.get(i)))
+            .mkString("{", ", ", "}")
+        case other => normValue(other)
+      }
+      (0 until r.length).map(i =>
+        rowValue(if (r.isNullAt(i)) null else r.get(i))).mkString("{", ", ", "}")
     case m: scala.collection.Map[_, _] => // MAP prints {k=v, ...} sorted
       m.toSeq.map { case (k, v) => s"${normValue(k)}=${normValue(v)}" }
         .sorted.mkString("{", ", ", "}")
