@@ -96,6 +96,11 @@ object GraftFunctions {
     "multiset_intersect_all" -> (args => MultisetIntersectAll(args(0), args(1))),
     "multiset_except_all" -> (args => MultisetExceptAll(args(0), args(1))),
     "submultiset_of" -> (args => SubmultisetOf(args(0), args(1))),
+    // seeded integer stream (runtime/RandomFunction.java:66) — 1-arg form
+    // draws from an unseeded Random, 2-arg replays the seeded sequence
+    "rand_integer" -> (args =>
+      if (args.length == 1) RandInteger(Literal(System.nanoTime()), args(0))
+      else RandInteger(args(0), args(1))),
     "user" -> (_ => CurrentUser()),
     "system_user" -> (_ => CurrentUser()),
     "current_schema" -> (_ => CurrentDatabase()),

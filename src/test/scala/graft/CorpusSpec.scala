@@ -98,6 +98,10 @@ class CorpusSpec extends IqHarness {
       "ARRAY[...] literal syntax: Spark spells it array(...); UNNEST (incl. WITH ORDINALITY) covered by q29/q50 via the engine's own surface."),
     ("(?i)\\bmap\\s*\\[",
       "MAP[k, v] literal syntax is reference-specific; Spark spells it map(k, v)."),
+    ("(?i)\\bas\\s+row\\s*\\(",
+      "CAST(... AS ROW(a T, b T)) type syntax: Spark spells struct types STRUCT<...>; struct casts covered by struct.iq's value cases."),
+    ("(?i)\\bas\\s*\\(\\s*'",
+      "Tuple labels in UNPIVOT IN-lists ((c1,c2) AS ('CLERK', 10)): Spark's UNPIVOT aliases are single identifiers."),
     ("(?i)\\bany_value\\s*\\(",
       "ANY_VALUE picks an arbitrary row — engine-specific; deterministic ARG_MAX/MIN covered by q16."),
     ("(?i)\\blateral\\s*\\(",
@@ -155,6 +159,17 @@ class CorpusSpec extends IqHarness {
       "zero (RelDataTypeSystem rounding mode DOWN); Spark rounds HALF_UP — " +
       "divergence pinned in DecimalTypeSystemSpec, and the corpus's own " +
       "*-rounding-half-up schema variants record Spark's behavior"
+    val caseSensitiveIds = "quoted identifiers \"a\" and \"A\" as distinct " +
+      "columns: Spark's resolver is case-preserving but case-INSENSITIVE " +
+      "(spark.sql.caseSensitive=false is its supported default), so the " +
+      "lookup is ambiguous"
+    val duplicatePivotValue = "duplicate value in the PIVOT IN-list " +
+      "((10, 10, 20)): Spark's PivotFirst hits INVALID_ARRAY_INDEX — an " +
+      "upstream Spark analyzer gap, deduplicating would change the column " +
+      "count the reference expects"
+    val pivotCountZero = "empty PIVOT cells under COUNT: the reference " +
+      "(like Oracle) fills 0; Spark's pivot lowering aggregates " +
+      "first(if(...)) and leaves NULL — value-identical otherwise"
     Map(
       ("agg.iq", 31) -> "duplicate of line-21 case (same SQL, kept once)",
       ("agg.iq", 850) -> ("grouping(deptno) in ORDER BY after plain rollup: " +
@@ -239,6 +254,35 @@ class CorpusSpec extends IqHarness {
       ("operator.iq", 331) -> "same ROW-expansion + ordinal subscript shape",
       ("operator.iq", 344) -> "same ROW-expansion + ordinal subscript shape",
       ("operator.iq", 357) -> "same ROW-expansion + ordinal subscript shape",
+      ("blank.iq", 219) -> ("MAX/MIN over a MAP column — Spark's map type " +
+        "has no ordering (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE); the " +
+        "reference orders maps by entry list"),
+      ("misc.iq", 1602) -> caseSensitiveIds,
+      ("misc.iq", 1612) -> caseSensitiveIds,
+      ("misc.iq", 2065) -> ("rand(seed) — both engines are deterministic " +
+        "per seed but the PRNG streams differ (java.util.Random vs " +
+        "Spark's XORShiftRandom); rand_integer(seed, n) IS matched " +
+        "bit-for-bit via functions/RandInteger.scala"),
+      ("misc.iq", 2148) -> ("the reference's default TIMESTAMP precision " +
+        "is 0 (bare CAST drops fractions) and literals carry precision " +
+        "3; Spark timestamps are fixed micros — TIMESTAMP(p) has no " +
+        "equivalent"),
+      ("misc.iq", 2435) -> ("integer division: the reference computes " +
+        "1/2 = 0 (SQL standard integer semantics); Spark's / is always " +
+        "fractional"),
+      ("pivot.iq", 240) -> duplicatePivotValue,
+      ("pivot.iq", 253) -> duplicatePivotValue,
+      ("pivot.iq", 78) -> pivotCountZero,
+      ("pivot.iq", 95) -> ("Spark's single-aggregate pivot drops the " +
+        "aggregate alias from the generated columns (10, not 10_COUNT), " +
+        "so the reference's \"10_COUNT\" reference cannot resolve"),
+      ("pivot.iq", 23) -> pivotCountZero,
+      ("pivot.iq", 61) -> pivotCountZero,
+      ("pivot.iq", 113) -> pivotCountZero,
+      ("pivot.iq", 184) -> pivotCountZero,
+      ("pivot.iq", 200) -> pivotCountZero,
+      ("pivot.iq", 340) -> pivotCountZero,
+      ("pivot.iq", 412) -> pivotCountZero,
       ("struct.iq", 170) -> ("LIMIT 1 with no ORDER BY over a join — " +
         "which row survives is engine-specific (Calcite returns CLARK, " +
         "Spark's first partition yields SMITH); same query shape with an " +
@@ -270,7 +314,9 @@ class CorpusSpec extends IqHarness {
     "winagg.iq", "conditions.iq", "scalar.iq", "agg-reduce.iq",
     "aliasing.iq", "operator.iq", "asof.iq", "cast.iq",
     "fetch.iq", "offset.iq", "set-op.iq", "outer.iq", "lateral.iq",
-    "struct.iq")
+    "struct.iq", "sort.iq", "unnest.iq", "blank.iq", "pivot.iq",
+    "recursive_queries.iq", "tablesample.iq", "misc.iq",
+    "within-distinct.iq")
 
   /** Spark-analyzer limitations this engine inherits (correlation shapes
     * Spark's decorrelator rejects, plus two known Spark internal errors
@@ -283,7 +329,13 @@ class CorpusSpec extends IqHarness {
       // windows: Spark requires ORDER BY where the reference defaults to
       // arbitrary order, and has no FILTER on window aggregates yet
       "|requires window to be ordered" +
-      "|Window aggregate function with filter predicate").r
+      "|Window aggregate function with filter predicate" +
+      // Spark has no TIME type, no UNION-distinct recursion (its own
+      // error says "not yet supported"), and DISTINCT + ORDER BY on a
+      // non-selected expression is rejected by its analyzer
+      "|UNSUPPORTED_TIME_TYPE" +
+      "|UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" +
+      "|UNSUPPORTED_EXPR_FOR_OPERATOR").r
 
   private val createdTables = scala.collection.mutable.Set.empty[String]
 
@@ -300,7 +352,12 @@ class CorpusSpec extends IqHarness {
         .filter(c => c.ddl || c.use == "scott" || c.use == "post" || c.use == "blank")
       var lastUse = ""
       for (c <- cases) {
-        if (c.ddl) runDdl(c.sql)
+        if (c.ddl) {
+          // a DDL that replaces a fixture-named temp view (blank.iq
+          // CREATE TABLE EMP) invalidates the use-cache: the next
+          // scott/post case must re-register its views
+          if (runDdl(c.sql)) lastUse = ""
+        }
         else skipCases.get((c.file, c.line)) match {
           case Some(_) => skippedCase += 1
           case None => constructSkip(c.sql) match {
@@ -332,24 +389,36 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 690, s"corpus coverage dropped: $pass passing (floor 690)")
-    assert(engineLimits.size <= 42,
-      s"Spark-limitation count grew: ${engineLimits.size} (was 39) — a rewrite regressed")
+    assert(pass >= 870, s"corpus coverage dropped: $pass passing (floor 870)")
+    assert(engineLimits.size <= 48,
+      s"Spark-limitation count grew: ${engineLimits.size} (was 45) — a rewrite regressed")
   }
 
   /** Corpus DDL (`!update` statements): CREATE VIEW → temp view, CREATE
-    * TABLE gets a drop-first for idempotency, INSERT runs as-is. */
-  private def runDdl(sql0: String): Unit = {
-    // bare VARCHAR (no length) is legal in the corpus dialect; Spark DDL
-    // requires a length, so widen to STRING (same domain)
-    val sql = clean(sql0).replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+    * TABLE gets a drop-first for idempotency (including a same-named
+    * fixture TEMP VIEW, which would otherwise shadow the new table for
+    * every later read AND reject the file's INSERTs), INSERT/CTAS run
+    * through the dialect rewrites so the corpus's collection literals
+    * and type spellings (ARRAY[..], ROW(..), INTEGER ARRAY, bare
+    * VARCHAR) land. Returns true when a fixture temp view was dropped. */
+  private def runDdl(sql0: String): Boolean = {
+    val sql1 = graft.sql.GraftSql.rewrite(
+      graft.sql.SparkDialect.rewrite(rowTypes(clean(sql0))))
+    // ANSI store assignment rejects bare date-looking strings into DATE
+    // columns (blank.iq:254 INSERT) — type the literal (unless already
+    // prefixed by DATE/TIMESTAMP)
+    val sql =
+      if (!sql1.trim.toUpperCase.startsWith("INSERT")) sql1
+      else sql1.replaceAll("(?i)(?<!DATE )(?<!TIMESTAMP )'(\\d{4}-\\d{2}-\\d{2})'", "DATE '$1'")
     val up = sql.trim.toUpperCase
+    var droppedView = false
     try {
       if (up.startsWith("CREATE VIEW"))
         spark.sql(sql.trim.replaceFirst("(?i)^CREATE\\s+VIEW", "CREATE OR REPLACE TEMP VIEW"))
       else if (up.startsWith("CREATE TABLE")) {
         val name = "(?i)^CREATE\\s+TABLE\\s+(\\w+)".r.findFirstMatchIn(sql.trim).map(_.group(1))
         name.foreach { n =>
+          droppedView = spark.catalog.dropTempView(n)
           spark.sql(s"DROP TABLE IF EXISTS $n")
           // a crashed prior run can leave the managed location behind
           val loc = new java.io.File(s"spark-warehouse/$n")
@@ -368,13 +437,36 @@ class CorpusSpec extends IqHarness {
         Option(ex.getMessage).getOrElse("").linesIterator.filter(_.nonEmpty).take(2).mkString(" | ") +
         s" -- stmt: ${sql.linesIterator.mkString(" ").take(120)}")
     }
+    droppedView
   }
+
+  /** `ROW(name TYPE, ...)` column types in CREATE TABLE (blank.iq
+    * complex_t) → Spark's `STRUCT<name: TYPE, ...>`; element types are
+    * widened by the dialect type pass that runs after this. */
+  private def rowTypes(sql: String): String =
+    if (!"(?is)^\\s*CREATE\\s+TABLE\\s+\\w+\\s*\\(".r.findFirstIn(sql).isDefined) sql
+    else "(?is)\\bROW\\s*\\(([^()]*)\\)".r.replaceAllIn(sql, m =>
+      "STRUCT<" + m.group(1).split(",").map(_.trim.replaceFirst("\\s+", ": "))
+        .mkString(", ") + ">")
 
   /** The corpora schema-qualify as "scott".emp / "post".emp; views are
     * session-scoped here. Remaining double-quoted identifiers become
     * backtick identifiers (the corpora's dialect quotes with ", Spark
     * with `), and Calcite's auto-generated EXPR$n names are quoted. */
-  private def clean(sql: String): String = sql
+  private def clean(sql: String): String =
+    // reference lexer uppercases unquoted identifiers; UNPIVOT labels
+    // surface identifiers as DATA, so the harness applies that dialect
+    // casing (product surface stays case-preserving — q135)
+    graft.sql.GraftSql.upperUnpivotLabels(clean0(sql))
+
+  private def clean0(sql: String): String = sql
+    // fully-qualified "hr"."emps"."empid" column refs resolve against the
+    // bare-name alias the table rule below introduces
+    .replaceAll("(?i)\"hr\"\\.\"(emps|depts)\"\\.\"(\\w+)\"", "$1.\"$2\"")
+    // hr tables get an hr_ prefix (post also defines an `emps`); when the
+    // query has no alias of its own, alias back to the bare name so
+    // qualified references ("emps"."deptno") keep resolving
+    .replaceAll("(?i)\"hr\"\\.\"(emps|depts)\"(?=\\s*(\\)|,|$|\\n|WHERE\\b|JOIN\\b|ON\\b|GROUP\\b|ORDER\\b|HAVING\\b|LIMIT\\b|UNION\\b|LEFT\\b|RIGHT\\b|INNER\\b|CROSS\\b|FULL\\b|NATURAL\\b))", "hr_$1 $1")
     .replaceAll("(?i)\"hr\"\\.\"(emps|depts)\"", "hr_$1") // hr shares names with post
     .replaceAll("(?i)\"(scott|post|blank)\"\\.", "")
     .replaceAll("\"([^\"]+)\"", "`$1`")

@@ -253,9 +253,13 @@ trait IqHarness extends SparkSpec {
   def registerScott(): Unit = {
     spark.sql("""
       CREATE OR REPLACE TEMP VIEW emp AS
-      SELECT empno, ename, job, mgr, hiredate,
-             CAST(sal AS DECIMAL(7,2)) AS sal,
-             CAST(comm AS DECIMAL(7,2)) AS comm, deptno
+      -- column names UPPERCASE: the reference uppercases unquoted
+      -- identifiers, and UNPIVOT labels surface column NAMES as DATA
+      -- (pivot.iq:554), so the case must match
+      SELECT empno AS EMPNO, ename AS ENAME, job AS JOB, mgr AS MGR,
+             hiredate AS HIREDATE,
+             CAST(sal AS DECIMAL(7,2)) AS SAL,
+             CAST(comm AS DECIMAL(7,2)) AS COMM, deptno AS DEPTNO
       FROM VALUES
         (7369,'SMITH','CLERK',7902,DATE'1980-12-17',800.00,CAST(NULL AS DECIMAL(7,2)),20),
         (7499,'ALLEN','SALESMAN',7698,DATE'1981-02-20',1600.00,300.00,30),
@@ -276,15 +280,15 @@ trait IqHarness extends SparkSpec {
       CREATE OR REPLACE TEMP VIEW dept AS SELECT * FROM VALUES
         (10,'ACCOUNTING','NEW YORK'),(20,'RESEARCH','DALLAS'),
         (30,'SALES','CHICAGO'),(40,'OPERATIONS','BOSTON')
-        AS t(deptno, dname, loc)""")
+        AS t(DEPTNO, DNAME, LOC)""")
     spark.sql("""
       CREATE OR REPLACE TEMP VIEW bonus AS
-      SELECT CAST(NULL AS STRING) AS ename, CAST(NULL AS STRING) AS job,
-             CAST(NULL AS DECIMAL(7,2)) AS sal, CAST(NULL AS DECIMAL(7,2)) AS comm
+      SELECT CAST(NULL AS STRING) AS ENAME, CAST(NULL AS STRING) AS JOB,
+             CAST(NULL AS DECIMAL(7,2)) AS SAL, CAST(NULL AS DECIMAL(7,2)) AS COMM
       WHERE 1 = 0""")
     spark.sql("""
       CREATE OR REPLACE TEMP VIEW salgrade AS SELECT * FROM VALUES
         (1,700,1200),(2,1201,1400),(3,1401,2000),(4,2001,3000),(5,3001,9999)
-        AS t(grade, losal, hisal)""")
+        AS t(GRADE, LOSAL, HISAL)""")
   }
 }
