@@ -101,6 +101,12 @@ object GraftFunctions {
     "rand_integer" -> (args =>
       if (args.length == 1) RandInteger(Literal(System.nanoTime()), args(0))
       else RandInteger(args(0), args(1))),
+    // the VARIANT null value — a contained JSON null, NOT SQL NULL
+    // (variant.iq:84-105; SqlLibraryOperators VARIANTNULL)
+    "variantnull" -> (_ =>
+      org.apache.spark.sql.catalyst.expressions.variant.ParseJson(Literal("null"))),
+    // reference TYPEOF: names the contained runtime type of a VARIANT
+    "typeof" -> (args => TypeOfCalcite(args(0))),
     "user" -> (_ => CurrentUser()),
     "system_user" -> (_ => CurrentUser()),
     "current_schema" -> (_ => CurrentDatabase()),

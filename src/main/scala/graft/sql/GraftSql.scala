@@ -26,7 +26,10 @@ object GraftSql {
     // token scan, and a keyword inside `-- ...` or `/* ... */` must not
     // fire it (the reference's lexer discards comments before the
     // parser ever sees them — Parser.jj SKIP section).
-    val text = stripComments(rawText)
+    val text0 = stripComments(rawText)
+    // measures first: `AS MEASURE` restructures the statement (and a
+    // consumer of a measure view needs the session for type derivation)
+    val text = MeasureSql.maybeRewrite(spark, text0)
     ddl(spark, text.trim)
       .orElse(MatchRecognizeSql.maybeRun(spark, text))
       .getOrElse {
@@ -47,9 +50,19 @@ object GraftSql {
             }
           graft.functions.Sequences.withSequence(
             spark.sql(rewrite(stripped)), seqName, alias)
-        case None => spark.sql(rewrite(text))
+        case None => rowEq(spark, spark.sql(rewrite(text)))
       }
     }
+  }
+
+  /** Standard row-equality 3VL over struct operands (plans/RowEquality):
+    * patched on the analyzed plan, before the optimizer can constant-fold
+    * Spark's ordering semantics into literal struct comparisons. */
+  private def rowEq(spark: SparkSession, df: DataFrame): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    val patched = graft.plans.RowEquality.patch(analyzed)
+    if (patched fastEquals analyzed) df
+    else org.apache.spark.sql.GraftSqlBridge.ofRows(spark, patched)
   }
 
   // ---- validation-error surface -----------------------------------------
@@ -236,7 +249,7 @@ object GraftSql {
   /** replaceAllIn driven by matches on the MASKED text; `f` receives the
     * masked match (positions valid in the original) plus the original
     * text for group extraction. */
-  private def replaceMasked(sql: String, re: scala.util.matching.Regex)(
+  private[sql] def replaceMasked(sql: String, re: scala.util.matching.Regex)(
       f: (scala.util.matching.Regex.Match, String) => String): String = {
     val sb = new StringBuilder
     var last = 0
@@ -250,7 +263,7 @@ object GraftSql {
 
   /** Group `i` of a masked match, read from the ORIGINAL text (masked
     * group content would have its literal chars destroyed). */
-  private def origGroup(m: scala.util.matching.Regex.Match, orig: String, i: Int): String =
+  private[sql] def origGroup(m: scala.util.matching.Regex.Match, orig: String, i: Int): String =
     if (m.start(i) < 0) null else orig.substring(m.start(i), m.end(i))
 
   /** Statement-level DDL the engine owns (ref: server module,
@@ -275,14 +288,17 @@ object GraftSql {
     }
   }
 
+  private[graft] def rewriteProbe(sql: String): String = rewrite(sql)
+
   private[graft] def rewrite(sql: String): String =
     Seq[String => String](
-      AsofSql.rewrite, SubqueryRewrites.apply, rewriteExclude,
+      MeasureSql.ddlRewrite, AsofSql.rewrite, SubqueryRewrites.apply, rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteRowCtor, rewriteTop,
       rewriteWindowTvf, rewriteExtend, rewriteDual, rewriteFetch,
       rewriteCastFormat, rewriteStarReplace, rewriteJsonValue,
       rewriteSafeCast, rewriteSimilarTo, rewriteQualify, rewriteUuid,
       rewriteBareTypes, rewriteDecimalLit, rewriteNullifFold,
+      rewriteUnsignedCast, rewriteVariantOps,
       rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
       rewritePivotAlias, rewriteUnpivotLabel
     ).foldLeft(sql)((s, f) => f(s))
@@ -358,6 +374,87 @@ object GraftSql {
       if (t.matches("\\w+")) s"$t AS `${t.toUpperCase}`" else t
     }
     s1.substring(0, listOpen + 1) + entries.mkString(", ") + s1.substring(listClose)
+  }
+
+  /** `CAST(e AS [TINYINT|SMALLINT|INT|INTEGER|BIGINT] UNSIGNED)` (ref:
+    * sql/type/SqlTypeName.java:61-64, unsigned.iq): lower onto the
+    * range-checked widened-carrier scheme of functions/Unsigned.scala —
+    * each unsigned type rides the next wider signed type with an
+    * explicit bounds check, erroring (like the reference) instead of
+    * wrapping. Bare UNSIGNED is INTEGER UNSIGNED. Innermost-first so
+    * nested unsigned casts lower cleanly. */
+  private def rewriteUnsignedCast(sql: String): String = {
+    val carriers = Map(
+      "TINYINT" -> ("SMALLINT", "255"), "SMALLINT" -> ("INT", "65535"),
+      "INT" -> ("BIGINT", "4294967295"), "INTEGER" -> ("BIGINT", "4294967295"),
+      "" -> ("BIGINT", "4294967295"),
+      "BIGINT" -> ("DECIMAL(20,0)", "18446744073709551615"))
+    val typeRe = "(?is)^AS\\s+((?:TINYINT|SMALLINT|INTEGER|INT|BIGINT)?)\\s*UNSIGNED\\s*$".r
+    var cur = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(cur)
+      var i = if (masked.toUpperCase.contains("UNSIGNED"))
+        masked.toUpperCase.indexOf("CAST") else -1
+      while (i >= 0 && !changed) {
+        val open = masked.indexOf('(', i + 4)
+        val onlyWs = open > 0 && masked.substring(i + 4, open).forall(_.isWhitespace)
+        val close = if (onlyWs) closeParen(masked, open) else -1
+        if (close > 0) {
+          val innerM = masked.substring(open + 1, close)
+          val asAt = topLevelIndexLast(innerM, "AS")
+          if (asAt >= 0) typeRe.findFirstMatchIn(innerM.substring(asAt)).foreach { m =>
+            val e = cur.substring(open + 1, open + 1 + asAt).trim
+            val (c, max) = carriers(m.group(1).toUpperCase)
+            // literal fast path: foldable at rewrite time, so the cast
+            // stays usable in inline-table VALUES (unsigned.iq:21)
+            val rep =
+              if (e.matches("\\d+") && BigInt(e) <= BigInt(max)) s"CAST($e AS $c)"
+              else s"IF(CAST(($e) AS $c) IS NULL OR CAST(($e) AS $c) BETWEEN 0 AND $max, CAST(($e) AS $c), " +
+                s"CAST(raise_error(CONCAT('Value is out of range : ', CAST(($e) AS STRING))) AS $c))"
+            cur = cur.substring(0, i) + rep + cur.substring(close + 1)
+            changed = true
+          }
+        }
+        if (!changed) i = masked.toUpperCase.indexOf("CAST", i + 4)
+      }
+    }
+    cur
+  }
+
+  /** Last top-level occurrence of a keyword (word-bounded, depth 0). */
+  private def topLevelIndexLast(s: String, kw: String): Int = {
+    var last = -1
+    var at = topLevelIndex(s, kw)
+    while (at >= 0) { last = at; at = topLevelIndex(s, kw, at + kw.length) }
+    last
+  }
+
+  /** VARIANT operations Spark's analyzer rejects (variant.iq):
+    *  - equality: the reference delegates to the contained values,
+    *    requiring the same runtime type (variant.iq:108-117) — lowered
+    *    to `schema_of_variant(a)=schema_of_variant(b) AND
+    *    to_json(a)=to_json(b)` (3VL preserved: a SQL-NULL operand nulls
+    *    both conjuncts). Applied only when an operand is syntactically
+    *    variant-typed (CAST(.. AS VARIANT) / VARIANTNULL()).
+    *  - subscript: `CAST(x AS VARIANT)[n]` is the reference's 1-based
+    *    ITEM over a variant array, null for non-arrays (variant.iq:131)
+    *    → `try_variant_get(.., '$[n-1]')`. */
+  private def rewriteVariantOps(sql: String): String = {
+    val masked = maskLiterals(sql)
+    if (!masked.toUpperCase.contains("VARIANT")) return sql
+    val vshape = "(?is)(CAST\\s*\\((?:[^()]|\\([^()]*\\))*AS\\s+VARIANT\\s*\\)|VARIANTNULL\\s*\\(\\s*\\))"
+    val eqRe = (vshape + "\\s*=\\s*" + vshape).r
+    val s1 = replaceMasked(sql, eqRe)((m, o) => {
+      val (a, b) = (origGroup(m, o, 1), origGroup(m, o, 2))
+      s"(schema_of_variant($a) = schema_of_variant($b) AND to_json($a) = to_json($b))"
+    })
+    replaceMasked(s1,
+      ("(?is)\\(\\s*" + vshape + "\\s*\\)\\s*\\[(\\d+)\\]").r)((m, o) => {
+      val idx = m.group(2).toInt - 1
+      s"try_variant_get(${origGroup(m, o, 1)}, '$$[$idx]')"
+    })
   }
 
   /** UUID literals and casts (SqlLibraryOperators UUID; misc.iq:70-140).
@@ -722,7 +819,7 @@ object GraftSql {
   }
 
   /** Split on top-level commas (paren- and string-aware). */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var inStr = false
@@ -797,7 +894,7 @@ object GraftSql {
   /** topLevelIndex ignoring paren depth (JSON_VALUE sits inside select
     * lists, i.e. at arbitrary depth); still string-aware. When
     * wordy=false matches a bare character sequence at depth 0 only. */
-  private def topLevelIndexAnyDepth(s: String, keyword: String): Int = {
+  private[sql] def topLevelIndexAnyDepth(s: String, keyword: String): Int = {
     val words = keyword.toUpperCase.split("\\s+")
     var inStr = false
     var inTick = false

@@ -96,15 +96,33 @@ object MatchRecognizeSql {
       }
     }
 
-    val base: DataFrame =
+    val base0: DataFrame =
       if (source.startsWith("(")) spark.sql(source.substring(1, closeParen(source, 0)))
       else spark.table(source)
 
-    val s = parseSpec(spec)
+    val s0 = parseSpec(spec)
+    // DESC sort keys: negate into helper columns so the matcher's single
+    // ascending walk realizes the requested descending order (numeric
+    // keys — match.iq:98-160; a non-negatable DESC key fails analysis
+    // with Spark's own message).
+    val descHelpers = s0.orderBy.zip(s0.orderDesc).zipWithIndex.collect {
+      case ((nm, true), i) => (nm, s"__mrdesc_$i")
+    }
+    var base = descHelpers.foldLeft(base0) { case (b, (nm, h)) =>
+      b.withColumn(h, negate(expr(nm)))
+    }
+    var s =
+      if (descHelpers.isEmpty) s0
+      else s0.copy(orderBy = s0.orderBy.map(n => descHelpers.toMap.getOrElse(n, n)))
     // The engine's one-shuffle lowering repartitions on the partition
-    // keys; an unpartitioned MATCH_RECOGNIZE would funnel every row into
-    // one task (wrong at any scale) — reject it up front.
-    require(s.partitionBy.nonEmpty, "MATCH_RECOGNIZE requires PARTITION BY on this engine")
+    // keys. An unpartitioned MATCH_RECOGNIZE is a single ordered walk —
+    // sequential BY SEMANTICS (every row can extend the previous match),
+    // so it maps to one task on a constant key; real pipelines should
+    // PARTITION BY and get the parallel path.
+    if (s.partitionBy.isEmpty) {
+      base = base.withColumn("__mrpart", lit(0))
+      s = s.copy(partitionBy = Seq("__mrpart"))
+    }
     val patternSyms = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(s.pattern)
       .filterNot(_.equalsIgnoreCase("PERMUTE")).toSeq
     val symbols = (s.defines.map(_._1) ++ s.subsets.keys ++ s.subsets.values.flatten ++
@@ -169,7 +187,8 @@ object MatchRecognizeSql {
       withCols, s.partitionBy, s.orderBy, s.pattern, defines, s.afterMatch,
       s.withinMs.map(ms => (s.orderBy.head, ms)))
 
-    val helperCols = navCols.map(_._1) ++ defBools.map(_._1)
+    val helperCols = navCols.map(_._1) ++ defBools.map(_._1) ++
+      descHelpers.map(_._2) ++ (if (s.partitionBy == Seq("__mrpart")) Seq("__mrpart") else Nil)
     val ordStruct = "struct(" + s.orderBy.mkString(", ") + ")"
 
     val result: DataFrame =
@@ -195,12 +214,21 @@ object MatchRecognizeSql {
         out.drop(helperCols.toSeq: _*)
       } else {
         require(s.measures.nonEmpty, "ONE ROW PER MATCH requires MEASURES")
+        val aggRefRe = "(?i)\\b(MIN|MAX|COUNT|SUM|AVG)\\s*\\(".r
         val aggs = s.measures.map { case (mExpr, mAlias) =>
-          expr(translateMeasure(mExpr, symbols, s.subsets, ordStruct, allRows = false)).as(mAlias)
+          val t = translateMeasure(stripRelQualifiers(mExpr, symbols, base.columns),
+            symbols, s.subsets, ordStruct, allRows = false)
+          // a bare (non-aggregate) measure is the match's FINAL value
+          // (SqlMatchRecognize running/final semantics: last row wins)
+          val t2 =
+            if (aggRefRe.findFirstIn(t).isDefined) t
+            else s"MAX(named_struct('o', $ordStruct, 'v', ($t))).v"
+          expr(t2).as(mAlias)
         }
         matched.groupBy((s.partitionBy :+ "match_no").map(col): _*)
           .agg(aggs.head, aggs.tail: _*)
           .drop("match_no")
+          .drop(helperCols.toSeq: _*)
       }
 
     result.createOrReplaceTempView(alias)
@@ -241,7 +269,7 @@ object MatchRecognizeSql {
     // per group under ONE ROW PER MATCH, so MIN picks it.
     e = e.replaceAll("(?i)\\bMATCH_NUMBER\\s*\\(\\s*\\)",
       if (allRows) "match_no" else "MIN(match_no)")
-    if (allRows) e = e.replaceAll("(?i)\\bCLASSIFIER\\s*\\(\\s*\\)", "classifier")
+    e = e.replaceAll("(?i)\\bCLASSIFIER\\s*\\(\\s*\\)", "classifier")
     // COUNT(X.*) → COUNT(CASE WHEN classifier-in-X THEN 1 END)
     e = ("(?i)\\bCOUNT\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*\\*\\s*\\)").r
       .replaceAllIn(e, m => java.util.regex.Matcher.quoteReplacement(
@@ -271,6 +299,18 @@ object MatchRecognizeSql {
       case _ => (None, e)
     }
   }
+
+  /** Drop `q.` prefixes naming the input RELATION (not a pattern symbol,
+    * not a column — so struct field access stays intact); the reference
+    * allows table-qualified refs inside MEASURES (match.iq:145). */
+  private def stripRelQualifiers(e: String, symbols: Seq[String],
+      columns: Seq[String]): String =
+    "([A-Za-z_][A-Za-z0-9_]*)\\s*\\.".r.replaceAllIn(e, m => {
+      val q = m.group(1)
+      val keep = symbols.exists(_.equalsIgnoreCase(q)) ||
+        columns.exists(_.equalsIgnoreCase(q))
+      if (keep) java.util.regex.Matcher.quoteReplacement(m.matched) else ""
+    })
 
   private def stripQualifiers(e: String, symbols: Seq[String]): String =
     symbols.sortBy(-_.length).foldLeft(e) { (acc, symName) =>
@@ -326,6 +366,7 @@ object MatchRecognizeSql {
   private case class Spec(
       partitionBy: Seq[String],
       orderBy: Seq[String],
+      orderDesc: Seq[Boolean],
       measures: Seq[(String, String)],
       allRows: Boolean,
       afterMatch: Skip,
@@ -351,12 +392,12 @@ object MatchRecognizeSql {
     }
 
     val partitionBy = body("PARTITION BY").map(splitTop(_).map(_.trim)).getOrElse(Seq.empty)
-    val orderBy = body("ORDER BY").map(splitTop(_).map { o =>
+    val orderBySpec = body("ORDER BY").map(splitTop(_).map { o =>
       val t = o.trim
-      require(!t.toUpperCase.endsWith(" DESC"),
-        "MATCH_RECOGNIZE ORDER BY must be ascending (pre-negate a numeric column for DESC)")
-      t.replaceAll("(?i)\\s+ASC$", "").trim
+      (t.replaceAll("(?i)\\s+(ASC|DESC)$", "").trim,
+        t.toUpperCase.endsWith(" DESC"))
     }).getOrElse(Seq.empty)
+    val orderBy = orderBySpec.map(_._1)
     require(orderBy.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
 
     val measures = body("MEASURES").map(splitTop(_).map { m =>
@@ -412,8 +453,8 @@ object MatchRecognizeSql {
       (d.substring(0, asIdx).trim, d.substring(asIdx + 2).trim)
     }).getOrElse(Seq.empty)
 
-    Spec(partitionBy, orderBy, measures, allRows, afterMatch, pattern,
-      withinMs, subsets, defines)
+    Spec(partitionBy, orderBy, orderBySpec.map(_._2), measures, allRows,
+      afterMatch, pattern, withinMs, subsets, defines)
   }
 
   /** Split on top-level commas (string- and paren-aware). */
