@@ -235,8 +235,8 @@ trait IqHarness extends SparkSpec {
       val expNorm = c.rows.map(_.map(normCell))
       if (gotNorm.length != expNorm.length)
         return Some(s"row count ${gotNorm.length} != expected ${expNorm.length}")
-      val g = gotNorm.sortBy(_.mkString(" "))
-      val e = expNorm.sortBy(_.mkString(" "))
+      val g = gotNorm.sortBy(_.mkString("\u0000"))
+      val e = expNorm.sortBy(_.mkString("\u0000"))
       if (g.map(_.toList).toList != e.map(_.toList).toList) {
         val diff = g.zip(e).collectFirst { case (a, b) if a != b => s"got $a expected $b" }
         return Some(s"value mismatch: ${diff.getOrElse("?")}")
