@@ -485,7 +485,12 @@ object GraftSql {
     * Spark requires a length, so widen to the unbounded STRING/BINARY. */
   private def rewriteBareTypes(sql: String): String = {
     val s1 = replaceMasked(sql, "(?i)\\bVARCHAR\\b(?!\\s*\\()".r)((_, _) => "STRING")
-    replaceMasked(s1, "(?i)\\bVARBINARY\\b(?!\\s*\\()".r)((_, _) => "BINARY")
+    val s2 = replaceMasked(s1, "(?i)\\bVARBINARY\\b(?!\\s*\\()".r)((_, _) => "BINARY")
+    // SQL-standard postfix collection types in CASTs (`x AS INTEGER
+    // ARRAY`, lambda.iq:82) → Spark's generic spelling. Scoped to the
+    // AS-type position so `ARRAY` constructors/literals stay untouched.
+    replaceMasked(s2, "(?i)\\bAS\\s+(\\w+)\\s+(ARRAY|MULTISET)\\s*\\)".r)((m, o) =>
+      s"AS ARRAY<${origGroup(m, o, 1)}>)")
   }
 
   /** `DECIMAL 'n.n'` typed literals (misc.iq:2532) → an explicit CAST

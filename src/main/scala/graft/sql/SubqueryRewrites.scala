@@ -195,8 +195,37 @@ object SubqueryRewrites {
     val sb = new StringBuilder
     var last = 0
     inValuesRe.findAllMatchIn(masked).foreach { m =>
-      sb.append(sql.substring(last, m.start)).append("IN (SELECT * FROM VALUES")
-      last = m.end
+      // The list form keeps SQL three-valued logic: Spark lowers an
+      // IN-subquery in a projection to an existence join that yields
+      // FALSE where `1 IN (NULL)` must be UNKNOWN (new-decorr.iq:252),
+      // but evaluates a literal IN-list correctly. Inline when every
+      // VALUES row is single-column; multi-column rows keep the
+      // subquery form.
+      val open = masked.indexOf('(', m.start)
+      val close = GraftSql.closeParen(masked, open)
+      val inlined: Option[String] =
+        if (close < 0 || m.start < last) None
+        else {
+          val bodyFrom = m.end // just past the VALUES keyword
+          val rows = splitTop(sql.substring(bodyFrom, close)).map(_.trim)
+          val maskedRows = splitTop(masked.substring(bodyFrom, close)).map(_.trim)
+          val single = rows.nonEmpty && rows.zip(maskedRows).forall { case (r, mr) =>
+            if (!r.startsWith("(")) true // bare scalar row
+            else GraftSql.closeParen(mr, 0) == mr.length - 1 &&
+              splitTop(mr.substring(1, mr.length - 1)).length == 1
+          }
+          if (single)
+            Some("IN (" + rows.map(r => if (r.startsWith("(")) r.substring(1, r.length - 1) else r).mkString(", ") + ")")
+          else None
+        }
+      inlined match {
+        case Some(list) =>
+          sb.append(sql.substring(last, m.start)).append(list)
+          last = close + 1
+        case None =>
+          sb.append(sql.substring(last, m.start)).append("IN (SELECT * FROM VALUES")
+          last = m.end
+      }
     }
     sb.append(sql.substring(last)).toString
   }

@@ -43,6 +43,14 @@ trait IqHarness extends SparkSpec {
       }
       else if (l.startsWith("!use ")) { use = l.stripPrefix("!use ").trim; i += 1 }
       else if (l.startsWith("!set outputformat ")) { fmt = l.stripPrefix("!set outputformat ").trim; i += 1 }
+      else if (l.startsWith("!set ") && l.count(_ == '"') % 2 == 1) {
+        // multi-line !set value (e.g. join-agg-transpose.iq's
+        // `!set hep-rules "` + rule lines): consume through the line
+        // carrying the closing quote
+        i += 1
+        while (i < lines.length && !lines(i).contains("\"")) i += 1
+        i += 1
+      }
       else if (l.startsWith("#") || l.startsWith("!") || l.isEmpty) i += 1
       else {
         // statement: accumulate until a line ending in ';'
