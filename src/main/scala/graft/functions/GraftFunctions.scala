@@ -121,6 +121,7 @@ object GraftFunctions {
     }
     BigQueryFns.registerAll(spark)
     PgDateTime.registerAll(spark)
+    IsoFormat.registerAll(spark)
   }
 
   /** Registered function names (for docs/tests). */

@@ -772,14 +772,17 @@ object GraftSql {
       val close = closeParen(sql, open)
       if (close < 0) return sql
       val inner = sql.substring(open + 1, close)
-      val re = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s+FORMAT\\s+'((?:[^']|'')*)'\\s*$".r
+      val re = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s+FORMAT\\s*'((?:[^']|'')*)'\\s*$".r
       inner match {
         case re(expr, ty, fmt) =>
-          val javaFmt = graft.functions.FormatModels.ora2java(fmt.replace("''", "'"))
+          // SQL:2016 FORMAT-clause models (IsoFormat): case-variant word
+          // tokens, literal partial years, RR round-year, Calendar-rule
+          // W/WW — semantics Java patterns can't express
+          val f = s"'${fmt.replace("''", "\\'")}'"
           val lowered = ty.toUpperCase match {
-            case "TIMESTAMP" => s"to_timestamp(($expr), '$javaFmt')"
-            case "DATE" => s"to_date(($expr), '$javaFmt')"
-            case "VARCHAR" | "CHAR" | "STRING" => s"date_format(($expr), '$javaFmt')"
+            case "TIMESTAMP" => s"fmt_to_timestamp(($expr), $f)"
+            case "DATE" => s"fmt_to_date(($expr), $f)"
+            case "VARCHAR" | "CHAR" | "STRING" => s"fmt_to_char(($expr), $f)"
             case _ => return sql // unsupported target: leave for the parser
           }
           return rewriteCastFormat(

@@ -237,6 +237,10 @@ class CorpusSpec extends IqHarness {
         "differs; explicit NULLS FIRST/LAST collation covered by q10/q15"),
       ("sub-query.iq", 787) -> "same default null-sort divergence under LIMIT",
       ("new-decorr.iq", 104) -> "same default null-sort divergence under LIMIT",
+      ("cast-with-format.iq", 29) -> ("plain CAST(string AS TIMESTAMP) " +
+        "keeps Spark's microsecond precision; the reference's default " +
+        "TIMESTAMP(0) truncates to whole seconds — precision-0 truncation " +
+        "under FORMAT is honored (IsoFormat), the bare-cast default is not"),
       ("lambda.iq", 96) -> ("1-based ITEM subscript inside a lambda body: " +
         "the reference's x[1] is the FIRST element, Spark's the second; " +
         "1-based ITEM semantics covered by q52/Collections"),
@@ -372,7 +376,7 @@ class CorpusSpec extends IqHarness {
     "within-distinct.iq", "row-equality.iq", "variant.iq",
     "unsigned.iq", "match.iq", "measure.iq", "dummy.iq",
     "join-agg-transpose.iq", "new-decorr.iq", "measure-paper.iq",
-    "lambda.iq")
+    "lambda.iq", "cast-with-format.iq")
 
   /** Spark-analyzer limitations this engine inherits (correlation shapes
     * Spark's decorrelator rejects, plus two known Spark internal errors
@@ -454,7 +458,7 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 970, s"corpus coverage dropped: $pass passing (floor 970)")
+    assert(pass >= 1100, s"corpus coverage dropped: $pass passing (floor 1100)")
     assert(engineLimits.size <= 48,
       s"Spark-limitation count grew: ${engineLimits.size} (was 45) — a rewrite regressed")
   }

@@ -175,7 +175,7 @@ class GraftSqlSpec extends SparkSpec {
     // string → timestamp with a reordered Oracle model
     val ts = GraftSql.sql(spark,
       "SELECT CAST('12-2010-05' AS TIMESTAMP FORMAT 'DD-YYYY-MM') AS t").collect()(0)
-    assert(ts.getTimestamp(0).toString.startsWith("2010-05-12 00:00:00"))
+    assert(ts.getAs[java.time.LocalDateTime](0).toString.startsWith("2010-05-12T00:00"))
     // punctuation separators pass through
     val d = GraftSql.sql(spark,
       "SELECT CAST('2017/06/01' AS DATE FORMAT 'YYYY/MM/DD') AS d").collect()(0)
