@@ -51,7 +51,7 @@ trait IqHarness extends SparkSpec {
         while (i < lines.length && !lines(i).contains("\"")) i += 1
         i += 1
       }
-      else if (l.startsWith("#") || l.startsWith("!") || l.isEmpty) i += 1
+      else if (l.startsWith("#") || l.startsWith("--") || l.startsWith("!") || l.isEmpty) i += 1
       else {
         // statement: accumulate until a line ending in ';'
         val start = i
@@ -59,7 +59,7 @@ trait IqHarness extends SparkSpec {
         var done = false
         while (i < lines.length && !done) {
           val s = lines(i)
-          if (!s.trim.startsWith("#")) {
+          if (!s.trim.startsWith("#") && !s.trim.startsWith("--")) {
             stmt.append(s).append('\n')
             if (s.trim.endsWith(";")) done = true
           }
@@ -126,8 +126,13 @@ trait IqHarness extends SparkSpec {
       if (lines.isEmpty) None
       else {
         val hdr = lines.head.split(",", -1).map(_.trim).toSeq
-        val rows = lines.tail.map(_.split(",", -1).map(_.trim)
-          .map(c => if (c == "null") "" else c).toSeq) // csv prints NULL as "null"
+        val rows =
+          if (hdr.size == 1)
+            // single-column: the value itself may contain commas (WKT,
+            // GeoJSON) — take the whole line as the cell
+            lines.tail.map(l => Seq(if (l.trim == "null") "" else l.trim))
+          else lines.tail.map(_.split(",", -1).map(_.trim)
+            .map(c => if (c == "null") "" else c).toSeq) // csv prints NULL as "null"
         if (rows.exists(_.size != hdr.size)) None else Some((hdr, rows))
       }
     case "mysql" =>
