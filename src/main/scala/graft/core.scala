@@ -34,7 +34,24 @@ object T {
     // a raw long (DuckDB truncates ns→µs, so we do the same to stay
     // oracle-identical).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val df0 = s.read.parquet(s"$dir/$name.parquet")
+    // timestamp[us] without isAdjustedToUTC infers as TIMESTAMP_NTZ in
+    // Spark 4; the session TZ is pinned to UTC everywhere (Bench/Verify/
+    // specs), so casting back to TIMESTAMP is wall-clock identity and
+    // keeps every operator (and DuckDB, which reads the same naive
+    // values) on the instant-typed column they were written against.
+    normalizeTimestamps(df0)
+  }
+
+  /** Normalize however the generator wrote time columns onto plain
+    * TIMESTAMP: TIMESTAMP_NTZ casts over (identity under the pinned UTC
+    * session TZ), and a raw-long `ts` (TIMESTAMP(NANOS) read with
+    * nanosAsLong) truncates ns→µs. Streaming readers share this so the
+    * batch and stream sides of every Δ≡batch spec see one schema. */
+  def normalizeTimestamps(df0: DataFrame): DataFrame = {
+    val df = df0.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df0)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       // integer DIV, not `/`: epoch-nanos exceed double's 53-bit mantissa
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

@@ -20,16 +20,14 @@ class StreamSqlSpec extends SparkSpec {
 
   private def rawEvents = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    T.normalizeTimestamps(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   private def register(): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     StreamSql.registerStream("events_s",
-      StreamOps.parquetStream(spark, streamDir, schema)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")))
+      T.normalizeTimestamps(StreamOps.parquetStream(spark, streamDir, schema)))
   }
 
   test("SELECT STREAM projection+filter: drained delta equals the batch relation") {

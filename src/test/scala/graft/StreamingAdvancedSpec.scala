@@ -23,7 +23,7 @@ class StreamingAdvancedSpec extends SparkSpec {
     spark.read.parquet(s"$sfDir/events.parquet").schema
   }
   private def fixTs(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    T.normalizeTimestamps(df)
   private def stream() = fixTs(StreamOps.parquetStream(spark, streamDir, rawSchema))
   private def batch() = fixTs {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

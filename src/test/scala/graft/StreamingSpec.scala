@@ -22,7 +22,7 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$sfDir/events.parquet")
   }
   private def fixTs(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    T.normalizeTimestamps(df)
 
   test("streamed tumbling window == batch tumbling window") {
     val schema = rawEvents.schema
