@@ -165,7 +165,11 @@ object Spatial2 extends Serializable {
     }
 
   def emit(g: G): String = {
-    val z = g.hasZ
+    // Z-tag only a uniformly-3D geometry: a mixed-dimension input (some
+    // points without z) collapses to 2D, mirroring the reference's
+    // AddZTransformer null-coordinate path (spatial.iq:1944 — the z of a
+    // mixed multipoint is NaN, never a fabricated 0)
+    val z = { val ps = g.allPoints; ps.nonEmpty && ps.forall(_.hasZ) }
     // JTS: 2D renders "TYPE (..." with a space; Z renders "TYPE Z(..."
     def tag(t: String) = if (z) s"$t Z" else s"$t "
     def pt(p: P) = if (z) s"${fmt(p.x)} ${fmt(p.y)} ${fmt(if (p.hasZ) p.z else 0.0)}"
@@ -1149,16 +1153,23 @@ object Spatial2 extends Serializable {
     segFeatures(a, b, transpose = false)
     segFeatures(b, a, transpose = true)
 
-    // interior-interior / interior-exterior area facts for polygons
+    // interior-interior / interior-exterior area facts for polygons.
+    // A sample landing ON the other geometry caps the written dimension
+    // at min(da, db): a point inside a polygon contributes a 0-dim
+    // intersection to I∩I, not the polygon's 2 (JTS 0FFFFF212 for
+    // point-in-buffer, spatial.iq:1460).
     if (da == 2) {
       val samples = interiorSamples(a)
       for (s <- samples) {
         val lb = locate(b, s)
-        up(0, lb, 2)
+        up(0, lb, if (lb == 2) 2 else math.min(da, db))
       }
     }
     if (db == 2) {
-      for (s <- interiorSamples(b)) up(locate(a, s), 0, 2)
+      for (s <- interiorSamples(b)) {
+        val la = locate(a, s)
+        up(la, 0, if (la == 2) 2 else math.min(da, db))
+      }
     }
     // polygon interiors overlapping: sample the clipped region
     if (da == 2 && db == 2) {
@@ -1523,8 +1534,10 @@ object Spatial2 extends Serializable {
     }))
     r.register("geo_startpoint", udf((g: String) => emit(pointN(e(g), 0))))
     r.register("geo_endpoint", udf((g: String) => emit(pointN(e(g), -1))))
-    r.register("geo_geometrytype", udf((g: String) => e(g).gtype))
-    r.register("geo_geometrytypecode", udf((g: String) => wkbTypeCode(e(g).gtype)))
+    r.register("geo_geometrytype", udf((g: String) =>
+      (if (g == null) null else e(g).gtype): String))
+    r.register("geo_geometrytypecode", udf((g: String) =>
+      (if (g == null) null else java.lang.Integer.valueOf(wkbTypeCode(e(g).gtype))): java.lang.Integer))
     r.register("geo_srid", udf((g: String) => parseS(g)._1))
     r.register("geo_setsrid", udf((g: String, srid: Int) => emitS(srid, parse(g))))
     r.register("geo_isempty", udf((g: String) => e(g).isEmpty))

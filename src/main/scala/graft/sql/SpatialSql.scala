@@ -159,7 +159,43 @@ object SpatialSql {
     "(?i)^\\s*(SRID=\\d+\\s*;\\s*)?(POINT|LINESTRING|LINEARRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)\\b".r
 
   def rewrite(sql: String): String =
-    stripTopLevelSrid(rewriteValues(rewriteTvfs(fixArity(wrapWktLiterals(mapNames(fixCasts(sql)))))))
+    orderByNullsHigh(stripTopLevelSrid(rewriteValues(rewriteTvfs(fixArity(wrapWktLiterals(mapNames(fixCasts(sql))))))))
+
+  /** The reference's default null collation is HIGH (nulls sort as the
+    * largest value — first under DESC, last under ASC); Spark's default
+    * is the opposite. Make the reference's choice explicit on every
+    * top-level sort key that doesn't already carry a NULLS clause. */
+  private def orderByNullsHigh(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val obRe = "(?i)\\border\\s+by\\b".r
+    val ob = obRe.findAllMatchIn(masked).find { m =>
+      val pre = masked.substring(0, m.start)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }.getOrElse(return sql)
+    // keys end at the next top-level LIMIT/OFFSET/FETCH or statement end
+    val tailRe = "(?i)\\b(limit|offset|fetch)\\b".r
+    val end = tailRe.findAllMatchIn(masked).find { m =>
+      m.start > ob.end && {
+        val pre = masked.substring(0, m.start)
+        pre.count(_ == '(') == pre.count(_ == ')')
+      }
+    }.map(_.start).getOrElse(sql.length)
+    val keys = GraftSql.splitTopLevel(masked.substring(ob.end, end))
+    var offset = ob.end
+    val sb = new StringBuilder(sql.substring(0, ob.end))
+    for ((k, i) <- keys.zipWithIndex) {
+      val orig = sql.substring(offset, offset + k.length)
+      val up = k.toUpperCase(Locale.ROOT)
+      val rewritten =
+        if (up.contains("NULLS")) orig
+        else if ("(?i)\\bDESC\\s*$".r.findFirstIn(orig).isDefined) orig + " NULLS FIRST "
+        else orig + " NULLS LAST "
+      sb.append(rewritten)
+      if (i < keys.length - 1) sb.append(',')
+      offset += k.length + 1
+    }
+    sb.append(sql.substring(end)).toString
+  }
 
   /** Spark's inline tables reject non-foldable expressions; VALUES rows
     * that call geo_ functions become a UNION ALL chain. A bare
@@ -177,7 +213,10 @@ object SpatialSql {
       val m = m0.get
       val open = m.start // the '(' that encloses the VALUES subquery
       val close = GraftSql.closeParen(GraftSql.maskLiterals(s), open)
-      val body = s.substring(s.indexOf("VALUES", m.start) + "VALUES".length, close)
+      // locate the keyword case-insensitively — a lowercase `values`
+      // would otherwise slide the slice and corrupt the whole statement
+      val kwAt = s.toLowerCase(Locale.ROOT).indexOf("values", m.start)
+      val body = s.substring(kwAt + "values".length, close)
       if (body.toLowerCase(Locale.ROOT).contains("geo_")) {
         val rows = GraftSql.splitTopLevel(body).map(_.trim)
         val selects = rows.map { r =>

@@ -235,6 +235,11 @@ trait IqHarness extends SparkSpec {
       normCell(other.toString.trim)
   }
 
+  /** Final per-cell normalization hook applied symmetrically to both the
+    * engine's and the recorded side (identity by default; the spatial
+    * corpus rounds numeric tokens inside WKT strings here). */
+  protected def postNorm(cell: String): String = cell
+
   /** Run `cleaned` through GraftSql and value-compare against the case's
     * recorded table. None = pass; Some(reason) = mismatch/error. Row
     * MULTISETS are compared (ORDER BY tie order is engine-specific). */
@@ -244,8 +249,8 @@ trait IqHarness extends SparkSpec {
       val rows = got.collect()
       if (got.columns.length != c.header.size)
         return Some(s"column count ${got.columns.length} != expected ${c.header.size} (${c.header.mkString(",")})")
-      val gotNorm = rows.map(r => (0 until r.length).map(i => normValue(r.get(i))).toSeq)
-      val expNorm = c.rows.map(_.map(normCell))
+      val gotNorm = rows.map(r => (0 until r.length).map(i => postNorm(normValue(r.get(i)))).toSeq)
+      val expNorm = c.rows.map(_.map(x => postNorm(normCell(x))))
       if (gotNorm.length != expNorm.length)
         return Some(s"row count ${gotNorm.length} != expected ${expNorm.length}")
       val g = gotNorm.sortBy(_.mkString("\u0000"))

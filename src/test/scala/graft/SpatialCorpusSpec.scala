@@ -20,6 +20,16 @@ import scala.collection.mutable.ArrayBuffer
   */
 class SpatialCorpusSpec extends IqHarness {
 
+  /** WKT cells carry raw double formatting; different-but-correct
+    * operation orders differ in the last ulps (ST_MinimumRectangle's
+    * line intersections: 1.3999999999999997 vs JTS's 1.4). Round every
+    * numeric token inside the cell to 9 significant digits on BOTH
+    * sides — the same tolerance the harness already applies to plain
+    * numeric cells. */
+  override protected def postNorm(cell: String): String =
+    "-?\\d+\\.\\d+(?:[eE][+-]?\\d+)?".r.replaceAllIn(cell, m =>
+      java.util.regex.Matcher.quoteReplacement(normCell(m.matched)))
+
   private val refSqlDir = new java.io.File("/root/reference/core/src/test/resources/sql")
   private val testkitDir = new java.io.File(
     "/root/reference/testkit/src/main/java/org/apache/calcite/test/schemata/countries")
@@ -52,10 +62,34 @@ class SpatialCorpusSpec extends IqHarness {
     pk.map(r => (r(0), r(1))).toDF("name", "geom").createOrReplaceTempView("parks")
   }
 
+  /** Double-quoted identifiers become backticks — but only OUTSIDE
+    * single-quoted string literals (GeoJSON arguments carry interior
+    * double quotes), and comments are stripped first (an inline comment
+    * in an argument list would skew the adapter's arity dispatch). */
+  private def quoteIdents(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != '\'') j += 1
+        sb.append(sql.substring(i, math.min(j + 1, sql.length)))
+        i = j + 1
+      } else if (c == '"') {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != '"') j += 1
+        sb.append('`').append(sql.substring(i + 1, math.min(j, sql.length))).append('`')
+        i = j + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def clean(sql: String): String =
     graft.sql.SpatialSql.rewrite(
-      sql.replaceAll("(?i)\\bGEO\\.\"(countries|states|parks)\"", "$1")
-        .replaceAll("\"([^\"]+)\"", "`$1`"))
+      quoteIdents(graft.sql.GraftSql.stripComments(sql)
+        .replaceAll("(?i)\\bGEO\\.\"(countries|states|parks)\"", "$1")))
 
   test("reference spatial.iq corpus: measured coverage with a ratcheted floor") {
     assume(refSqlDir.isDirectory, "reference checkout not present")
@@ -74,6 +108,6 @@ class SpatialCorpusSpec extends IqHarness {
     info(s"spatial corpus: $pass/${cases.size} passing")
     val fw = new java.io.PrintWriter("target/spatial-failures.txt", "UTF-8")
     try failures.foreach(fw.println) finally fw.close()
-    assert(pass >= 150, s"spatial corpus coverage dropped: $pass passing (floor 150)")
+    assert(pass >= 340, s"spatial corpus coverage dropped: $pass passing (floor 340)")
   }
 }
