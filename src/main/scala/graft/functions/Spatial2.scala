@@ -351,12 +351,29 @@ object Spatial2 extends Serializable {
     else inRing(poly.rings.head) && !poly.rings.tail.exists(inRing)
   }
 
-  def contains(a: G, b: G): Boolean = (a.gtype, b.gtype) match {
-    case ("POLYGON", _) => b.allPoints.forall(p => inPoly(p, a))
-    case ("MULTIPOLYGON", _) => b.allPoints.forall(p => a.parts.exists(poly => inPoly(p, poly)))
-    case ("POINT", "POINT") => a.pts.head.x == b.pts.head.x && a.pts.head.y == b.pts.head.y
-    case _ => false
-  }
+  def contains(a: G, b: G): Boolean =
+    // every geometry contains itself (JTS); the general cases below
+    // can't see that via vertex sampling (a polygon's own vertices all
+    // sit on its boundary, which alone would fail the interior witness)
+    if (a == b) !a.isEmpty
+    else (a.gtype, b.gtype) match {
+      case ("POLYGON", _) =>
+        // Contains needs b inside the closure AND an interior witness:
+        // a ring lying entirely on a's boundary is NOT contained
+        // (spatial.iq:1306 acontainsba = false). Witness candidates are
+        // b's vertices and segment midpoints.
+        val ps = b.allPoints
+        val mids = segsOfG(b).map(s => P((s._1.x + s._2.x) / 2, (s._1.y + s._2.y) / 2))
+        ps.forall(p => inPoly(p, a)) &&
+          (ps ++ mids).exists(p => inPoly(p, a) && !onBoundary(a, p))
+      case ("MULTIPOLYGON", _) =>
+        val ps = b.allPoints
+        val mids = segsOfG(b).map(s => P((s._1.x + s._2.x) / 2, (s._1.y + s._2.y) / 2))
+        ps.forall(p => a.parts.exists(poly => inPoly(p, poly))) &&
+          (ps ++ mids).exists(p => a.parts.exists(poly => inPoly(p, poly) && !onBoundary(poly, p)))
+      case ("POINT", "POINT") => a.pts.head.x == b.pts.head.x && a.pts.head.y == b.pts.head.y
+      case _ => false
+    }
 
   def intersects(a: G, b: G): Boolean = {
     def segList(g: G): Seq[(P, P)] =
@@ -1356,6 +1373,92 @@ object Spatial2 extends Serializable {
     P(p.x * math.Pi / 180 * a, math.log(math.tan(math.Pi / 4 + p.y * math.Pi / 360)) * a)
   }
 
+  // Lambert Conformal Conic 2SP (Snyder 1987 §15, the classic PROJ lcc
+  // formulation) for the EPSG codes the corpus exercises: 26986
+  // (Massachusetts mainland NAD83, metres) and 2249 (same cone, US
+  // survey feet). Parameters from the public EPSG registry entries.
+  private final case class Lcc(lat1: Double, lat2: Double, lat0: Double,
+      lon0: Double, x0: Double, y0: Double, toMeter: Double) {
+    val a = 6378137.0 // GRS80
+    val es = { val f = 1.0 / 298.257222101; 2 * f - f * f }
+    val e = math.sqrt(es)
+    private def msfn(phi: Double) = math.cos(phi) / math.sqrt(1 - es * math.sin(phi) * math.sin(phi))
+    private def tsfn(phi: Double) = {
+      val sp = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - e * sp) / (1 + e * sp), e / 2)
+    }
+    val n = (math.log(msfn(lat1)) - math.log(msfn(lat2))) /
+      (math.log(tsfn(lat1)) - math.log(tsfn(lat2)))
+    val f0 = msfn(lat1) / (n * math.pow(tsfn(lat1), n))
+    val rho0 = f0 * math.pow(tsfn(lat0), n)
+    /** degrees lon/lat → projected coords in the CRS's native unit. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lam = math.toRadians(lonDeg) - lon0
+      val rho = f0 * math.pow(tsfn(math.toRadians(latDeg)), n)
+      val x = a * rho * math.sin(n * lam) + x0
+      val y = a * (rho0 - rho * math.cos(n * lam)) + y0
+      (x / toMeter, y / toMeter)
+    }
+    /** projected native-unit coords → degrees lon/lat. */
+    def inverse(x0u: Double, y0u: Double): (Double, Double) = {
+      val xp = (x0u * toMeter - x0) / a
+      val yp = rho0 - (y0u * toMeter - y0) / a
+      var rho = math.hypot(xp, yp)
+      var (xs, ys) = (xp, yp)
+      if (n < 0) { rho = -rho; xs = -xs; ys = -ys }
+      val t = math.pow(rho / f0, 1 / n)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val sp = math.sin(phi)
+        val next = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - e * sp) / (1 + e * sp), e / 2))
+        if (math.abs(next - phi) < 1e-12) i = 15 else i += 1
+        phi = next
+      }
+      val lam = math.atan2(xs, ys) / n + lon0
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  private val massMainland = Lcc(
+    lat1 = math.toRadians(42.68333333333333), lat2 = math.toRadians(41.71666666666667),
+    lat0 = math.toRadians(41.0), lon0 = math.toRadians(-71.5),
+    x0 = 200000.0, y0 = 750000.0, toMeter = 1.0)
+  private val massMainlandFt = massMainland.copy(
+    x0 = 200000.0001016002, y0 = 750000.0000000001, toMeter = 0.30480060960121924)
+
+  /** Lambert Azimuthal Equal Area on the Clarke 1866 authalic sphere
+    * (EPSG:2163, US National Atlas; a = b = 6370997 m). */
+  private def laeaForward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val a = 6370997.0
+    val (lat0, lon0) = (math.toRadians(45.0), math.toRadians(-100.0))
+    val (sb0, cb0) = (math.sin(lat0), math.cos(lat0))
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg) - lon0
+    val (sb, cb) = (math.sin(phi), math.cos(phi))
+    val k = math.sqrt(2.0 / (1 + sb0 * sb + cb0 * cb * math.cos(lam)))
+    (a * k * cb * math.sin(lam), a * k * (cb0 * sb - sb0 * cb * math.cos(lam)))
+  }
+
+  /** Supported ST_Transform pairs beyond web-mercator: 4326 → 26986 /
+    * 2163 forward, and 2249 → 4326 inverse. Returns None for pairs the
+    * engine doesn't carry (documented deviation — full PROJ would be a
+    * dependency, not an algorithm). */
+  def transform(g: G, fromSrid: Int, toSrid: Int): Option[G] = (fromSrid, toSrid) match {
+    case (_, 3785) | (_, 3857) | (_, 900913) => Some(mapPoints(g)(toWebMercator))
+    case (_, 26986) => Some(mapPoints(g) { p =>
+      val (x, y) = massMainland.forward(p.x, p.y); P(x, y) })
+    case (_, 2249) => Some(mapPoints(g) { p =>
+      val (x, y) = massMainlandFt.forward(p.x, p.y); P(x, y) })
+    case (_, 2163) => Some(mapPoints(g) { p =>
+      val (x, y) = laeaForward(p.x, p.y); P(x, y) })
+    case (2249, 4326) => Some(mapPoints(g) { p =>
+      val (lon, lat) = massMainlandFt.inverse(p.x, p.y); P(lon, lat) })
+    case (26986, 4326) => Some(mapPoints(g) { p =>
+      val (lon, lat) = massMainland.inverse(p.x, p.y); P(lon, lat) })
+    case _ => None
+  }
+
   // ---- grid / explode table functions ----------------------------------
 
   /** A grid cell row (field names mirror the reference's GridTable
@@ -1709,7 +1812,10 @@ object Spatial2 extends Serializable {
     }))
     r.register("geo_containsproperly", udf((a: String, b: String) => {
       val (ga, gb) = (e(a), e(b))
-      ga.gtype == "POLYGON" && gb.allPoints.forall(p =>
+      // JTS PreparedGeometry semantics: every geometry containsProperly
+      // itself (spatial.iq:1306), else b must avoid a's boundary entirely
+      if (ga == gb) !ga.isEmpty
+      else ga.gtype == "POLYGON" && gb.allPoints.forall(p =>
         containsPoint(ga, p)) && !gb.allPoints.exists(p => onBoundary(ga, p))
     }))
     r.register("geo_covers", udf((a: String, b: String) => contains(e(a), e(b))))
@@ -1762,14 +1868,21 @@ object Spatial2 extends Serializable {
     }))
     r.register("geo_hilbert_xy", udf((x: Double, y: Double) => hilbertIndex(x, y)))
     r.register("geo_transform", udf((g: String, srid: Int) => {
-      require(srid == 3785 || srid == 3857 || srid == 900913,
-        s"ST_Transform: only spherical-Mercator targets are supported, got $srid")
-      // the reference's proj4-backed EWKT reports the projected CS as 9804
-      emitS(9804, mapPoints(parse(g))(toWebMercator))
+      val (from, x) = parseS(g)
+      transform(x, from, srid) match {
+        case Some(out) =>
+          // the reference's proj4-backed EWKT reports a projected CS as
+          // 9804; geographic output keeps its EPSG code
+          emitS(if (srid == 4326) 4326 else 9804, out)
+        case None => throw new IllegalArgumentException(
+          s"ST_Transform: unsupported CRS pair $from -> $srid")
+      }
     }))
-    r.register("geo_buffer_style", udf((g: String, d: Double, style: String) => {
-      val x = e(g)
+    def bufferStyled(x: G, d: Double, style: String): G = {
       val quadSegs = "quad_segs=(\\d+)".r.findFirstMatchIn(style).map(_.group(1).toInt).getOrElse(8)
+      val endcap = "endcap=(\\w+)".r.findFirstMatchIn(style).map(_.group(1)).getOrElse("round")
+      val join = "join=(\\w+)".r.findFirstMatchIn(style).map(_.group(1)).getOrElse("round")
+      val side = "side=(\\w+)".r.findFirstMatchIn(style).map(_.group(1))
       x.gtype match {
         case "POINT" =>
           // JTS BufferOp ring for a point starts one step below angle 0
@@ -1779,24 +1892,23 @@ object Spatial2 extends Serializable {
             val a = -2 * math.Pi * (i + 1) / n
             P(c.x + d * math.cos(a), c.y + d * math.sin(a))
           }
-          emit(G("POLYGON", Seq(pts :+ pts.head)))
+          G("POLYGON", Seq(pts :+ pts.head))
         case "POLYGON" if d < 0 && isRectangle(x) =>
           val ps = x.rings.head
           val (x0, x1, y0, y1) = (ps.map(_.x).min - d, ps.map(_.x).max + d,
             ps.map(_.y).min - d, ps.map(_.y).max + d)
-          emit(G("POLYGON", Seq(Seq(P(x0, y0), P(x0, y1), P(x1, y1), P(x1, y0), P(x0, y0)))))
-        case _ => emit(buffer(x, d, quadSegs))
+          G("POLYGON", Seq(Seq(P(x0, y0), P(x0, y1), P(x1, y1), P(x1, y0), P(x0, y0))))
+        case "POLYGON" if d > 0 => bufferPolygon(x, d, join, quadSegs)
+        case "LINESTRING" if side.isDefined =>
+          bufferSided(x.pts, d, join, quadSegs, left = side.contains("left"))
+        case "LINESTRING" => bufferLine(x.pts, d, endcap, join, quadSegs)
+        case other => throw new IllegalArgumentException(s"ST_Buffer: unsupported $other")
       }
-    }))
-    r.register("geo_buffer_neg", udf((g: String, d: Double) => {
-      val x = e(g)
-      if (d < 0 && isRectangle(x)) {
-        val ps = x.rings.head
-        val (x0, x1, y0, y1) = (ps.map(_.x).min - d, ps.map(_.x).max + d,
-          ps.map(_.y).min - d, ps.map(_.y).max + d)
-        emit(G("POLYGON", Seq(Seq(P(x0, y0), P(x0, y1), P(x1, y1), P(x1, y0), P(x0, y0)))))
-      } else emit(buffer(x, d))
-    }))
+    }
+    r.register("geo_buffer_style", udf((g: String, d: Double, style: String) =>
+      emit(bufferStyled(e(g), d, style))))
+    r.register("geo_buffer_neg", udf((g: String, d: Double) =>
+      emit(bufferStyled(e(g), d, ""))))
     r.register("geo_makegrid", udf((g: String, dx: Double, dy: Double) =>
       if (g == null) Seq.empty[GridCell] else makeGrid(e(g), dx, dy, point = false)))
     r.register("geo_makegridpoints", udf((g: String, dx: Double, dy: Double) =>
@@ -1901,6 +2013,147 @@ object Spatial2 extends Serializable {
       }
       G("POLYGON", Seq((capB ++ capA) :+ capB.head))
     case other => throw new IllegalArgumentException(s"ST_Buffer: unsupported $other")
+  }
+
+  // ---- JTS-style offset-curve buffering --------------------------------
+  // Mirrors the OffsetSegmentGenerator construction (ref:
+  // runtime/SpatialTypeFunctions.java ST_Buffer → JTS BufferOp): offset
+  // each segment by d on a side, join at convex vertices with a fillet
+  // arc (quantum π/(2·quadSegs)), bevel, or mitre apex; trim concave
+  // vertices at the offset-line intersection; endcaps round / square /
+  // flat. The corpus inputs are simple paths/convex rings, so the ring
+  // is assembled directly without noding.
+
+  private def unit(a: P, b: P): (Double, Double) = {
+    val h = math.hypot(b.x - a.x, b.y - a.y)
+    ((b.x - a.x) / h, (b.y - a.y) / h)
+  }
+
+  /** Fillet points swept CLOCKWISE from startAngle toward endAngle;
+    * emits the start point and interior points but NOT the exact end
+    * (the caller's next vertex supplies it) — JTS's addDirectedFillet. */
+  private def filletCw(c: P, startAngle: Double, endAngle: Double, r: Double,
+      quadSegs: Int): Seq[P] = {
+    val quantum = math.Pi / (2 * quadSegs)
+    var total = startAngle - endAngle
+    while (total <= 0) total += 2 * math.Pi
+    while (total > 2 * math.Pi) total -= 2 * math.Pi
+    val nSegs = math.max(1, math.round(total / quantum).toInt)
+    val inc = total / nSegs
+    (0 until nSegs).map { k =>
+      val a = startAngle - k * inc
+      P(c.x + r * math.cos(a), c.y + r * math.sin(a))
+    }
+  }
+
+  private def lineIntersect(p1: P, d1: (Double, Double), p2: P, d2: (Double, Double)): P = {
+    val den = d1._1 * d2._2 - d1._2 * d2._1
+    val t = ((p2.x - p1.x) * d2._2 - (p2.y - p1.y) * d2._1) / den
+    P(p1.x + t * d1._1, p1.y + t * d1._2)
+  }
+
+  /** Left-side offset curve of an open path (no caps). `join` applies at
+    * convex vertices; concave vertices trim at the offset intersection. */
+  private def leftOffset(pts: Seq[P], d: Double, join: String, quadSegs: Int): Seq[P] = {
+    val dirs = pts.sliding(2).map { case Seq(a, b) => unit(a, b) }.toIndexedSeq
+    def normal(dir: (Double, Double)) = (-dir._2, dir._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[P]
+    val n0 = normal(dirs.head)
+    out += P(pts.head.x + n0._1 * d, pts.head.y + n0._2 * d)
+    for (i <- 1 until dirs.length) {
+      val v = pts(i)
+      val (dp, dc) = (dirs(i - 1), dirs(i))
+      val (np, nc) = (normal(dp), normal(dc))
+      val bPrev = P(v.x + np._1 * d, v.y + np._2 * d)
+      val aCur = P(v.x + nc._1 * d, v.y + nc._2 * d)
+      val cross = dp._1 * dc._2 - dp._2 * dc._1
+      if (cross < -1e-12) { // right turn → convex on the left side
+        join match {
+          case "mitre" => out += lineIntersect(bPrev, dp, aCur, dc)
+          case "bevel" => out += bPrev; out += aCur
+          case _ =>
+            out += bPrev
+            out ++= filletCw(v, math.atan2(np._2, np._1), math.atan2(nc._2, nc._1), d, quadSegs).drop(1)
+            out += aCur
+        }
+      } else if (cross > 1e-12) { // concave: trim
+        out += lineIntersect(bPrev, dp, aCur, dc)
+      } else out += bPrev // straight through
+    }
+    val nl = normal(dirs.last)
+    out += P(pts.last.x + nl._1 * d, pts.last.y + nl._2 * d)
+    out.toSeq
+  }
+
+  /** Endcap from the left-offset end around `tip` to the reverse side.
+    * Round emits the full half-circle start-inclusive (the next curve
+    * supplies the antipode); square emits the two extended corners;
+    * flat emits nothing. */
+  private def cap(tip: P, dir: (Double, Double), d: Double, style: String,
+      quadSegs: Int): Seq[P] = {
+    val nAng = math.atan2(dir._1, -dir._2) // angle of left normal
+    style match {
+      case "square" => Seq(
+        P(tip.x - dir._2 * d + dir._1 * d, tip.y + dir._1 * d + dir._2 * d),
+        P(tip.x + dir._2 * d + dir._1 * d, tip.y - dir._1 * d + dir._2 * d))
+      case "flat" => Nil
+      case _ => filletCw(tip, nAng, nAng - math.Pi, d, quadSegs)
+    }
+  }
+
+  /** Drop NEAR-duplicate consecutive vertices (1e-9 — the seams between
+    * curve pieces compute the same point two ways); genuine close-but-
+    * distinct points (tiny input edges) stay, as JTS keeps them. */
+  private def cleanRing(ps0: Seq[P]): Seq[P] = {
+    var ps = ps0
+    def near(a: P, b: P) = math.abs(a.x - b.x) < 1e-9 && math.abs(a.y - b.y) < 1e-9
+    val dedup = ps.foldLeft(Vector.empty[P])((acc, p) =>
+      if (acc.nonEmpty && near(acc.last, p)) acc else acc :+ p)
+    val open = if (dedup.length > 1 && near(dedup.head, dedup.last)) dedup.dropRight(1) else dedup
+    open :+ open.head
+  }
+
+  /** Full both-sides buffer of an open path. A square cap emits only its
+    * two corners, and the following side's first offset point is NOT
+    * emitted (JTS's OffsetSegmentGenerator never adds it — the segment
+    * runs corner → next curve point, passing through it collinearly). */
+  def bufferLine(pts: Seq[P], d: Double, endcap: String, join: String,
+      quadSegs: Int): G = {
+    val fwd0 = leftOffset(pts, d, join, quadSegs)
+    val bwd0 = leftOffset(pts.reverse, d, join, quadSegs)
+    val (fwd, bwd) =
+      if (endcap == "square") (fwd0.drop(1), bwd0.drop(1)) else (fwd0, bwd0)
+    val dirLast = unit(pts(pts.length - 2), pts.last)
+    val dirFirstRev = unit(pts(1), pts.head)
+    val ring = fwd ++ cap(pts.last, dirLast, d, endcap, quadSegs) ++
+      bwd ++ cap(pts.head, dirFirstRev, d, endcap, quadSegs)
+    G("POLYGON", Seq(cleanRing(ring)))
+  }
+
+  /** Single-sided buffer: the path plus its offset curve on one side. */
+  def bufferSided(pts: Seq[P], d: Double, join: String, quadSegs: Int,
+      left: Boolean): G = {
+    val ring =
+      if (left) pts.reverse ++ leftOffset(pts, d, join, quadSegs)
+      else pts ++ leftOffset(pts.reverse, d, join, quadSegs)
+    G("POLYGON", Seq(cleanRing(ring)))
+  }
+
+  /** Exterior buffer of a simple polygon: offset the shell outward with
+    * joins at every vertex (shell oriented CW so its left side faces
+    * out, matching JTS's CW output shells). */
+  def bufferPolygon(g: G, d: Double, join: String, quadSegs: Int): G = {
+    val ring0 = g.rings.head.dropRight(1)
+    val cw = if (ringAreaSigned(ring0 :+ ring0.head) > 0) ring0.reverse else ring0
+    // process as an open path whose ends wrap: duplicate the first two
+    // vertices at the end so every original vertex sees both its edges
+    val path = cw ++ cw.take(2)
+    val curve = leftOffset(path, d, join, quadSegs)
+    // the first and last offset segments are the same edge — drop the
+    // partial lead-in/out (first point of curve = offset of cw(0) on the
+    // wrapped edge; the join at cw(0) and cw(1) appears near the end)
+    val trimmed = curve.drop(1).dropRight(1)
+    G("POLYGON", Seq(cleanRing(trimmed)))
   }
 
   /** Minimum bounding circle over vertices (pairwise/triple search —

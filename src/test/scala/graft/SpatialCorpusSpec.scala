@@ -25,10 +25,39 @@ class SpatialCorpusSpec extends IqHarness {
     * line intersections: 1.3999999999999997 vs JTS's 1.4). Round every
     * numeric token inside the cell to 9 significant digits on BOTH
     * sides — the same tolerance the harness already applies to plain
-    * numeric cells. */
+    * numeric cells. Polygon rings are additionally rotated to a
+    * canonical start vertex (and multipolygon parts sorted): JTS's
+    * overlay/buffer pick an arbitrary ring start, so ring equality is
+    * cyclic, not positional. Orientation is NOT normalized — a reversed
+    * ring stays a mismatch. */
   override protected def postNorm(cell: String): String =
-    "-?\\d+\\.\\d+(?:[eE][+-]?\\d+)?".r.replaceAllIn(cell, m =>
-      java.util.regex.Matcher.quoteReplacement(normCell(m.matched)))
+    canonRings("-?\\d+\\.\\d+(?:[eE][+-]?\\d+)?".r.replaceAllIn(cell, m =>
+      java.util.regex.Matcher.quoteReplacement(normCell(m.matched))))
+
+  private def canonRings(cell: String): String = {
+    import graft.functions.Spatial2
+    val t = cell.trim
+    if (!t.startsWith("POLYGON") && !t.startsWith("MULTIPOLYGON") &&
+      !t.contains(";POLYGON") && !t.contains(";MULTIPOLYGON")) cell
+    else scala.util.Try {
+      val (srid, g) = Spatial2.parseS(t)
+      def rot(ring: Seq[Spatial2.P]): Seq[Spatial2.P] = {
+        val open = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+        val idx = open.indices.minBy(i => (open(i).x, open(i).y))
+        val r = open.drop(idx) ++ open.take(idx)
+        r :+ r.head
+      }
+      def canon(x: Spatial2.G): Spatial2.G = x.gtype match {
+        case "POLYGON" => x.copy(rings = x.rings.map(rot))
+        case "MULTIPOLYGON" =>
+          val parts = x.parts.map(canon).sortBy(p =>
+            p.rings.headOption.flatMap(_.headOption).map(q => (q.x, q.y)).getOrElse((0.0, 0.0)))
+          x.copy(parts = parts)
+        case _ => x
+      }
+      Spatial2.emitS(srid, canon(g))
+    }.getOrElse(cell)
+  }
 
   private val refSqlDir = new java.io.File("/root/reference/core/src/test/resources/sql")
   private val testkitDir = new java.io.File(
