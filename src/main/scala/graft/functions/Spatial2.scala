@@ -1916,6 +1916,36 @@ object Spatial2 extends Serializable {
     r.register("geo_explode", udf((g: String) => explodeParts(e(g))))
 
     r.register("geo_intersection", udf((a: String, b: String) => emit(intersection(e(a), e(b)))))
+    r.register("geo_difference", udf((a: String, b: String) => emit(difference(e(a), e(b)))))
+    r.register("geo_symdifference", udf((a: String, b: String) => emit(symDifference(e(a), e(b)))))
+    r.register("geo_simplifypreserve", udf((g: String, tol: Double) =>
+      emit(simplifyPreserve(e(g), tol))))
+    def triGeom(tris: Seq[(P, P, P)], edges: Boolean): G =
+      if (edges) G("MULTILINESTRING", parts = triangleEdges(tris).map { case (p, q) =>
+        G("LINESTRING", Seq(Seq(p, q))) })
+      else G("MULTIPOLYGON", parts = tris.map { case (a, b, c) =>
+        G("POLYGON", Seq(Seq(a, b, c, a))) })
+    r.register("geo_delaunay", udf((g: String) => emit(triGeom(delaunay(e(g).allPoints), edges = false))))
+    r.register("geo_delaunay_flag", udf((g: String, flag: Int) =>
+      emit(triGeom(delaunay(e(g).allPoints), edges = flag == 1))))
+    // constrained variant: fan triangulation of the (convex) shell in its
+    // given orientation — for a square this reproduces the reference's
+    // first-vertex diagonal
+    def fan(g: G): Seq[(P, P, P)] = {
+      val ring = g.rings.head.dropRight(1)
+      (1 until ring.length - 1).map(i => (ring.head, ring(i), ring(i + 1)))
+    }
+    r.register("geo_constraineddelaunay", udf((g: String) => {
+      val x = e(g)
+      emit(G("MULTIPOLYGON", parts = fan(x).map { case (a, b, c) =>
+        G("POLYGON", Seq(Seq(a, b, c, a))) }))
+    }))
+    r.register("geo_constraineddelaunay_flag", udf((g: String, flag: Int) => {
+      val x = e(g)
+      if (flag == 1) emit(triGeom(fan(x), edges = true))
+      else emit(G("MULTIPOLYGON", parts = fan(x).map { case (a, b, c) =>
+        G("POLYGON", Seq(Seq(a, b, c, a))) }))
+    }))
     r.register("geo_polygonize", udf((g: String) => {
       val x = e(g)
       val rings = (x.rings ++ x.parts.flatMap(_.rings)).filter(r => r.length >= 4 && r.head == r.last)
@@ -2137,6 +2167,247 @@ object Spatial2 extends Serializable {
       if (left) pts.reverse ++ leftOffset(pts, d, join, quadSegs)
       else pts ++ leftOffset(pts.reverse, d, join, quadSegs)
     G("POLYGON", Seq(cleanRing(ring)))
+  }
+
+  // ---- polygon boolean difference (Weiler–Atherton walk) ---------------
+
+  private def ringAreaOf(ring: Seq[P]): Double = ringAreaSigned(ring :+ ring.head)
+
+  /** Insert boundary-crossing points into a ring (open vertex list),
+    * returning the augmented ring plus the set of crossing points. */
+  private def nodeRing(ring: Seq[P], other: Seq[P]): (Vector[P], Set[P]) = {
+    val out = Vector.newBuilder[P]
+    val xs = Set.newBuilder[P]
+    val n = ring.length
+    val m = other.length
+    for (i <- 0 until n) {
+      val (a, b) = (ring(i), ring((i + 1) % n))
+      out += a
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Double, P)]
+      for (j <- 0 until m) {
+        val (c, d) = (other(j), other((j + 1) % m))
+        val d1x = b.x - a.x; val d1y = b.y - a.y
+        val d2x = d.x - c.x; val d2y = d.y - c.y
+        val den = d1x * d2y - d1y * d2x
+        if (den != 0) {
+          val t = ((c.x - a.x) * d2y - (c.y - a.y) * d2x) / den
+          val u = ((c.x - a.x) * d1y - (c.y - a.y) * d1x) / den
+          if (t > 1e-12 && t < 1 - 1e-12 && u > -1e-12 && u < 1 + 1e-12) {
+            val p = P(a.x + t * d1x, a.y + t * d1y)
+            hits += ((t, p)); xs += p
+          }
+        }
+      }
+      hits.sortBy(_._1).foreach(out += _._2)
+    }
+    (out.result(), xs.result())
+  }
+
+  /** A \ B for simple polygons with clean boundary crossings: walk A's
+    * shell clockwise outside B, switching to B's shell (counter-
+    * clockwise) at each entry crossing — output shells come out CW, the
+    * reference's JTS overlay convention. */
+  def difference(a: G, b: G): G = {
+    val ra0 = a.rings.head.dropRight(1)
+    val rb0 = b.rings.head.dropRight(1)
+    val aCw = if (ringAreaOf(ra0) > 0) ra0.reverse else ra0
+    val bCcw = if (ringAreaOf(rb0) > 0) rb0 else rb0.reverse
+    val (aug, cross) = nodeRing(aCw, bCcw)
+    if (cross.isEmpty)
+      return if (aCw.forall(p => inPoly(p, b))) G("POLYGON") else a
+    val (bAug, _) = nodeRing(bCcw, aCw)
+    def midInside(ring: Vector[P], i: Int, poly: G): Boolean = {
+      val (p, q) = (ring(i), ring((i + 1) % ring.length))
+      val mid = P((p.x + q.x) / 2, (p.y + q.y) / 2)
+      inPoly(mid, poly) && !onBoundary(poly, mid)
+    }
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Seq[P]]
+    val visited = scala.collection.mutable.Set.empty[P]
+    for (start <- aug.indices
+         if cross.contains(aug(start)) && !visited.contains(aug(start)) &&
+           !midInside(aug, start, b)) {
+      // exit crossing: the following A segment lies outside B
+      val ring = scala.collection.mutable.ArrayBuffer.empty[P]
+      var onA = true
+      var i = start
+      var cur = aug(i)
+      var guard = 0
+      do {
+        ring += cur
+        if (cross.contains(cur)) visited += cur
+        if (onA) {
+          i = (i + 1) % aug.length
+          cur = aug(i)
+          if (cross.contains(cur) && midInside(aug, i, b)) {
+            // entering B: switch to B's ring at the matching node
+            onA = false
+            i = bAug.indexWhere(p => math.abs(p.x - cur.x) < 1e-9 && math.abs(p.y - cur.y) < 1e-9)
+          }
+        } else {
+          i = (i + 1) % bAug.length
+          cur = bAug(i)
+          if (cross.contains(cur)) {
+            onA = true
+            i = aug.indexWhere(p => math.abs(p.x - cur.x) < 1e-9 && math.abs(p.y - cur.y) < 1e-9)
+          }
+        }
+        guard += 1
+      } while (cur != aug(start) && guard < 10000)
+      rings += (ring.toSeq :+ ring.head)
+    }
+    rings.toSeq match {
+      case Seq() => G("POLYGON")
+      case Seq(one) => G("POLYGON", Seq(one))
+      case many => G("MULTIPOLYGON", parts = many.map(r => G("POLYGON", Seq(r))))
+    }
+  }
+
+  def symDifference(a: G, b: G): G = {
+    def shells(x: G): Seq[G] = x.gtype match {
+      case "POLYGON" if x.rings.nonEmpty => Seq(x)
+      case "MULTIPOLYGON" => x.parts
+      case _ => Nil
+    }
+    val parts = shells(difference(a, b)) ++ shells(difference(b, a))
+    parts match {
+      case Seq() => G("POLYGON")
+      case Seq(one) => one
+      case many => G("MULTIPOLYGON", parts = many)
+    }
+  }
+
+  // ---- topology-preserving simplification ------------------------------
+
+  /** JTS TopologyPreservingSimplifier's section recursion (ref:
+    * simplify/TaggedLineStringSimplifier.java): a section [i, j] may
+    * flatten to one segment only when every dropped point is within the
+    * tolerance, the flattened segment doesn't properly cross the rest of
+    * the ring, and the ring keeps >= 4 coordinates; otherwise split at
+    * the furthest point. */
+  def simplifyPreserve(g: G, tol: Double): G = {
+    if (g.gtype != "POLYGON") return simplify(g, tol)
+    val pts = g.rings.head.toIndexedSeq // closed (last == first)
+    val n = pts.length
+    val minSize = 4 // ring coordinate minimum (JTS TaggedLineString)
+    // sections are processed left to right; `kept` records each emitted
+    // segment's start index, resultSegs the JTS getResultSize() input
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var resultSegs = 0
+    def resultSize = if (resultSegs == 0) 0 else resultSegs + 1
+    def segDistTo(p: P, a: P, b: P): Double = {
+      val (dx, dy) = (b.x - a.x, b.y - a.y)
+      val l2 = dx * dx + dy * dy
+      if (l2 == 0) return math.hypot(p.x - a.x, p.y - a.y)
+      val t = math.max(0.0, math.min(1.0, ((p.x - a.x) * dx + (p.y - a.y) * dy) / l2))
+      math.hypot(p.x - (a.x + t * dx), p.y - (a.y + t * dy))
+    }
+    def properCross(a: P, b: P, c: P, d: P): Boolean = {
+      val d1x = b.x - a.x; val d1y = b.y - a.y
+      val d2x = d.x - c.x; val d2y = d.y - c.y
+      val den = d1x * d2y - d1y * d2x
+      if (den == 0) return false
+      val t = ((c.x - a.x) * d2y - (c.y - a.y) * d2x) / den
+      val u = ((c.x - a.x) * d1y - (c.y - a.y) * d1x) / den
+      t > 1e-12 && t < 1 - 1e-12 && u > 1e-12 && u < 1 - 1e-12
+    }
+    // JTS keeps a live segment index: flattening REMOVES the section's
+    // input segments and ADDS the new segment, so later crossing checks
+    // see the current (partially simplified) ring, not the original
+    val removed = scala.collection.mutable.Set.empty[Int]
+    val outSegs = scala.collection.mutable.ArrayBuffer.empty[(P, P)]
+    /** JTS TaggedLineStringSimplifier.simplifySection: the depth+1
+      * worst-case guard keeps enough coordinates in the ring; flattening
+      * requires in-tolerance distance and no crossing with the rest. */
+    def simplifySection(i: Int, j: Int, depth0: Int): Unit = {
+      val depth = depth0 + 1
+      if (i + 1 == j) {
+        kept += i; resultSegs += 1; outSegs += ((pts(i), pts(j)))
+        return
+      }
+      var valid = true
+      if (resultSize < minSize && depth + 1 < minSize) valid = false
+      var furthest = i + 1
+      var maxDist = 0.0
+      for (k <- i + 1 until j) {
+        val d = segDistTo(pts(k), pts(i), pts(j))
+        if (d > maxDist) { maxDist = d; furthest = k }
+      }
+      if (maxDist > tol) valid = false
+      if (valid) {
+        var k = 0
+        while (valid && k < n - 1) {
+          if ((k + 1 <= i || k >= j) && !removed.contains(k)) {
+            if (properCross(pts(i), pts(j), pts(k), pts(k + 1))) valid = false
+          }
+          k += 1
+        }
+        var o = 0
+        while (valid && o < outSegs.length) {
+          val (a, b) = outSegs(o)
+          if (properCross(pts(i), pts(j), a, b)) valid = false
+          o += 1
+        }
+      }
+      if (valid) {
+        kept += i; resultSegs += 1
+        (i until j).foreach(removed += _)
+        outSegs += ((pts(i), pts(j)))
+      } else {
+        simplifySection(i, furthest, depth)
+        simplifySection(furthest, j, depth)
+      }
+    }
+    simplifySection(0, n - 1, 0)
+    G("POLYGON", Seq((kept.toSeq :+ (n - 1)).map(pts)))
+  }
+
+  // ---- Delaunay triangulation (Bowyer–Watson) --------------------------
+
+  /** CCW triangles of the Delaunay triangulation of a point set. The
+    * corpus sets are in general position, so the triangulation is
+    * unique and matches JTS's set-wise. */
+  def delaunay(ps0: Seq[P]): Seq[(P, P, P)] = {
+    val ps = ps0.map(p => P(p.x, p.y)).distinct
+    val minX = ps.map(_.x).min; val maxX = ps.map(_.x).max
+    val minY = ps.map(_.y).min; val maxY = ps.map(_.y).max
+    val d = math.max(maxX - minX, maxY - minY) * 20 + 10
+    val s1 = P(minX - d, minY - d)
+    val s2 = P(minX + 2 * d, minY - d)
+    val s3 = P(minX - d, minY + 2 * d)
+    var tris = List((s1, s2, s3))
+    def circum(t: (P, P, P), p: P): Boolean = {
+      val (a, b, c) = t
+      val ax = a.x - p.x; val ay = a.y - p.y
+      val bx = b.x - p.x; val by = b.y - p.y
+      val cx = c.x - p.x; val cy = c.y - p.y
+      val det = (ax * ax + ay * ay) * (bx * cy - cx * by) -
+        (bx * bx + by * by) * (ax * cy - cx * ay) +
+        (cx * cx + cy * cy) * (ax * by - bx * ay)
+      det > 0 // assumes CCW triangles
+    }
+    def ccw(t: (P, P, P)): (P, P, P) = {
+      val (a, b, c) = t
+      if ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) >= 0) t else (a, c, b)
+    }
+    for (p <- ps) {
+      val (bad, good) = tris.partition(t => circum(ccw(t), p))
+      val edges = bad.flatMap { case (a, b, c) => Seq((a, b), (b, c), (c, a)) }
+      val boundary = edges.filterNot { case (a, b) =>
+        edges.exists { case (c, d) => c == b && d == a } }
+      tris = good ++ boundary.map { case (a, b) => ccw((a, b, p)) }
+    }
+    val supers = Set(s1, s2, s3)
+    tris.filterNot { case (a, b, c) => supers(a) || supers(b) || supers(c) }
+      .map(ccw)
+  }
+
+  /** Unique undirected edges of a triangle set, endpoints and list both
+    * lexicographically sorted — the reference's `flag = 1` edges form. */
+  def triangleEdges(tris: Seq[(P, P, P)]): Seq[(P, P)] = {
+    def lt(p: P, q: P): Boolean = p.x < q.x || (p.x == q.x && p.y < q.y)
+    tris.flatMap { case (a, b, c) => Seq((a, b), (b, c), (c, a)) }
+      .map { case (p, q) => if (lt(q, p)) (q, p) else (p, q) }
+      .distinct.sortBy { pq => (pq._1.x, pq._1.y, pq._2.x, pq._2.y) }
   }
 
   /** Exterior buffer of a simple polygon: offset the shell outward with

@@ -97,7 +97,7 @@ object SpatialSql {
     "ST_ROTATE" -> "geo_rotate",
     "ST_CONVEXHULL" -> "geo_convexhull",
     "ST_SIMPLIFY" -> "geo_simplify",
-    "ST_SIMPLIFYPRESERVETOPOLOGY" -> "geo_simplify",
+    "ST_SIMPLIFYPRESERVETOPOLOGY" -> "geo_simplifypreserve",
     "ST_BUFFER" -> "geo_buffer",
     "ST_BOUNDINGCIRCLE" -> "geo_boundingcircle",
     "ST_MINIMUMBOUNDINGCIRCLE" -> "geo_boundingcircle",
@@ -153,6 +153,10 @@ object SpatialSql {
     "ST_MAKEGRIDPOINTS" -> "geo_makegridpoints",
     "ST_EXPLODE" -> "geo_explode",
     "ST_INTERSECTION" -> "geo_intersection",
+    "ST_DIFFERENCE" -> "geo_difference",
+    "ST_SYMDIFFERENCE" -> "geo_symdifference",
+    "ST_DELAUNAY" -> "geo_delaunay",
+    "ST_CONSTRAINEDDELAUNAY" -> "geo_constraineddelaunay",
     "ST_POLYGONIZE" -> "geo_polygonize")
 
   private val wktStart =
@@ -314,7 +318,9 @@ object SpatialSql {
     ("geo_rotate", 4) -> "geo_rotate_xy",
     ("geo_removerepeatedpoints", 2) -> "geo_removerepeatedpoints_tol",
     ("geo_hilbert", 1) -> "geo_hilbert_geom",
-    ("geo_hilbert", 2) -> "geo_hilbert_xy")
+    ("geo_hilbert", 2) -> "geo_hilbert_xy",
+    ("geo_delaunay", 2) -> "geo_delaunay_flag",
+    ("geo_constraineddelaunay", 2) -> "geo_constraineddelaunay_flag")
 
   private val arityFns = arityMap.keysIterator.map(_._1).toSet
 

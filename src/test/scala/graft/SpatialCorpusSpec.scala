@@ -50,8 +50,9 @@ class SpatialCorpusSpec extends IqHarness {
       def canon(x: Spatial2.G): Spatial2.G = x.gtype match {
         case "POLYGON" => x.copy(rings = x.rings.map(rot))
         case "MULTIPOLYGON" =>
-          val parts = x.parts.map(canon).sortBy(p =>
-            p.rings.headOption.flatMap(_.headOption).map(q => (q.x, q.y)).getOrElse((0.0, 0.0)))
+          // full-ring sort key: first-vertex ties (triangulations fanning
+          // from one point) must order identically on both sides
+          val parts = x.parts.map(canon).sortBy(Spatial2.emit)
           x.copy(parts = parts)
         case _ => x
       }
@@ -137,6 +138,6 @@ class SpatialCorpusSpec extends IqHarness {
     info(s"spatial corpus: $pass/${cases.size} passing")
     val fw = new java.io.PrintWriter("target/spatial-failures.txt", "UTF-8")
     try failures.foreach(fw.println) finally fw.close()
-    assert(pass >= 340, s"spatial corpus coverage dropped: $pass passing (floor 340)")
+    assert(pass >= 365, s"spatial corpus coverage dropped: $pass passing (floor 365)")
   }
 }
