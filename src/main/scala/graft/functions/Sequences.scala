@@ -41,11 +41,20 @@ object Sequences {
 
   def drop(name: String): Unit = catalog.remove(name)
 
-  /** CURRENT_VALUE FOR name: the next value a NEXT_VALUE call would
-    * start at (start before any allocation). */
+  /** The next value a NEXT_VALUE call would start at (start before any
+    * allocation). */
   def currentValue(name: String): Long = {
     val d = definition(name)
     d.start + d.step * d.cursor.get()
+  }
+
+  /** SQL `CURRENT VALUE FOR name`: the LAST value dispensed (the
+    * reference's CURRVAL semantics — sequence.iq expects 2 after a
+    * two-row NEXT VALUE scan, not 3). */
+  def lastValue(name: String): Long = {
+    val d = definition(name)
+    require(d.cursor.get() > 0, s"sequence '$name' has not been read")
+    d.start + d.step * (d.cursor.get() - 1)
   }
 
   private def definition(name: String): SeqDef = {

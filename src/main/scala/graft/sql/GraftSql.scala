@@ -37,19 +37,34 @@ object GraftSql {
       // run the remaining query, append the sequence column (the
       // sequence column lands last in the output). Ref:
       // SqlStdOperatorTable NEXT_VALUE :2555, sequence.iq.
+      // the name may be backtick-quoted — the mask hides its characters,
+      // so match any mask/word run and splice the original back out
       val nextVal =
-        "(?is)NEXT\\s+VALUE\\s+FOR\\s+(\\w+)\\s+AS\\s+(\\w+)\\s*(,)?".r
+        ("(?is)(NEXT|CURRENT)\\s+VALUE\\s+FOR\\s+([\\w" + "\\u0001" + "`.]+)\\s+AS\\s+(\\w+)\\s*(,)?").r
       nextVal.findFirstMatchIn(maskLiterals(text)) match {
         case Some(m) =>
-          val (seqName, alias) = (m.group(1), m.group(2))
-          val stripped =
-            if (m.group(3) != null) text.substring(0, m.start) + text.substring(m.end)
+          val kind = text.substring(m.start(1), m.end(1)).toUpperCase(java.util.Locale.ROOT)
+          // quoted/qualified spellings (`s`.`my_seq`) resolve by the
+          // bare sequence name, like the reference's seq fixture
+          val seqName = text.substring(m.start(2), m.end(2)).replace("`", "").split('.').last
+          val alias = text.substring(m.start(3), m.end(3))
+          val stripped0 =
+            if (m.group(4) != null) text.substring(0, m.start) + text.substring(m.end)
             else { // last item: also eat the comma before it
               val before = text.substring(0, m.start).replaceAll(",\\s*$", " ")
               before + text.substring(m.end)
             }
-          graft.functions.Sequences.withSequence(
-            spark.sql(rewrite(stripped)), seqName, alias)
+          // the sequence may have been the ONLY select item
+          val bare = "(?is)select\\s+from\\b".r.findFirstIn(stripped0).isDefined
+          val stripped =
+            if (bare) stripped0.replaceFirst("(?is)select\\s+from\\b", "SELECT 1 AS __seq_ph FROM")
+            else stripped0
+          val base = spark.sql(rewrite(stripped))
+          val withCol =
+            if (kind == "NEXT") graft.functions.Sequences.withSequence(base, seqName, alias)
+            else base.withColumn(alias,
+              org.apache.spark.sql.functions.lit(graft.functions.Sequences.lastValue(seqName)))
+          if (bare) withCol.drop("__seq_ph") else withCol
         case None => rowEq(spark, spark.sql(rewrite(text)))
       }
     }
@@ -294,6 +309,7 @@ object GraftSql {
     Seq[String => String](
       MeasureSql.ddlRewrite, AsofSql.rewrite, SubqueryRewrites.apply, rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteRowCtor, rewriteTop,
+      rewriteMysqlLimit,
       rewriteWindowTvf, rewriteExtend, rewriteDual, rewriteFetch,
       rewriteCastFormat, rewriteStarReplace, rewriteJsonValue,
       rewriteSafeCast, rewriteSimilarTo, rewriteQualify, rewriteUuid,
@@ -723,10 +739,22 @@ object GraftSql {
       s"${m.group(1)} ${if (BigInt(m.group(2)) > 1073741823) "1073741823" else m.group(2)}")
   }
 
+  /** MySQL `LIMIT offset, count` / `LIMIT offset, ALL` (sort.iq's
+    * scott-mysql cases) — Spark spells these LIMIT/OFFSET. Standard SQL
+    * never puts a comma after LIMIT n, so the pattern can't misfire. */
+  private def rewriteMysqlLimit(sql: String): String =
+    replaceMasked(sql, "(?is)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+|ALL)\\b".r) { (m, _) =>
+      if (m.group(2).equalsIgnoreCase("ALL")) s"OFFSET ${m.group(1)}"
+      else s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"
+    }
+
   /** Oracle `FROM DUAL` (babel; dual-table-query.iq) — a FROM-less
-    * scalar select in Spark. */
+    * scalar select in Spark. `SELECT * FROM DUAL` surfaces DUAL's one
+    * 'X' row under the reference's generated column name. */
   private def rewriteDual(sql: String): String =
-    replaceMasked(sql, "(?is)\\bFROM\\s+DUAL\\b".r)((_, _) => "")
+    if ("(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+DUAL\\s*$".r.findFirstIn(sql.trim).isDefined)
+      "SELECT 'X' AS `EXPR$0`"
+    else replaceMasked(sql, "(?is)\\bFROM\\s+DUAL\\b".r)((_, _) => "")
 
   /** Calcite `FROM t EXTEND (c TYPE, ...)` (SqlStdOperatorTable.java
     * :265 EXTEND — declare columns a schemaless/dynamic table doesn't

@@ -356,7 +356,13 @@ class CorpusSpec extends IqHarness {
       ("cast.iq", 739) -> decimalTrunc,
       ("cast.iq", 2049) -> ("CAST(... AS ROW(a ROW(...), b INTEGER)) — " +
         "ROW type syntax; Spark spells struct types STRUCT<...>"),
-      ("cast.iq", 2060) -> "same ROW-type cast syntax")
+      ("cast.iq", 2060) -> "same ROW-type cast syntax",
+      ("planner.iq", 425) -> ("LIMIT/OFFSET with no ORDER BY: which rows " +
+        "the offset slice skips is engine-specific (same class as " +
+        "struct.iq:170)"),
+      ("planner.iq", 457) -> "same no-ORDER-BY offset slice",
+      ("sequence.iq", 67) -> ("\"metadata\".tables reads the reference's " +
+        "JDBC metadata schema — catalog plumbing, not a query surface"))
   }
 
   private def constructSkip(sql: String): Option[String] =
@@ -376,7 +382,10 @@ class CorpusSpec extends IqHarness {
     "within-distinct.iq", "row-equality.iq", "variant.iq",
     "unsigned.iq", "match.iq", "measure.iq", "dummy.iq",
     "join-agg-transpose.iq", "new-decorr.iq", "measure-paper.iq",
-    "lambda.iq", "cast-with-format.iq")
+    "lambda.iq", "cast-with-format.iq",
+    // planner-oriented corpora still carry value-checked !ok cases
+    "interpreter.iq", "hep.iq", "planner.iq",
+    "dual-table-query.iq", "sequence.iq")
 
   /** Spark-analyzer limitations this engine inherits (correlation shapes
     * Spark's decorrelator rejects, plus two known Spark internal errors
@@ -410,7 +419,8 @@ class CorpusSpec extends IqHarness {
     for (fn <- corpusFiles) {
       val cases = parseIq(new java.io.File(refSqlDir, fn))
         .filter(c => c.ddl || c.use == "scott" || c.use == "post" ||
-          c.use == "blank" || c.use == "sparkfunc")
+          c.use == "blank" || c.use == "sparkfunc" ||
+          c.use == "scott-mysql" || c.use == "scott-oracle" || c.use == "seq")
       var lastUse = ""
       for (c <- cases) {
         if (c.ddl) {
@@ -433,8 +443,15 @@ class CorpusSpec extends IqHarness {
             case Some(_) => skippedConstruct += 1
             case None =>
               if (c.use != lastUse) {
-                if (c.use == "scott") registerScott()
+                if (c.use == "scott" || c.use == "scott-mysql" || c.use == "scott-oracle") registerScott()
                 else if (c.use == "post") registerPost()
+                else if (c.use == "seq") {
+                  // fresh sequence fixture; later cases in the file see
+                  // the cursor the earlier ones advanced (sequence.iq's
+                  // CURRENT VALUE case depends on it)
+                  graft.functions.Sequences.drop("my_seq")
+                  graft.functions.Sequences.create("my_seq")
+                }
                 lastUse = c.use
               }
               runCase(c) match {
@@ -458,7 +475,7 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1100, s"corpus coverage dropped: $pass passing (floor 1100)")
+    assert(pass >= 1160, s"corpus coverage dropped: $pass passing (floor 1160)")
     assert(engineLimits.size <= 48,
       s"Spark-limitation count grew: ${engineLimits.size} (was 45) — a rewrite regressed")
   }
