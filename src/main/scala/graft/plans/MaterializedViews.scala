@@ -77,8 +77,14 @@ object MaterializedViews {
     * order-insensitive: leaves sort canonically, join pairs normalize
     * to sorted column-name tuples. */
   private def signatureOf(p: LogicalPlan): Option[(Signature, Seq[Expression])] = p match {
-    case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      signatureOf(ch)
+    // bare attributes, or identity-preserving same-name casts (the
+    // loader's TIMESTAMP_NTZ→TIMESTAMP normalization projects every
+    // column through such a cast)
+    case Project(ps, ch) if ps.forall {
+      case _: AttributeReference => true
+      case Alias(Cast(a: AttributeReference, _, _, _), n) => a.name == n
+      case _ => false
+    } => signatureOf(ch)
     case logical.Filter(cond, ch) =>
       signatureOf(ch).map { case (sig, fs) => (sig, cond +: fs) }
     case a: logical.SubqueryAlias => signatureOf(a.child)

@@ -240,6 +240,29 @@ trait IqHarness extends SparkSpec {
     * corpus rounds numeric tokens inside WKT strings here). */
   protected def postNorm(cell: String): String = cell
 
+  /** Double-quoted identifiers become backticks — but only OUTSIDE
+    * single-quoted string literals (XML/GeoJSON arguments carry interior
+    * double quotes that must survive). */
+  def quoteIdents(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != '\'') j += 1
+        sb.append(sql.substring(i, math.min(j + 1, sql.length)))
+        i = j + 1
+      } else if (c == '"') {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != '"') j += 1
+        sb.append('`').append(sql.substring(i + 1, math.min(j, sql.length))).append('`')
+        i = j + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Run `cleaned` through GraftSql and value-compare against the case's
     * recorded table. None = pass; Some(reason) = mismatch/error. Row
     * MULTISETS are compared (ORDER BY tie order is engine-specific). */

@@ -92,30 +92,6 @@ class SpatialCorpusSpec extends IqHarness {
     pk.map(r => (r(0), r(1))).toDF("name", "geom").createOrReplaceTempView("parks")
   }
 
-  /** Double-quoted identifiers become backticks — but only OUTSIDE
-    * single-quoted string literals (GeoJSON arguments carry interior
-    * double quotes), and comments are stripped first (an inline comment
-    * in an argument list would skew the adapter's arity dispatch). */
-  private def quoteIdents(sql: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'') {
-        var j = i + 1
-        while (j < sql.length && sql.charAt(j) != '\'') j += 1
-        sb.append(sql.substring(i, math.min(j + 1, sql.length)))
-        i = j + 1
-      } else if (c == '"') {
-        var j = i + 1
-        while (j < sql.length && sql.charAt(j) != '"') j += 1
-        sb.append('`').append(sql.substring(i + 1, math.min(j, sql.length))).append('`')
-        i = j + 1
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
   private def clean(sql: String): String =
     graft.sql.SpatialSql.rewrite(
       quoteIdents(graft.sql.GraftSql.stripComments(sql)

@@ -44,9 +44,11 @@ class UdfSurfaceSpec extends SparkSpec {
 
   test("interval arithmetic matches calendar semantics") {
     val r = run("q67_interval_arith").limit(1).collect()(0)
+    // T normalizes the generator's TIMESTAMP_NTZ to TIMESTAMP (UTC
+    // session), so rows surface java.sql.Timestamp
     val base = T(spark, sfDir, "orders").filter(col("o_orderkey") === r.getLong(0))
-      .collect()(0).getAs[java.time.LocalDateTime]("o_orderdate")
-    assert(r.getAs[java.time.LocalDateTime]("plus_3m") == base.plusMonths(3))
-    assert(r.getAs[java.time.LocalDateTime]("minus_45d") == base.minusDays(45))
+      .collect()(0).getAs[java.sql.Timestamp]("o_orderdate").toLocalDateTime
+    assert(r.getAs[java.sql.Timestamp]("plus_3m").toLocalDateTime == base.plusMonths(3))
+    assert(r.getAs[java.sql.Timestamp]("minus_45d").toLocalDateTime == base.minusDays(45))
   }
 }
