@@ -299,7 +299,7 @@ object GraftSql {
       case dropSeq(name) =>
         graft.functions.Sequences.drop(name)
         Some(spark.emptyDataFrame)
-      case _ => None
+      case _ => MaterializedViewSql.maybeRun(spark, text)
     }
   }
 
@@ -500,7 +500,8 @@ object GraftSql {
     * SqlTypeName.VARCHAR; recursive_queries.iq:223 `CAST(x AS VARCHAR)`):
     * Spark requires a length, so widen to the unbounded STRING/BINARY. */
   private def rewriteBareTypes(sql: String): String = {
-    val s1 = replaceMasked(sql, "(?i)\\bVARCHAR\\b(?!\\s*\\()".r)((_, _) => "STRING")
+    val s0 = replaceMasked(sql, "(?i)\\bTIMESTAMP\\s*\\(\\s*\\d+\\s*\\)".r)((_, _) => "TIMESTAMP")
+    val s1 = replaceMasked(s0, "(?i)\\bVARCHAR\\b(?!\\s*\\()".r)((_, _) => "STRING")
     val s2 = replaceMasked(s1, "(?i)\\bVARBINARY\\b(?!\\s*\\()".r)((_, _) => "BINARY")
     // SQL-standard postfix collection types in CASTs (`x AS INTEGER
     // ARRAY`, lambda.iq:82) → Spark's generic spelling. Scoped to the
@@ -664,46 +665,10 @@ object GraftSql {
     false
   }
 
-  /** Windowing table-valued functions (SqlWindowTableFunction.java:53-68;
-    * SqlStdOperatorTable TUMBLE/HOP/SESSION :2606-2612): lower
-    * `TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL 'n' UNIT))` — and
-    * HOP's (slide, size) pair — to a subselect projecting Spark's
-    * `window()` struct as the TVF's `window_start`/`window_end` columns
-    * (:116-117). Catalyst's TimeWindowing rule turns the projection into
-    * epoch-aligned arithmetic (tumble) or an Expand over the overlapped
-    * slides (hop) — no shuffle, codegen-friendly. SESSION has no
-    * per-row form (gap windows only exist under aggregation): route to
-    * StreamOps.sessionTvf / session_window + groupBy instead. */
-  private[graft] def rewriteWindowTvf(sql: String): String = {
-    // the interval counts sit INSIDE quotes, so find on the mask and read
-    // groups back from the original (origGroup)
-    val re = ("(?is)\\bTABLE\\s*\\(\\s*(TUMBLE|HOP|SESSION)\\s*\\(\\s*TABLE\\s+(\\w+)\\s*," +
-      "\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'([^']+)'\\s+(\\w+)" +
-      "(?:\\s*,\\s*INTERVAL\\s+'([^']+)'\\s+(\\w+))?\\s*\\)\\s*\\)").r
-    re.findFirstMatchIn(maskLiterals(sql)) match {
-      case None => sql
-      case Some(m) =>
-        def g(i: Int) = origGroup(m, sql, i)
-        val (fn, tbl, ts) = (g(1).toUpperCase, g(2), g(3))
-        def dur(n: String, u: String) = {
-          require(n.matches("\\d+"), s"window TVF: non-numeric interval '$n'")
-          s"$n ${u.toLowerCase}"
-        }
-        val win = fn match {
-          case "TUMBLE" => s"window($ts, '${dur(g(4), g(5))}')"
-          case "HOP" =>
-            require(g(6) != null, "HOP needs (slide, size) intervals")
-            // Calcite arg order: slide first, size second; Spark: size, slide.
-            s"window($ts, '${dur(g(6), g(7))}', '${dur(g(4), g(5))}')"
-          case "SESSION" => throw new IllegalArgumentException(
-            "SESSION TVF has no per-row form; use session_window under GROUP BY (StreamOps)")
-        }
-        val lowered =
-          s"(SELECT * EXCEPT (__w), __w.start AS window_start, __w.end AS window_end " +
-            s"FROM (SELECT *, $win AS __w FROM $tbl) __tvf_in) $tbl"
-        rewriteWindowTvf(sql.substring(0, m.start) + lowered + sql.substring(m.end))
-    }
-  }
+  /** Windowing table-valued functions TUMBLE/HOP/SESSION: full grammar
+    * (named args, subquery DATA, alignment offsets, SESSION gap windows)
+    * lives in [[WindowTvfSql]]. */
+  private[graft] def rewriteWindowTvf(sql: String): String = WindowTvfSql.rewrite(sql)
 
   /** ANSI `OFFSET n ROWS FETCH FIRST|NEXT m ROWS ONLY` (fetch.iq,
     * offset.iq; Sort.fetch/offset in the algebra) → Spark's

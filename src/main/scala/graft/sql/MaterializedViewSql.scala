@@ -1,0 +1,106 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `CREATE/DROP MATERIALIZED VIEW` statement surface (ref: server
+  * module, sql/ddl/SqlCreateMaterializedView.java + the
+  * materialized_view.iq contract):
+  *
+  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] name [(col, ...)] AS query
+  *   DROP MATERIALIZED VIEW [IF EXISTS] name
+  *
+  * The view body runs through GraftSql (so the full dialect surface is
+  * available), materializes once (persist + count), and registers under
+  * the given name — later queries read the materialized relation by
+  * name, like the reference's materialization table. An unqualified
+  * name lands as a cached temp view; a schema-qualified name (s.d10)
+  * materializes as a managed table in that schema so qualified reads
+  * resolve through the catalog. Name collisions follow the reference:
+  * plain CREATE on an existing name fails with "Table 'NAME' already
+  * exists"; IF NOT EXISTS is silent and keeps the existing contents.
+  * The optional column list must be bare aliases (a typed entry is the
+  * reference's parse error) and must match the query's degree.
+  *
+  * This is the statement-level GENERAL materialization; the
+  * aggregate-rollup registry with transparent query rewrite (the 100 TB
+  * scale path: partial-aggregate tiles + substitution) stays in
+  * plans/MaterializedViews.scala — a name registered here is a direct
+  * read target, not a rewrite source.
+  */
+object MaterializedViewSql {
+
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Forget every registered MV name (test isolation). */
+  def clearRegistry(): Unit = registered.clear()
+
+  private val createRe =
+    ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" +
+      "([\\w`.]+)\\s*(?:\\(([^)]*)\\)\\s*)?AS\\s+(.+)$").r
+  private val createNoAsRe =
+    "(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\b.*$".r
+  private val dropRe =
+    "(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+(?:(IF\\s+EXISTS)\\s+)?([\\w`.]+)\\s*;?\\s*$".r
+
+  private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+  private def uc(s: String): String = s.toUpperCase(java.util.Locale.ROOT)
+
+  private def exists(spark: SparkSession, name: String): Boolean =
+    registered.contains(lc(name)) ||
+      (try spark.catalog.tableExists(name) catch { case _: Exception => false })
+
+  /** Some(df) if the statement is MV DDL (df is empty); None otherwise. */
+  def maybeRun(spark: SparkSession, text: String): Option[DataFrame] = text.trim.stripSuffix(";") match {
+    case createRe(ifNotExists, name0, colList, query) =>
+      val name = name0.replace("`", "")
+      if (exists(spark, name)) {
+        if (ifNotExists == null)
+          throw new IllegalArgumentException(
+            s"Table '${uc(name.split('.').last)}' already exists")
+      } else {
+        val body =
+          if (query.trim.toUpperCase(java.util.Locale.ROOT).startsWith("VALUES"))
+            s"SELECT * FROM ($query) __mv_vals" // bare VALUES body
+          else query
+        var df = GraftSql.sql(spark, body)
+        Option(colList).map(_.trim).filter(_.nonEmpty).foreach { cl =>
+          val cols = cl.split(",").map(_.trim.replaceAll("[`\"]", ""))
+          if (cols.exists(_.contains(" ")))
+            throw new IllegalArgumentException(
+              s"CREATE MATERIALIZED VIEW column list must be bare aliases, got ($cl)")
+          if (cols.length != df.columns.length)
+            throw new IllegalArgumentException(
+              s"List of column aliases must have same degree as table; table has " +
+                s"${df.columns.length} columns, whereas alias list has ${cols.length} columns")
+          df = df.toDF(cols.toIndexedSeq: _*)
+        }
+        if (name.contains(".")) {
+          // schema-qualified: materialize as a managed table so
+          // qualified reads resolve through the catalog
+          df.write.saveAsTable(name)
+        } else {
+          df.persist()
+          df.count() // materialize now, like the reference's populator
+          df.createOrReplaceTempView(name)
+        }
+        registered.add(lc(name))
+      }
+      Some(spark.emptyDataFrame)
+    case dropRe(ifExists, name0) =>
+      val name = name0.replace("`", "")
+      if (registered.remove(lc(name))) {
+        if (name.contains(".")) spark.sql(s"DROP TABLE IF EXISTS $name")
+        else spark.catalog.dropTempView(name)
+        ()
+      } else if (ifExists == null)
+        throw new IllegalArgumentException(
+          s"Materialized view '${uc(name.split('.').last)}' not found")
+      Some(spark.emptyDataFrame)
+    case createNoAsRe() =>
+      // CREATE MATERIALIZED VIEW without an AS query — parse error, per
+      // the reference's grammar
+      throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW requires AS <query>")
+    case _ => None
+  }
+}

@@ -284,16 +284,27 @@ class GraftSqlSpec extends SparkSpec {
   test("window TVF: HOP swaps Calcite (slide, size) into Spark (size, slide)") {
     val out = GraftSql.rewriteWindowTvf(
       "SELECT * FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))")
-    assert(out.contains("window(ts, '10 minute', '5 minute')"), out)
+    // Spark's window(col, size, slide): 10-minute windows every 5 minutes
+    assert(out.contains("window(ts, '600000 milliseconds', '300000 milliseconds'"), out)
   }
 
-  test("window TVF: SESSION raises its documented error; non-TVF text passes through") {
-    val e = intercept[IllegalArgumentException] {
-      GraftSql.rewriteWindowTvf(
-        "SELECT * FROM TABLE(SESSION(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE))")
-    }
-    assert(e.getMessage.contains("session_window"))
+  test("window TVF: SESSION lowers to keyed sessionization; non-TVF text passes through") {
+    val out = GraftSql.rewriteWindowTvf(
+      "SELECT * FROM TABLE(SESSION(TABLE ev, DESCRIPTOR(ts), DESCRIPTOR(k), INTERVAL '5' MINUTE))")
+    assert(out.contains("PARTITION BY k"), out)
+    assert(out.contains("window_start") && out.contains("window_end"), out)
     val plain = "SELECT window_start FROM somewhere"
     assert(GraftSql.rewriteWindowTvf(plain) == plain)
+  }
+
+  test("window TVF: named arguments and alignment offset") {
+    val out = GraftSql.rewriteWindowTvf(
+      "SELECT * FROM TABLE(TUMBLE(DATA => TABLE ev, TIMECOL => DESCRIPTOR(ts), " +
+        "SIZE => INTERVAL '10' MINUTE, OFFSET => INTERVAL '3' MINUTE))")
+    assert(out.contains("window(ts, '600000 milliseconds', '600000 milliseconds', '180000 milliseconds')"), out)
+    // compound interval: MINUTE TO SECOND
+    val c = GraftSql.rewriteWindowTvf(
+      "SELECT * FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '20:10.525' MINUTE TO SECOND))")
+    assert(c.contains("'1210525 milliseconds'"), c)
   }
 }

@@ -21,9 +21,14 @@ import graft.sql.GraftSql
 trait IqHarness extends SparkSpec {
 
   case class IqCase(file: String, line: Int, use: String, sql: String,
-      header: Seq[String], rows: Seq[Seq[String]], ddl: Boolean = false)
+      header: Seq[String], rows: Seq[Seq[String]], ddl: Boolean = false,
+      kind: String = "ok")
 
-  def parseIq(f: java.io.File): Seq[IqCase] = {
+  /** `extended = true` additionally emits `!error` cases (kind="error",
+    * rows = the recorded message lines) and `!type` cases (kind="type",
+    * rows = the recorded `NAME TYPE [NOT NULL]` lines) — opt-in so the
+    * value-compare specs' case counts stay stable. */
+  def parseIq(f: java.io.File, extended: Boolean = false): Seq[IqCase] = {
     val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
     val out = ArrayBuffer.empty[IqCase]
     var use = ""
@@ -103,7 +108,13 @@ trait IqHarness extends SparkSpec {
                 }
               } else if (d == "!update") {
                 out += IqCase(f.getName, start + 1, use,
-                  stmt.toString.trim.stripSuffix(";"), Nil, Nil, ddl = true)
+                  stmt.toString.trim.stripSuffix(";"), Nil, Nil, ddl = true,
+                  kind = "update")
+              } else if (extended && (d == "!error" || d == "!type")) {
+                val block = lines.slice(i, found).map(_.trim).filter(_.nonEmpty)
+                out += IqCase(f.getName, start + 1, use,
+                  stmt.toString.trim.stripSuffix(";"), Nil, block.map(Seq(_)),
+                  kind = d.stripPrefix("!"))
               }
               i = found + 1
             }
