@@ -20,7 +20,7 @@ object SparkEntry {
       Stats.all ++ Lateral.all ++ Patterns.all ++ Extras.all ++ Json.all ++
       Temporal.all ++ Tpch.all ++ Tpcds.all ++ Library2.all ++ Quantified.all ++
       Round4.all ++ Gaps.all ++ Subqueries2.all ++ Tvf.all ++ Funnel.all ++
-      Joins2.all ++ Geo.all ++
+      Joins2.all ++ Geo.all ++ Dialect2.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
       IvfAnn.all ++ PqAnn.all ++ Bpe.all ++ Pipeline2.all ++ Curation.all ++
       Curation2.all ++ Packing.all

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+
+/** Round-7 SQL-surface pack: driver-gated queries for the windowing
+  * TVF SESSION form (SqlWindowTableFunction.java / stream.iq), Postgres
+  * DISTINCT ON (babel select.iq, CALCITE-5406), the SELECT..BY sugar
+  * (SqlByRewriter.java), and WITHIN GROUP aggregates as window
+  * functions (babel within-group-over.iq). Each runs through GraftSql
+  * so the driver exercises the same rewrite path a SQL user hits.
+  */
+object Dialect2 {
+
+  /** SESSION gap windows as a batch relation: per-user 30-minute
+    * sessions over the events stream, one row per session. The lowering
+    * (sql/WindowTvfSql.scala) partitions every window on user_id — at
+    * 100 TB the state per task is one user's events, never a global
+    * sort. */
+  val q138_session_tvf = Q(
+    (s, dir) => {
+      T(s, dir, "events").createOrReplaceTempView("events_v138")
+      graft.sql.GraftSql.sql(s, """
+        SELECT user_id, window_start, window_end, COUNT(*) AS n
+        FROM TABLE(SESSION(TABLE events_v138, DESCRIPTOR(ts), DESCRIPTOR(user_id), INTERVAL '30' MINUTE))
+        GROUP BY user_id, window_start, window_end""")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o)
+      SELECT user_id, MIN(ts) AS window_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS window_end, COUNT(*) AS n
+      FROM sess GROUP BY user_id, sid"""))
+
+  /** Postgres `SELECT DISTINCT ON`: first order per customer under the
+    * statement ordering (lowered to a keyed row_number filter — one
+    * hash shuffle on the high-cardinality key). */
+  val q139_distinct_on = Q(
+    (s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_v139")
+      graft.sql.GraftSql.sql(s, """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderpriority
+        FROM orders_v139
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")
+    },
+    Some("""
+      SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderpriority
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  /** `SELECT a BY b` sugar (one grouped aggregation; the implicit
+    * per-group aggregate is MAX, matching the reference's enumerable
+    * ANY_VALUE). The oracle states the desugared form explicitly. */
+  val q140_select_by = Q(
+    (s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_v140")
+      graft.sql.GraftSql.sql(s,
+        "SELECT o_orderkey BY o_custkey FROM orders_v140")
+    },
+    Some("""
+      SELECT o_custkey, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** WITHIN GROUP ordered aggregate as an analytic function (babel
+    * allowWithinGroupOverAggregate): the region's ordered name list
+    * broadcast to every member row. */
+  val q141_listagg_over = Q(
+    (s, dir) => {
+      T(s, dir, "nation").createOrReplaceTempView("nation_v141")
+      graft.sql.GraftSql.sql(s, """
+        SELECT n_nationkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 OVER (PARTITION BY n_regionkey) AS names
+        FROM nation_v141""").orderBy(col("n_nationkey"))
+    },
+    Some("""
+      SELECT n.n_nationkey,
+             (SELECT string_agg(n2.n_name, ',' ORDER BY n2.n_name)
+              FROM nation n2 WHERE n2.n_regionkey = n.n_regionkey) AS names
+      FROM nation n ORDER BY n.n_nationkey"""))
+
+  val all: Map[String, Q] = Map(
+    "q138_session_tvf" -> q138_session_tvf,
+    "q139_distinct_on" -> q139_distinct_on,
+    "q140_select_by" -> q140_select_by,
+    "q141_listagg_over" -> q141_listagg_over)
+}

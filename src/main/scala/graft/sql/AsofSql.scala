@@ -28,8 +28,33 @@ object AsofSql {
   private val aliasRe = "(?is)^(.*\\bAS\\s+(\\w+)\\s*\\(([^)]*)\\))\\s*$".r
 
   def rewrite(sql0: String): String = {
+    validateOn(sql0)
     val out = narrow(sql0)
     if (out ne sql0) out else lateral(sql0)
+  }
+
+  /** The reference's ASOF ON contract (SqlValidatorImpl, CALCITE-7363):
+    * the ON condition must be a conjunction of equality comparisons of
+    * COLUMNS from both sides — an expression operand (subscript,
+    * function call, arithmetic) is rejected with the same message. */
+  private def validateOn(sql0: String): Unit = {
+    val masked = GraftSql.maskLiterals(sql0.trim.stripSuffix(";"))
+    val m = asofRe.findFirstMatchIn(masked).getOrElse(return)
+    val mcAt = GraftSql.topLevelIndex(masked, "MATCH_CONDITION", m.end)
+    if (mcAt < 0) return
+    val onAt = GraftSql.topLevelIndex(masked, "ON", mcAt)
+    if (onAt < 0) return
+    val onEnd = Seq("WHERE", "GROUP BY", "ORDER BY", "HAVING", "LIMIT",
+        "UNION", "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT", "FULL",
+        "INNER", "CROSS")
+      .map(k => GraftSql.topLevelIndex(masked, k, onAt + 2))
+      .filter(_ >= 0).minOption.getOrElse(masked.length)
+    val on = masked.substring(onAt + 2, onEnd).trim
+    val colEq = "(?is)^\\(?\\s*[\\w.`\"]+\\s*=\\s*[\\w.`\"]+\\s*\\)?$"
+    val ok = on.split("(?i)\\bAND\\b").map(_.trim).forall(_.matches(colEq))
+    if (!ok) throw new IllegalArgumentException(
+      "ASOF JOIN condition must be a conjunction of equality comparisons " +
+        s"of columns from both sides, got: $on")
   }
 
   /** The aligned-alias window lowering (original path). Returns `sql0`

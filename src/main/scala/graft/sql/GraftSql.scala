@@ -65,9 +65,34 @@ object GraftSql {
             else base.withColumn(alias,
               org.apache.spark.sql.functions.lit(graft.functions.Sequences.lastValue(seqName)))
           if (bare) withCol.drop("__seq_ph") else withCol
-        case None => rowEq(spark, spark.sql(rewrite(text)))
+        case None => starReplaceOrder(spark, text, rowEq(spark, spark.sql(rewrite(text))))
       }
     }
+  }
+
+  /** `SELECT * REPLACE(e AS c)` keeps c at its ORIGINAL ordinal position
+    * (SqlSelect REPLACE; babel select.iq:290); the text rewrite
+    * necessarily appends the replaced columns after the EXCEPT-star.
+    * Restore the star's natural order by ANALYZING (never executing) the
+    * same statement with its REPLACE list dropped and reordering to that
+    * schema — skipped when names are ambiguous or the shapes differ. */
+  private def starReplaceOrder(spark: SparkSession, text: String, df: DataFrame): DataFrame = {
+    val masked = maskLiterals(text)
+    val m = "(?is)\\*\\s+REPLACE\\s*\\(".r.findFirstMatchIn(masked).getOrElse(return df)
+    val open = m.end - 1
+    val close = closeParen(masked, open)
+    if (close < 0) return df
+    val plain = text.substring(0, m.start + 1) + text.substring(close + 1)
+    try {
+      // name matching is case-insensitive (Spark's resolver default);
+      // the replaced item's spelling may differ in case from the scan's
+      val order = spark.sql(rewrite(plain)).schema.fieldNames
+      val byLower = df.columns.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+      val mapped = order.map(n => byLower.getOrElse(n.toLowerCase(java.util.Locale.ROOT), Array.empty[String]))
+      if (mapped.forall(_.length == 1) && mapped.flatten.distinct.length == df.columns.length)
+        df.select(mapped.flatten.map(df.col).toIndexedSeq: _*)
+      else df
+    } catch { case scala.util.control.NonFatal(_) => df }
   }
 
   /** Standard row-equality 3VL over struct operands (plans/RowEquality):
@@ -300,6 +325,7 @@ object GraftSql {
         graft.functions.Sequences.drop(name)
         Some(spark.emptyDataFrame)
       case _ => MaterializedViewSql.maybeRun(spark, text)
+        .orElse(TypesSql.maybeRun(spark, text))
     }
   }
 
@@ -307,7 +333,9 @@ object GraftSql {
 
   private[graft] def rewrite(sql: String): String =
     Seq[String => String](
-      MeasureSql.ddlRewrite, AsofSql.rewrite, SubqueryRewrites.apply, rewriteExclude,
+      TypesSql.expand,
+      MeasureSql.ddlRewrite, AsofSql.rewrite, SubqueryRewrites.apply,
+      rewriteDistinctOn, rewriteSelectBy, rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteRowCtor, rewriteTop,
       rewriteMysqlLimit,
       rewriteWindowTvf, rewriteExtend, rewriteDual, rewriteFetch,
@@ -613,13 +641,94 @@ object GraftSql {
   private def rewriteRowCtor(sql: String): String =
     replaceMasked(sql, "(?is)\\bROW\\s*\\(".r)((_, _) => "struct(")
 
+  /** `SELECT items BY byItems FROM ...` (Parser.jj:3192 SqlSelectBy —
+    * syntactic sugar, SqlByRewriter.java): the BY items are prepended to
+    * the select list, become the GROUP BY, and (with their ASC/DESC
+    * modifiers) the ORDER BY; remaining non-aggregated bare columns wrap
+    * in an implicit per-group aggregate (SqlValidatorImpl.java:517-523
+    * wraps in ANY_VALUE; the reference's enumerable engine computes
+    * ANY_VALUE as MAX, so MAX is used here for value parity). */
+  private def rewriteSelectBy(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val selRe = "(?is)^\\s*SELECT\\s".r
+    if (selRe.findFirstIn(masked).isEmpty) return sql
+    val fromAt = topLevelIndex(masked, "FROM")
+    if (fromAt < 0) return sql
+    val byAt = topLevelIndex(masked, "BY")
+    if (byAt < 0 || byAt >= fromAt) return sql
+    val selStart = masked.toUpperCase.indexOf("SELECT") + "SELECT".length
+    val selItems = splitTopLevel(sql.substring(selStart, byAt))
+    val byItems = splitTopLevel(sql.substring(byAt + 2, fromAt))
+    if (byItems.isEmpty || selItems.isEmpty) return sql
+    val byRe = "(?is)^(.*?)(?:\\s+AS\\s+(\\w+))?(\\s+(?:ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$".r
+    case class By(expr: String, alias: Option[String], mods: String)
+    val parsed = byItems.map(_.trim).map {
+      case byRe(e, a, d, n) => By(e.trim, Option(a),
+        Option(d).getOrElse("") + Option(n).getOrElse(""))
+      case other => By(other, None, "")
+    }
+    val bySelect = parsed.map(b => b.alias.fold(b.expr)(a => s"${b.expr} AS $a")).mkString(", ")
+    val byGroup = parsed.map(_.expr).mkString(", ")
+    val byOrder = parsed.map(b => b.expr + b.mods).mkString(", ")
+    // bare column select items get the implicit aggregate
+    val colRe = "(?is)^([\\w.`]+)(?:\\s+AS\\s+(\\w+))?$".r
+    val wrapped = selItems.map(_.trim).map {
+      case colRe(c, a) =>
+        val alias = Option(a).getOrElse(c.split('.').last)
+        s"max($c) AS $alias"
+      case other => other
+    }.mkString(", ")
+    s"SELECT $bySelect, $wrapped FROM ${sql.substring(fromAt + 4)} GROUP BY $byGroup ORDER BY $byOrder"
+  }
+
+  /** Postgres `SELECT DISTINCT ON (keys) items FROM ... ORDER BY o1, ...`
+    * (babel select.iq; SqlSelectKeyword.DISTINCT_ON): keep the FIRST row
+    * of each key group under the statement's ORDER BY. Lowered to
+    * row_number() OVER (PARTITION BY keys ORDER BY orderList) = 1, with
+    * the select items computed in the INNER select — a window function
+    * among the items (select.iq:390) ranks the full input, not the
+    * one-per-group survivors, matching the reference. */
+  private[graft] def rewriteDistinctOn(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val re = "(?is)^(\\s*SELECT\\s+)DISTINCT\\s+ON\\s*\\(".r
+    val m = re.findFirstMatchIn(masked).getOrElse(return sql)
+    val open = m.end - 1
+    val close = closeParen(masked, open)
+    if (close < 0) return sql
+    val keys = splitTopLevel(sql.substring(open + 1, close)).map(_.trim)
+    val fromAt = topLevelIndex(masked, "FROM", close + 1)
+    if (fromAt < 0) return sql
+    val orderAt = topLevelIndex(masked, "ORDER", fromAt)
+    if (orderAt < 0) return sql // Postgres requires the ORDER BY; let Spark report
+    val byAt = topLevelIndex(masked, "BY", orderAt)
+    val orderList = sql.substring(byAt + 2).trim.stripSuffix(";")
+    val items = splitTopLevel(sql.substring(close + 1, fromAt)).map(_.trim)
+    val rest = sql.substring(fromAt + 4, orderAt).trim
+    // bare columns pass through *; computed items materialize inner-side
+    val colRe = "(?is)^[\\w.`]+$".r
+    val aliasRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)\\s*$".r
+    var n = 0
+    val (innerExtra, outer) = items.map {
+      case c if colRe.matches(c) => (None, c.split('.').last)
+      case aliasRe(e, a) => (Some(s"$e AS $a"), a)
+      case e => { n += 1; (Some(s"$e AS __don_$n"), s"__don_$n") }
+    }.unzip
+    val inner = (Seq("*") ++ innerExtra.flatten :+
+      s"row_number() OVER (PARTITION BY ${keys.mkString(", ")} ORDER BY $orderList) AS __don_rn")
+      .mkString(", ")
+    s"SELECT ${outer.mkString(", ")} FROM (SELECT $inner FROM $rest) __don " +
+      s"WHERE __don_rn = 1 ORDER BY $orderList"
+  }
+
   /** `* EXCLUDE(cols)` (SqlSelect EXCLUDE, struct.iq:190-230) → Spark's
     * `* EXCEPT (cols)`, with column qualifiers inside the list dropped
     * (Spark's EXCEPT list takes bare names). */
   private def rewriteExclude(sql: String): String =
     replaceMasked(sql, "(?is)\\*\\s+EXCLUDE\\s*\\(([^)]*)\\)".r)((m, o) => {
+      // the reference tolerates duplicates in the list (CALCITE-7310);
+      // Spark's EXCEPT demands distinct names — dedup here
       val cols = origGroup(m, o, 1).split(",")
-        .map(c => c.trim.replaceAll("^\\w+\\s*\\.\\s*", "")).mkString(", ")
+        .map(c => c.trim.replaceAll("^\\w+\\s*\\.\\s*", "")).distinct.mkString(", ")
       s"* EXCEPT ($cols)"
     })
 
@@ -804,12 +913,24 @@ object GraftSql {
         val open = m.end - 1
         val close = closeParen(sql, open)
         if (close < 0) return sql
-        val items = splitTopLevel(sql.substring(open + 1, close))
-        val names = items.map { it =>
-          val asAt = "(?is)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+        val items0 = splitTopLevel(sql.substring(open + 1, close))
+        // a QUALIFIED star's REPLACE targets must carry the same
+        // qualifier (e.* REPLACE(x AS d.deptno) is "unknown column" —
+        // select.iq:330); matching qualifiers strip to the simple name
+        val starQual = "(?is)([A-Za-z_]\\w*)\\s*\\.\\s*$".r
+          .findFirstMatchIn(sql.substring(0, m.start)).map(_.group(1))
+        val qualAs = "(?is)\\s+AS\\s+([A-Za-z_]\\w*)\\s*\\.\\s*([A-Za-z_]\\w*)\\s*$".r
+        for (it <- items0; qm <- qualAs.findFirstMatchIn(it))
+          if (!starQual.exists(_.equalsIgnoreCase(qm.group(1))))
+            throw new IllegalArgumentException(
+              s"SELECT * REPLACE list contains unknown column(s): ${qm.group(2).toUpperCase(java.util.Locale.ROOT)}")
+        val asAt = "(?is)\\s+AS\\s+(?:[A-Za-z_]\\w*\\s*\\.\\s*)?([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+        val names = items0.map { it =>
           asAt.findFirstMatchIn(it).map(_.group(1)).getOrElse(
             return sql) // malformed — leave for Spark's parser to report
         }
+        val items = items0.map(it =>
+          asAt.replaceFirstIn(it, " AS " + asAt.findFirstMatchIn(it).get.group(1)))
         val star = sql.substring(m.start, m.start + 1) // the '*'
         val head = sql.substring(0, m.start)
         val rewritten = head + star +

@@ -102,6 +102,58 @@ class BabelCorpusSpec extends IqHarness {
     measureDialect("spark.iq", "scott-spark", graft.sql.SparkDialect.rewrite, 75)
   }
 
+  test("babel within-group-over corpus: WITHIN GROUP aggregates as window functions") {
+    // Oracle's `agg(...) WITHIN GROUP (ORDER BY ...) OVER (...)` — the
+    // BABEL conformance's allowWithinGroupOverAggregate; Spark 4 parses
+    // the form natively (listagg), so the corpus runs unrewritten
+    assume(babelDir.isDirectory, "reference checkout not present")
+    registerScott()
+    val cases = parseIq(new java.io.File(babelDir, "within-group-over.iq"))
+      .filter(c => !c.ddl && c.use == "scott-babel")
+    assert(cases.size >= 3)
+    val failures = cases.flatMap(c => compareCase(c, quoteIdents(c.sql)).map(e => s"${c.line}: $e"))
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("babel select corpus: non-standard SELECT clauses (EXCLUDE/EXCEPT/BY/SEMI/ANTI)") {
+    assume(babelDir.isDirectory, "reference checkout not present")
+    registerScott()
+    val cases = parseIq(new java.io.File(babelDir, "select.iq"), extended = true)
+      .filter(c => !c.ddl && c.use == "scott-babel")
+    // LIMIT 1 with no ORDER BY over a join: which row survives is
+    // engine-specific (the reference's recorded row is CLARK, Spark's
+    // first-partition row is SMITH) — same divergence class as the core
+    // corpus's struct.iq:170 skip
+    val limitNoOrder = Set(131, 152, 269)
+    var pass = 0
+    var skipped = 0
+    val failures = ArrayBuffer.empty[String]
+    for (c <- cases if { val s = limitNoOrder.contains(c.line); if (s) skipped += 1; !s })
+      c.kind match {
+      case "validate" =>
+        // the reference only validates these (no execution); analysis
+        // must succeed
+        try { graft.sql.GraftSql.sql(spark, quoteIdents(c.sql)).schema; pass += 1 }
+        catch { case ex: Throwable =>
+          failures += s"${c.line} [validate]: ${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").linesIterator.take(1).mkString}"
+        }
+      case "error" =>
+        try {
+          graft.sql.GraftSql.sql(spark, quoteIdents(c.sql)).collect()
+          failures += s"${c.line} [error]: expected failure, statement succeeded"
+        } catch { case _: Throwable => pass += 1 }
+      case _ =>
+        compareCase(c, quoteIdents(c.sql)) match {
+          case None => pass += 1
+          case Some(err) => failures += s"${c.line}: $err\n  SQL: ${c.sql.linesIterator.mkString(" ").take(160)}"
+        }
+    }
+    info(s"babel select.iq: $pass/${cases.size} pass, $skipped documented skips")
+    val fw = new java.io.PrintWriter("target/babel-select-failures.txt", "UTF-8")
+    try failures.foreach(fw.println) finally fw.close()
+    assert(failures.isEmpty, s"select.iq failures (${failures.size}):\n${failures.take(12).mkString("\n")}")
+  }
+
   test("babel big-query corpus: measured dialect coverage with a ratcheted floor") {
     assume(babelDir.isDirectory, "reference checkout not present")
     registerScott()

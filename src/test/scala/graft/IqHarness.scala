@@ -115,6 +115,11 @@ trait IqHarness extends SparkSpec {
                 out += IqCase(f.getName, start + 1, use,
                   stmt.toString.trim.stripSuffix(";"), Nil, block.map(Seq(_)),
                   kind = d.stripPrefix("!"))
+              } else if (extended && d.startsWith("!explain-validated-on")) {
+                // the statement parse/validates; the expected block is the
+                // reference's re-rendered SQL (not compared)
+                out += IqCase(f.getName, start + 1, use,
+                  stmt.toString.trim.stripSuffix(";"), Nil, Nil, kind = "validate")
               }
               i = found + 1
             }

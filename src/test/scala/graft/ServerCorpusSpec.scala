@@ -160,6 +160,7 @@ class ServerCorpusSpec extends IqHarness {
       case DateType => "DATE"
       case _: DecimalType => "DECIMAL"
       case _: TimestampType => "TIMESTAMP"
+      case _: StructType => "STRUCT" // the reference's !type prints bare STRUCT
       case other => other.sql
     }
   }
@@ -187,10 +188,11 @@ class ServerCorpusSpec extends IqHarness {
   // ---- the gate ---------------------------------------------------------
 
   private val files = Seq("table.iq", "table_as.iq", "view.iq", "schema.iq",
-    "materialized_view.iq")
+    "materialized_view.iq", "type.iq")
 
   private val fixtureNames = Seq("t", "t2", "v", "dept", "d", "d2", "d3", "d4",
-    "d5", "d6", "d7", "d8", "d9", "d10", "tdef", "tdef1", "asof_tbl", "tbl")
+    "d5", "d6", "d7", "d8", "d9", "d10", "tdef", "tdef1", "asof_tbl", "tbl",
+    "w", "w2")
 
   private def resetCatalog(): Unit = {
     fixtureNames.foreach { n =>
@@ -207,6 +209,7 @@ class ServerCorpusSpec extends IqHarness {
     }
     try spark.sql("DROP SCHEMA IF EXISTS s CASCADE") catch { case _: Exception => () }
     graft.sql.MaterializedViewSql.clearRegistry()
+    graft.sql.TypesSql.clearRegistry()
   }
 
   test("server DDL corpus: statements execute, values and errors match") {
@@ -270,7 +273,7 @@ class ServerCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(failures.isEmpty,
       s"server corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 100, s"server corpus coverage dropped: $pass passing (floor 100)")
+    assert(pass >= 145, s"server corpus coverage dropped: $pass passing (floor 145)")
   }
 
   private def first(ex: Throwable): String =
