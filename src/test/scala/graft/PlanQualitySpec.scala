@@ -143,6 +143,26 @@ class PlanQualitySpec extends SparkSpec {
       s"window must consume the pre-capped relation:\n$p")
   }
 
+  test("q138 session TVF: every window partitions on the session key (no global sort)") {
+    val p = plan("q138_session_tvf")
+    // three window passes (lag, running sum, min/max) — each must carry
+    // user_id in its partition spec; an empty partition spec would be a
+    // single-task global sort at 100 TB
+    val specs = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p.toLowerCase).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no window in plan:\n$p")
+    assert(specs.forall(_.contains("user_id")), s"unkeyed window spec found:\n$p")
+  }
+
+  test("q139 distinct on: one keyed row_number, filter runs group-limit style") {
+    val p = plan("q139_distinct_on")
+    val specs = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p.toLowerCase).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("o_custkey")),
+      s"row_number must partition on the DISTINCT ON key:\n$p")
+    // Spark's WindowGroupLimit prunes each group to the top row before
+    // the full window when the filter is rn = 1
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit pruning:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = run("q01_pricing_summary").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
