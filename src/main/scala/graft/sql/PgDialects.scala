@@ -154,7 +154,13 @@ object RedshiftDialect {
   def rewrite(sql: String): String =
     rewriteAggScale(rewriteRankNoOrder(rewriteInitcap(
       rewriteSingleArgGreatest(rewriteTwoArgRegexpReplace(rewritePi(
-        PostgresDialect.rewriteQuotes(sql)))))))
+        rewriteListaggDefault(PostgresDialect.rewriteQuotes(sql))))))))
+
+  /** Single-arg LISTAGG: the reference's Redshift surface defaults the
+    * separator to ',' (redshift.iq:214-228); Spark's listagg default is
+    * the empty string. */
+  private def rewriteListaggDefault(sql: String): String =
+    sql.replaceAll("(?i)\\blistagg\\s*\\(\\s*([\\w.]+)\\s*\\)", "listagg($1, ',')")
 
   /** Redshift INITCAP word-breaks on every non-alphanumeric character
     * ('nibh.enim@x' → 'Nibh.Enim@X'); Spark's only on whitespace. */

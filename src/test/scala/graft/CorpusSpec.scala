@@ -480,6 +480,44 @@ class CorpusSpec extends IqHarness {
       s"Spark-limitation count grew: ${engineLimits.size} (was 45) — a rewrite regressed")
   }
 
+  /** The corpora's `!error` cases: statements the reference REJECTS
+    * (parse, validation, or runtime). The contract checked here is that
+    * the engine also fails them; where Spark is deliberately MORE
+    * permissive (a cast it can perform, arithmetic it defines) the case
+    * counts as a measured permissive-divergence, ratcheted so the
+    * number can only shrink. */
+  test("reference .iq error contracts: rejected statements also fail here") {
+    assume(refSqlDir.isDirectory, "reference checkout not present")
+    registerHr()
+    var matched = 0
+    var permissive = 0
+    val permissiveList = ArrayBuffer.empty[String]
+    var lastUse = ""
+    for (fn <- corpusFiles) {
+      val cases = parseIq(new java.io.File(refSqlDir, fn), extended = true)
+        .filter(c => c.kind == "error" && (c.use == "scott" || c.use == "post" ||
+          c.use == "blank" || c.use == "sparkfunc" || c.use == "scott-mysql" ||
+          c.use == "scott-oracle" || c.use == "seq"))
+      for (c <- cases) {
+        if (c.use != lastUse) {
+          if (c.use == "scott" || c.use == "scott-mysql" || c.use == "scott-oracle") registerScott()
+          else if (c.use == "post") registerPost()
+          lastUse = c.use
+        }
+        try {
+          graft.sql.GraftSql.sql(spark, clean(c.sql)).collect()
+          permissive += 1
+          permissiveList += s"${c.file}:${c.line}: ${c.sql.linesIterator.mkString(" ").take(140)}"
+        } catch { case _: Throwable => matched += 1 }
+      }
+    }
+    info(s"error contracts: $matched rejected as recorded, $permissive Spark-permissive divergences")
+    val fw = new java.io.PrintWriter("target/corpus-permissive.txt", "UTF-8")
+    try permissiveList.foreach(fw.println) finally fw.close()
+    assert(matched >= 110, s"error-contract matches dropped: $matched")
+    assert(permissive <= 30, s"permissive-divergence count grew: $permissive")
+  }
+
   /** Corpus DDL (`!update` statements): CREATE VIEW → temp view, CREATE
     * TABLE gets a drop-first for idempotency (including a same-named
     * fixture TEMP VIEW, which would otherwise shadow the new table for
