@@ -45,7 +45,7 @@ class GraftCsv extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftCsvTable(GraftCsv.pathOf(opts), schema,
+    new GraftCsvTable(GraftCsv.pathsOf(opts), schema,
       math.max(1, opts.getInt("partitions", 4)))
   }
 }
@@ -66,18 +66,15 @@ object GraftCsv {
     })
   }
 
-  private[sources] def pathOf(opts: CaseInsensitiveStringMap): String = {
-    val p = Option(opts.get("path")).orElse(Option(opts.get("paths")).map { ps =>
-      // `load(path)` arrives as a JSON string array under "paths". Unwrap a
-      // single element properly (honoring \-escapes) and reject multi-path
-      // loads with a clear error instead of garbling them into one path.
-      val elems = parseJsonStringArray(ps)
-      if (elems.length != 1)
-        throw new IllegalArgumentException(
-          s"graft-csv: exactly one path is supported, got ${elems.length}: ${elems.mkString(", ")}")
-      elems.head
-    })
-    p.getOrElse(throw new IllegalArgumentException("graft-csv: no path given"))
+  /** `load(p)` arrives under "path"; `load(p1, p2, ...)` as a JSON
+    * string array under "paths" (elements may carry \-escapes) — every
+    * file participates in the scan, each split by byte range. */
+  private[sources] def pathsOf(opts: CaseInsensitiveStringMap): Seq[String] = {
+    val ps = Option(opts.get("path")).map(Seq(_))
+      .orElse(Option(opts.get("paths")).map(parseJsonStringArray))
+      .getOrElse(throw new IllegalArgumentException("graft-csv: no path given"))
+    require(ps.nonEmpty, "graft-csv: empty path list")
+    ps
   }
 
   /** Minimal parser for the `["a","b"]` string-array encoding Spark uses
@@ -103,17 +100,17 @@ object GraftCsv {
   }
 }
 
-private[sources] class GraftCsvTable(path: String, schema: StructType, parts: Int)
+private[sources] class GraftCsvTable(paths: Seq[String], schema: StructType, parts: Int)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-csv:$path"
+  override def name(): String = s"graft-csv:${paths.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCsvScanBuilder(path, schema, parts)
+    new GraftCsvScanBuilder(paths, schema, parts)
 }
 
-private[sources] class GraftCsvScanBuilder(path: String, schema: StructType, parts: Int)
+private[sources] class GraftCsvScanBuilder(paths: Seq[String], schema: StructType, parts: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = schema
@@ -134,11 +131,11 @@ private[sources] class GraftCsvScanBuilder(path: String, schema: StructType, par
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GraftCsvScan(path, schema, required, pushed, parts)
+  override def build(): Scan = new GraftCsvScan(paths, schema, required, pushed, parts)
 }
 
 private[sources] class GraftCsvScan(
-    path: String, full: StructType, required: StructType,
+    paths: Seq[String], full: StructType, required: StructType,
     pushed: Array[Filter], parts: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -148,11 +145,18 @@ private[sources] class GraftCsvScan(
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val len = new java.io.File(path).length()
-    val chunk = math.max(1L, (len + parts - 1) / parts)
-    (0 until parts).map { i =>
-      GraftCsvPartition(path, i * chunk, math.min(len, (i + 1) * chunk))
-    }.filter(p => p.start < p.end).toArray
+    // `parts` is the TOTAL split budget; each file gets byte-range
+    // splits of ~totalLen/parts (at least one per non-empty file) — the
+    // Hadoop multi-file split convention
+    val lens = paths.map(p => p -> new java.io.File(p).length())
+    val total = lens.map(_._2).sum
+    val chunk = math.max(1L, (total + parts - 1) / parts)
+    lens.flatMap { case (path, len) =>
+      val n = math.max(1L, (len + chunk - 1) / chunk)
+      (0L until n).map(i =>
+        GraftCsvPartition(path, i * chunk, math.min(len, (i + 1) * chunk)))
+        .filter(p => p.start < p.end)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -81,12 +81,16 @@ class GraftCsvV2Spec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 3.0))
   }
 
-  test("multi-path load fails with a clear single-path error") {
-    val e = intercept[Exception] {
-      spark.read.format("graft.sources.GraftCsv")
-        .option("schema", "id:long,name:string,price:double")
-        .load(csv, csv).count()
-    }
-    assert(e.getMessage.contains("exactly one path"), e.getMessage)
+  test("multi-path load scans every file (byte-range splits per file)") {
+    // the same file twice: every row appears exactly twice
+    val df = spark.read.format("graft.sources.GraftCsv")
+      .option("schema", "id:long,name:string,price:double")
+      .load(csv, csv)
+    val single = spark.read.format("graft.sources.GraftCsv")
+      .option("schema", "id:long,name:string,price:double")
+      .load(csv)
+    assert(df.count() == 2 * single.count())
+    val byId = df.groupBy("id").count().collect()
+    assert(byId.nonEmpty && byId.forall(_.getLong(1) == 2L))
   }
 }
