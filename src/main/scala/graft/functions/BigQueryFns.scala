@@ -454,12 +454,24 @@ object BqRuntime {
     val s = LocalDate.ofEpochDay(startDays.toLong)
     unit.toString.toUpperCase(Locale.ROOT) match {
       case "DAY" => (endDays - startDays).toLong
-      case "WEEK" => // weeks start Sunday
+      case "WEEK" => // weeks start Sunday (BigQuery default)
         def weekIndex(dt: LocalDate): Long = {
           val days = dt.toEpochDay
           // 1970-01-01 was a Thursday; the preceding Sunday is day -4
           Math.floorDiv(days + 4, 7)
         }
+        weekIndex(e) - weekIndex(s)
+      case wk if wk.startsWith("WEEK(") || wk == "ISOWEEK" =>
+        // WEEK(<DAY>): boundaries at the given weekday; ISOWEEK = Monday
+        val dows = Seq("MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY",
+          "FRIDAY", "SATURDAY", "SUNDAY") // ISO numbering 1..7
+        val day = if (wk == "ISOWEEK") "MONDAY"
+          else wk.stripPrefix("WEEK(").stripSuffix(")")
+        val w = dows.indexOf(day) + 1
+        require(w > 0, s"DATE_DIFF: unknown weekday in $wk")
+        // epochDay (w - 4) falls on ISO weekday w (epoch day 0 = Thursday)
+        def weekIndex(dt: LocalDate): Long =
+          Math.floorDiv(dt.toEpochDay - (w - 4), 7)
         weekIndex(e) - weekIndex(s)
       case "MONTH" => (e.getYear - s.getYear) * 12L + (e.getMonthValue - s.getMonthValue)
       case "QUARTER" =>

@@ -16,10 +16,10 @@ package graft.sql
 object BigQueryDialect {
 
   def rewrite(sql: String): String =
-    rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteTruncs(rewriteDiffs(rewriteCtors(
+    rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
       rewriteAddSub(renameFns(rewriteArrayLiteral(rewriteCurrentDatetime(
         rewriteTimeLiteral(rewriteDatetimeLiteral(rewriteTsTzLiteral(
-          rewriteStrings(sql))))))))))))))
+          rewriteStrings(sql)))))))))))))))
 
   /** `DATETIME '2008-12-25 15:30:00'` — BigQuery's DATETIME is Spark's
     * TIMESTAMP_NTZ. */
@@ -281,7 +281,8 @@ object BigQueryDialect {
         val args = splitTop(sql.substring(open + 1, close))
         if (args.size != 3) return sql
         val unit0 = args(2).trim.stripPrefix("`").stripSuffix("`")
-        if (!unit0.matches("(?i)\\w+")) return sql // WEEK(MONDAY) etc.
+          .replaceAll("\\s+", "") // WEEK(MONDAY) normalizes to one token
+        if (!unit0.matches("(?i)\\w+(\\(\\w+\\))?")) return sql
         val fn = m.group(1).toUpperCase match {
           case "DATE_DIFF" => "bq_date_diff"
           case "TIME_DIFF" => "bq_time_diff"
@@ -290,6 +291,62 @@ object BigQueryDialect {
         val repl = s"$fn(${args(0).trim}, ${args(1).trim}, '${unit0.toUpperCase}')"
         rewriteDiffs(sql.substring(0, m.start) + repl + sql.substring(close + 1))
     }
+  }
+
+  /** BigQuery `DATE_TRUNC(d, unit)` (arg order is the reverse of
+    * Spark's date_trunc, and the unit is a bare identifier):
+    *   - WEEK (Sunday-start, the BigQuery default) and WEEK(<DAY>) use
+    *     day-of-week arithmetic;
+    *   - ISOWEEK = WEEK(MONDAY) = Spark's date_trunc('WEEK');
+    *   - ISOYEAR truncates to the Monday of ISO week 1 (the week
+    *     containing Jan 4 of the ISO week-numbering year);
+    *   - remaining units map to Spark's date_trunc, cast back to DATE.
+    */
+  private[sql] def rewriteDateTrunc(sql0: String): String = {
+    var sql = sql0
+    var from = 0
+    var go = true
+    while (go) {
+      go = false
+      val masked = GraftSql.maskLiterals(sql)
+      val re = "(?i)\\bDATE_TRUNC\\s*\\(".r
+      re.findFirstMatchIn(masked.substring(from)).foreach { m0 =>
+        val start = from + m0.start
+        val open = from + m0.end - 1
+        val close = GraftSql.closeParen(masked, open)
+        if (close >= 0) {
+          val args = splitTop(sql.substring(open + 1, close)).map(_.trim)
+          val unit = if (args.size == 2)
+            args(1).replaceAll("\\s+", "").toUpperCase(java.util.Locale.ROOT) else ""
+          val d = if (args.nonEmpty) args(0) else ""
+          val dows = Seq("SUNDAY", "MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY",
+            "FRIDAY", "SATURDAY")
+          val weekStart = "WEEK\\((\\w+)\\)".r
+          val repl: Option[String] =
+            if (args.size != 2 || args(1).startsWith("'")) None // Spark-style
+            else unit match {
+              case "WEEK" => // Sunday-start; Spark dayofweek: Sunday = 1
+                Some(s"date_sub($d, dayofweek($d) - 1)")
+              case weekStart(day) if dows.contains(day) =>
+                val idx = dows.indexOf(day) + 1 // Spark dayofweek numbering
+                Some(s"date_sub($d, pmod(dayofweek($d) - $idx, 7))")
+              case "ISOWEEK" => Some(s"CAST(date_trunc('WEEK', $d) AS DATE)")
+              case "ISOYEAR" =>
+                Some(s"CAST(date_trunc('WEEK', make_date(extract(YEAROFWEEK FROM $d), 1, 4)) AS DATE)")
+              case u if u.matches("\\w+") => Some(s"CAST(date_trunc('$u', $d) AS DATE)")
+              case _ => None
+            }
+          repl match {
+            case Some(r) =>
+              sql = sql.substring(0, start) + r + sql.substring(close + 1)
+              from = start + r.length
+            case None => from = close + 1 // leave as-is, keep scanning
+          }
+          go = true
+        }
+      }
+    }
+    sql
   }
 
   /** `INTERVAL 10 MINUTE` → micros, for the wraparound TIME runtime. */

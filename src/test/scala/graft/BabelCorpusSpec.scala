@@ -38,9 +38,6 @@ class BabelCorpusSpec extends IqHarness {
     3105 -> "unix_date over a DATETIME literal — Spark's unix_date takes DATE only",
     3286 -> "LPAD over BYTES with mixed STRING/BYTES union rows — binary pad surface not mapped",
     3322 -> "RPAD over BYTES — same",
-    3578 -> "WEEK(MONDAY) parameterized week-start unit not supported",
-    3691 -> "WEEK(MONDAY) parameterized week-start unit not supported",
-    3841 -> "DATE_TRUNC with WEEK(...)/ISOYEAR parameterized units not supported",
     4269 -> "IFNULL branch typing: reference keeps per-row value strings; Spark coerces the union to BIGINT and rejects 'b'")
 
   private def cleanPg(sql: String): String = graft.sql.PostgresDialect.rewrite(sql)
@@ -180,7 +177,7 @@ class BabelCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(total >= 200, s"parser found only $total cases — quidem parsing regressed")
     // ratchet: raise this floor when new dialect rewrites land
-    assert(pass >= 195, s"babel coverage dropped: $pass passing (floor 195)")
+    assert(pass >= 202, s"babel coverage dropped: $pass passing (floor 202)")
     assert(failures.isEmpty,
       s"undocumented babel failures (${failures.size}):\n${failures.take(10).mkString("\n")}")
   }
