@@ -16,10 +16,10 @@ package graft.sql
 object BigQueryDialect {
 
   def rewrite(sql: String): String =
-    rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
+    rewriteUnixDate(rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
       rewriteAddSub(renameFns(rewriteArrayLiteral(rewriteCurrentDatetime(
         rewriteTimeLiteral(rewriteDatetimeLiteral(rewriteTsTzLiteral(
-          rewriteStrings(sql)))))))))))))))
+          rewriteStrings(sql))))))))))))))))
 
   /** `DATETIME '2008-12-25 15:30:00'` — BigQuery's DATETIME is Spark's
     * TIMESTAMP_NTZ. */
@@ -347,6 +347,24 @@ object BigQueryDialect {
       }
     }
     sql
+  }
+
+  /** `UNIX_DATE(x)` accepts DATETIME in BigQuery; Spark's unix_date is
+    * DATE-only — wrap the argument in a DATE cast (identity for DATE). */
+  private[sql] def rewriteUnixDate(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val re = "(?i)\\bUNIX_DATE\\s*\\(".r
+    re.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = GraftSql.closeParen(masked, open)
+        if (close < 0) return sql
+        val arg = sql.substring(open + 1, close)
+        if (arg.toUpperCase(java.util.Locale.ROOT).contains(" AS DATE")) return sql
+        rewriteUnixDate(sql.substring(0, m.start) +
+          s"unix_date(CAST($arg AS DATE))" + sql.substring(close + 1))
+    }
   }
 
   /** `INTERVAL 10 MINUTE` → micros, for the wraparound TIME runtime. */

@@ -1,0 +1,95 @@
+package graft.textops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.{Q, T}
+
+/** Curation pack 3: temperature-scaled source mixing and corpus n-gram
+  * auditing — two standard large-corpus training-data passes.
+  */
+object Curation3 {
+
+  /** Temperature sampling across sources (the multilingual-LM mixing
+    * rule): source s keeps rate_s = min(1, (n_s^α / Σ n^α) · N_target /
+    * n_s) with α = 0.5 and N_target = half the corpus — upweights small
+    * sources relative to proportional sampling. Selection is the same
+    * deterministic md5-u01 device as d16 (reproducible under any
+    * partitioning, auditable). The α-weight normalizer sums per-source
+    * sqrt in SOURCE ORDER on both engines (a handful of doubles — the
+    * fold order is pinned so the rates are bit-identical).
+    *
+    * Scale: two aggregations over the corpus plus a broadcast of the
+    * per-source rate table (|sources| rows) — one shuffle each; no
+    * driver-side data beyond the rate table. */
+  val d36_temperature_mix = Q(
+    (s, dir) => {
+      val u01 = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+        .cast(DoubleType) / lit(4294967296.0)
+      val docs = T(s, dir, "documents").withColumn("u", u01)
+      val per = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = per.agg(
+        sum(col("n")).as("total"),
+        expr("aggregate(array_sort(collect_list(struct(source, CAST(sqrt(n) AS DOUBLE) AS sq))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sq)").as("sumsq"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          expr("sqrt(CAST(n AS DOUBLE)) / sumsq * (0.5 * CAST(total AS DOUBLE)) / CAST(n AS DOUBLE)")))
+        .select(col("source"), col("n").as("n_docs"), col("rate"))
+      docs.join(broadcast(rates), "source")
+        .groupBy(col("source"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          round(first(col("rate")), 6).as("rate"),
+          sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 AS u
+        FROM documents),
+      per AS (SELECT source, COUNT(*) AS n FROM docs GROUP BY source),
+      tot AS (SELECT SUM(n) AS total,
+                     SUM(sqrt(CAST(n AS DOUBLE)) ORDER BY source) AS sumsq
+              FROM per),
+      rates AS (
+        SELECT source, n AS n_docs,
+               least(1.0, sqrt(CAST(n AS DOUBLE)) / sumsq * (0.5 * CAST(total AS DOUBLE)) / CAST(n AS DOUBLE)) AS rate
+        FROM per, tot)
+      SELECT d.source, r.n_docs, ROUND(r.rate, 6) AS rate,
+             SUM(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS n_sampled
+      FROM docs d JOIN rates r ON d.source = r.source
+      GROUP BY d.source, r.n_docs, r.rate ORDER BY d.source"""))
+
+  /** Corpus 5-gram audit: the most frequent word 5-grams (boilerplate /
+    * template detection — over-represented n-grams mark scraped
+    * navigation text and licensing banners). One explode + one count
+    * shuffle; the `count >= 3` pre-filter happens in the aggregation
+    * (map-side partials), and only the global top 20 reach the driver. */
+  val d37_ngram_audit = Q(
+    (s, dir) => {
+      T(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "CASE WHEN size(w) >= 5 THEN transform(sequence(0, size(w) - 5), " +
+            "i -> array_join(slice(w, i + 1, 5), ' ')) ELSE array() END")).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT array_to_string(w[i + 1 : i + 5], ' ') AS ngram
+            FROM t, unnest(range(0, GREATEST(len(w) - 4, 0))) AS u(i))
+      SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+      HAVING COUNT(*) >= 3
+      ORDER BY n DESC, ngram LIMIT 20"""))
+
+  val all: Map[String, Q] = Map(
+    "d36_temperature_mix" -> d36_temperature_mix,
+    "d37_ngram_audit" -> d37_ngram_audit)
+}

@@ -35,7 +35,6 @@ class BabelCorpusSpec extends IqHarness {
     2927 -> "TIMESTAMP display precision: reference truncates to seconds (TIMESTAMP(0)), Spark keeps millis",
     2937 -> "same TIMESTAMP(0) display-precision truncation",
     3055 -> "integer division: 1230219000 / 86400 is INT (reference) vs DOUBLE (Spark)",
-    3105 -> "unix_date over a DATETIME literal — Spark's unix_date takes DATE only",
     3286 -> "LPAD over BYTES with mixed STRING/BYTES union rows — binary pad surface not mapped",
     3322 -> "RPAD over BYTES — same",
     4269 -> "IFNULL branch typing: reference keeps per-row value strings; Spark coerces the union to BIGINT and rejects 'b'")
