@@ -11,7 +11,32 @@ package graft.sql
 object PostgresDialect {
 
   def rewrite(sql: String): String =
-    rewriteArrayStringLiteral(rewriteDatePart(rewriteRegexOps(renameFns(rewriteQuotes(sql)))))
+    rewriteIntervalCastDisplay(
+      rewriteArrayStringLiteral(rewriteDatePart(rewriteRegexOps(renameFns(rewriteQuotes(sql))))))
+
+  /** `CAST('<n>' AS INTERVAL [SECOND | HOUR TO SECOND])` over a literal
+    * seconds count: the reference parses the bare number as seconds and
+    * its JDBC surface renders day-time intervals as signed decimal
+    * seconds (+3721.000000) or +h:mm:ss.ffffff for HOUR TO SECOND —
+    * constant-folded here to the rendered string (display fidelity for
+    * the PG dialect; column-typed interval arithmetic stays on Spark's
+    * native intervals). */
+  private def rewriteIntervalCastDisplay(sql: String): String = {
+    val re = ("(?is)CAST\\s*\\(\\s*'(-?\\d+)'\\s+AS\\s+INTERVAL" +
+      "(\\s+HOUR\\s+TO\\s+SECOND|\\s+SECOND)?\\s*\\)").r
+    re.replaceAllIn(sql, m => {
+      val n = m.group(1).toLong
+      val sign = if (n < 0) "-" else "+"
+      val a = math.abs(n)
+      val unit = Option(m.group(2)).map(_.trim.toUpperCase.replaceAll("\\s+", " ")).getOrElse("SECOND")
+      val rendered = unit match {
+        case "HOUR TO SECOND" =>
+          f"$sign${a / 3600}%d:${a / 60 % 60}%02d:${a % 60}%02d.000000"
+        case _ => s"$sign$a.000000"
+      }
+      java.util.regex.Matcher.quoteReplacement(s"'$rendered'")
+    })
+  }
 
   /** Double-quoted identifiers → backticks, but only OUTSIDE single-
     * quoted string literals (a `"` inside '...' is content). */

@@ -82,7 +82,7 @@ class BabelCorpusSpec extends IqHarness {
 
   test("babel postgresql corpus: measured dialect coverage") {
     // residue: Calcite-specific INTERVAL cast rendering (+3721.000000)
-    measureDialect("postgresql.iq", "scott-postgresql", cleanPg, 250)
+    measureDialect("postgresql.iq", "scott-postgresql", cleanPg, 263)
   }
 
   test("babel redshift corpus: measured dialect coverage") {
