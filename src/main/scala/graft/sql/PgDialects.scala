@@ -179,7 +179,25 @@ object RedshiftDialect {
   def rewrite(sql: String): String =
     rewriteAggScale(rewriteRankNoOrder(rewriteInitcap(
       rewriteSingleArgGreatest(rewriteTwoArgRegexpReplace(rewritePi(
-        rewriteListaggDefault(PostgresDialect.rewriteQuotes(sql))))))))
+        rewriteNtile(rewriteListaggDefault(PostgresDialect.rewriteQuotes(sql)))))))))
+
+  /** The reference's NTILE interleaves bucket sizes — row r of N in b
+    * buckets lands in floor((r-1)*b/N)+1 (sizes 4,3,4,3 for 14/4),
+    * where the standard puts the large buckets first (4,4,3,3). Lowered
+    * to exact integer arithmetic over row_number + the partition count. */
+  private def rewriteNtile(sql: String): String = {
+    val re = "(?is)\\bNTILE\\s*\\(\\s*(\\d+)\\s*\\)\\s*OVER\\s*\\(([^)]*)\\)".r
+    re.replaceAllIn(sql, m => {
+      val b = m.group(1)
+      val over = m.group(2).trim
+      val part = {
+        val i = over.toUpperCase(java.util.Locale.ROOT).indexOf("ORDER")
+        if (i < 0) over else over.substring(0, i).trim
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"CAST((row_number() OVER ($over) - 1) * $b DIV count(*) OVER ($part) + 1 AS INT)")
+    })
+  }
 
   /** Single-arg LISTAGG: the reference's Redshift surface defaults the
     * separator to ',' (redshift.iq:214-228); Spark's listagg default is

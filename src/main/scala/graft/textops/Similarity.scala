@@ -70,9 +70,14 @@ object Similarity {
   private[graft] def lshKnn(
       raw: DataFrame, dim: Int, nTables: Int = 8, bitsPerTable: Int = 4,
       k: Int = 3, queryMax: Long = 20): DataFrame = {
+    // weights derive from md5("t:b:d") — the SAME derivation the DuckDB
+    // oracle states in SQL, so the buckets (and hence the whole ANN
+    // output) are value-checkable cross-engine
     def weight(t: Int, b: Int, d: Int): Double = {
-      val h = scala.util.hashing.MurmurHash3.productHash((t, b, d, 42))
-      (h % 1000) / 1000.0
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$t:$b:$d".getBytes("UTF-8")).take(4)
+        .map(x => f"${x & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2000) - 1000) / 1000.0
     }
     // per-table signature: `bitsPerTable` sign bits of hyperplane projections
     def sigExpr(vecCol: String, t: Int) = {
@@ -108,7 +113,29 @@ object Similarity {
 
   val d10_knn_lsh = Q(
     (s, dir) => lshKnn(T(s, dir, "embeddings"), dim = 64),
-    None)
+    Some("""
+      WITH w AS (
+        SELECT t, b,
+               list(((CAST('0x' || substr(md5(t || ':' || b || ':' || d), 1, 8) AS BIGINT) % 2000) - 1000) / 1000.0
+                    ORDER BY d) AS wl
+        FROM range(0, 8) tt(t), range(0, 4) bb(b), range(0, 64) dd(d)
+        GROUP BY t, b),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sig AS (
+        SELECT e.vec_id, w.t,
+               SUM(CASE WHEN list_dot_product(e.v, w.wl) > 0 THEN 1 << b ELSE 0 END) AS bucket
+        FROM e, w GROUP BY e.vec_id, w.t),
+      pairs AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT p.q_id, p.n_id,
+               list_cosine_similarity(a.v, b.v) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                 ORDER BY list_cosine_similarity(a.v, b.v) DESC, p.n_id) AS rk
+        FROM pairs p JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.n_id)
+      SELECT q_id, n_id, rk, sim FROM ranked WHERE rk <= 3 ORDER BY q_id, rk"""))
 
   /** Embedding-cosine near-duplicate removal: a vector is kept iff no
     * LOWER-id vector is within cosine ≥ 0.4 (the keep-first canonical

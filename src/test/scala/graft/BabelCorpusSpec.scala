@@ -89,7 +89,7 @@ class BabelCorpusSpec extends IqHarness {
     // residue: the reference harness's hsqldb connection user ('sa', 3
     // cases — environment, not semantics) + Calcite's interleaved NTILE
     // bucket-size formula (1 case)
-    measureDialect("redshift.iq", "scott-redshift", cleanRs, 118)
+    measureDialect("redshift.iq", "scott-redshift", cleanRs, 119)
   }
 
   test("babel spark corpus: the home dialect passes near-verbatim") {
