@@ -54,6 +54,12 @@ object GraftFunctions {
     "coth" -> (args => Divide(Cosh(d(args.head)), Sinh(d(args.head)))),
     "sech" -> (args => Divide(Literal(1.0), Cosh(d(args.head)))),
     "csch" -> (args => Divide(Literal(1.0), Sinh(d(args.head)))),
+    // FLOOR/CEIL(e TO unit) datetime rounding + the 1-based ITEM
+    // subscript (ref: SqlStdOperatorTable FLOOR/CEIL/ITEM; lowered from
+    // SQL text by sql/CollectionSql.scala)
+    "floor_to" -> (args => FloorTo(args(0), args(1))),
+    "ceil_to" -> (args => CeilTo(args(0), args(1))),
+    "item" -> (args => ItemCalcite(args(0), args(1))),
     // is_inf (ref: SqlLibraryOperators.java:2632)
     "is_inf" -> (args =>
       EqualTo(Abs(d(args.head)), Literal(Double.PositiveInfinity))),

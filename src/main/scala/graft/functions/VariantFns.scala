@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, If, Literal, TypeOf, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Expression, If, Literal, TypeOf, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
 import org.apache.spark.sql.catalyst.expressions.variant.SchemaOfVariant
 import org.apache.spark.sql.types.VariantType
@@ -19,8 +19,12 @@ case class TypeOfCalcite(child: Expression)
 
   override lazy val replacement: Expression = child.dataType match {
     case _: VariantType =>
-      If(EqualTo(SchemaOfVariant(child), Literal("VOID")),
-        Literal("VARIANT"), SchemaOfVariant(child))
+      // reference type names: a contained string is VARCHAR
+      // (SqlTypeName), and the variant-null value reports VARIANT
+      CaseWhen(Seq(
+        (EqualTo(SchemaOfVariant(child), Literal("VOID")), Literal("VARIANT")),
+        (EqualTo(SchemaOfVariant(child), Literal("STRING")), Literal("VARCHAR"))),
+        SchemaOfVariant(child))
     case _ => TypeOf(child)
   }
 

@@ -382,21 +382,21 @@ object BigQueryDialect {
     }
   }
 
-  /** `arr[OFFSET(i)]` (0-based) → `arr[(i)]`; `arr[ORDINAL(i)]`
-    * (1-based) → `arr[-1+(i)]` — Spark subscripts are 0-based. The
-    * SAFE_ variants return NULL out of bounds, which is
-    * `try_element_at` — that needs the SUBSCRIPTED expression, found by
-    * scanning backward over the identifier/call/paren chain. */
-  private def rewriteBrackets(sql: String): String = {
-    val simple = sql
-      .replaceAll("(?i)\\[\\s*OFFSET\\(", "[(")
-      .replaceAll("(?i)\\[\\s*ORDINAL\\(", "[-1+(")
-    rewriteSafeSubscript(simple)
-  }
+  /** BigQuery subscripts lower to element-access CALLS, not to Spark's
+    * raw bracket (the core pipeline's 1-based ITEM — CollectionSql
+    * .rewriteItem — would otherwise re-interpret the bracket and NULL
+    * out of range, where BigQuery's OFFSET/ORDINAL must ERROR):
+    * `arr[OFFSET(i)]` (0-based, errors OOB) → `element_at(arr, i+1)`
+    * (ANSI element_at raises on out-of-range; negatives route to the
+    * hard-error index 0), `arr[ORDINAL(i)]` likewise 1-based, and the
+    * SAFE_ variants → `try_element_at` (NULL OOB). All four need the
+    * SUBSCRIPTED expression, found by scanning backward over the
+    * identifier/call/paren chain. */
+  private def rewriteBrackets(sql: String): String = rewriteSafeSubscript(sql)
 
   private[sql] def rewriteSafeSubscript(sql: String): String = {
     val masked = GraftSql.maskLiterals(sql)
-    val re = "(?i)\\[\\s*SAFE_(OFFSET|ORDINAL)\\s*\\(".r
+    val re = "(?i)\\[\\s*(SAFE_)?(OFFSET|ORDINAL)\\s*\\(".r
     val m = re.findFirstMatchIn(masked).getOrElse(return sql)
     // the subscript's index expression
     val open = masked.indexOf('(', m.start)
@@ -429,13 +429,21 @@ object BigQueryDialect {
     val exprStart = s + 1
     val target = sql.substring(exprStart, m.start).trim
     if (target.isEmpty) return sql
-    // index 0 is a hard error even for try_element_at — nullif routes a
-    // negative OFFSET (or ORDINAL 0) to NULL, which IS the SAFE_ answer
-    val oneBased =
-      if (m.group(1).equalsIgnoreCase("OFFSET")) s"nullif(($idx) + 1, 0)"
-      else s"nullif(($idx), 0)"
+    val safe = m.group(1) != null
+    val isOffset = m.group(2).equalsIgnoreCase("OFFSET")
+    // SAFE_: index 0 is a hard error even for try_element_at — nullif
+    // routes a negative OFFSET (or ORDINAL 0) to NULL, the SAFE_ answer.
+    // Non-SAFE: a negative index must ERROR like any other out-of-range
+    // access, so it routes to the hard-error index 0 instead.
+    val oneBased = (safe, isOffset) match {
+      case (true, true) => s"nullif(($idx) + 1, 0)"
+      case (true, false) => s"nullif(($idx), 0)"
+      case (false, true) => s"if(($idx) < 0, 0, ($idx) + 1)"
+      case (false, false) => s"if(($idx) < 1, 0, ($idx))"
+    }
+    val fn = if (safe) "try_element_at" else "element_at"
     rewriteSafeSubscript(sql.substring(0, exprStart) +
-      s"try_element_at($target, $oneBased)" + sql.substring(closeBracket + 1))
+      s"$fn($target, $oneBased)" + sql.substring(closeBracket + 1))
   }
 
   private def rewriteExtractFields(sql: String): String =

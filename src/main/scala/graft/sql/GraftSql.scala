@@ -342,7 +342,7 @@ object GraftSql {
       rewriteCastFormat, rewriteStarReplace, rewriteJsonValue,
       rewriteSafeCast, rewriteSimilarTo, rewriteQualify, rewriteUuid,
       rewriteBareTypes, rewriteDecimalLit, rewriteNullifFold,
-      rewriteUnsignedCast, rewriteVariantOps,
+      rewriteUnsignedCast, rewriteVariantOps, CollectionSql.apply,
       rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
       rewritePivotAlias, rewriteUnpivotLabel
     ).foldLeft(sql)((s, f) => f(s))
@@ -494,11 +494,57 @@ object GraftSql {
       val (a, b) = (origGroup(m, o, 1), origGroup(m, o, 2))
       s"(schema_of_variant($a) = schema_of_variant($b) AND to_json($a) = to_json($b))"
     })
-    replaceMasked(s1,
+    val s2 = replaceMasked(s1,
       ("(?is)\\(\\s*" + vshape + "\\s*\\)\\s*\\[(\\d+)\\]").r)((m, o) => {
       val idx = m.group(2).toInt - 1
       s"try_variant_get(${origGroup(m, o, 1)}, '$$[$idx]')"
     })
+    // Field access on a variant-shaped expression: `CAST(.. AS VARIANT)
+    // .`name`` reads the object field (variant.iq:168-189). A bare
+    // identifier uppercases, as the reference's lexer does — that is
+    // WHY variant.iq:189's unquoted `.a` finds nothing. Runs BEFORE the
+    // map-cast lowering below so the CAST shape is still visible.
+    val s2b = replaceMasked(s2,
+      ("(?is)" + vshape + "\\s*\\.\\s*(`[^`]*`|[A-Za-z_]\\w*)").r)((m, o) => {
+      val v = origGroup(m, o, 1)
+      val f0 = origGroup(m, o, 2)
+      val f = if (f0.startsWith("`")) f0.stripPrefix("`").stripSuffix("`")
+              else f0.toUpperCase(java.util.Locale.ROOT)
+      s"item($v, '${f.replace("'", "''")}')"
+    })
+    // CAST(map AS VARIANT): Spark's Cast has no MAP→VARIANT path —
+    // lower through JSON (variant.iq:164-194; the reference's
+    // VariantSqlValue accepts any map). Keys become the rendered JSON
+    // field names, which is exactly how the reference's variant ITEM
+    // then finds them.
+    variantMapCast(s2b)
+  }
+
+  private def variantMapCast(s2b: String): String = {
+    {
+      var cur = s2b
+      var changed = true
+      while (changed) {
+        changed = false
+        val masked = maskLiterals(cur)
+        val re = "(?is)\\bCAST\\s*\\(".r
+        for (m <- re.findAllMatchIn(masked) if !changed) {
+          val open = masked.indexOf('(', m.start)
+          val close = closeParen(masked, open)
+          if (close > 0) {
+            val innerM = masked.substring(open + 1, close)
+            if ("(?is)^\\s*MAP\\s*[\\[(].*\\bAS\\s+VARIANT\\s*$".r.matches(innerM)) {
+              val asAt = "(?is)\\bAS\\s+VARIANT\\s*$".r.findFirstMatchIn(innerM).get.start
+              val operand = cur.substring(open + 1, open + 1 + asAt).trim
+              cur = cur.substring(0, m.start) + s"parse_json(to_json($operand))" +
+                cur.substring(close + 1)
+              changed = true
+            }
+          }
+        }
+      }
+      cur
+    }
   }
 
   /** UUID literals and casts (SqlLibraryOperators UUID; misc.iq:70-140).

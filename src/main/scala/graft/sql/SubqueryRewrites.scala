@@ -233,7 +233,36 @@ object SubqueryRewrites {
   // ---- quantified comparisons -------------------------------------------
 
   private val quantRe =
-    "(?i)((?:\\w+\\.)?\\w+)\\s*(=|<>|!=|<=|>=|<|>)\\s*(SOME|ANY|ALL)\\s*\\(".r
+    "(?i)(=|<>|!=|<=|>=|<|>)\\s*(SOME|ANY|ALL)\\s*\\(".r
+
+  /** Start of the primary expression ending just before `before`:
+    * identifier chains, call/paren groups, bracket groups, literals —
+    * the LHS of a quantified comparison may be any of them (some.iq's
+    * `array[1, 2] = any(...)`). Operator-level precedence is NOT walked
+    * (`x + 1 = any(...)` captures `1`); corpus LHSs are primaries. */
+  private def primaryStart(masked: String, before: Int): Int = {
+    var s = before - 1
+    while (s >= 0 && masked.charAt(s).isWhitespace) s -= 1
+    def depthBack(openCh: Char, closeCh: Char): Unit = {
+      var depth = 1
+      s -= 1
+      while (s >= 0 && depth > 0) {
+        val c = masked.charAt(s)
+        if (c == closeCh) depth += 1 else if (c == openCh) depth -= 1
+        s -= 1
+      }
+    }
+    var scanning = true
+    while (scanning && s >= 0) {
+      masked.charAt(s) match {
+        case c if c.isLetterOrDigit || c == '_' || c == '.' || c == '`' || c == '\'' || c == '\u0001' => s -= 1
+        case ')' => depthBack('(', ')')
+        case ']' => depthBack('[', ']')
+        case _ => scanning = false
+      }
+    }
+    s + 1
+  }
 
   private[sql] def rewriteQuantified(sql: String): String = {
     val masked = GraftSql.maskLiterals(sql)
@@ -241,9 +270,13 @@ object SubqueryRewrites {
     val open = m.end - 1
     val close = GraftSql.closeParen(masked, open)
     if (close < 0) return sql
-    val lhs = sql.substring(m.start(1), m.end(1))
-    val op = if (m.group(2) == "!=") "<>" else m.group(2)
-    val all = m.group(3).equalsIgnoreCase("ALL")
+    val lhsStart = primaryStart(masked, m.start(1))
+    val lhs = sql.substring(lhsStart, m.start(1)).trim
+    if (lhs.isEmpty ||
+        "(?i)^(AND|OR|NOT|WHEN|THEN|ELSE|WHERE|ON|HAVING|SELECT|BY)$".r.matches(lhs))
+      return sql
+    val op = if (m.group(1) == "!=") "<>" else m.group(1)
+    val all = m.group(2).equalsIgnoreCase("ALL")
     val body = sql.substring(open + 1, close).trim
     val bodyMasked = masked.substring(open + 1, close).trim
     val isSubq = "(?is)^(SELECT|WITH)\\b.*".r.matches(bodyMasked)
@@ -251,9 +284,21 @@ object SubqueryRewrites {
     val repl =
       if (!isSubq) {
         val items = splitTop(body)
-        if (items.size < 2) return sql // single arg: likely a real function
-        val parts = items.map(it => s"($lhs $op (${it.trim}))")
-        if (all) parts.mkString("(", " AND ", ")") else parts.mkString("(", " OR ", ")")
+        if (items.size < 2) {
+          // single collection argument: the reference quantifies over the
+          // ELEMENTS of an array/multiset (SqlQuantifyOperator on a
+          // collection operand; some.iq:985-1060). Spark's higher-order
+          // exists/forall carry exactly the needed three-valued logic
+          // (empty → FALSE/TRUE, no-match-with-nulls → NULL), stay
+          // codegen'd, and never materialize a join.
+          if ("(?is)^(ARRAY\\s*[\\[(]|MULTISET\\s*\\[).*".r.matches(bodyMasked)) {
+            val fn = if (all) "forall" else "exists"
+            s"($fn(${body}, __qv -> ($lhs $op __qv)))"
+          } else return sql // single scalar arg: likely a real function
+        } else {
+          val parts = items.map(it => s"($lhs $op (${it.trim}))")
+          if (all) parts.mkString("(", " AND ", ")") else parts.mkString("(", " OR ", ")")
+        }
       } else if (!all) someSubq(lhs, op, body, id)
       else op match { // x op ALL q  ⟺  NOT (x inv(op) SOME q)
         case "<>" => s"($lhs NOT IN ($body))"
@@ -264,7 +309,7 @@ object SubqueryRewrites {
         case "<=" => s"(NOT ${someSubq(lhs, ">", body, id)})"
         case _ => return sql
       }
-    rewriteQuantified(sql.substring(0, m.start(1)) + repl + sql.substring(close + 1))
+    rewriteQuantified(sql.substring(0, lhsStart) + repl + sql.substring(close + 1))
   }
 
   /** `lhs op SOME (q)` with exact 3VL. `= SOME` IS `IN`; the ordered ops
@@ -346,7 +391,11 @@ object SubqueryRewrites {
     val id = s"ua$open"
     val repl =
       if (m.group(1).equalsIgnoreCase("ARRAY"))
-        s"(SELECT collect_list(${id}_v) FROM ($body) AS ${id}_a(${id}_v))"
+        // collect_list silently DROPS null elements; the standard ARRAY
+        // constructor keeps them (some.iq:915 builds [TRUE, NULL]) — so
+        // collect non-null struct envelopes and unwrap after
+        s"(SELECT transform(collect_list(struct(${id}_v)), ${id}_s -> ${id}_s.${id}_v) " +
+          s"FROM ($body) AS ${id}_a(${id}_v))"
       else
         s"(SELECT map_from_entries(collect_list(struct(${id}_k, ${id}_v))) " +
           s"FROM ($body) AS ${id}_m(${id}_k, ${id}_v))"

@@ -1,0 +1,94 @@
+package graft
+
+import graft.sql.{CollectionSql, GraftSql}
+
+/** Value checks for the collection-literal/ITEM/FLOOR-TO surface lowered
+  * by sql/CollectionSql.scala (ref: Parser.jj ARRAY/MAP constructors,
+  * SqlStdOperatorTable ITEM/FLOOR/CEIL/EVERY, SqlCountAggFunction,
+  * SqlGroupingFunction; recorded behaviors from operator.iq:247-292 and
+  * agg.iq). */
+class CollectionSqlSpec extends SparkSpec {
+
+  private def one(q: String): Any =
+    GraftSql.sql(spark, q).collect()(0).get(0)
+
+  private def row(q: String): org.apache.spark.sql.Row =
+    GraftSql.sql(spark, q).collect()(0)
+
+  test("ARRAY[...] and MAP[...] literals lower to array()/map()") {
+    assert(CollectionSql.rewriteArrayMap("select array[1,2]") == "select array(1,2)")
+    assert(CollectionSql.rewriteArrayMap("select map['a', 1, 'b', 2]") ==
+      "select map('a', 1, 'b', 2)")
+    // nested + string content containing brackets stays intact
+    assert(CollectionSql.rewriteArrayMap("select array[array[1],'a[' ]") ==
+      "select array(array(1),'a[' )")
+    assert(one("SELECT array[1,2,3]").asInstanceOf[scala.collection.Seq[_]].toList == List(1, 2, 3))
+    assert(one("SELECT map['k', 7]['k']") == 7)
+  }
+
+  test("ITEM subscript is 1-based, NULL out of range (arrays, maps, rows)") {
+    assert(one("SELECT array[10,20,30][1]") == 10)
+    assert(one("SELECT array[10,20,30][3]") == 30)
+    assert(one("SELECT array[10,20,30][4]") == null)
+    assert(one("SELECT array[10,20,30][0]") == null)
+    assert(one("SELECT map['a', 1]['zz']") == null)
+    // row-ordinal access (operator.iq:322 `"T"."X"[1]`)
+    assert(one("SELECT t.x[1] FROM (SELECT struct(3, 7) AS x) t") == 3)
+    assert(one("SELECT t.x[2] FROM (SELECT struct(3, 7) AS x) t") == 7)
+    // nested subscripts
+    assert(one("SELECT array[array[1,2],array[3,4]][2][1]") == 3)
+  }
+
+  test("FLOOR/CEIL(date TO unit) preserves DATE and uses Sunday weeks") {
+    val r = row("SELECT floor(date '2019-07-05' TO year), " +
+      "floor(date '2019-07-05' TO quarter), floor(date '2019-07-05' TO month), " +
+      "floor(date '2019-07-05' TO week), floor(date '2019-07-05' TO day), " +
+      "ceil(date '2019-07-05' TO year), ceil(date '2019-07-05' TO week)")
+    assert(r.get(0).toString == "2019-01-01")
+    assert(r.get(1).toString == "2019-07-01")
+    assert(r.get(2).toString == "2019-07-01")
+    assert(r.get(3).toString == "2019-06-30") // reference week floor = Sunday
+    assert(r.get(4).toString == "2019-07-05")
+    assert(r.get(5).toString == "2020-01-01")
+    assert(r.get(6).toString == "2019-07-07")
+    assert(GraftSql.sql(spark,
+      "SELECT floor(date '2019-07-05' TO month)").schema.head.dataType ==
+      org.apache.spark.sql.types.DateType)
+  }
+
+  test("FLOOR/CEIL(timestamp TO unit) matches operator.iq:270") {
+    val r = row("SELECT " +
+      "ceil(timestamp '2019-07-05 12:34:56' TO day), " +
+      "ceil(timestamp '2019-07-05 12:34:56' TO hour), " +
+      "ceil(timestamp '2019-07-05 12:34:56' TO second), " +
+      "floor(timestamp '2019-07-05 12:34:56' TO week), " +
+      "ceil(timestamp '2019-07-05 12:34:56' TO week)")
+    assert(r.get(0).toString == "2019-07-06 00:00:00.0")
+    assert(r.get(1).toString == "2019-07-05 13:00:00.0")
+    assert(r.get(2).toString == "2019-07-05 12:34:56.0") // aligned: identity
+    assert(r.get(3).toString == "2019-06-30 00:00:00.0")
+    assert(r.get(4).toString == "2019-07-07 00:00:00.0")
+  }
+
+  test("composite COUNT(a, b) counts rows where every argument is non-null") {
+    assert(one("SELECT count(a, b) FROM VALUES (1, 1), (1, NULL), (NULL, 1), (2, 2) t(a, b)") == 2L)
+    // DISTINCT multi-arg is Spark-native and must NOT be rewritten
+    assert(one("SELECT count(DISTINCT a, b) FROM VALUES (1, 1), (1, 1), (2, 2) t(a, b)") == 2L)
+  }
+
+  test("EVERY lowers to bool_and; multi-arg GROUPING to grouping_id") {
+    assert(one("SELECT every(x > 0) FROM VALUES (1), (2) t(x)") == true)
+    assert(one("SELECT every(x > 1) FROM VALUES (1), (2) t(x)") == false)
+    val rows = GraftSql.sql(spark,
+      "SELECT grouping(a, b), count(*) FROM VALUES (1, 2) t(a, b) " +
+        "GROUP BY rollup(a, b) ORDER BY 1").collect()
+    assert(rows.map(_.get(0)).toSeq == Seq(0, 1, 3))
+  }
+
+  test("SQL_TSI_* units in TIMESTAMPADD/TIMESTAMPDIFF") {
+    assert(one("SELECT timestampadd(SQL_TSI_DAY, 2, timestamp '2019-07-05 00:00:00')")
+      .toString == "2019-07-07 00:00:00.0")
+    assert(one("SELECT timestampdiff(SQL_TSI_HOUR, timestamp '2019-07-05 00:00:00', " +
+      "timestamp '2019-07-05 12:00:00')") == 12L)
+  }
+}
