@@ -49,7 +49,7 @@ object CollectionSql {
     * (`ARRAY[(1, 'a'), (2, 'b')]` — the reference's implicit row
     * constructor) becomes `struct(1, 'a')`. */
   def rewriteArrayMap(sql: String): String = {
-    val re = "(?i)\\b(ARRAY|MAP)\\s*\\[".r
+    val re = "(?i)\\b(ARRAY|MAP|MULTISET)\\s*\\[".r
     var cur = sql
     var m = re.findFirstMatchIn(maskLiterals(cur))
     while (m.isDefined) {
@@ -58,7 +58,13 @@ object CollectionSql {
       val open = masked.indexOf('[', mm.start)
       val close = closeBracket(masked, open)
       if (close < 0) return cur
-      val fn = mm.group(1).toLowerCase(java.util.Locale.ROOT)
+      // a MULTISET is an array with bag semantics downstream (its ALL
+      // ops lower via functions/Multiset.scala); displays match the
+      // reference's [a, b] rendering
+      val fn = mm.group(1).toLowerCase(java.util.Locale.ROOT) match {
+        case "multiset" => "array"
+        case other => other
+      }
       val items = splitTopB(masked.substring(open + 1, close))
       var cursor = open + 1
       val inner = items.map { it =>
@@ -356,7 +362,23 @@ object CollectionSql {
     * `grouping_id(a, b, ...)` (same bit order — first argument most
     * significant; SqlGroupingFunction accepts N args). */
   def rewriteAggSpellings(sql: String): String = {
-    val s1 = replaceMasked(sql, "(?i)\\bEVERY\\s*\\(".r)((_, _) => "bool_and(")
+    val s0 = {
+      // single-argument LISTAGG defaults its separator to ',' in the
+      // reference (SqlListaggAggFunction); Spark's defaults to ''
+      val masked = maskLiterals(sql)
+      val re = "(?i)\\bLISTAGG\\s*\\(".r
+      re.findAllMatchIn(masked).collectFirst {
+        case m if {
+          val open = masked.indexOf('(', m.start)
+          val close = closeParen(masked, open)
+          close > 0 && splitTopB(masked.substring(open + 1, close)).length == 1
+        } =>
+          val open = masked.indexOf('(', m.start)
+          val close = closeParen(masked, open)
+          rewriteAggSpellings(sql.substring(0, close) + ", ','" + sql.substring(close))
+      }.getOrElse(sql)
+    }
+    val s1 = replaceMasked(s0, "(?i)\\bEVERY\\s*\\(".r)((_, _) => "bool_and(")
     val re = "(?i)\\bGROUPING\\s*\\(".r
     val masked = maskLiterals(s1)
     for (m <- re.findAllMatchIn(masked)) {
@@ -367,6 +389,134 @@ object CollectionSql {
           s1.substring(open + 1, close) + ")" + s1.substring(close + 1))
     }
     s1
+  }
+
+  /** The MULTISET bag aggregates (SqlStdOperatorTable FUSION :1178,
+    * INTERSECTION :1186; agg.iq:182,1480-1540): FUSION is the
+    * bag-union of a group's collections — `flatten(collect_list(x))` —
+    * and INTERSECTION the bag-intersection, folded with the
+    * multiset_intersect_all expression over the collected groups.
+    * `SOME(pred)` as an AGGREGATE (not a quantifier — only when no
+    * comparison operator precedes) is bool_or. */
+  def rewriteBagAggs(sql: String): String = {
+    val masked = maskLiterals(sql)
+    "(?i)\\b(FUSION|INTERSECTION)\\s*\\(".r.findFirstMatchIn(masked) match {
+      case Some(m) =>
+        val open = masked.indexOf('(', m.start)
+        val close = closeParen(masked, open)
+        if (close < 0) return sql
+        val x = sql.substring(open + 1, close)
+        val rep =
+          if (m.group(1).equalsIgnoreCase("FUSION")) s"flatten(collect_list($x))"
+          else {
+            val cl = s"collect_list($x)"
+            s"aggregate(slice($cl, 2, size($cl)), element_at($cl, 1), " +
+              s"(__ba, __be) -> multiset_intersect_all(__ba, __be))"
+          }
+        rewriteBagAggs(sql.substring(0, m.start) + rep + sql.substring(close + 1))
+      case None =>
+        val sb = new StringBuilder
+        var last = 0
+        for (m <- "(?i)\\bSOME\\s*\\(".r.findAllMatchIn(masked)) {
+          var p = m.start - 1
+          while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+          val quantified = p >= 0 && "=<>!".contains(masked.charAt(p))
+          sb.append(sql.substring(last, m.start))
+          sb.append(if (quantified) sql.substring(m.start, m.end) else "bool_or(")
+          last = m.end
+        }
+        sb.append(sql.substring(last)).toString
+    }
+  }
+
+  /** A bare `LATERAL (subquery)` with no alias (lateral.iq — the
+    * reference derives one; Spark requires an explicit alias on lateral
+    * subqueries): append a generated alias. Aliased laterals pass
+    * through. */
+  def rewriteLateralAlias(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val re = "(?i)\\bLATERAL\\s*\\(".r
+    for (m <- re.findAllMatchIn(masked)) {
+      val open = masked.indexOf('(', m.start)
+      val close = closeParen(masked, open)
+      if (close > 0) {
+        val after = masked.substring(close + 1)
+        val tok = "(?is)^\\s*(AS\\s+)?(`[^`]*`|[A-Za-z_]\\w*)".r.findFirstMatchIn(after)
+        val aliased = tok.exists { t =>
+          t.group(1) != null ||
+            !"(?i)^(WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|ON|QUALIFY|FETCH|LATERAL|NATURAL|USING|WINDOW|WITH)$".r
+              .matches(t.group(2).stripPrefix("`").stripSuffix("`"))
+        }
+        if (!aliased)
+          return rewriteLateralAlias(sql.substring(0, close + 1) +
+            s" __lat$open" + sql.substring(close + 1))
+      }
+    }
+    sql
+  }
+
+  /** The SQL-standard row-period predicate `(a, b) OVERLAPS (c, d)`
+    * (SqlOverlapsOperator; misc.iq:2346 — CALCITE-1167 normalizes each
+    * operand pair so (high, low) order still matches). The standard
+    * truth table: common point shared EXCEPT a pure endpoint touch —
+    * `(s1 > s2 AND s1 < e2) OR (s2 > s1 AND s2 < e1) OR s1 = s2`
+    * over least/greatest-normalized bounds. */
+  def rewriteOverlaps(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val re = "(?i)\\)\\s*OVERLAPS\\s*\\(".r
+    for (m <- re.findAllMatchIn(masked)) {
+      // left operand: the paren group CLOSING at m.start
+      val lClose = m.start
+      var depth = 1
+      var i = lClose - 1
+      while (i >= 0 && depth > 0) {
+        val c = masked.charAt(i)
+        if (c == ')') depth += 1 else if (c == '(') depth -= 1
+        if (depth > 0) i -= 1
+      }
+      val lOpen = i
+      val rOpen = masked.lastIndexOf('(', m.end - 1)
+      val rClose = closeParen(masked, rOpen)
+      if (lOpen >= 0 && rClose > 0) {
+        val lParts = splitTopB(masked.substring(lOpen + 1, lClose)).map(_.trim)
+        val rParts = splitTopB(masked.substring(rOpen + 1, rClose)).map(_.trim)
+        if (lParts.length == 2 && rParts.length == 2) {
+          def orig(o: Int, c: Int) = splitTopB(masked.substring(o + 1, c)) // lengths
+          val lo = {
+            val lens = orig(lOpen, lClose).map(_.length)
+            val starts = lens.scanLeft(lOpen + 1)((a, b) => a + b + 1).init
+            starts.zip(lens).map { case (s, n) => sql.substring(s, s + n).trim }
+          }
+          val ro = {
+            val lens = orig(rOpen, rClose).map(_.length)
+            val starts = lens.scanLeft(rOpen + 1)((a, b) => a + b + 1).init
+            starts.zip(lens).map { case (s, n) => sql.substring(s, s + n).trim }
+          }
+          val (s1, e1) = (s"least(${lo(0)}, ${lo(1)})", s"greatest(${lo(0)}, ${lo(1)})")
+          val (s2, e2) = (s"least(${ro(0)}, ${ro(1)})", s"greatest(${ro(0)}, ${ro(1)})")
+          val rep = s"(($s1 > $s2 AND $s1 < $e2) OR ($s2 > $s1 AND $s2 < $e1) OR $s1 = $s2)"
+          return rewriteOverlaps(sql.substring(0, lOpen) + rep + sql.substring(rClose + 1))
+        }
+      }
+    }
+    sql
+  }
+
+  /** Niladic `PI` (the reference parses parameterless builtins without
+    * parentheses — SqlStdOperatorTable.PI, misc.iq:2081) → `pi()`.
+    * Fires only on the bare word: `pi(`, `x.pi`, and an `AS pi` alias
+    * stay untouched. */
+  def rewritePi(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- "(?i)(?<![\\w.`])PI(?![\\w(.`])".r.findAllMatchIn(masked)) {
+      val prevWord = "(?i)(\\w+)\\s*$".r.findFirstMatchIn(masked.substring(0, m.start)).map(_.group(1))
+      sb.append(sql.substring(last, m.start))
+      sb.append(if (prevWord.exists(_.equalsIgnoreCase("AS"))) sql.substring(m.start, m.end) else "pi()")
+      last = m.end
+    }
+    sb.append(sql.substring(last)).toString
   }
 
   /** JDBC interval-unit spellings in TIMESTAMPADD/TIMESTAMPDIFF
@@ -383,7 +533,14 @@ object CollectionSql {
       s"${m.group(1)}($unit"
     })
 
-  def apply(sql: String): String =
-    rewriteTsiUnits(rewriteAggSpellings(rewriteCompositeCount(
-      rewriteFloorCeil(rewriteItem(rewriteUnnest(rewriteArrayMap(sql)))))))
+  def apply(sql: String): String = {
+    val collections = rewriteArrayMap(sql)
+    // MULTISET bag ops/predicates reuse the spark-dialect lowerings
+    // (operands are array(...) calls after the literal conversion)
+    val bags = SparkDialect.rewriteIsEmpty(SparkDialect.rewriteIsASet(
+      SparkDialect.rewriteSubmultiset(SparkDialect.rewriteMultisetOps(
+        rewriteBagAggs(collections)))))
+    rewritePi(rewriteOverlaps(rewriteTsiUnits(rewriteAggSpellings(rewriteCompositeCount(
+      rewriteFloorCeil(rewriteItem(rewriteLateralAlias(rewriteUnnest(bags)))))))))
+  }
 }

@@ -339,7 +339,7 @@ object GraftSql {
       rewriteRowCompare, rewriteRowNullCheck, rewriteRowCtor, rewriteTop,
       rewriteMysqlLimit,
       rewriteWindowTvf, rewriteExtend, rewriteDual, rewriteFetch,
-      rewriteCastFormat, rewriteStarReplace, rewriteJsonValue,
+      rewriteCastFormat, rewriteStarReplace, JsonAggSql.apply, rewriteJsonValue,
       rewriteSafeCast, rewriteSimilarTo, rewriteQualify, rewriteUuid,
       rewriteBareTypes, rewriteDecimalLit, rewriteNullifFold,
       rewriteUnsignedCast, rewriteVariantOps, CollectionSql.apply,
@@ -580,8 +580,13 @@ object GraftSql {
     // SQL-standard postfix collection types in CASTs (`x AS INTEGER
     // ARRAY`, lambda.iq:82) → Spark's generic spelling. Scoped to the
     // AS-type position so `ARRAY` constructors/literals stay untouched.
-    replaceMasked(s2, "(?i)\\bAS\\s+(\\w+)\\s+(ARRAY|MULTISET)\\s*\\)".r)((m, o) =>
+    val s3 = replaceMasked(s2, "(?i)\\bAS\\s+(\\w+)\\s+(ARRAY|MULTISET)\\s*\\)".r)((m, o) =>
       s"AS ARRAY<${origGroup(m, o, 1)}>)")
+    // the same postfix form NESTED inside a MAP/ARRAY type argument
+    // (`map<varchar multiset, ...>`, misc.iq:2554 CALCITE-5570) — scoped
+    // to a `,`/`>` follower so only type positions rewrite
+    replaceMasked(s3, "(?i)\\b(\\w+)\\s+(ARRAY|MULTISET)\\b(?=\\s*[,>])".r)((m, o) =>
+      s"ARRAY<${origGroup(m, o, 1)}>")
   }
 
   /** `DECIMAL 'n.n'` typed literals (misc.iq:2532) → an explicit CAST

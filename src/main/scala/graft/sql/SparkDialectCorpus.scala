@@ -65,7 +65,9 @@ object SparkDialect {
         val b = sql.substring(m.start(4), m.end(4))
         val distinct = m.group(3) != null && m.group(3).trim.equalsIgnoreCase("DISTINCT")
         val repl = m.group(2).toUpperCase match {
-          case "UNION" => if (distinct) s"array_distinct(concat($a, $b))" else s"concat($a, $b)"
+          // DISTINCT union sorts, like the reference's set-backed result
+          // (operator.iq:206 — [a, c, b] UNION DISTINCT [a] is [a, b, c])
+          case "UNION" => if (distinct) s"sort_array(array_distinct(concat($a, $b)))" else s"concat($a, $b)"
           case "EXCEPT" =>
             if (distinct) s"array_except($a, $b)" else s"multiset_except_all($a, $b)"
           case _ =>
@@ -92,7 +94,7 @@ object SparkDialect {
 
   /** `x IS A SET` — true when x holds no duplicates; NULL input is
     * false in the reference's runtime. */
-  private def rewriteIsASet(sql: String): String = {
+  private[sql] def rewriteIsASet(sql: String): String = {
     val re = ("(?i)" + operand + "\\s+IS\\s+A\\s+SET\\b").r
     val masked = GraftSql.maskLiterals(sql)
     re.findFirstMatchIn(masked) match {
@@ -106,7 +108,7 @@ object SparkDialect {
 
   /** `x IS [NOT] EMPTY` → size comparison (size(NULL) is NULL, so NULL
     * collections fail both predicates, as the reference's 3VL does). */
-  private def rewriteIsEmpty(sql: String): String = {
+  private[sql] def rewriteIsEmpty(sql: String): String = {
     val re = ("(?i)" + operand + "\\s+IS\\s+(NOT\\s+)?EMPTY\\b").r
     val masked = GraftSql.maskLiterals(sql)
     re.findFirstMatchIn(masked) match {

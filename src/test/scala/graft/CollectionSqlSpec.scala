@@ -85,6 +85,49 @@ class CollectionSqlSpec extends SparkSpec {
     assert(rows.map(_.get(0)).toSeq == Seq(0, 1, 3))
   }
 
+  test("UNNEST: scalar/tuple/map/zip/ordinality/subquery/correlated") {
+    def rows(q: String): Seq[Seq[Any]] =
+      GraftSql.sql(spark, q).collect().toSeq.map(r => (0 until r.length).map(r.get))
+    assert(rows("select * from unnest(array[1, 2])") == Seq(Seq(1), Seq(2)))
+    assert(rows("select x, y from unnest(array [(1, 'a'), (2, 'b')]) as t (x, y)") ==
+      Seq(Seq(1, "a"), Seq(2, "b")))
+    assert(rows("select fruit from UNNEST(array ['apple']) as fruit") == Seq(Seq("apple")))
+    // ordinality is 1-based and projected LAST
+    assert(rows("select * from unnest(array[10, 20]) with ordinality as t(i, o)") ==
+      Seq(Seq(10, 1), Seq(20, 2)))
+    assert(rows("select * from unnest(map['x', 10]) as t(k, v)") == Seq(Seq("x", 10)))
+    // zip semantics with null padding (CALCITE-7583)
+    assert(rows("select * from unnest(array[10, 20, 30], array[1, 2]) as t(a, b)") ==
+      Seq(Seq(10, 1), Seq(20, 2), Seq(30, null)))
+    // subquery operand: ordinality resets per input row
+    assert(rows("select * from unnest(select t.x from (values array[10, 20], array[30]) as t(x)) with ordinality as t(a, o)")
+      .sortBy(_.head.asInstanceOf[Int]) == Seq(Seq(10, 1), Seq(20, 2), Seq(30, 1)))
+    // correlated comma-join → LATERAL VIEW
+    assert(rows("select x, z from (values (1, array[7, 8])) t(x, ys), unnest(t.ys) as z") ==
+      Seq(Seq(1, 7), Seq(1, 8)))
+  }
+
+  test("OVERLAPS normalizes (high, low) operand order; endpoint touch is false") {
+    assert(one("SELECT (date '2001-12-31', date '1999-12-01') overlaps (date '2001-01-01', date '2002-11-11')") == true)
+    assert(one("SELECT (date '1999-12-01', date '2001-12-31') overlaps (date '2002-01-01', date '2002-11-11')") == false)
+    // equal starts overlap even for zero-length periods
+    assert(one("SELECT (date '2001-01-01', date '2001-01-01') overlaps (date '2001-01-01', date '2001-01-05')") == true)
+  }
+
+  test("niladic PI and bare-LATERAL alias") {
+    assert(one("SELECT pi > 3.14 AND pi < 3.15") == true)
+    assert(one("SELECT 1 AS pi") == 1) // alias named pi survives
+    assert(one("SELECT dd FROM (SELECT 1 AS deptno) d, LATERAL (SELECT d.deptno + 1 AS dd)") == 2)
+  }
+
+  test("quantified comparison over an array operand (exists/forall 3VL)") {
+    assert(one("SELECT 1 = any(array[1, 2, 3])") == true)
+    assert(one("SELECT 4 = any(array[1, 2, 3])") == false)
+    assert(one("SELECT 4 = any(array[1, null])") == null) // no match + null → UNKNOWN
+    assert(one("SELECT 0 < all(array[1, 2])") == true)
+    assert(one("SELECT 1 < all(array[])") == true) // ALL over empty is TRUE
+  }
+
   test("SQL_TSI_* units in TIMESTAMPADD/TIMESTAMPDIFF") {
     assert(one("SELECT timestampadd(SQL_TSI_DAY, 2, timestamp '2019-07-05 00:00:00')")
       .toString == "2019-07-07 00:00:00.0")

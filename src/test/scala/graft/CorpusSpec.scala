@@ -78,8 +78,6 @@ class CorpusSpec extends IqHarness {
       "Nested-paren GROUPING SETS variants diverge in GROUP_ID numbering; GROUP_ID covered by q122."),
     ("(?i)\\bgroup_id\\s*\\(",
       "GROUP_ID() numbering under duplicate grouping sets is reference-specific; lowered variant covered by q122."),
-    ("(?i)\\bjson_",
-      "JSON function family conformance is covered by q54/q56/q57/q78/q79/q106 with the DuckDB oracle."),
     ("(?i)\\bposition\\s*\\(.*\\bfrom\\b",
       "POSITION(x IN y FROM n) 3-arg form not in Spark's grammar."),
     ("(?i)\\bsubstring\\s*\\(.*\\bsimilar\\b",
@@ -90,8 +88,6 @@ class CorpusSpec extends IqHarness {
       "TRANSLATE ... USING translation syntax not in Spark."),
     ("(?i)\\bintersect\\s+all\\b",
       "INTERSECT ALL multiplicity semantics verified against DuckDB in q33 instead (reference output here predates its own INTERSECT ALL fix)."),
-    ("(?i)\\bmultiset\\b|\\bsubmultiset\\b|\\bfusion\\b|\\bintersection\\s*\\(",
-      "MULTISET type + ops live in functions/Multiset.scala with their own spec (no Spark literal syntax)."),
     ("(?i)\\bcursor\\s*\\(|\\btable\\s*\\(\\s*ramp",
       "CURSOR/TABLE(ramp()) table-function plumbing is reference-internal test machinery."),
     ("(?i)\\bas\\s+row\\s*\\(",
@@ -100,28 +96,14 @@ class CorpusSpec extends IqHarness {
       "Tuple labels in UNPIVOT IN-lists ((c1,c2) AS ('CLERK', 10)): Spark's UNPIVOT aliases are single identifiers."),
     ("(?i)\\bany_value\\s*\\(",
       "ANY_VALUE picks an arbitrary row — engine-specific; deterministic ARG_MAX/MIN covered by q16."),
-    ("(?i)\\blateral\\s*\\(",
-      "LATERAL subquery covered by q46/q49 (Spark needs an explicit alias; reference allows bare LATERAL)."),
     ("(?i)\\bextract\\s*\\(\\s*(isodow|isoyear|decade|century|millennium|epoch)",
       "EXTRACT units beyond Spark's grammar (isodow/decade/...)."),
     ("(?i)\\b(week|dayofyear|dayofweek|dayofmonth)\\s*\\(|extract\\s*\\(\\s*(week|doy|dow)\\b",
       "WEEK/DOY/DOW extraction: ISO-week numbering differs between engines; date/time family covered by q60-q62/q89."),
-    ("(?i)^\\s*values\\b",
-      "Bare top-level VALUES rows print as EXPR$n columns in the reference; covered by q95."),
     ("(?i)\\bwithin\\s+distinct\\b",
       "WITHIN DISTINCT is a reference extension (SqlInternalOperators); lowered variant covered by q38."),
-    ("(?i)\\bmode\\s*\\(",
-      "MODE() tie-breaking is engine-specific; covered deterministically by q86."),
-    ("(?i)\\bsome\\s*\\(\\s*[\\w\"]+\\s*\\)",
-      "SOME(col) aggregate is reference spelling; Spark's bool_or covered by q84."),
     ("(?i)\\blogical_or\\b|\\blogical_and\\b",
       "LOGICAL_OR/AND are BigQuery-dialect names for bool_or/and (babel surface), covered by q84."),
-    ("(?i)\\bpercentile_cont\\s*\\(|\\bpercentile_disc\\s*\\(",
-      "PERCENTILE WITHIN GROUP covered by q19 with the DuckDB oracle (reference rounds to the arg type here)."),
-    ("(?i)\\blistagg\\s*\\(",
-      "LISTAGG covered by q72 (reference's default separator/order rules differ)."),
-    ("(?i)\\bbit_xor\\s*\\(|\\bbit_and\\s*\\(|\\bbit_or\\s*\\(",
-      "BIT_* aggregates covered by q85 (reference returns the arg's exact type)."),
     ("(?i)\\bapprox_count_distinct\\b",
       "Sketch internals engine-specific; error-bounded spec + q18."),
     ("(?i)\\bsplit\\s*\\(|\\bstring_to_array\\b",
@@ -264,6 +246,12 @@ class CorpusSpec extends IqHarness {
         "(struct) collection"),
       ("unnest.iq", 501) -> "same MAP-in-zip limitation",
       ("some.iq", 926) -> existenceJoin,
+      ("sub-query.iq", 10023) -> (nestedCorr + " (here: a LATERAL " +
+        "correlating through a second join input)"),
+      ("pivot.iq", 454) -> ("LATERAL over a VALUES inline table whose " +
+        "rows reference the outer query: Spark's inline-table evaluator " +
+        "only accepts foldable expressions " +
+        "(CANNOT_EVALUATE_EXPRESSION_IN_INLINE_TABLE)"),
       ("operator.iq", 295) -> ("FLOOR/CEIL of TIME: Spark has no TIME " +
         "type (the engine's TIME surface is string-encoded, q109); the " +
         "DATE/TIMESTAMP family at :250/:271 runs via floor_to/ceil_to"),
@@ -318,6 +306,35 @@ class CorpusSpec extends IqHarness {
       ("misc.iq", 2168) -> ("TIMESTAMP literal precision: the reference " +
         "rounds the display to its declared precision 3 / bare-cast 0; " +
         "Spark timestamps are fixed micros (same class as :2148)"),
+      ("agg.iq", 3256) -> ("JSON_OBJECTAGG renders its object in the " +
+        "reference's hash order — not reproducible; the engine's " +
+        "JSON_OBJECT/JSON_ARRAYAGG lowering keeps written order " +
+        "(sql/JsonAggSql.scala)"),
+      ("agg.iq", 3267) -> "same JSON_OBJECTAGG hash-order display",
+      ("agg.iq", 3278) -> "same JSON_OBJECTAGG hash-order display",
+      ("agg.iq", 3356) -> "same JSON_OBJECTAGG hash-order display",
+      ("agg.iq", 3289) -> ("the enclosing 2-key JSON_OBJECT here is also " +
+        "rendered in hash order by the reference ('employees' before the " +
+        "written-first 'deptno')"),
+      ("agg.iq", 3304) -> "same hash-order JSON_OBJECT display",
+      ("agg.iq", 3373) -> ("LISTAGG over the post fixture's CHAR(5) " +
+        "ename keeps blank padding in the reference ('Jane ,Bob  '); " +
+        "the engine's CHAR surface is STRING (same class as misc.iq:2215)"),
+      ("agg.iq", 3383) -> "same CHAR-padding LISTAGG display",
+      ("agg.iq", 3397) -> "same CHAR-padding LISTAGG display",
+      ("winagg.iq", 943) -> ("windowed MODE over a tied group (deptno 10: " +
+        "one F, one M): tie-break is engine-specific — the aggregate MODE " +
+        "cases (agg.iq:3511+) are tie-free and pass"),
+      ("misc.iq", 2399) -> ("JSON_EXISTS with an ON ERROR behavior " +
+        "clause: the engine's JSON predicate surface is IS JSON + " +
+        "JSON_VALUE ON EMPTY/ON ERROR (q54/q106)"),
+      ("agg.iq", 1509) -> ("FUSION element order follows the engine's " +
+        "row-accumulation order (a bag has none); cardinality-checked " +
+        "FUSION at :1481/:1496 is order-free and passes"),
+      ("agg.iq", 1529) -> "same FUSION accumulation-order display",
+      ("misc.iq", 2227) -> ("the reference's multiset DISPLAY groups " +
+        "duplicate elements ([1, null, 2, 1] prints [1, 1, null, 2]); " +
+        "the engine keeps construction order — same bag"),
       ("misc.iq", 2574) -> ("MAP with a NULL key: Spark's map type " +
         "forbids null keys (NULL_MAP_KEY); the reference's map values " +
         "accept them"),
@@ -379,6 +396,19 @@ class CorpusSpec extends IqHarness {
         "renames duplicate row fields with a 0 suffix; Spark keeps " +
         "duplicate struct field names and resolves access to the first, " +
         "so the renamed-field access has no Spark equivalent"),
+      ("cast.iq", 860) -> ("CAST to DECIMAL(1000, 4): the reference clamps " +
+        "precision beyond its max to the max (CALCITE-4871); Spark rejects " +
+        "precision > 38 outright"),
+      ("cast.iq", 907) -> decimalTrunc,
+      ("cast.iq", 957) -> decimalTrunc,
+      ("cast.iq", 967) -> decimalTrunc,
+      ("cast.iq", 981) -> decimalTrunc,
+      ("cast.iq", 1042) -> decimalTrunc,
+      ("cast.iq", 1092) -> decimalTrunc,
+      ("cast.iq", 1142) -> decimalTrunc,
+      ("misc.iq", 2215) -> ("CHAR(3) literals inside an ARRAY keep their " +
+        "blank padding in the reference ('a  '); Spark's CHAR surface is " +
+        "STRING and stores the unpadded value"),
       ("cast.iq", 634) -> decimalTrunc,
       ("cast.iq", 655) -> decimalTrunc,
       ("cast.iq", 676) -> decimalTrunc,
@@ -506,9 +536,11 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1247, s"corpus coverage dropped: $pass passing (floor 1247)")
-    assert(engineLimits.size <= 48,
-      s"Spark-limitation count grew: ${engineLimits.size} (was 45) — a rewrite regressed")
+    assert(pass >= 1339, s"corpus coverage dropped: $pass passing (floor 1339)")
+    // 47 decorrelator/window/TIME limits + 3 LATERAL-correlation shapes
+    // surfaced when the blanket lateral( construct-skip was lifted
+    assert(engineLimits.size <= 50,
+      s"Spark-limitation count grew: ${engineLimits.size} (was 50) — a rewrite regressed")
   }
 
   /** The corpora's `!error` cases: statements the reference REJECTS
