@@ -54,7 +54,8 @@ object BigQueryFns {
     "starts_with" -> (a => StartsWith(str(a(0)), str(a(1)))),
     "ends_with" -> (a => EndsWith(str(a(0)), str(a(1)))),
     "contains_substr" -> (a =>
-      inv(BooleanType, "containsSubstr", Seq(a(0), a(1)), Seq(StringType, StringType))),
+      ContainsSubstrDeep(a(0), a(1),
+        if (a.size > 2) a(2) else Literal("JSON_VALUES"))),
     // BigQuery SPLIT: literal (non-regex) delimiter, default ','
     "bq_split" -> (a => {
       val delim = if (a.size > 1) a(1) else Literal(",")
@@ -146,17 +147,98 @@ object BigQueryFns {
   def names: Seq[String] = builders.map(_._1)
 }
 
+/** CONTAINS_SUBSTR with BigQuery's deep-search semantics over a ROW
+  * operand (big-query.iq:2160-2196): each field is searched after CAST
+  * to string, with three-valued logic — any match is TRUE, else any
+  * NULL field makes the answer UNKNOWN (the OR-chain carries exactly
+  * that). Scalar operands go to the JSON-scope-aware runtime search. */
+case class ContainsSubstrDeep(child: Expression, needle: Expression, scope: Expression)
+    extends Expression with RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(child, needle, scope)
+
+  private def scalar(e: Expression): Expression =
+    StaticInvoke(BqRuntime.getClass, BooleanType, "containsSubstrScoped",
+      Seq(Cast(e, StringType), Cast(needle, StringType), Cast(scope, StringType)),
+      Seq(StringType, StringType, StringType),
+      propagateNull = true, returnNullable = true)
+
+  override lazy val replacement: Expression = {
+    val raw = child.dataType match {
+      case st: StructType =>
+        st.fields.indices
+          .map(i => scalar(GetStructField(child, i, Some(st.fields(i).name))))
+          .reduceLeft[Expression]((a, b) => Or(a, b))
+      case _ => scalar(child)
+    }
+    // timestamp/date operands cast to string inside the invoke — pin the
+    // session zone so the replacement is resolved when swapped in
+    raw.transform {
+      case t: TimeZoneAwareExpression if t.timeZoneId.isEmpty =>
+        t.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), needle = newChildren(1), scope = newChildren(2))
+}
+
 /** Static runtime for the StaticInvoke-backed BigQuery functions. All
   * methods take/return Catalyst-internal types (UTF8String, epoch days,
   * micros) so the expressions stay off the UDF path. */
 object BqRuntime {
 
-  private def norm(s: UTF8String): String =
-    java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFKC)
+  /** `\uXXXX` escapes are decoded BEFORE normalization: the engine runs
+    * with escape-preserving literals (standard SQL; babel big-query.iq
+    * records outputs from such a parser), but BigQuery's CONTAINS_SUBSTR
+    * operates on the decoded code points (big-query.iq:2137 — the
+    * PROJECTED literal keeps the escape text, the search does not). */
+  private val uEsc = Pattern.compile("\\\\u([0-9a-fA-F]{4})")
+
+  private def norm(s: UTF8String): String = {
+    val m = uEsc.matcher(s.toString)
+    val sb = new StringBuffer
+    while (m.find())
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(m.group(1), 16).toChar.toString))
+    m.appendTail(sb)
+    java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFKC)
       .toLowerCase(Locale.ROOT)
+  }
 
   def containsSubstr(a: UTF8String, b: UTF8String): Boolean =
-    norm(a).contains(norm(b))
+    containsSubstrScoped(a, b, UTF8String.fromString("JSON_VALUES"))
+
+  /** The JSON-aware scalar search (big-query.iq:2198-2226): a document
+    * that parses as a JSON object/array is searched over its VALUES by
+    * default (`'{"lunch":"soup"}'` does NOT contain 'lunch'), or over
+    * its KEYS under json_scope=>JSON_KEYS; anything else searches the
+    * raw string. */
+  def containsSubstrScoped(a: UTF8String, b: UTF8String, scope: UTF8String): Boolean = {
+    val doc = a.toString.trim
+    val sc = scope.toString.toUpperCase(Locale.ROOT)
+    val keys = sc == "JSON_KEYS" || sc == "JSON_KEYS_AND_VALUES"
+    val values = sc != "JSON_KEYS"
+    val parts: Seq[String] =
+      if (doc.startsWith("{") || doc.startsWith("[")) {
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+            if (n.isObject) n.properties().forEach { e =>
+              if (keys) out += e.getKey
+              walk(e.getValue)
+            }
+            else if (n.isArray) n.forEach(walk)
+            else if (values && !n.isNull) out += n.asText()
+          walk(node)
+          out.toSeq
+        } catch { case scala.util.control.NonFatal(_) => Seq(a.toString) }
+      } else Seq(a.toString)
+    val needle = norm(b)
+    parts.exists(p => norm(UTF8String.fromString(p)).contains(needle))
+  }
 
   def split(s: UTF8String, delim: UTF8String): ArrayData = {
     val parts = splitLiteral(s.toString, delim.toString)

@@ -16,10 +16,32 @@ package graft.sql
 object BigQueryDialect {
 
   def rewrite(sql: String): String =
-    rewriteUnixDate(rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
+    rewriteContainsSubstr(rewriteUnixDate(rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
       rewriteAddSub(renameFns(rewriteArrayLiteral(rewriteCurrentDatetime(
         rewriteTimeLiteral(rewriteDatetimeLiteral(rewriteTsTzLiteral(
-          rewriteStrings(sql))))))))))))))))
+          rewriteStrings(sql)))))))))))))))))
+
+  /** CONTAINS_SUBSTR extras: a bare TUPLE first operand (deep search
+    * over the row's fields) wraps in struct(...), and the
+    * `json_scope=>"..."` named argument becomes the positional third
+    * argument (functions/BigQueryFns.ContainsSubstrDeep). */
+  private def rewriteContainsSubstr(sql: String): String = {
+    val s1 = GraftSql.replaceMasked(sql, "(?i)\\bjson_scope\\s*=>\\s*".r)((_, _) => "")
+    val masked = GraftSql.maskLiterals(s1)
+    val re = "(?i)\\bCONTAINS_SUBSTR\\s*\\(\\s*\\(".r
+    re.findFirstMatchIn(masked) match {
+      case None => s1
+      case Some(m) =>
+        val tupleOpen = m.end - 1
+        val tupleClose = GraftSql.closeParen(masked, tupleOpen)
+        if (tupleClose < 0) return s1
+        val inner = masked.substring(tupleOpen + 1, tupleClose)
+        if (GraftSql.splitTopLevel(inner).length > 1)
+          rewriteContainsSubstr(s1.substring(0, tupleOpen) + "struct" +
+            s1.substring(tupleOpen))
+        else s1
+    }
+  }
 
   /** `DATETIME '2008-12-25 15:30:00'` — BigQuery's DATETIME is Spark's
     * TIMESTAMP_NTZ. */

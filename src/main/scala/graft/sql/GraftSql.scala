@@ -574,7 +574,43 @@ object GraftSql {
     * SqlTypeName.VARCHAR; recursive_queries.iq:223 `CAST(x AS VARCHAR)`):
     * Spark requires a length, so widen to the unbounded STRING/BINARY. */
   private def rewriteBareTypes(sql: String): String = {
-    val s0 = replaceMasked(sql, "(?i)\\bTIMESTAMP\\s*\\(\\s*\\d+\\s*\\)".r)((_, _) => "TIMESTAMP")
+    // CAST(e AS TIMESTAMP(p)): the reference TRUNCATES to the declared
+    // precision (TIMESTAMP(0) drops fractions — big-query.iq:2927,
+    // cast-with-format.iq:29); Spark timestamps are fixed micros, so the
+    // precision lowers onto date_trunc around a plain cast
+    val sPrec = {
+      var cur = sql
+      var go = true
+      while (go) {
+        go = false
+        val masked = maskLiterals(cur)
+        val re = "(?is)\\bCAST\\s*\\(".r
+        for (m <- re.findAllMatchIn(masked) if !go) {
+          val open = masked.indexOf('(', m.start)
+          val close = closeParen(masked, open)
+          if (close > 0) {
+            val innerM = masked.substring(open + 1, close)
+            val pm = "(?is)\\bAS\\s+TIMESTAMP\\s*\\(\\s*(\\d)\\s*\\)\\s*$".r.findFirstMatchIn(innerM)
+            pm.foreach { p =>
+              val unit = p.group(1).toInt match {
+                case 0 => Some("SECOND")
+                case 1 | 2 | 3 => Some("MILLISECOND")
+                case 4 | 5 => Some("MICROSECOND")
+                case _ => None
+              }
+              val e = cur.substring(open + 1, open + 1 + p.start)
+              val castStr = s"CAST($e AS TIMESTAMP)"
+              cur = cur.substring(0, m.start) +
+                unit.map(u => s"date_trunc('$u', $castStr)").getOrElse(castStr) +
+                cur.substring(close + 1)
+              go = true
+            }
+          }
+        }
+      }
+      cur
+    }
+    val s0 = replaceMasked(sPrec, "(?i)\\bTIMESTAMP\\s*\\(\\s*\\d+\\s*\\)".r)((_, _) => "TIMESTAMP")
     val s1 = replaceMasked(s0, "(?i)\\bVARCHAR\\b(?!\\s*\\()".r)((_, _) => "STRING")
     val s2 = replaceMasked(s1, "(?i)\\bVARBINARY\\b(?!\\s*\\()".r)((_, _) => "BINARY")
     // SQL-standard postfix collection types in CASTs (`x AS INTEGER

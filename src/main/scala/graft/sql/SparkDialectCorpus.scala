@@ -79,15 +79,14 @@ object SparkDialect {
 
   /** `a SUBMULTISET OF b` → the bag-containment predicate. */
   private[sql] def rewriteSubmultiset(sql: String): String = {
-    val re = ("(?i)\\(?\\s*" + operand + "\\s+SUBMULTISET\\s+OF\\s+" + operand).r
+    val re = ("(?i)" + operand + "\\s+SUBMULTISET\\s+OF\\s+" + operand).r
     val masked = GraftSql.maskLiterals(sql)
     re.findFirstMatchIn(masked) match {
       case None => sql
       case Some(m) =>
         val a = sql.substring(m.start(1), m.end(1))
         val b = sql.substring(m.start(2), m.end(2))
-        val prefix = if (sql.charAt(m.start) == '(') "(" else ""
-        rewriteSubmultiset(sql.substring(0, m.start) + prefix +
+        rewriteSubmultiset(sql.substring(0, m.start) +
           s"submultiset_of($a, $b)" + sql.substring(m.end))
     }
   }

@@ -22,16 +22,10 @@ class BabelCorpusSpec extends IqHarness {
 
   /** Documented divergences, keyed by statement line (file is frozen). */
   private val skipCases: Map[Int, String] = Map(
-    1064 -> "comma-join correlated UNNEST over an inline ARRAY — BigQuery implicit lateral; Spark needs LATERAL VIEW (engine UNNEST surface: q29/q50)",
-    1083 -> "same correlated UNNEST shape",
     1949 -> "UNION branch coercion of INT vs VARCHAR SAFE_CAST results — reference coerces, Spark rejects",
     1972 -> "SAFE_CAST(... AS TIME) — Spark has no TIME type; TIME surface is string-encoded (q109)",
     2009 -> "INTERVAL cast display: +1 (reference) vs P1Y (Spark ANSI interval rendering)",
     2031 -> "INTERVAL cast display: +61:00.000000 vs PT1H1M rendering",
-    2137 -> "\\uXXXX escape in literal: reference decodes, escape-preserving parse keeps it literal",
-    2177 -> "CONTAINS_SUBSTR over a STRUCT value — struct scan not implemented (string/NFKC path is)",
-    2206 -> "CONTAINS_SUBSTR JSON-aware scope — JSON value-only scan not implemented",
-    2226 -> "CONTAINS_SUBSTR json_scope=> named argument — same JSON scope surface",
     2927 -> "TIMESTAMP display precision: reference truncates to seconds (TIMESTAMP(0)), Spark keeps millis",
     2937 -> "same TIMESTAMP(0) display-precision truncation",
     3055 -> "integer division: 1230219000 / 86400 is INT (reference) vs DOUBLE (Spark)",
@@ -176,7 +170,7 @@ class BabelCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(total >= 200, s"parser found only $total cases — quidem parsing regressed")
     // ratchet: raise this floor when new dialect rewrites land
-    assert(pass >= 202, s"babel coverage dropped: $pass passing (floor 202)")
+    assert(pass >= 209, s"babel coverage dropped: $pass passing (floor 209)")
     assert(failures.isEmpty,
       s"undocumented babel failures (${failures.size}):\n${failures.take(10).mkString("\n")}")
   }

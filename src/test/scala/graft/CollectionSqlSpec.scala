@@ -128,6 +128,46 @@ class CollectionSqlSpec extends SparkSpec {
     assert(one("SELECT 1 < all(array[])") == true) // ALL over empty is TRUE
   }
 
+  test("MULTISET family: literals, bag ops in consume-first order, predicates") {
+    def arr(q: String): List[Any] =
+      one(q).asInstanceOf[scala.collection.Seq[_]].toList
+    // each right occurrence cancels the EARLIEST left one (operator.iq:151)
+    assert(arr("SELECT multiset['a', 'c', 'a'] multiset except multiset['a']") == List("c", "a"))
+    assert(arr("SELECT multiset['a', 'c', 'a', 'a'] multiset intersect multiset['a', 'a']") == List("a", "a"))
+    assert(arr("SELECT multiset['a', 'c', 'b'] multiset union distinct multiset['a']") == List("a", "b", "c"))
+    assert(arr("SELECT multiset['a', 'c', 'b'] multiset union multiset['a']") == List("a", "c", "b", "a"))
+    assert(one("SELECT multiset[1] SUBMULTISET OF multiset[1, 2]") == true)
+    assert(one("SELECT multiset[1, 1] IS A SET") == false)
+    assert(one("SELECT multiset[1] IS NOT EMPTY") == true)
+    // FUSION = bag union of a group's collections; INTERSECTION folds
+    assert(arr("SELECT fusion(x) FROM VALUES (array(1, 2)), (array(3)) t(x)").sorted(Ordering.by((a: Any) => a.toString)) == List(1, 2, 3))
+    assert(arr("SELECT intersection(x) FROM VALUES (array(1, 2)), (array(2, 3)) t(x)") == List(2))
+    // SOME as an aggregate (no comparison precedes) is bool_or
+    assert(one("SELECT some(x > 2) FROM VALUES (1), (3) t(x)") == true)
+  }
+
+  test("JSON_OBJECT / JSON_ARRAYAGG constructors") {
+    assert(one("SELECT json_object('a': 1, 'b': 'x')") == """{"a":1,"b":"x"}""")
+    // NULL ON NULL is the default for JSON_OBJECT
+    assert(one("SELECT json_object('a': cast(null as int))") == """{"a":null}""")
+    assert(one("SELECT json_object('a': cast(null as int) absent on null)") == "{}")
+    assert(one("SELECT json_arrayagg(x) FROM VALUES (3), (1) t(x)") == "[3,1]")
+    assert(one("SELECT json_arrayagg(x order by x) FROM VALUES (3), (1) t(x)") == "[1,3]")
+    assert(one("SELECT json_arrayagg(x order by x desc) FROM VALUES (3), (1) t(x)") == "[3,1]")
+    // default ABSENT ON NULL drops nulls; NULL ON NULL keeps them
+    assert(one("SELECT json_arrayagg(x) FROM VALUES (1), (cast(null as int)) t(x)") == "[1]")
+    assert(one("SELECT json_arrayagg(x null on null) FROM VALUES (1), (cast(null as int)) t(x)") == "[1,null]")
+    // single-arg LISTAGG takes the reference's ',' default separator
+    assert(one("SELECT listagg(x) FROM VALUES ('a'), ('b') t(x)") == "a,b")
+  }
+
+  test("aggregate ANY_VALUE computes as the reference's MAX; windowed stays native") {
+    assert(one("SELECT any_value(x) FROM VALUES (1), (9), (5) t(x)") == 9)
+    // windowed ANY_VALUE works on non-comparable types (CALCITE-4813)
+    assert(one("SELECT any_value(m) over() FROM (SELECT map(1, 2) m)")
+      .asInstanceOf[scala.collection.Map[_, _]].head == (1 -> 2))
+  }
+
   test("SQL_TSI_* units in TIMESTAMPADD/TIMESTAMPDIFF") {
     assert(one("SELECT timestampadd(SQL_TSI_DAY, 2, timestamp '2019-07-05 00:00:00')")
       .toString == "2019-07-07 00:00:00.0")
