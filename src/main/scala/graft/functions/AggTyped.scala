@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** The reference's aggregate RETURN-TYPE derivation for the AVG family
+  * (ref: sql/type/ReturnTypes deriveAvgAggType via
+  * RelDataTypeSystemImpl.deriveAvgAggType — the result keeps the
+  * ARGUMENT's type: AVG(DECIMAL(7,2)) is DECIMAL(7,2), AVG(INT) is INT
+  * — with the excess digits TRUNCATED toward zero, the reference's
+  * default decimal rounding mode DOWN; agg.iq/winagg.iq record outputs
+  * under it).
+  *
+  * Spark deliberately diverges (wider DECIMAL / DOUBLE results —
+  * pinned in DecimalTypeSystemSpec), so this wrapper is the
+  * conformance-dialect adapter: `agg_typed(avg(x), max(x))` re-types
+  * the first operand to the SECOND operand's type (the sample is never
+  * evaluated — only its analyzed type is read; the optimizer drops it
+  * with the replacement swap).
+  */
+case class AggTyped(agg: Expression, sample: Expression)
+    extends BinaryExpression with RuntimeReplaceable {
+  override def left: Expression = agg
+  override def right: Expression = sample
+
+  override lazy val replacement: Expression = sample.dataType match {
+    case dt: DecimalType =>
+      val (p, s) = (dt.precision, dt.scale)
+      val sc = Literal(s)
+      Cast(If(GreaterThanOrEqual(agg, Cast(Literal(0), agg.dataType)),
+        RoundFloor(agg, sc), RoundCeil(agg, sc)), DecimalType(p, s))
+    case ByteType | ShortType | IntegerType | LongType =>
+      Cast(agg, LongType) // double→long casts truncate toward zero
+    case _ => agg
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(agg = l, sample = r)
+}

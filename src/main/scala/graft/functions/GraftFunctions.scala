@@ -58,6 +58,8 @@ object GraftFunctions {
     // subscript (ref: SqlStdOperatorTable FLOOR/CEIL/ITEM; lowered from
     // SQL text by sql/CollectionSql.scala)
     "floor_to" -> (args => FloorTo(args(0), args(1))),
+    // reference AVG-family return-type derivation (conformance adapter)
+    "agg_typed" -> (args => AggTyped(args(0), args(1))),
     "ceil_to" -> (args => CeilTo(args(0), args(1))),
     "item" -> (args => ItemCalcite(args(0), args(1))),
     // is_inf (ref: SqlLibraryOperators.java:2632)
