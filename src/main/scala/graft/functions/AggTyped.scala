@@ -18,17 +18,25 @@ import org.apache.spark.sql.types._
   * evaluated — only its analyzed type is read; the optimizer drops it
   * with the replacement swap).
   */
-case class AggTyped(agg: Expression, sample: Expression)
-    extends BinaryExpression with RuntimeReplaceable {
+case class AggTyped(agg: Expression, sample: Expression,
+    widen: Boolean = false) extends BinaryExpression with RuntimeReplaceable {
   override def left: Expression = agg
   override def right: Expression = sample
 
   override lazy val replacement: Expression = sample.dataType match {
     case dt: DecimalType =>
-      val (p, s) = (dt.precision, dt.scale)
+      // widen = SUM-style derivation: keep the argument's SCALE but
+      // raise precision (deriveSumType), so group sums don't overflow
+      val (p, s) = (if (widen) 38 else dt.precision, dt.scale)
       val sc = Literal(s)
-      Cast(If(GreaterThanOrEqual(agg, Cast(Literal(0), agg.dataType)),
-        RoundFloor(agg, sc), RoundCeil(agg, sc)), DecimalType(p, s))
+      // floor/ceil-at-scale require a DECIMAL input; a DOUBLE-computed
+      // aggregate (the WITHIN DISTINCT folds) widens first
+      val a = agg.dataType match {
+        case _: DecimalType => agg
+        case _ => Cast(agg, DecimalType(38, 18))
+      }
+      Cast(If(GreaterThanOrEqual(a, Cast(Literal(0), a.dataType)),
+        RoundFloor(a, sc), RoundCeil(a, sc)), DecimalType(p, s))
     case ByteType | ShortType | IntegerType | LongType =>
       Cast(agg, LongType) // double→long casts truncate toward zero
     case _ => agg

@@ -59,7 +59,8 @@ object GraftFunctions {
     // SQL text by sql/CollectionSql.scala)
     "floor_to" -> (args => FloorTo(args(0), args(1))),
     // reference AVG-family return-type derivation (conformance adapter)
-    "agg_typed" -> (args => AggTyped(args(0), args(1))),
+    "agg_typed" -> (args => AggTyped(args(0), args(1),
+      args.length > 2 && args(2).eval(null) == true)),
     "ceil_to" -> (args => CeilTo(args(0), args(1))),
     "item" -> (args => ItemCalcite(args(0), args(1))),
     // is_inf (ref: SqlLibraryOperators.java:2632)

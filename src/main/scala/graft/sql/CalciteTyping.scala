@@ -64,10 +64,14 @@ object CalciteTyping {
             if (oc > 0) { overTxt = " " + sql.substring(end + om.start, oc + 1).trim; end = oc + 1 }
           } else { overTxt = " " + sql.substring(end + om.start, end + om.end).trim; end = end + om.end }
         }
-        val call = sql.substring(m.start, end)
-        val sample = s"max($first)$overTxt"
-        return rewrite(sql.substring(0, m.start) +
-          s"agg_typed($call, $sample)" + sql.substring(end))
+        // WITHIN DISTINCT forms lower through WithinDistinctSql (their
+        // SUM/AVG compute in DOUBLE; re-typing would break the parse)
+        if ("(?is)^\\s*WITHIN\\s+DISTINCT\\b".r.findFirstIn(masked.substring(end)).isEmpty) {
+          val call = sql.substring(m.start, end)
+          val sample = s"max($first)$overTxt"
+          return rewrite(sql.substring(0, m.start) +
+            s"agg_typed($call, $sample)" + sql.substring(end))
+        }
       }
     }
     sql

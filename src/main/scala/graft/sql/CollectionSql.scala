@@ -533,6 +533,19 @@ object CollectionSql {
     sb.append(sql.substring(last)).toString
   }
 
+  /** Whole-valued DECIMAL literals as ROWS frame bounds (`ROWS 2.00
+    * PRECEDING`, winagg.iq:307 — the reference accepts any exact
+    * numeric): Spark requires integer bounds, so the zero fraction
+    * drops. */
+  def rewriteRowsFrameDecimal(sql: String): String = {
+    val s1 = replaceMasked(sql,
+      "(?i)\\b(ROWS\\s+BETWEEN\\s+|ROWS\\s+)(\\d+)\\.0*\\s+(PRECEDING|FOLLOWING)".r)((m, o) =>
+      s"${o.substring(m.start(1), m.end(1))}${m.group(2)} ${m.group(3)}")
+    replaceMasked(s1,
+      "(?i)\\b(AND\\s+)(\\d+)\\.0*\\s+(PRECEDING|FOLLOWING)".r)((m, o) =>
+      s"${m.group(1)}${m.group(2)} ${m.group(3)}")
+  }
+
   /** JDBC interval-unit spellings in TIMESTAMPADD/TIMESTAMPDIFF
     * (SqlTimestampAddFunction — SQL_TSI_* unit keywords; Spark's own
     * timestampadd/diff take the bare unit names). FRAC_SECOND is the
@@ -554,7 +567,8 @@ object CollectionSql {
     val bags = SparkDialect.rewriteIsEmpty(SparkDialect.rewriteIsASet(
       SparkDialect.rewriteSubmultiset(SparkDialect.rewriteMultisetOps(
         rewriteBagAggs(collections)))))
-    rewritePi(rewriteOverlaps(rewriteTsiUnits(rewriteAggSpellings(rewriteCompositeCount(
-      rewriteFloorCeil(rewriteItem(rewriteLateralAlias(rewriteUnnest(bags)))))))))
+    rewriteRowsFrameDecimal(
+      rewritePi(rewriteOverlaps(rewriteTsiUnits(rewriteAggSpellings(rewriteCompositeCount(
+        rewriteFloorCeil(rewriteItem(rewriteLateralAlias(rewriteUnnest(bags))))))))))
   }
 }

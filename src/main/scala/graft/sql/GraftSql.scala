@@ -334,13 +334,15 @@ object GraftSql {
   private[graft] def rewrite(sql: String): String =
     Seq[String => String](
       TypesSql.expand,
-      MeasureSql.ddlRewrite, AsofSql.rewrite, SubqueryRewrites.apply,
+      MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
+      SubqueryRewrites.apply,
       rewriteDistinctOn, rewriteSelectBy, rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteRowCtor, rewriteTop,
       rewriteMysqlLimit,
       rewriteWindowTvf, rewriteExtend, rewriteDual, rewriteFetch,
       rewriteCastFormat, rewriteStarReplace, JsonAggSql.apply, rewriteJsonValue,
-      rewriteSafeCast, rewriteSimilarTo, rewriteQualify, rewriteUuid,
+      rewriteSafeCast, rewriteSimilarTo, rewriteQualify, rewriteWindowFilter,
+      rewriteUuid,
       rewriteBareTypes, rewriteDecimalLit, rewriteNullifFold,
       rewriteUnsignedCast, rewriteVariantOps, CollectionSql.apply,
       rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
@@ -1227,6 +1229,58 @@ object GraftSql {
       val not = if (m.group(2) != null) "NOT " else ""
       s"${not}similar_to(${m.group(1)}, ${origGroup(m, orig, 3)})"
     }
+  }
+
+  /** `agg(x) FILTER (WHERE p) OVER w` (SQL:2011 FILTER on a window
+    * aggregate — winagg.iq:1182, CALCITE-6442): Spark rejects FILTER on
+    * window functions, but for the null-ignoring aggregate family the
+    * clause is exactly a null-injecting CASE on each argument:
+    * `agg(CASE WHEN p THEN x END) OVER w`; `count(*)` counts a CASE'd
+    * constant. FILTER on a plain (non-window) aggregate passes through —
+    * Spark supports that natively. */
+  private[graft] def rewriteWindowFilter(sql: String): String = {
+    val masked = maskLiterals(sql)
+    for (m <- "(?is)\\bFILTER\\s*\\(\\s*WHERE\\b".r.findAllMatchIn(masked)) {
+      val fOpen = masked.indexOf('(', m.start)
+      val fClose = closeParen(masked, fOpen)
+      if (fClose > 0 &&
+          "(?is)^\\s*OVER\\b".r.findFirstIn(masked.substring(fClose + 1)).isDefined) {
+        var p = m.start - 1
+        while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+        if (p >= 0 && masked.charAt(p) == ')') {
+          var depth = 1
+          var i = p - 1
+          while (i >= 0 && depth > 0) {
+            val c = masked.charAt(i)
+            if (c == ')') depth += 1 else if (c == '(') depth -= 1
+            if (depth > 0) i -= 1
+          }
+          val aOpen = i
+          val fnOk = aOpen > 0 &&
+            "(?is)[A-Za-z_]\\w*\\s*$".r.findFirstIn(masked.substring(0, aOpen)).isDefined
+          if (fnOk) {
+            val pred = sql.substring(fOpen + 1, fClose).trim
+              .replaceFirst("(?is)^WHERE\\s+", "")
+            val rawArgs = sql.substring(aOpen + 1, p)
+            val lens = splitTopLevel(masked.substring(aOpen + 1, p)).map(_.length)
+            val starts = lens.scanLeft(0)((a, b) => a + b + 1).init
+            val args = starts.zip(lens).map { case (st, n) =>
+              rawArgs.substring(st, st + n).trim }
+            val newArgs =
+              if (args.length == 1 && args.head == "*") s"CASE WHEN $pred THEN 1 END"
+              else args.zipWithIndex.map { case (a, ix) =>
+                val dm = "(?is)^(DISTINCT|ALL)\\s+(.*)$".r.findFirstMatchIn(a)
+                  .filter(_ => ix == 0)
+                dm.map(d => s"${d.group(1)} CASE WHEN $pred THEN ${d.group(2)} END")
+                  .getOrElse(s"CASE WHEN $pred THEN $a END")
+              }.mkString(", ")
+            return rewriteWindowFilter(
+              sql.substring(0, aOpen + 1) + newArgs + ")" + sql.substring(fClose + 1))
+          }
+        }
+      }
+    }
+    sql
   }
 
   /** Lower QUALIFY (recursing into subqueries/CTEs first): everything up
