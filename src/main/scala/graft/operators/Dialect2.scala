@@ -87,9 +87,66 @@ object Dialect2 {
               FROM nation n2 WHERE n2.n_regionkey = n.n_regionkey) AS names
       FROM nation n ORDER BY n.n_nationkey"""))
 
+  /** SQL:2011 FILTER on a window aggregate (CALCITE-6442; Spark rejects
+    * the clause on window functions). GraftSql lowers it to the
+    * equivalent null-injecting CASE per argument, so the plan is a
+    * plain window over the l_orderkey shuffle — no extra pass. Sums
+    * stay in DECIMAL inside the frame (double association differs
+    * across engines), cast after. */
+  val q142_window_filter = Q(
+    (s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v142")
+      graft.sql.GraftSql.sql(s, """
+        SELECT l_orderkey, l_linenumber,
+               count(*) FILTER (WHERE l_quantity > 25)
+                 OVER (PARTITION BY l_orderkey) AS big_cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                      FILTER (WHERE l_discount > 0.05)
+                      OVER (PARTITION BY l_orderkey) AS DOUBLE) AS disc_qty
+        FROM lineitem_v142""")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             count(*) FILTER (WHERE l_quantity > 25)
+               OVER (PARTITION BY l_orderkey) AS big_cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                    FILTER (WHERE l_discount > 0.05)
+                    OVER (PARTITION BY l_orderkey) AS DOUBLE) AS disc_qty
+      FROM lineitem"""))
+
+  /** `agg(e) WITHIN DISTINCT (keys)` (CALCITE-4483): each order's
+    * totalprice counts ONCE per customer even though the join
+    * denormalizes it onto every line item — the canonical
+    * double-counting guard. The lowering (sql/WithinDistinctSql.scala)
+    * folds a group-local distinct pair set; per-group state is the
+    * distinct ORDER count per customer, bounded at any corpus scale. */
+  val q143_within_distinct = Q(
+    (s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_v143")
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v143")
+      graft.sql.GraftSql.sql(s, """
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                      WITHIN DISTINCT (o_orderkey) AS DOUBLE) AS order_rev,
+               CAST(COUNT(*) WITHIN DISTINCT (o_orderkey) AS BIGINT) AS n_orders
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice
+              FROM orders_v143 JOIN lineitem_v143 ON l_orderkey = o_orderkey)
+        GROUP BY o_custkey""")
+    },
+    Some("""
+      WITH de AS (
+        SELECT DISTINCT o_custkey, o_orderkey, o_totalprice
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS order_rev,
+             COUNT(*) AS n_orders
+      FROM de GROUP BY o_custkey"""))
+
   val all: Map[String, Q] = Map(
     "q138_session_tvf" -> q138_session_tvf,
     "q139_distinct_on" -> q139_distinct_on,
     "q140_select_by" -> q140_select_by,
-    "q141_listagg_over" -> q141_listagg_over)
+    "q141_listagg_over" -> q141_listagg_over,
+    "q142_window_filter" -> q142_window_filter,
+    "q143_within_distinct" -> q143_within_distinct)
 }

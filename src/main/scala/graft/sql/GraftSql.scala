@@ -1237,7 +1237,18 @@ object GraftSql {
     * clause is exactly a null-injecting CASE on each argument:
     * `agg(CASE WHEN p THEN x END) OVER w`; `count(*)` counts a CASE'd
     * constant. FILTER on a plain (non-window) aggregate passes through —
-    * Spark supports that natively. */
+    * Spark supports that natively. Only the true-aggregate family is
+    * lowered: FILTER on a navigation function (first_value/lead/rank...)
+    * is invalid SQL the reference rejects (winagg.iq:1320), so those
+    * pass through for Spark's own rejection. */
+  private val windowFilterAggs = Set(
+    "count", "sum", "avg", "min", "max", "every", "some", "any_value",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance", "covar_pop", "covar_samp", "corr", "bool_and", "bool_or",
+    "bit_and", "bit_or", "bit_xor", "collect_list", "collect_set",
+    "array_agg", "listagg", "string_agg", "regr_sxx", "regr_syy",
+    "regr_count", "regr_avgx", "regr_avgy")
+
   private[graft] def rewriteWindowFilter(sql: String): String = {
     val masked = maskLiterals(sql)
     for (m <- "(?is)\\bFILTER\\s*\\(\\s*WHERE\\b".r.findAllMatchIn(masked)) {
@@ -1257,7 +1268,8 @@ object GraftSql {
           }
           val aOpen = i
           val fnOk = aOpen > 0 &&
-            "(?is)[A-Za-z_]\\w*\\s*$".r.findFirstIn(masked.substring(0, aOpen)).isDefined
+            "(?is)[A-Za-z_]\\w*\\s*$".r.findFirstIn(masked.substring(0, aOpen))
+              .exists(f => windowFilterAggs.contains(f.trim.toLowerCase))
           if (fnOk) {
             val pred = sql.substring(fOpen + 1, fClose).trim
               .replaceFirst("(?is)^WHERE\\s+", "")
