@@ -163,6 +163,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit pruning:\n$p")
   }
 
+  test("q142 window FILTER: lowers to one keyed window, no second pass") {
+    val p = plan("q142_window_filter")
+    val specs = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p.toLowerCase).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("l_orderkey")),
+      s"window must partition on l_orderkey:\n$p")
+    // both FILTERed aggregates ride ONE Window operator over one
+    // exchange — the CASE lowering must not add a pass per aggregate
+    assert("(?s)Window".r.findAllIn(p).size <= 2, // Window + its spec echo
+      s"expected a single window pass:\n$p")
+  }
+
+  test("q143 within distinct: one aggregation exchange on the group key") {
+    val p = plan("q143_within_distinct")
+    // the distinct pair fold is group-local (objectHashAggregate over
+    // collect_list) — exactly one shuffle keyed on o_custkey feeds it,
+    // plus the join's own exchange; no cartesian or extra distinct pass
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join strategy:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.exists(_.contains("o_custkey")),
+      s"aggregation must shuffle on o_custkey:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = run("q01_pricing_summary").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
