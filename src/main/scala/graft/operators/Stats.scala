@@ -43,9 +43,10 @@ object Stats {
       ORDER BY c_mktsegment"""))
 
   /** APPROX_COUNT_DISTINCT (HLL, ref: SqlStdOperatorTable.java:1120;
-    * profile/ProfilerImpl.java:577 uses the same sketch family). Sketch
-    * estimates differ across engines → rows-only; the spec bounds the
-    * relative error against exact distinct. */
+    * profile/ProfilerImpl.java:577 uses the same sketch family). Spark's
+    * builtin sketch internals differ across engines → rows-only here;
+    * q144_hll_relational is the value-checked twin (same sketch math,
+    * deterministic, bit-exact against the DuckDB oracle). */
   val q18_approx_distinct = Q(
     (s, dir) => {
       T(s, dir, "lineitem")
@@ -137,9 +138,79 @@ object Stats {
             FROM orders GROUP BY o_orderpriority, o_orderstatus) t
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** HLL distinct-count sketch as pure relational algebra — the
+    * value-checked twin of q18/q66 (whose builtin sketches have
+    * engine-specific internals). The sketch here is fully
+    * deterministic, so the DuckDB oracle restates the ENTIRE pipeline
+    * and the estimates hash-match exactly: md5(key) → 60-bit hash →
+    * 6-bit bucket + 54-bit remainder → rho = leading-zero position →
+    * per-bucket MAX register → register sum as an exact BIGINT
+    * (Σ 2^(55-reg) — no float association anywhere) → one double
+    * division per group for the estimate, linear-counting fallback
+    * included (both engines branch on the same integers).
+    * Scale: identical to production HLL — per-group state is 64
+    * registers, partial max per bucket map-side, one shuffle. */
+  val q144_hll_relational = Q(
+    (s, dir) => {
+      T.registerViews(s, dir)
+      s.sql("""
+        WITH h AS (
+          SELECT l_returnflag AS flag,
+                 CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h,
+                 l_partkey
+          FROM lineitem),
+        r AS (
+          SELECT flag, shiftright(h, 54) AS bucket,
+                 MAX(CASE WHEN h % 18014398509481984 = 0 THEN 55
+                          ELSE instr(lpad(bin(h % 18014398509481984), 54, '0'), '1') END) AS reg
+          FROM h GROUP BY flag, shiftright(h, 54)),
+        srv AS (
+          SELECT flag, SUM(shiftleft(CAST(1 AS BIGINT), 55 - reg)) AS ssum,
+                 COUNT(*) AS nb
+          FROM r GROUP BY flag),
+        ex AS (
+          SELECT flag, COUNT(DISTINCT l_partkey) AS exact_parts FROM h GROUP BY flag)
+        SELECT srv.flag,
+               ROUND(CASE WHEN 2904.064e0 * 36028797018963968e0 / CAST(ssum AS DOUBLE) <= 160e0
+                           AND nb < 64
+                      THEN 64e0 * ln(64e0 / CAST(64 - nb AS DOUBLE))
+                      ELSE 2904.064e0 * 36028797018963968e0 / CAST(ssum AS DOUBLE) END, 4)
+                 AS approx_parts,
+               ex.exact_parts
+        FROM srv JOIN ex ON srv.flag = ex.flag
+        ORDER BY srv.flag""")
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_returnflag AS flag,
+               CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+               l_partkey
+        FROM lineitem),
+      r AS (
+        SELECT flag, h >> 54 AS bucket,
+               MAX(CASE WHEN h % 18014398509481984 = 0 THEN 55
+                        ELSE instr(lpad(bin(h % 18014398509481984), 54, '0'), '1') END) AS reg
+        FROM h GROUP BY flag, h >> 54),
+      srv AS (
+        SELECT flag, CAST(SUM(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS ssum,
+               COUNT(*) AS nb
+        FROM r GROUP BY flag),
+      ex AS (
+        SELECT flag, COUNT(DISTINCT l_partkey) AS exact_parts FROM h GROUP BY flag)
+      SELECT srv.flag,
+             ROUND(CASE WHEN 2904.064e0 * 36028797018963968e0 / CAST(ssum AS DOUBLE) <= 160e0
+                         AND nb < 64
+                    THEN 64e0 * ln(64e0 / CAST(64 - nb AS DOUBLE))
+                    ELSE 2904.064e0 * 36028797018963968e0 / CAST(ssum AS DOUBLE) END, 4)
+               AS approx_parts,
+             ex.exact_parts
+      FROM srv JOIN ex ON srv.flag = ex.flag
+      ORDER BY srv.flag"""))
+
   val all: Map[String, Q] = Map(
     "q17_stats_moments" -> q17_stats_moments,
     "q18_approx_distinct" -> q18_approx_distinct,
+    "q144_hll_relational" -> q144_hll_relational,
     "q19_percentiles" -> q19_percentiles,
     "q84_bool_aggs" -> q84_bool_aggs,
     "q85_bit_aggs" -> q85_bit_aggs,
