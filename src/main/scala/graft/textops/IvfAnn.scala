@@ -99,5 +99,105 @@ object IvfAnn {
     },
     None)
 
-  val all: Map[String, Q] = Map("d12_knn_ivf" -> d12_knn_ivf)
+  /** Lloyd's k-means as pure relational algebra on a quantized grid —
+    * the value-checked twin of the IVF/PQ training core (d12/d23 stay
+    * recall-gated because their float centroid means are
+    * order-dependent under shuffle). Here every step is exact integer
+    * arithmetic, so the DuckDB oracle restates the whole algorithm and
+    * the clustering hash-matches bit-exactly:
+    * coordinates quantize to round(x·1e6) BIGINTs; seeds are the 8
+    * lowest md5(vec_id) rows; assignment is argmin of the exact integer
+    * squared distance (ties to the lower cluster id); the centroid
+    * update floors the per-dimension integer mean. Two unrolled
+    * iterations. Scale: the (vec × dim) relation shuffles once per
+    * iteration on the cluster key; k·dim centroid rows broadcast —
+    * the same cost profile as d12's production trainer. */
+  val d38_kmeans_relational = Q(
+    (s, dir) => {
+      T.registerViews(s, dir)
+      s.sql("""
+        WITH q AS (
+          SELECT vec_id, pos, CAST(ROUND(CAST(el AS DOUBLE) * 1000000e0) AS BIGINT) AS qv
+          FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, el),
+        seeds AS (
+          SELECT vec_id, rn - 1 AS cl FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS rn
+            FROM embeddings) x WHERE rn <= 8),
+        c0 AS (
+          SELECT s.cl, q.pos, q.qv AS cv FROM seeds s JOIN q ON q.vec_id = s.vec_id),
+        a1 AS (
+          SELECT vec_id, cl FROM (
+            SELECT q.vec_id, c.cl,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rk
+            FROM q JOIN c0 c ON q.pos = c.pos
+            GROUP BY q.vec_id, c.cl) y WHERE rk = 1),
+        c1 AS (
+          SELECT a1.cl, q.pos,
+                 CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+          FROM a1 JOIN q ON q.vec_id = a1.vec_id GROUP BY a1.cl, q.pos),
+        a2 AS (
+          SELECT vec_id, cl FROM (
+            SELECT q.vec_id, c.cl,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rk
+            FROM q JOIN c1 c ON q.pos = c.pos
+            GROUP BY q.vec_id, c.cl) y WHERE rk = 1),
+        c2 AS (
+          SELECT a2.cl, q.pos,
+                 CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+          FROM a2 JOIN q ON q.vec_id = a2.vec_id GROUP BY a2.cl, q.pos),
+        agg AS (
+          SELECT cl, COUNT(*) AS n_members, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+          FROM a2 GROUP BY cl),
+        cs AS (
+          SELECT cl, CAST(SUM(ABS(cv)) AS BIGINT) AS centroid_l1 FROM c2 GROUP BY cl)
+        SELECT agg.cl, agg.n_members, agg.id_sum, cs.centroid_l1
+        FROM agg JOIN cs ON agg.cl = cs.cl
+        ORDER BY agg.cl""")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, i - 1 AS pos, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000e0) AS BIGINT) AS qv
+        FROM embeddings, range(1, 65) t(i)),
+      seeds AS (
+        SELECT vec_id, rn - 1 AS cl FROM (
+          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM embeddings) x WHERE rn <= 8),
+      c0 AS (
+        SELECT s.cl, q.pos, q.qv AS cv FROM seeds s JOIN q ON q.vec_id = s.vec_id),
+      a1 AS (
+        SELECT vec_id, cl FROM (
+          SELECT q.vec_id, c.cl,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rk
+          FROM q JOIN c0 c ON q.pos = c.pos
+          GROUP BY q.vec_id, c.cl) y WHERE rk = 1),
+      c1 AS (
+        SELECT a1.cl, q.pos,
+               CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        FROM a1 JOIN q ON q.vec_id = a1.vec_id GROUP BY a1.cl, q.pos),
+      a2 AS (
+        SELECT vec_id, cl FROM (
+          SELECT q.vec_id, c.cl,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rk
+          FROM q JOIN c1 c ON q.pos = c.pos
+          GROUP BY q.vec_id, c.cl) y WHERE rk = 1),
+      c2 AS (
+        SELECT a2.cl, q.pos,
+               CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        FROM a2 JOIN q ON q.vec_id = a2.vec_id GROUP BY a2.cl, q.pos),
+      agg AS (
+        SELECT cl, COUNT(*) AS n_members, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+        FROM a2 GROUP BY cl),
+      cs AS (
+        SELECT cl, CAST(SUM(ABS(cv)) AS BIGINT) AS centroid_l1 FROM c2 GROUP BY cl)
+      SELECT agg.cl, agg.n_members, agg.id_sum, cs.centroid_l1
+      FROM agg JOIN cs ON agg.cl = cs.cl
+      ORDER BY agg.cl"""))
+
+  val all: Map[String, Q] = Map(
+    "d12_knn_ivf" -> d12_knn_ivf,
+    "d38_kmeans_relational" -> d38_kmeans_relational)
 }
