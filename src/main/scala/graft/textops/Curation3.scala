@@ -89,7 +89,56 @@ object Curation3 {
       HAVING COUNT(*) >= 3
       ORDER BY n DESC, ngram LIMIT 20"""))
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * standard pre-training heuristic gate): word-count bounds, mean
+    * word length bounds, symbol-to-word ratio, alphabetic-word
+    * fraction, and a minimum stop-word count — each emitted as its own
+    * column plus the combined keep verdict, so downstream passes can
+    * audit WHICH rule fired. Every measure is an exact integer or a
+    * single integer division, so the verdicts compare identically in
+    * both engines. Scale: one row-local projection — no shuffle, no
+    * state; runs at scan speed on any corpus. */
+  val d39_gopher_rules = Q(
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        .map(w => s"'$w'").mkString(", ")
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          (expr("aggregate(w, 0, (a, x) -> a + length(x))").cast(DoubleType) /
+            size(col("w"))).as("mean_wlen"),
+          (regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(DoubleType) /
+            size(col("w"))).as("symbol_ratio"),
+          (expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast(DoubleType) /
+            size(col("w"))).as("alpha_frac"),
+          expr(s"size(filter(w, x -> lower(x) IN ($stop)))").cast("long").as("n_stop"))
+        .withColumn("keep",
+          col("n_words").between(50, 100000) &&
+            col("mean_wlen").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("alpha_frac") >= 0.8 &&
+            col("n_stop") >= 2)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_wlen,
+          CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(w) AS symbol_ratio,
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+          CAST(len(list_filter(w, x -> lower(x) IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS BIGINT) AS n_stop
+        FROM t)
+      SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac, n_stop,
+        (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+         AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+      FROM m ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "d36_temperature_mix" -> d36_temperature_mix,
-    "d37_ngram_audit" -> d37_ngram_audit)
+    "d37_ngram_audit" -> d37_ngram_audit,
+    "d39_gopher_rules" -> d39_gopher_rules)
 }
