@@ -335,7 +335,7 @@ object GraftSql {
     Seq[String => String](
       TypesSql.expand,
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
-      SubqueryRewrites.apply,
+      GroupingSetsSql.rewrite, SubqueryRewrites.apply,
       rewriteDistinctOn, rewriteSelectBy, rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteRowCtor, rewriteTop,
       rewriteMysqlLimit,

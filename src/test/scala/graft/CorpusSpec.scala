@@ -69,10 +69,6 @@ class CorpusSpec extends IqHarness {
     // EVERY, SQL_TSI_* units, ARRAY[..]/MAP[..] literals and 1-based ITEM
     // subscripts were construct-skips through round 6; they now lower via
     // sql/CollectionSql.scala + functions/FloorCeilTo.scala and run.
-    ("(?i)\\bgroup\\s+by\\s+.*\\b(rollup|cube)\\s*\\(.*\\)\\s*,",
-      "Mixed ROLLUP/CUBE with additional grouping keys after the group: Spark parses but groups differently pre-3.4 compat; covered by q11-q13."),
-    ("(?i)\\bgrouping\\s+sets\\s*\\(\\s*\\(",
-      "Nested-paren GROUPING SETS variants diverge in GROUP_ID numbering; GROUP_ID covered by q122."),
     ("(?i)\\bgroup_id\\s*\\(",
       "GROUP_ID() numbering under duplicate grouping sets is reference-specific; lowered variant covered by q122."),
     ("(?i)\\bposition\\s*\\(.*\\bfrom\\b",
@@ -117,9 +113,10 @@ class CorpusSpec extends IqHarness {
     val tupleIn = "struct-typed (a,b) IN list: Spark requires exact struct " +
       "field types (no coercion of NULL/int literals into DECIMAL fields); " +
       "row-value IN covered by q115-q118"
-    val ordinalLiteral = "reference default conformance reads GROUP BY <int> " +
-      "as a LITERAL grouping constant; Spark reads an ordinal and rejects " +
-      "aggregate select items (GROUP_BY_POS_AGGREGATE)"
+    // (former ordinalLiteral skips: the harness now runs with
+    // spark.sql.groupByOrdinal=false — the reference's default
+    // conformance reads GROUP BY <int> as a LITERAL constant, and the
+    // corpus's recorded outputs reflect that semantics everywhere)
     val decimalTrunc = "reference's DEFAULT decimal cast truncates toward " +
       "zero (RelDataTypeSystem rounding mode DOWN); Spark rounds HALF_UP — " +
       "divergence pinned in DecimalTypeSystemSpec, and the corpus's own " +
@@ -156,11 +153,6 @@ class CorpusSpec extends IqHarness {
         "group: same Spark exact-match restriction"),
       ("agg.iq", 3223) -> ("relies on non-ANSI silent int64 overflow " +
         "wraparound (+9223372036854775807 + 1); Spark (ANSI) raises"),
-      ("agg.iq", 999) -> ordinalLiteral,
-      ("agg.iq", 1012) -> ordinalLiteral,
-      ("agg.iq", 2379) -> ordinalLiteral,
-      ("agg.iq", 2422) -> ordinalLiteral,
-      ("agg.iq", 2465) -> ordinalLiteral,
       ("sub-query.iq", 76) -> ("references the hr catalog's emps (salary " +
         "column) — a third fixture schema used once in this corpus"),
       ("sub-query.iq", 104) -> existenceJoin,
@@ -482,9 +474,9 @@ class CorpusSpec extends IqHarness {
     ("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY|\\[INTERNAL_ERROR" +
       "|UNSUPPORTED_CORRELATED" +
       // windows: Spark requires ORDER BY where the reference defaults to
-      // arbitrary order, and has no FILTER on window aggregates yet
+      // arbitrary order (FILTER on window aggregates now lowers via
+      // GraftSql.rewriteWindowFilter, so that class is no longer a limit)
       "|requires window to be ordered" +
-      "|Window aggregate function with filter predicate" +
       // Spark has no TIME type, no UNION-distinct recursion (its own
       // error says "not yet supported"), and DISTINCT + ORDER BY on a
       // non-selected expression is rejected by its analyzer
@@ -502,7 +494,11 @@ class CorpusSpec extends IqHarness {
     val failures = ArrayBuffer.empty[String]
     val engineLimits = ArrayBuffer.empty[String]
     registerHr() // hr_-prefixed; never clobbered by the use-switching below
-    for (fn <- corpusFiles) {
+    // reference default conformance: GROUP BY <int> is a LITERAL
+    // grouping constant, not an ordinal (SqlConformance.isGroupByOrdinal
+    // = false) — the corpus's recorded outputs assume that everywhere
+    spark.conf.set("spark.sql.groupByOrdinal", "false")
+    try for (fn <- corpusFiles) {
       val cases = parseIq(new java.io.File(refSqlDir, fn))
         .filter(c => c.ddl || c.use == "scott" || c.use == "post" ||
           c.use == "blank" || c.use == "sparkfunc" ||
@@ -550,6 +546,7 @@ class CorpusSpec extends IqHarness {
         }
       }
     }
+    finally spark.conf.unset("spark.sql.groupByOrdinal")
     createdTables.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     info(s"corpus: $pass passed, $skippedConstruct construct-skips, " +
       s"$skippedCase case-skips, ${engineLimits.size} engine-limits, ${failures.size} failures")
@@ -561,14 +558,14 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1395, s"corpus coverage dropped: $pass passing (floor 1395)")
-    // 42 decorrelator/window/TIME limits + LATERAL-correlation and
-    // correlated-avg subquery shapes surfaced when the lateral( and
-    // avg-family construct-skips were lifted (same decorrelator classes);
-    // the 5 FILTER-on-window-aggregate cases lowered via
-    // GraftSql.rewriteWindowFilter in round 6
-    assert(engineLimits.size <= 46,
-      s"Spark-limitation count grew: ${engineLimits.size} (was 46) — a rewrite regressed")
+    assert(pass >= 1419, s"corpus coverage dropped: $pass passing (floor 1419)")
+    // decorrelator/window/TIME limits + LATERAL-correlation and
+    // correlated-avg subquery shapes surfaced as construct-skips were
+    // lifted (lateral(, avg-family, grouping-sets families — all the
+    // same Spark decorrelator classes); FILTER-on-window-aggregate
+    // lowered via GraftSql.rewriteWindowFilter in round 6
+    assert(engineLimits.size <= 47,
+      s"Spark-limitation count grew: ${engineLimits.size} (was 47) — a rewrite regressed")
   }
 
   /** The corpora's `!error` cases: statements the reference REJECTS
