@@ -18,7 +18,173 @@ import GraftSql.{closeParen, maskLiterals, splitTopLevel}
 object GroupingSetsSql {
 
   def rewrite(sql: String): String =
-    rewriteMixedEmpty(rewriteDistinct(flattenNested(sql)))
+    rewriteGroupingFns(
+      rewriteGroupId(rewriteMixedEmpty(rewriteDistinct(flattenNested(sql)))))
+
+  /** GROUPING_ID(args...) → weighted sum of single-column GROUPING()
+    * calls (identical semantics in both engines: Σ grouping(ci)·2^(n-1-i))
+    * — Spark otherwise requires the argument list to match the grouping
+    * columns exactly, where the reference allows any subset and order
+    * (agg.iq:784, :907). An argument that appears in NO grouping set of
+    * the query is aggregated on every row, so its GROUPING() is the
+    * constant 1 (agg.iq:4123, :4180). Single-SELECT statements only
+    * (one top-level GROUP BY). */
+  private[sql] def rewriteGroupingFns(sql: String): String = {
+    val masked = maskLiterals(sql)
+    if ("(?is)\\bgrouping(_id)?\\s*\\(".r.findFirstIn(masked).isEmpty) return sql
+    val gbs = "(?is)\\bGROUP\\s+BY\\s".r.findAllMatchIn(masked).toSeq
+    if (gbs.length != 1) return sql
+    val universe = {
+      val end = clauseEnd(masked, gbs.head.end)
+      splitElems(sql, masked, gbs.head.end, end)
+        .flatMap { case (t, mt) => expand(t, mt) }
+        .flatten.map(norm).toSet
+    }
+    // forward scan: emit processed text to `sb`, never re-scan it
+    val sb = new StringBuilder
+    var rest = sql
+    var more = true
+    while (more) {
+      val m0 = maskLiterals(rest)
+      "(?is)\\bgrouping(_id)?\\s*\\(".r.findFirstMatchIn(m0) match {
+        case None =>
+          sb.append(rest); more = false
+        case Some(call) =>
+          val open = m0.indexOf('(', call.start)
+          val close = closeParen(m0, open)
+          if (close < 0) { sb.append(rest); more = false }
+          else {
+            val args = splitElems(rest, m0, open + 1, close).map(_._1)
+            val isId = call.group(1) != null
+            val rep =
+              if (!isId && args.length == 1) {
+                if (universe.contains(norm(args.head))) s"grouping(${args.head})" else "1"
+              } else {
+                val terms = args.zipWithIndex.map { case (a, ix) =>
+                  val w = 1 << (args.length - 1 - ix)
+                  val g = if (universe.contains(norm(a))) s"grouping($a)" else "1"
+                  if (w == 1) g else s"$g * $w"
+                }
+                if (terms.length == 1) terms.head else terms.mkString("(", " + ", ")")
+              }
+            sb.append(rest.substring(0, call.start)).append(rep)
+            rest = rest.substring(close + 1)
+          }
+      }
+    }
+    sb.toString
+  }
+
+  private def norm(e: String): String =
+    e.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  /** GROUP_ID() (reference SqlStdOperatorTable GROUP_ID, agg.iq:783):
+    * numbers duplicate occurrences of the same grouping set 0..k-1.
+    * With no duplicate sets the call is the constant 0. With duplicates
+    * the query lowers to a UNION ALL over the multiplicity levels —
+    * copy i keeps the sets occurring more than i times and replaces
+    * GROUP_ID() with literal i (exactly the reference's expansion in
+    * AggregateExpandDistinctAggregatesRule's GROUP_ID lowering). The
+    * trailing ORDER BY moves outside the union. GROUP_ID() outside an
+    * aggregate query stays unresolved so the analyzer rejects it, as
+    * the reference's validator does (agg.iq:1060). */
+  private def rewriteGroupId(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val gidRe = "(?is)\\bgroup_id\\s*\\(\\s*\\)".r
+    if (gidRe.findFirstIn(masked).isEmpty) return sql
+    val gb = "(?is)\\bGROUP\\s+BY\\s".r.findFirstMatchIn(masked) match {
+      case Some(m) => m
+      case None =>
+        // aggregate query without GROUP BY → one global group, id 0;
+        // non-aggregate → leave unresolved (validator error contract).
+        // The replacement keeps the query an AGGREGATE query
+        // (agg.iq:1089: GROUP BY () over empty input must still emit
+        // its one global group) — a bare literal 0 would demote it.
+        val isAgg = "(?is)\\b(sum|count|avg|min|max|stddev|var_pop|var_samp|every|some)\\s*\\(".r
+          .findFirstIn(masked).isDefined
+        return if (isAgg) gidRe.replaceAllIn(sql, "coalesce(min(0), 0)") else sql
+    }
+    val end = clauseEnd(masked, gb.end)
+    val elems = splitElems(sql, masked, gb.end, end)
+    val tuples = elems.map { case (t, mt) => expand(t, mt) }
+      .foldLeft(Seq(Seq.empty[String])) { (acc, sets) =>
+        for (a <- acc; b <- sets) yield a ++ b
+      }
+    // multiplicity by column SET (the reference keys duplicates by the
+    // group's bitmap, not the tuple order)
+    val byKey = scala.collection.mutable.LinkedHashMap.empty[Set[String], (Seq[String], Int)]
+    tuples.foreach { tup =>
+      val k = tup.distinct.toSet
+      byKey(k) = byKey.get(k).map { case (t, n) => (t, n + 1) }.getOrElse((tup, 1))
+    }
+    val maxMult = byKey.values.map(_._2).max
+    if (maxMult == 1) return gidRe.replaceAllIn(sql, "coalesce(min(0), 0)")
+    // trailing top-level ORDER BY moves outside the UNION ALL
+    val ob = "(?is)\\bORDER\\s+BY\\s".r.findAllMatchIn(masked)
+      .filter(m => masked.substring(0, m.start).count(_ == '(') ==
+        masked.substring(0, m.start).count(_ == ')'))
+      .toSeq.lastOption
+    val (body, orderTxt) = ob match {
+      case Some(o) => (sql.substring(0, o.start), " " + sql.substring(o.start).trim)
+      case None => (sql, "")
+    }
+    val allCols = tuples.flatten.map(c => norm(c) -> c).toMap
+    val branches = (0 until maxMult).map { i =>
+      val kept = byKey.values.filter(_._2 > i).map(_._1).toSeq
+      val sets = kept.map(t => if (t.isEmpty) "()" else t.mkString("(", ", ", ")"))
+      val gbTxt = "GROUP BY GROUPING SETS (" + sets.mkString(", ") + ") "
+      val b0 = body.substring(0, gb.start) + gbTxt +
+        body.substring(math.min(end, body.length))
+      val b1 = gidRe.replaceAllIn(b0, i.toString)
+      // the branch is a single-GROUP-BY statement again: lower its
+      // grouping()/grouping_id() calls against the BRANCH's universe
+      // (columns of the full query that this branch never groups are
+      // aggregated on every row → constant 1)
+      val b2 = rewriteGroupingFns(b1)
+      // select-list references to columns this branch never groups are
+      // NULL in every row of the branch (the reference's expansion)
+      val branchCols = kept.flatten.map(norm).toSet
+      val missing = (allCols.keySet -- branchCols).toSeq.map(allCols)
+      nullOutMissing(b2, missing)
+    }
+    branches.mkString("\nUNION ALL\n") + orderTxt
+  }
+
+  /** Replace whole select items that are exactly one of `missing` with
+    * NULL (keeping the alias, or aliasing a simple identifier by its
+    * own name so the union keeps branch-0 column names). */
+  private def nullOutMissing(branch: String, missing: Seq[String]): String = {
+    if (missing.isEmpty) return branch
+    val missingNorm = missing.map(norm).toSet
+    val m0 = maskLiterals(branch)
+    val sel = "(?is)^\\s*SELECT\\s".r.findFirstMatchIn(m0).getOrElse(return branch)
+    var i = sel.end
+    var depth = 0
+    var from = -1
+    while (i < m0.length && from < 0) {
+      val c = m0.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == 'F' || c == 'f') &&
+          m0.regionMatches(true, i, "FROM", 0, 4) &&
+          !m0.charAt(i - 1).isLetterOrDigit &&
+          (i + 4 >= m0.length || !m0.charAt(i + 4).isLetterOrDigit)) from = i
+      i += 1
+    }
+    if (from < 0) return branch
+    val items = splitElems(branch, m0, sel.end, from)
+    val rebuilt = items.map { case (txt, _) =>
+      val asM = "(?is)\\s+as\\s+([A-Za-z_]\\w*)\\s*$".r.findFirstMatchIn(txt)
+      val exprTxt = asM.map(a => txt.substring(0, a.start)).getOrElse(txt)
+      if (missingNorm.contains(norm(exprTxt)))
+        "NULL" + asM.map(a => txt.substring(a.start)).getOrElse {
+          val t = exprTxt.trim
+          if ("^[A-Za-z_][\\w.]*$".r.matches(t)) " AS " + t.split('.').last else ""
+        }
+      else txt
+    }
+    branch.substring(0, sel.end) + rebuilt.mkString(", ") + " " + branch.substring(from)
+  }
 
   /** `GROUP BY job, GROUPING SETS (...), ()` — a bare `()` element (or a
     * second GROUPING SETS) next to other grouping elements is valid in
