@@ -196,6 +196,11 @@ object CollectionSql {
               if (cols.isEmpty) Some(s"(SELECT inline($arg))$aliasSuffix")
               else Some(s"(SELECT ${named(cols.indices.map(i => s"col${i + 1}"), cols)} " +
                 s"FROM (SELECT inline($arg)) ${g}i)$aliasSuffix")
+            } else if (cols.nonEmpty) {
+              // ordinal is the LAST alias; the rest are struct fields
+              val fields = (0 until cols.length - 1).map(i => s"col.col${i + 1}")
+              Some(s"(SELECT ${named(fields :+ "pos + 1", cols)} " +
+                s"FROM (SELECT posexplode($arg)) ${g}i)$aliasSuffix")
             } else None
           case "subq" =>
             // flatten each row's collection; ordinality resets per row.

@@ -333,7 +333,7 @@ object GraftSql {
 
   private[graft] def rewrite(sql: String): String =
     Seq[String => String](
-      TypesSql.expand,
+      TypesSql.expand, TypesSql.rewriteCastRow,
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
       GroupingSetsSql.rewrite, SubqueryRewrites.apply,
       rewriteDistinctOn, rewriteSelectBy, rewriteExclude,

@@ -139,6 +139,40 @@ object TypesSql {
   /** Rewrite registered type names inside a statement:
     * constructor calls first (innermost resolve on later passes), then
     * bare names in type position. No-op when no type is registered. */
+  /** `CAST(x AS ROW(a T, b T))` (SQL-standard row type in a cast
+    * position — unnest.iq:635, cast.iq:2049): Spark spells the same
+    * type `STRUCT<a: T, ...>`. Fields translate through [[expandType]]
+    * (nested ROW recurses, CHAR(n)→STRING, NOT NULL dropped). Applies
+    * to every `AS ROW(...)` type position — the token sequence cannot
+    * occur as a value expression. */
+  def rewriteCastRow(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val m = "(?is)\\bAS\\s+(ROW)\\s*\\(".r.findFirstMatchIn(masked)
+      .getOrElse(return sql)
+    val open = masked.indexOf('(', m.start(1))
+    val close = GraftSql.closeParen(masked, open)
+    if (close < 0) return sql
+    // `CAST(NULL AS ROW(...))` takes Spark's POSITIONAL field names
+    // (col1..colN) so it unifies with bare ROW(..) value constructors
+    // inside one ARRAY[..] literal (unnest.iq:633 — Spark requires
+    // array elements to agree on struct field NAMES, the reference
+    // only on types); a cast of a real row value keeps declared names.
+    val nullOperand = "(?is)CAST\\s*\\(\\s*NULL\\s+AS\\s*$".r
+      .findFirstIn(masked.substring(0, m.start(1))).isDefined
+    val body = sql.substring(open + 1, close)
+    val struct =
+      if (nullOperand) {
+        val fields = splitTop(body, '(', ')', ',', angles = true).zipWithIndex.map {
+          case (f, i) =>
+            val cleaned = f.trim.replaceAll("(?i)\\s+NOT\\s+NULL$", "").replaceAll("(?i)\\s+NULL$", "")
+            val t = cleaned.split("\\s+", 2)(1)
+            s"col${i + 1}: ${expandType(t)}"
+        }
+        s"STRUCT<${fields.mkString(", ")}>"
+      } else expandType(sql.substring(m.start(1), close + 1))
+    sql.substring(0, m.start(1)) + struct + rewriteCastRow(sql.substring(close + 1))
+  }
+
   def expand(sql0: String): String = {
     if (registry.isEmpty) return sql0
     var sql = expandMapTypes(sql0)
