@@ -30,16 +30,51 @@ object GroupingSetsSql {
     * constant 1 (agg.iq:4123, :4180). Single-SELECT statements only
     * (one top-level GROUP BY). */
   private[sql] def rewriteGroupingFns(sql: String): String = {
-    val masked = maskLiterals(sql)
-    if ("(?is)\\bgrouping(_id)?\\s*\\(".r.findFirstIn(masked).isEmpty) return sql
-    val gbs = "(?is)\\bGROUP\\s+BY\\s".r.findAllMatchIn(masked).toSeq
+    val masked0 = maskLiterals(sql)
+    if ("(?is)\\bgrouping(_id)?\\s*\\(".r.findFirstIn(masked0).isEmpty) return sql
+    // process each top-level set-operation branch independently — a
+    // UNION ALL of grouped selects has one GROUP BY per branch
+    // (agg.iq's manual GROUP_ID-equivalence unions)
+    val setOp = "(?is)\\b(UNION\\s+ALL|UNION|INTERSECT|EXCEPT)\\b".r
+    val topOps = setOp.findAllMatchIn(masked0).filter { m =>
+      val pre = masked0.substring(0, m.start)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }.toSeq
+    if (topOps.nonEmpty) {
+      val bounds = (0 +: topOps.map(_.end)).zip(topOps.map(_.start) :+ sql.length)
+      val parts = bounds.map { case (a, b) => sql.substring(a, b) }
+      val ops = topOps.map(m => sql.substring(m.start, m.end))
+      return parts.map(rewriteGroupingFns).zipAll(ops, "", "")
+        .map { case (p, o) => p + o }.mkString
+    }
+    val masked = masked0
+    // a grouping call inside a SUBQUERY would be lowered against the
+    // wrong universe — leave those statements alone
+    for (m <- "(?is)\\(\\s*(SELECT|WITH)\\b".r.findAllMatchIn(masked)) {
+      val close = closeParen(masked, m.start)
+      if (close > 0 && "(?is)\\bgrouping(_id)?\\s*\\(".r
+          .findFirstIn(masked.substring(m.start, close)).isDefined) return sql
+    }
+    val gbs = "(?is)\\bGROUP\\s+BY\\s".r.findAllMatchIn(masked).filter { m =>
+      val pre = masked.substring(0, m.start)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }.toSeq
     if (gbs.length != 1) return sql
-    val universe = {
+    val gbElems = {
       val end = clauseEnd(masked, gbs.head.end)
       splitElems(sql, masked, gbs.head.end, end)
-        .flatMap { case (t, mt) => expand(t, mt) }
-        .flatten.map(norm).toSet
     }
+    // flatten composite tuple elements — rollup(a, (b, c)) grounds b
+    // and c individually (agg.iq:1116)
+    val universe = gbElems.flatMap { case (t, mt) => expand(t, mt) }
+      .flatten.flatMap(e => if (e.trim.startsWith("(")) cols(e) else Seq(e))
+      .map(norm).toSet
+    // a PLAIN GROUP BY (no CUBE/ROLLUP/GROUPING SETS element) never
+    // aggregates a grouping column away: grouping(x) is the constant 0
+    // for grouped x (agg.iq:731 — Spark instead rejects grouping()
+    // outside grouping-sets queries), 1 for never-grouped x
+    val hasSets = gbElems.exists(e =>
+      "(?is)^(CUBE|ROLLUP|GROUPING\\s+SETS)\\s*\\(".r.findFirstIn(e._2).isDefined)
     // forward scan: emit processed text to `sb`, never re-scan it
     val sb = new StringBuilder
     var rest = sql
@@ -56,16 +91,21 @@ object GroupingSetsSql {
           else {
             val args = splitElems(rest, m0, open + 1, close).map(_._1)
             val isId = call.group(1) != null
+            def single(a: String): String =
+              if (!universe.contains(norm(a))) "1"
+              else if (!hasSets) "0"
+              else s"grouping($a)"
             val rep =
-              if (!isId && args.length == 1) {
-                if (universe.contains(norm(args.head))) s"grouping(${args.head})" else "1"
-              } else {
+              if (!isId && args.length == 1) single(args.head)
+              else {
                 val terms = args.zipWithIndex.map { case (a, ix) =>
                   val w = 1 << (args.length - 1 - ix)
-                  val g = if (universe.contains(norm(a))) s"grouping($a)" else "1"
+                  val g = single(a)
                   if (w == 1) g else s"$g * $w"
                 }
-                if (terms.length == 1) terms.head else terms.mkString("(", " + ", ")")
+                if (terms.length == 1) terms.head
+                else if (terms.forall(t => t == "0" || t.startsWith("0 ") || t.startsWith("0*") || t.startsWith("0 *"))) "0"
+                else terms.mkString("(", " + ", ")")
               }
             sb.append(rest.substring(0, call.start)).append(rep)
             rest = rest.substring(close + 1)

@@ -136,15 +136,9 @@ class CorpusSpec extends IqHarness {
       "none, because no commission decreases along the DESC sequence"
     Map(
       ("agg.iq", 31) -> "duplicate of line-21 case (same SQL, kept once)",
-      ("agg.iq", 850) -> ("grouping(deptno) in ORDER BY after plain rollup: " +
-        "Spark resolves grouping() only inside the aggregate's select list"),
-      ("agg.iq", 731) -> ("grouping() with a plain GROUP BY (constant 0 in " +
-        "the reference); Spark requires grouping sets"),
-      ("agg.iq", 4227) -> "same grouping()-outside-grouping-sets divergence",
-      ("agg.iq", 870) -> ("grouping_id over a duplicated column: Spark " +
-        "requires grouping_id args to match grouping columns exactly"),
-      ("agg.iq", 1116) -> ("grouping_id over a subset of a composite rollup " +
-        "group: same Spark exact-match restriction"),
+      ("agg.iq", 850) -> ("grouping(deptno) in ORDER BY after rollup with " +
+        "deptno absent from the select list: Spark's sort resolution " +
+        "cannot reach the aggregate's grouping metadata there"),
       ("agg.iq", 3223) -> ("relies on non-ANSI silent int64 overflow " +
         "wraparound (+9223372036854775807 + 1); Spark (ANSI) raises"),
       ("sub-query.iq", 76) -> ("references the hr catalog's emps (salary " +
@@ -552,7 +546,7 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1446, s"corpus coverage dropped: $pass passing (floor 1446)")
+    assert(pass >= 1450, s"corpus coverage dropped: $pass passing (floor 1450)")
     // decorrelator/window/TIME limits + LATERAL-correlation and
     // correlated-avg subquery shapes surfaced as construct-skips were
     // lifted (lateral(, avg-family, grouping-sets families — all the
