@@ -337,7 +337,8 @@ object GraftSql {
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
       GroupingSetsSql.rewrite, SubqueryRewrites.apply,
       rewriteDistinctOn, rewriteSelectBy, rewriteExclude,
-      rewriteRowCompare, rewriteRowNullCheck, rewriteRowCtor, rewriteTop,
+      rewriteRowCompare, rewriteRowNullCheck, rewriteTupleInList,
+      rewriteRowCtor, rewriteTop,
       rewriteMysqlLimit,
       rewriteWindowTvf, rewriteExtend, rewriteDual, rewriteFetch,
       rewriteCastFormat, rewriteStarReplace, JsonAggSql.apply, rewriteJsonValue,
@@ -348,6 +349,72 @@ object GraftSql {
       rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
       rewritePivotAlias, rewriteUnpivotLabel
     ).foldLeft(sql)((s, f) => f(s))
+
+  /** `(a, b) [NOT] IN ((x1, y1), ...)` over a LITERAL tuple list
+    * (sub-query.iq:4325): Spark's struct-typed IN requires exact field
+    * types (no per-field coercion of NULL/int literals into DECIMAL),
+    * so the row IN expands to the ANSI-equivalent OR of pairwise
+    * conjunctions — `(a = x1 AND b = y1) OR ...` — whose scalar
+    * comparisons coerce individually and whose 3VL composition is
+    * identical (FALSE AND UNKNOWN = FALSE; OR yields UNKNOWN only with
+    * no TRUE). Subquery RHS passes through untouched. */
+  private[graft] def rewriteTupleInList(sql: String): String = {
+    val masked = maskLiterals(sql)
+    for (m <- "(?is)\\)\\s*(NOT\\s+)?IN\\s*\\(".r.findAllMatchIn(masked)) {
+      val rOpen = masked.indexOf('(', m.end - 1)
+      val rClose = closeParen(masked, rOpen)
+      val firstIn = masked.substring(rOpen + 1, if (rClose > 0) rClose else masked.length).trim
+      if (rClose > 0 && firstIn.startsWith("(")) {
+        // LHS tuple: the ')' at m.start closes it
+        var depth = 1
+        var i = m.start - 1
+        while (i >= 0 && depth > 0) {
+          val c = masked.charAt(i)
+          if (c == ')') depth += 1 else if (c == '(') depth -= 1
+          if (depth > 0) i -= 1
+        }
+        val lOpen = i
+        // must be a bare tuple, not a function call or subquery: a
+        // preceding identifier makes it a call UNLESS it's a keyword
+        val isCall = lOpen > 0 && {
+          val before = masked.substring(0, lOpen)
+          val word = "(?is)([A-Za-z_]\\w*)\\s*$".r.findFirstMatchIn(before).map(_.group(1).toUpperCase)
+          val kw = Set("WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN",
+            "ELSE", "CASE", "SELECT", "HAVING", "BY", "ALL", "ANY", "SOME",
+            "IN", "IS", "LIKE", "BETWEEN", "JOIN", "FROM", "AS", "END")
+          word.map(!kw.contains(_)).getOrElse(
+            "(?is)[`\\)\\d]\\s*$".r.findFirstIn(before).isDefined)
+        }
+        if (lOpen >= 0 && !isCall) {
+          val lhs = splitElemsOf(sql, masked, lOpen + 1, m.start)
+          val rhsTuples = splitElemsOf(sql, masked, rOpen + 1, rClose)
+          val allTuples = rhsTuples.forall(_.trim.startsWith("("))
+          if (lhs.length >= 2 && allTuples) {
+            val tuples = rhsTuples.map { t =>
+              val tm = maskLiterals(t)
+              splitElemsOf(t, tm, tm.indexOf('(') + 1, closeParen(tm, tm.indexOf('(')))
+            }
+            if (tuples.forall(_.length == lhs.length)) {
+              val ors = tuples.map(vals =>
+                lhs.zip(vals).map { case (l, v) => s"($l) = ($v)" }
+                  .mkString("(", " AND ", ")"))
+                .mkString("(", " OR ", ")")
+              val not = if (m.group(1) != null) "NOT " else ""
+              return rewriteTupleInList(
+                sql.substring(0, lOpen) + not + ors + sql.substring(rClose + 1))
+            }
+          }
+        }
+      }
+    }
+    sql
+  }
+
+  private def splitElemsOf(sql: String, masked: String, from: Int, to: Int): Seq[String] = {
+    val lens = splitTopLevel(masked.substring(from, to)).map(_.length)
+    val starts = lens.scanLeft(0)((a, b) => a + b + 1).init
+    starts.zip(lens).map { case (st, n) => sql.substring(from + st, from + st + n).trim }
+  }
 
   /** Single-field row comparison `ROW(a) <op> ROW(b)` (misc.iq:165) —
     * unwrap to the scalar comparison so Spark's implicit coercions apply

@@ -154,11 +154,6 @@ class CorpusSpec extends IqHarness {
         "IN-subquery predicate; Spark's grammar needs (pred) IS NULL"),
       ("sub-query.iq", 2337) -> "same unparenthesized IN ... IS UNKNOWN shape",
       ("sub-query.iq", 2711) -> "same unparenthesized IN ... IS UNKNOWN shape",
-      ("sub-query.iq", 4325) -> tupleIn,
-      ("sub-query.iq", 4363) -> tupleIn,
-      ("sub-query.iq", 4384) -> tupleIn,
-      ("sub-query.iq", 5424) -> tupleIn,
-      ("sub-query.iq", 5465) -> tupleIn,
       ("sub-query.iq", 4812) -> nestedCorr,
       ("sub-query.iq", 4841) -> nestedCorr,
       ("sub-query.iq", 4865) -> nestedCorr,
@@ -546,7 +541,7 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1450, s"corpus coverage dropped: $pass passing (floor 1450)")
+    assert(pass >= 1455, s"corpus coverage dropped: $pass passing (floor 1455)")
     // decorrelator/window/TIME limits + LATERAL-correlation and
     // correlated-avg subquery shapes surfaced as construct-skips were
     // lifted (lateral(, avg-family, grouping-sets families — all the
