@@ -336,7 +336,8 @@ object GraftSql {
       TypesSql.expand, TypesSql.rewriteCastRow,
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
       GroupingSetsSql.rewrite, SubqueryRewrites.apply,
-      rewriteDistinctOn, rewriteSelectBy, rewriteExclude,
+      rewriteDistinctOn, rewriteSelectBy, UnpivotTupleSql.rewrite,
+      rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteTupleInList,
       rewriteRowCtor, rewriteTop,
       rewriteMysqlLimit,

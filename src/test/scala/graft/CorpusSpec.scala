@@ -79,8 +79,6 @@ class CorpusSpec extends IqHarness {
       "TRANSLATE ... USING translation syntax not in Spark."),
     ("(?i)\\bcursor\\s*\\(|\\btable\\s*\\(\\s*ramp",
       "CURSOR/TABLE(ramp()) table-function plumbing is reference-internal test machinery."),
-    ("(?i)\\bas\\s*\\(\\s*'",
-      "Tuple labels in UNPIVOT IN-lists ((c1,c2) AS ('CLERK', 10)): Spark's UNPIVOT aliases are single identifiers."),
     ("(?i)\\bextract\\s*\\(\\s*(isodow|isoyear|decade|century|millennium|epoch)",
       "EXTRACT units beyond Spark's grammar (isodow/decade/...)."),
     ("(?i)\\b(week|dayofyear|dayofweek|dayofmonth)\\s*\\(|extract\\s*\\(\\s*(week|doy|dow)\\b",
@@ -378,6 +376,10 @@ class CorpusSpec extends IqHarness {
       ("pivot.iq", 240) -> duplicatePivotValue,
       ("pivot.iq", 253) -> duplicatePivotValue,
       ("pivot.iq", 78) -> pivotCountZero,
+      ("pivot.iq", 379) -> (pivotCountZero + " (here the NULL-vs-0 cells " +
+        "also feed the UNPIVOT EXCLUDE NULLS filter, dropping the rows)"),
+      ("pivot.iq", 484) -> pivotCountZero,
+      ("pivot.iq", 520) -> pivotCountZero,
       ("pivot.iq", 95) -> ("Spark's single-aggregate pivot drops the " +
         "aggregate alias from the generated columns (10, not 10_COUNT), " +
         "so the reference's \"10_COUNT\" reference cannot resolve"),
@@ -541,7 +543,7 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1455, s"corpus coverage dropped: $pass passing (floor 1455)")
+    assert(pass >= 1456, s"corpus coverage dropped: $pass passing (floor 1456)")
     // decorrelator/window/TIME limits + LATERAL-correlation and
     // correlated-avg subquery shapes surfaced as construct-skips were
     // lifted (lateral(, avg-family, grouping-sets families — all the
