@@ -1,0 +1,110 @@
+package graft
+
+import graft.sql.GraftSql
+
+/** Product-level gates for the round-6 SQL surfaces (corpus-independent
+  * of the reference checkout): WITHIN DISTINCT, FILTER on window
+  * aggregates, grouping-set completion (GROUP BY DISTINCT, GROUP_ID,
+  * subset GROUPING_ID), row-tuple IN lists, CAST AS ROW types, and
+  * UNPIVOT tuple labels.
+  */
+class SqlSurfaces6Spec extends SparkSpec {
+
+  private def sql1(q: String) = GraftSql.sql(spark, q).collect()
+
+  test("WITHIN DISTINCT dedupes per key set and raises the FD error") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW wd AS SELECT * FROM VALUES
+      (1, 10, 100.0), (1, 10, 100.0), (1, 20, 50.0), (2, 30, 70.0)
+      AS t(g, k, v)""")
+    val r = sql1(
+      "SELECT g, SUM(v) WITHIN DISTINCT (k) AS s FROM wd GROUP BY g ORDER BY g")
+    assert(r.map(x => (x.getInt(0), x.get(1).toString.toDouble)).toSeq ==
+      Seq((1, 150.0), (2, 70.0)))
+    // v not functionally dependent on k within the group -> error
+    spark.sql("""CREATE OR REPLACE TEMP VIEW wd2 AS SELECT * FROM VALUES
+      (1, 10, 100.0), (1, 10, 200.0) AS t(g, k, v)""")
+    val e = intercept[Exception] {
+      sql1("SELECT g, SUM(v) WITHIN DISTINCT (k) AS s FROM wd2 GROUP BY g")
+    }
+    assert(e.getMessage.contains("more than one distinct value"))
+  }
+
+  test("FILTER on a window aggregate lowers; navigation functions still reject") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW wf AS SELECT * FROM VALUES
+      (1, 10), (1, 25), (2, 5), (2, 40) AS t(g, v)""")
+    val r = sql1("""SELECT g, v,
+        count(*) FILTER (WHERE v > 20) OVER (PARTITION BY g) AS c
+      FROM wf ORDER BY g, v""")
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L, 1L))
+    intercept[Exception] {
+      sql1("SELECT first_value(v) FILTER (WHERE v > 0) OVER (ORDER BY v) FROM wf")
+    }
+  }
+
+  test("GROUP BY DISTINCT dedupes the grouping-set cross product") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW gd AS SELECT * FROM VALUES
+      (1, 'a'), (1, 'b'), (2, 'a') AS t(x, y)""")
+    val r = sql1(
+      "SELECT count(*) AS c FROM gd GROUP BY DISTINCT cube(x, y), rollup(x, y)")
+    // dedup -> 4 sets: (x,y), (x), (y), () -> 3 + 2 + 2 + 1 rows
+    assert(r.length == 8)
+  }
+
+  test("GROUP_ID numbers duplicate grouping sets; 0 without duplicates") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW gi AS SELECT * FROM VALUES
+      (10, 1), (10, 2), (20, 3) AS t(d, v)""")
+    val dup = sql1("""SELECT d, group_id() AS g, count(*) AS c
+      FROM gi GROUP BY GROUPING SETS (d, (), ()) ORDER BY g, d NULLS LAST""")
+    assert(dup.map(r => (Option(r.get(0)), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((Some(10), 0, 2L), (Some(20), 0, 1L), (None, 0, 3L), (None, 1, 3L)))
+    val no = sql1("SELECT group_id() AS g FROM gi GROUP BY d")
+    assert(no.forall(_.getInt(0) == 0))
+  }
+
+  test("GROUPING_ID accepts subset and reordered arguments") {
+    val r = sql1("""SELECT count(*) AS c, grouping_id(v, d) AS g
+      FROM gi GROUP BY rollup(d, v) ORDER BY g, c""")
+    // detail rows g=0; v-aggregated rows g=2 (v is the HIGH bit here);
+    // grand total g=3
+    assert(r.map(_.getInt(1)).distinct.sorted.toSeq == Seq(0, 2, 3))
+  }
+
+  test("row-tuple IN over a literal list coerces per field and keeps 3VL") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW ti AS SELECT * FROM VALUES
+      (CAST(500.0 AS DECIMAL(7,2)), 1), (CAST(300.0 AS DECIMAL(7,2)), 2),
+      (CAST(NULL AS DECIMAL(7,2)), 3) AS t(comm, id)""")
+    val r = sql1("""SELECT id, (comm, id) IN ((500, 1), (300, 99)) AS f
+      FROM ti ORDER BY id""")
+    // row 3 (comm NULL): each conjunct is UNKNOWN AND FALSE = FALSE, so
+    // the IN is FALSE, not UNKNOWN — the id fields never match
+    assert(r.map(x => Option(x.get(1))).toSeq ==
+      Seq(Some(true), Some(false), Some(false)))
+    val u = sql1("""SELECT id, (comm, id) IN ((500, 1), (NULL, 3)) AS f
+      FROM ti ORDER BY id""")
+    // row 3: (NULL = NULL AND 3 = 3) -> UNKNOWN AND TRUE -> UNKNOWN
+    assert(u.map(x => Option(x.get(1))).toSeq ==
+      Seq(Some(true), Some(false), None))
+    val n = sql1("SELECT id FROM ti WHERE (comm, id) NOT IN ((500, 1), (NULL, 2)) ORDER BY id")
+    // row 1 matches (NOT IN false); row 2 hits (NULL, 2) -> UNKNOWN,
+    // filtered; row 3's conjuncts are all FALSE -> NOT IN true, kept
+    assert(n.map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("CAST AS ROW type spelling lowers to STRUCT") {
+    val r = sql1("SELECT CAST(ROW(1, 'x') AS ROW(a INTEGER, b VARCHAR(5))) AS r")
+    assert(r.head.getStruct(0).getInt(0) == 1)
+    val u = sql1("""SELECT * FROM UNNEST(ARRAY[ROW(1, 'x'),
+      CAST(NULL AS ROW(a INTEGER, b CHAR(1)))]) WITH ORDINALITY AS t(a, b, o)""")
+    assert(u.length == 2 && u.map(_.getInt(2)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("UNPIVOT tuple labels expand per entry with default labels") {
+    val r = sql1("""SELECT * FROM (
+        SELECT * FROM (VALUES (0, 1, 2, 3, 4)) AS t (c0, c1, c2, c3, c4))
+      UNPIVOT ((m0, m1) FOR (a0, a1)
+        IN ((c1, c2) AS ('p', 'q'), (c3, c4)))""")
+    assert(r.length == 2)
+    val labels = r.map(x => (x.getString(1), x.getString(2))).toSet
+    assert(labels == Set(("p", "q"), ("C3_C4", "C3_C4")))
+  }
+}
