@@ -335,7 +335,8 @@ object GraftSql {
     Seq[String => String](
       TypesSql.expand, TypesSql.rewriteCastRow,
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
-      GroupingSetsSql.rewrite, SubqueryRewrites.apply,
+      GroupingSetsSql.rewrite, ExcludeFrameSql.rewrite,
+      SubqueryRewrites.apply,
       rewriteDistinctOn, rewriteSelectBy, UnpivotTupleSql.rewrite,
       rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteTupleInList,

@@ -63,8 +63,6 @@ class CorpusSpec extends IqHarness {
     // the AVG-family return-type derivation (reference keeps the ARG
     // type, truncating) is reproduced by the harness adapter
     // CalciteTyping.rewrite + functions/AggTyped.scala since round 8
-    ("(?i)\\bexclude\\s+(group|ties|current\\s+row|no\\s+others)\\b",
-      "SQL:2016 window frame EXCLUSION clause is not in Spark's grammar."),
     // composite COUNT(a, b), FLOOR/CEIL(e TO unit), multi-arg GROUPING,
     // EVERY, SQL_TSI_* units, ARRAY[..]/MAP[..] literals and 1-based ITEM
     // subscripts were construct-skips through round 6; they now lower via
@@ -543,7 +541,7 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1456, s"corpus coverage dropped: $pass passing (floor 1456)")
+    assert(pass >= 1460, s"corpus coverage dropped: $pass passing (floor 1460)")
     // decorrelator/window/TIME limits + LATERAL-correlation and
     // correlated-avg subquery shapes surfaced as construct-skips were
     // lifted (lateral(, avg-family, grouping-sets families — all the
