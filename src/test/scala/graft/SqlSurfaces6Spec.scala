@@ -98,6 +98,22 @@ class SqlSurfaces6Spec extends SparkSpec {
     assert(u.length == 2 && u.map(_.getInt(2)).sorted.toSeq == Seq(1, 2))
   }
 
+  test("window frame EXCLUDE lowers to the position self-join") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW ex AS SELECT * FROM VALUES
+      (1, 10), (2, 20), (2, 30), (3, 40) AS t(k, v)""")
+    val r = sql1("""SELECT k,
+        sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS xc,
+        sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xg,
+        sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS xt,
+        sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE NO OTHERS) AS xn
+      FROM ex ORDER BY k, xc""")
+    // total 100; k=2 peers are {20, 30}
+    val rows = r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toSeq
+    assert(rows.contains((2, 80L, 50L, 70L, 100L))) // the v=20 row
+    assert(rows.contains((2, 70L, 50L, 80L, 100L))) // the v=30 row
+    assert(rows.contains((1, 90L, 90L, 100L, 100L)))
+  }
+
   test("UNPIVOT tuple labels expand per entry with default labels") {
     val r = sql1("""SELECT * FROM (
         SELECT * FROM (VALUES (0, 1, 2, 3, 4)) AS t (c0, c1, c2, c3, c4))
