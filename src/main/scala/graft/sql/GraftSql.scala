@@ -336,7 +336,7 @@ object GraftSql {
       TypesSql.expand, TypesSql.rewriteCastRow,
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
       GroupingSetsSql.rewrite, ExcludeFrameSql.rewrite,
-      SubqueryRewrites.apply,
+      SubqueryRewrites.apply, rewriteProjectionIn,
       rewriteDistinctOn, rewriteSelectBy, UnpivotTupleSql.rewrite,
       rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteTupleInList,
@@ -351,6 +351,58 @@ object GraftSql {
       rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
       rewritePivotAlias, rewriteUnpivotLabel
     ).foldLeft(sql)((s, f) => f(s))
+
+  /** `expr [NOT] IN (SELECT ...)` in the SELECT LIST (sub-query.iq:104):
+    * Spark plans the projected IN as an ExistenceJoin, which returns
+    * FALSE where three-valued logic requires UNKNOWN (no match but the
+    * subquery or the probe value holds NULL). The exact 3VL value is
+    * restated from three correlated/plain COUNT subqueries:
+    * TRUE on a match; NULL when the probe is NULL and the subquery is
+    * non-empty, or when the subquery contains a NULL; else FALSE.
+    * WHERE-clause forms keep Spark's native (correct) semi-join path. */
+  private[graft] def rewriteProjectionIn(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val selM = "(?is)^\\s*SELECT\\s".r.findFirstMatchIn(masked).getOrElse(return sql)
+    var i = selM.end
+    var depth = 0
+    var fromAt = -1
+    while (i < masked.length && fromAt < 0) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && masked.regionMatches(true, i, "FROM", 0, 4) &&
+          !masked.charAt(i - 1).isLetterOrDigit &&
+          (i + 4 >= masked.length || !masked.charAt(i + 4).isLetterOrDigit)) fromAt = i
+      i += 1
+    }
+    if (fromAt < 0) return sql
+    for (m <- "(?is)\\b(NOT\\s+)?IN\\s*\\(".r.findAllMatchIn(masked.substring(0, fromAt))
+           if m.start > selM.end) {
+      val open = masked.indexOf('(', m.end - 1)
+      val close = closeParen(masked, open)
+      if (close > 0 && close < fromAt &&
+          "(?is)^\\s*(SELECT|WITH)\\b".r.findFirstIn(masked.substring(open + 1, close)).isDefined) {
+        // LHS: a single identifier/qualified identifier or literal
+        val lhsM = "(?is)([A-Za-z_][\\w.]*|\\d+(?:\\.\\d+)?)\\s*$".r
+          .findFirstMatchIn(masked.substring(0, m.start))
+        lhsM.foreach { lm =>
+          val lhs = sql.substring(lm.start(1), lm.end(1))
+          if (!lhs.equalsIgnoreCase("not")) {
+            val sub = sql.substring(open + 1, close)
+            val inner =
+              s"CASE WHEN (SELECT count(*) FROM ($sub) __in3(__v) WHERE __v = $lhs) > 0 THEN TRUE " +
+                s"WHEN $lhs IS NULL AND (SELECT count(*) FROM ($sub) __in3t) > 0 THEN CAST(NULL AS BOOLEAN) " +
+                s"WHEN (SELECT count(*) FROM ($sub) __in3n(__v) WHERE __v IS NULL) > 0 THEN CAST(NULL AS BOOLEAN) " +
+                s"ELSE FALSE END"
+            val rep = if (m.group(1) != null) s"(NOT $inner)" else s"($inner)"
+            return rewriteProjectionIn(
+              sql.substring(0, lm.start(1)) + rep + sql.substring(close + 1))
+          }
+        }
+      }
+    }
+    sql
+  }
 
   /** `(a, b) [NOT] IN ((x1, y1), ...)` over a LITERAL tuple list
     * (sub-query.iq:4325): Spark's struct-typed IN requires exact field
