@@ -31,9 +31,14 @@ object ExcludeFrameSql {
   def rewrite(sql: String): String = {
     val masked0 = maskLiterals(sql)
     if (exRe.findFirstIn(masked0).isEmpty) return sql
-    // EXCLUDE NO OTHERS alone is the default semantics — drop in place
-    val dropped = exRe.replaceAllIn(sql, m =>
-      if (m.group(1).toUpperCase.startsWith("NO")) "" else m.matched)
+    // EXCLUDE NO OTHERS alone is the default semantics — drop in place,
+    // using MASKED match positions so a string literal containing the
+    // phrase is never touched
+    val noOthers = exRe.findAllMatchIn(masked0)
+      .filter(_.group(1).toUpperCase.startsWith("NO")).toSeq
+    val dropped = noOthers.sortBy(-_.start).foldLeft(sql) { (s, m) =>
+      s.substring(0, m.start) + s.substring(m.end)
+    }
     val masked = maskLiterals(dropped)
     if (exRe.findFirstIn(masked).isEmpty) return dropped
     lower(dropped).getOrElse(sql)
@@ -118,6 +123,10 @@ object ExcludeFrameSql {
             "stddev_samp", "var_pop", "var_samp", "variance")
             .contains(fn.toLowerCase)) return None
         val arg = itemSql.substring(j + 1, p).trim
+        // only shapes qualify() can alias-prefix are safe in the
+        // self-join (anything else would resolve ambiguously or, for
+        // DISTINCT, produce invalid CASE syntax)
+        if (!isSimple(arg) && arg != "*") return None
         val spec = itemSql.substring(oOpen + 1, oClose)
         val specM = itemMasked.substring(oOpen + 1, oClose)
         val partM = "(?is)\\bPARTITION\\s+BY\\s+(.*?)(?=\\bORDER\\b|\\bROWS\\b|\\bRANGE\\b|$)".r
@@ -178,15 +187,15 @@ object ExcludeFrameSql {
     if (specs.length != 1) return None
     val (part, order) = (allCalls.head.part, allCalls.head.order)
 
+    // every partition/order key must be alias-prefixable, or the
+    // self-join would leave it ambiguous
+    if (!(part ++ order).forall(isSimple)) return None
     val rnOrder = if (order.nonEmpty) order.mkString(", ") else "'x'"
     val rnSpec = (if (part.nonEmpty) s"PARTITION BY ${part.mkString(", ")} " else "") +
       s"ORDER BY $rnOrder"
     def qualify(e: String, t: String): String = {
-      // prefix bare column identifiers with the table alias; quoted
-      // idents too. conservative: single identifier or quoted ident only
       val tr = e.trim
-      if ("^[A-Za-z_]\\w*$".r.matches(tr) || "^`[^`]*`$".r.matches(tr)) s"$t.$tr"
-      else tr // complex exprs pass through (corpus uses plain columns)
+      if (isSimple(tr)) s"$t.$tr" else tr
     }
     def cond(c: OverCall): String = {
       val frame = Seq(
@@ -212,6 +221,7 @@ object ExcludeFrameSql {
       if (calls.isEmpty) {
         val asM = "(?is)\\s+as\\s+([A-Za-z_`]\\w*|`[^`]*`)\\s*$".r.findFirstMatchIn(s)
         val expr = asM.map(a => s.substring(0, a.start)).getOrElse(s)
+        if (!isSimple(expr.trim)) return None // would be ambiguous in the join
         val q = qualify(expr, "o")
         plainCols += q
         q + asM.map(a => s.substring(a.start)).getOrElse("")
@@ -238,4 +248,9 @@ object ExcludeFrameSql {
   }
 
   private def norm(e: String): String = e.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  /** A bare or backquoted single identifier — the only expressions the
+    * self-join lowering can safely alias-prefix. */
+  private def isSimple(e: String): Boolean =
+    "^[A-Za-z_]\\w*$".r.matches(e.trim) || "^`[^`]*`$".r.matches(e.trim)
 }

@@ -443,7 +443,13 @@ object GraftSql {
           val lhs = splitElemsOf(sql, masked, lOpen + 1, m.start)
           val rhsTuples = splitElemsOf(sql, masked, rOpen + 1, rClose)
           val allTuples = rhsTuples.forall(_.trim.startsWith("("))
-          if (lhs.length >= 2 && allTuples) {
+          // a row SUBQUERY on either side is not a tuple — splitting it
+          // on commas would corrupt it
+          val subqRe = "(?is)^\\(?\\s*(SELECT|WITH|VALUES)\\b".r
+          val anySubq =
+            subqRe.findFirstIn(masked.substring(lOpen + 1, m.start).trim).isDefined ||
+              rhsTuples.exists(t => subqRe.findFirstIn(t.trim).isDefined)
+          if (lhs.length >= 2 && allTuples && !anySubq) {
             val tuples = rhsTuples.map { t =>
               val tm = maskLiterals(t)
               splitElemsOf(t, tm, tm.indexOf('(') + 1, closeParen(tm, tm.indexOf('(')))
@@ -1363,7 +1369,9 @@ object GraftSql {
     * is invalid SQL the reference rejects (winagg.iq:1320), so those
     * pass through for Spark's own rejection. */
   private val windowFilterAggs = Set(
-    "count", "sum", "avg", "min", "max", "every", "some", "any_value",
+    // any_value deliberately absent: Spark's default does NOT ignore
+    // NULLs, so the CASE lowering could return the injected NULL
+    "count", "sum", "avg", "min", "max", "every", "some",
     "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
     "variance", "covar_pop", "covar_samp", "corr", "bool_and", "bool_or",
     "bit_and", "bit_or", "bit_xor", "collect_list", "collect_set",

@@ -132,7 +132,14 @@ object GroupingSetsSql {
     val masked = maskLiterals(sql)
     val gidRe = "(?is)\\bgroup_id\\s*\\(\\s*\\)".r
     if (gidRe.findFirstIn(masked).isEmpty) return sql
-    val gb = "(?is)\\bGROUP\\s+BY\\s".r.findFirstMatchIn(masked) match {
+    // only the statement's own (paren-depth-0) GROUP BY defines the
+    // grouping sets GROUP_ID numbers; a subquery's clause must not bind
+    val topGbs = "(?is)\\bGROUP\\s+BY\\s".r.findAllMatchIn(masked).filter { m =>
+      val pre = masked.substring(0, m.start)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }.toSeq
+    if (topGbs.length > 1) return sql
+    val gb = topGbs.headOption match {
       case Some(m) => m
       case None =>
         // aggregate query without GROUP BY → one global group, id 0;
@@ -154,7 +161,7 @@ object GroupingSetsSql {
     // group's bitmap, not the tuple order)
     val byKey = scala.collection.mutable.LinkedHashMap.empty[Set[String], (Seq[String], Int)]
     tuples.foreach { tup =>
-      val k = tup.distinct.toSet
+      val k = tup.map(norm).distinct.toSet
       byKey(k) = byKey.get(k).map { case (t, n) => (t, n + 1) }.getOrElse((tup, 1))
     }
     val maxMult = byKey.values.map(_._2).max

@@ -18,36 +18,46 @@ object UnpivotTupleSql {
 
   def rewrite(sql: String): String = {
     val masked = maskLiterals(sql)
-    val um = "(?is)\\bUNPIVOT\\s*(INCLUDE\\s+NULLS|EXCLUDE\\s+NULLS)?\\s*\\(".r
-      .findFirstMatchIn(masked).getOrElse(return sql)
+    // iterate: a native (single-label) UNPIVOT earlier in the statement
+    // must not hide a later tuple-label one
+    for (um <- "(?is)\\bUNPIVOT\\s*(INCLUDE\\s+NULLS|EXCLUDE\\s+NULLS)?\\s*\\(".r
+           .findAllMatchIn(masked)) {
+      val r = rewriteOne(sql, masked, um)
+      if (r.isDefined) return rewrite(r.get)
+    }
+    sql
+  }
+
+  private def rewriteOne(sql: String, masked: String,
+      um: scala.util.matching.Regex.Match): Option[String] = {
     val open = masked.indexOf('(', um.end - 1)
     val close = closeParen(masked, open)
-    if (close < 0) return sql
+    if (close < 0) return None
     val bodyM = masked.substring(open + 1, close)
-    if ("(?is)\\bAS\\s*\\(".r.findFirstIn(bodyM).isEmpty) return sql // native form
+    if ("(?is)\\bAS\\s*\\(".r.findFirstIn(bodyM).isEmpty) return None // native form
     val body = sql.substring(open + 1, close)
     val includeNulls = um.group(1) != null &&
       um.group(1).toUpperCase.startsWith("INCLUDE")
 
     // body: (<measures>) FOR (<fors>) IN (<entries>)
-    val fm = "(?is)^\\s*\\(".r.findFirstMatchIn(bodyM).getOrElse(return sql)
+    val fm = "(?is)^\\s*\\(".r.findFirstMatchIn(bodyM).getOrElse(return None)
     val mClose = closeParen(bodyM, fm.end - 1)
-    if (mClose < 0) return sql
+    if (mClose < 0) return None
     val measures = splitList(body, bodyM, fm.end, mClose)
     val forM = "(?is)^\\s*FOR\\s*\\(".r.findFirstMatchIn(bodyM.substring(mClose + 1))
-      .getOrElse(return sql)
+      .getOrElse(return None)
     val fOpen = mClose + 1 + forM.end - 1
     val fClose = closeParen(bodyM, fOpen)
-    if (fClose < 0) return sql
+    if (fClose < 0) return None
     val fors = splitList(body, bodyM, fOpen + 1, fClose)
     val inM = "(?is)^\\s*IN\\s*\\(".r.findFirstMatchIn(bodyM.substring(fClose + 1))
-      .getOrElse(return sql)
+      .getOrElse(return None)
     val iOpen = fClose + 1 + inM.end - 1
     val iClose = closeParen(bodyM, iOpen)
-    if (iClose < 0) return sql
+    if (iClose < 0) return None
     val entries = splitList(body, bodyM, iOpen + 1, iClose).map { e =>
       val em = maskLiterals(e)
-      val cm = "(?is)^\\s*\\(".r.findFirstMatchIn(em).getOrElse(return sql)
+      val cm = "(?is)^\\s*\\(".r.findFirstMatchIn(em).getOrElse(return None)
       val cClose = closeParen(em, cm.end - 1)
       val cols = splitList(e, em, cm.end, cClose)
       val am = "(?is)^\\s*AS\\s*\\(".r.findFirstMatchIn(em.substring(cClose + 1))
@@ -63,20 +73,28 @@ object UnpivotTupleSql {
           val lbl = "'" + cols.map(_.trim.toUpperCase).mkString("_") + "'"
           Seq.fill(fors.length)(lbl)
       }
-      if (vals.length != fors.length || cols.length != measures.length) return sql
+      if (vals.length != fors.length || cols.length != measures.length) return None
       (cols, vals)
     }
 
-    // preceding relation: the parenthesized subquery/relation UNPIVOT binds
+    // preceding relation: a parenthesized subquery or a bare
+    // (possibly qualified/backquoted) table name
     var p = um.start - 1
     while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
-    if (p < 0 || masked.charAt(p) != ')') return sql
-    var depth = 1
-    var i = p - 1
-    while (i >= 0 && depth > 0) {
-      val c = masked.charAt(i)
-      if (c == ')') depth += 1 else if (c == '(') depth -= 1
-      if (depth > 0) i -= 1
+    if (p < 0) return None
+    var i = p
+    if (masked.charAt(p) == ')') {
+      var depth = 1
+      i = p - 1
+      while (i >= 0 && depth > 0) {
+        val c = masked.charAt(i)
+        if (c == ')') depth += 1 else if (c == '(') depth -= 1
+        if (depth > 0) i -= 1
+      }
+    } else {
+      val nameM = "(?is)([A-Za-z_`][\\w.`]*)\\s*$".r
+        .findFirstMatchIn(masked.substring(0, p + 1)).getOrElse(return None)
+      i = nameM.start(1)
     }
     val rel = sql.substring(i, p + 1)
 
@@ -90,8 +108,8 @@ object UnpivotTupleSql {
       else sel + " WHERE NOT (" +
         cols.map(c => s"$c IS NULL").mkString(" AND ") + ")"
     }
-    sql.substring(0, i) + "(" + branches.mkString("\nUNION ALL\n") + ") " +
-      rewrite(sql.substring(close + 1))
+    Some(sql.substring(0, i) + "(" + branches.mkString("\nUNION ALL\n") + ") " +
+      sql.substring(close + 1))
   }
 
   private def splitList(sql: String, masked: String, from: Int, to: Int): Seq[String] = {

@@ -82,7 +82,13 @@ object WithinDistinctSql {
     def sumExpr =
       s"(CASE WHEN size($vals) = 0 THEN CAST(NULL AS $acc) " +
         s"ELSE aggregate($vals, CAST(0 AS $acc), (__wa, __wx) -> CAST(__wa + __wx AS $acc)) END)"
-    def cntExpr = s"size(filter($pairs, __ws -> __ws.__wv IS NOT NULL))"
+    // COUNT/AVG denominators honor a DISTINCT qualifier: distinct
+    // VALUES among the per-key representatives (no DECIMAL cast — the
+    // argument may be non-numeric for COUNT)
+    def cntExpr = {
+      val nn = s"transform(filter($pairs, __ws -> __ws.__wv IS NOT NULL), __ws -> __ws.__wv)"
+      if (argDistinct) s"size(array_distinct($nn))" else s"size($nn)"
+    }
 
     // agg_typed re-types to the reference's argument-derived result
     // type (AVG(DECIMAL(10,2)) truncates to scale 2 —
@@ -96,8 +102,9 @@ object WithinDistinctSql {
       case "COUNT" => Some(guard(cntExpr, "INT"))
       case "SUM" => Some(typed(guard(sumExpr, acc), widen = true))
       case "AVG" => Some(typed(guard(s"(($sumExpr) / ($cntExpr))", acc)))
-      case "MIN" | "MAX" => // distinct-insensitive: drop the clause
-        Some(sql.substring(fnStart, p + 1))
+      case "MIN" | "MAX" => // distinct-insensitive: drop the clause but
+        // keep a trailing FILTER (Spark supports it natively)
+        Some(sql.substring(fnStart, p + 1) + filterTxt)
       case _ => None
     }
     replacement match {
