@@ -142,8 +142,38 @@ object Dialect2 {
              COUNT(*) AS n_orders
       FROM de GROUP BY o_custkey"""))
 
+  /** SQL:2016 window frame EXCLUDE (GraftSql lowers it to a position
+    * self-join keyed on the partition — sql/ExcludeFrameSql.scala);
+    * DuckDB executes the clause natively, so the oracle checks the
+    * lowering against an independent native implementation. Partition
+    * by l_orderkey bounds the join to ≤7 rows per key at any scale;
+    * quantities are integer-valued so the sums are bit-exact doubles. */
+  val q145_window_exclude = Q(
+    (s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v145")
+      graft.sql.GraftSql.sql(s, """
+        SELECT l_orderkey, l_linenumber,
+               sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_returnflag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xg,
+               sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_returnflag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS xt,
+               count(*) OVER (PARTITION BY l_orderkey ORDER BY l_returnflag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS xc
+        FROM lineitem_v145""")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_returnflag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xg,
+             sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_returnflag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS xt,
+             count(*) OVER (PARTITION BY l_orderkey ORDER BY l_returnflag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS xc
+      FROM lineitem"""))
+
   val all: Map[String, Q] = Map(
     "q138_session_tvf" -> q138_session_tvf,
+    "q145_window_exclude" -> q145_window_exclude,
     "q139_distinct_on" -> q139_distinct_on,
     "q140_select_by" -> q140_select_by,
     "q141_listagg_over" -> q141_listagg_over,
