@@ -470,7 +470,10 @@ object GraftSql {
     sql
   }
 
-  private def splitElemsOf(sql: String, masked: String, from: Int, to: Int): Seq[String] = {
+  /** Top-level comma elements of sql[from, to), split on the MASKED
+    * twin so literals never break the split (shared by the tuple-IN,
+    * grouping-sets, and unpivot rewrites). */
+  private[sql] def splitElemsOf(sql: String, masked: String, from: Int, to: Int): Seq[String] = {
     val lens = splitTopLevel(masked.substring(from, to)).map(_.length)
     val starts = lens.scanLeft(0)((a, b) => a + b + 1).init
     starts.zip(lens).map { case (st, n) => sql.substring(from + st, from + st + n).trim }

@@ -1,6 +1,6 @@
 package graft.sql
 
-import GraftSql.{closeParen, maskLiterals, splitTopLevel}
+import GraftSql.{closeParen, maskLiterals, splitElemsOf}
 
 /** UNPIVOT with TUPLE labels (pivot.iq:394 —
   * `FOR (job, deptno) IN ((c10_ss, c10_c) AS ('CLERK', 10), ...)`):
@@ -43,29 +43,29 @@ object UnpivotTupleSql {
     val fm = "(?is)^\\s*\\(".r.findFirstMatchIn(bodyM).getOrElse(return None)
     val mClose = closeParen(bodyM, fm.end - 1)
     if (mClose < 0) return None
-    val measures = splitList(body, bodyM, fm.end, mClose)
+    val measures = splitElemsOf(body, bodyM, fm.end, mClose)
     val forM = "(?is)^\\s*FOR\\s*\\(".r.findFirstMatchIn(bodyM.substring(mClose + 1))
       .getOrElse(return None)
     val fOpen = mClose + 1 + forM.end - 1
     val fClose = closeParen(bodyM, fOpen)
     if (fClose < 0) return None
-    val fors = splitList(body, bodyM, fOpen + 1, fClose)
+    val fors = splitElemsOf(body, bodyM, fOpen + 1, fClose)
     val inM = "(?is)^\\s*IN\\s*\\(".r.findFirstMatchIn(bodyM.substring(fClose + 1))
       .getOrElse(return None)
     val iOpen = fClose + 1 + inM.end - 1
     val iClose = closeParen(bodyM, iOpen)
     if (iClose < 0) return None
-    val entries = splitList(body, bodyM, iOpen + 1, iClose).map { e =>
+    val entries = splitElemsOf(body, bodyM, iOpen + 1, iClose).map { e =>
       val em = maskLiterals(e)
       val cm = "(?is)^\\s*\\(".r.findFirstMatchIn(em).getOrElse(return None)
       val cClose = closeParen(em, cm.end - 1)
-      val cols = splitList(e, em, cm.end, cClose)
+      val cols = splitElemsOf(e, em, cm.end, cClose)
       val am = "(?is)^\\s*AS\\s*\\(".r.findFirstMatchIn(em.substring(cClose + 1))
       val vals = am match {
         case Some(a) =>
           val vOpen = cClose + 1 + a.end - 1
           val vClose = closeParen(em, vOpen)
-          splitList(e, em, vOpen + 1, vClose)
+          splitElemsOf(e, em, vOpen + 1, vClose)
         case None =>
           // missing AS: the default label is the measure-column names
           // upper-joined by '_', replicated into every FOR column
@@ -112,9 +112,4 @@ object UnpivotTupleSql {
       sql.substring(close + 1))
   }
 
-  private def splitList(sql: String, masked: String, from: Int, to: Int): Seq[String] = {
-    val lens = splitTopLevel(masked.substring(from, to)).map(_.length)
-    val starts = lens.scanLeft(0)((a, b) => a + b + 1).init
-    starts.zip(lens).map { case (st, n) => sql.substring(from + st, from + st + n).trim }
-  }
 }
