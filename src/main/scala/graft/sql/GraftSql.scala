@@ -336,7 +336,7 @@ object GraftSql {
       TypesSql.expand, TypesSql.rewriteCastRow,
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
       GroupingSetsSql.rewrite, ExcludeFrameSql.rewrite,
-      SubqueryRewrites.apply, rewriteProjectionIn,
+      SubqueryRewrites.apply, rewriteProjectionIn, rewriteUnorderedWindow,
       rewriteDistinctOn, rewriteSelectBy, UnpivotTupleSql.rewrite,
       rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteTupleInList,
@@ -351,6 +351,37 @@ object GraftSql {
       rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
       rewritePivotAlias, rewriteUnpivotLabel
     ).foldLeft(sql)((s, f) => f(s))
+
+  /** Rank-family window calls WITHOUT an ORDER BY (winagg.iq:553 —
+    * `row_number() over (partition by deptno)`): the reference permits
+    * them with arbitrary (input) order; Spark rejects. A constant sort
+    * key reproduces the permissive semantics — rows number in input
+    * order, and the default RANGE frame spans the whole peer group
+    * (= the whole partition under a constant key), matching
+    * `nth_value(...) over ()`. */
+  private[graft] def rewriteUnorderedWindow(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val re = ("(?is)\\b(row_number|rank|dense_rank|ntile|nth_value|" +
+      "cume_dist|percent_rank)\\s*\\(").r
+    for (m <- re.findAllMatchIn(masked)) {
+      val argOpen = masked.indexOf('(', m.start)
+      val argClose = closeParen(masked, argOpen)
+      if (argClose > 0) {
+        val om = "(?is)^\\s*OVER\\s*\\(".r.findFirstMatchIn(masked.substring(argClose + 1))
+        om.foreach { o =>
+          val oOpen = argClose + 1 + o.end - 1
+          val oClose = closeParen(masked, oOpen)
+          if (oClose > 0 &&
+              "(?is)\\bORDER\\s+BY\\b".r.findFirstIn(masked.substring(oOpen, oClose)).isEmpty) {
+            val sep = if (sql.substring(oOpen + 1, oClose).trim.isEmpty) "" else " "
+            return rewriteUnorderedWindow(
+              sql.substring(0, oClose) + sep + "ORDER BY 'x'" + sql.substring(oClose))
+          }
+        }
+      }
+    }
+    sql
+  }
 
   /** `expr [NOT] IN (SELECT ...)` in the SELECT LIST (sub-query.iq:104):
     * Spark plans the projected IN as an ExistenceJoin, which returns

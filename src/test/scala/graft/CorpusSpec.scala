@@ -454,10 +454,9 @@ class CorpusSpec extends IqHarness {
   private val engineLimitRe =
     ("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY|\\[INTERNAL_ERROR" +
       "|UNSUPPORTED_CORRELATED" +
-      // windows: Spark requires ORDER BY where the reference defaults to
-      // arbitrary order (FILTER on window aggregates now lowers via
-      // GraftSql.rewriteWindowFilter, so that class is no longer a limit)
-      "|requires window to be ordered" +
+      // (unordered rank-family windows now lower via
+      // GraftSql.rewriteUnorderedWindow; FILTER on window aggregates via
+      // rewriteWindowFilter — neither class is a limit anymore)
       // Spark has no TIME type, no UNION-distinct recursion (its own
       // error says "not yet supported"), and DISTINCT + ORDER BY on a
       // non-selected expression is rejected by its analyzer
@@ -539,14 +538,14 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1467, s"corpus coverage dropped: $pass passing (floor 1467)")
+    assert(pass >= 1469, s"corpus coverage dropped: $pass passing (floor 1469)")
     // decorrelator/window/TIME limits + LATERAL-correlation and
     // correlated-avg subquery shapes surfaced as construct-skips were
     // lifted (lateral(, avg-family, grouping-sets families — all the
     // same Spark decorrelator classes); FILTER-on-window-aggregate
     // lowered via GraftSql.rewriteWindowFilter in round 6
-    assert(engineLimits.size <= 47,
-      s"Spark-limitation count grew: ${engineLimits.size} (was 47) — a rewrite regressed")
+    assert(engineLimits.size <= 45,
+      s"Spark-limitation count grew: ${engineLimits.size} (was 45) — a rewrite regressed")
   }
 
   /** The corpora's `!error` cases: statements the reference REJECTS
