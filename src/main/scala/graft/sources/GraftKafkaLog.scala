@@ -40,7 +40,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftKafkaLog extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
-  override def shortName: String = "graft-kafka"
+  override def shortName(): String = "graft-kafka"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftKafkaLog.wireSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -190,10 +190,11 @@ object GraftSql {
       spark.sql(rewrite(clean)).queryExecution.assertAnalyzed()
       Nil
     } catch {
-      case e: org.apache.spark.sql.AnalysisException => Seq(toValidationError(e))
+      // ParseException IS an AnalysisException in Spark 4 — match it first
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
         Seq(ValidationError(e.getSimpleMessage, "PARSE_SYNTAX_ERROR",
           e.line, e.startPosition))
+      case e: org.apache.spark.sql.AnalysisException => Seq(toValidationError(e))
       case scala.util.control.NonFatal(e) =>
         Seq(ValidationError(Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
           "VALIDATION_ERROR", None, None))
