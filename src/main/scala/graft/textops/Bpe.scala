@@ -93,5 +93,83 @@ object Bpe {
     },
     None)
 
-  val all: Map[String, Q] = Map("d24_bpe_tokenize" -> d24_bpe_tokenize)
+  /** The BPE merge-selection loop as pure relational algebra — the
+    * value-checked twin of d24 (whose driver-side loop has no DuckDB
+    * oracle). Three rounds unrolled: the corpus collapses to its
+    * word-frequency table, each word becomes a space-delimited
+    * character string, the weighted adjacent-pair counts pick the
+    * most frequent pair (ties lexicographic — d24's rule), and the
+    * merge applies by sentinel-delimited string replacement (both
+    * engines scan left-to-right non-overlapping, so the semantics are
+    * identical by construction; a same-char run needs one extra pass
+    * to reach the textbook pairing — documented deviation, natural-
+    * language words don't hit it in three rounds). Output is the merge
+    * table itself: round, pair, weighted count — the trainable core,
+    * hash-compared exactly. Scale: one corpus aggregation, then all
+    * work is over the |vocab|-row word table. */
+  val d40_bpe_merges = Q(
+    (s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("documents_v40")
+      s.sql("""
+        WITH w AS (
+          SELECT word, count(*) AS n
+          FROM (SELECT explode(split(lower(text), ' ')) AS word FROM documents_v40)
+          WHERE word RLIKE '^[a-z]+$'
+          GROUP BY word),
+        s0 AS (SELECT concat(' ', array_join(regexp_extract_all(word, '.', 0), ' '), ' ') AS s, n FROM w),
+        p1 AS (SELECT pair, sum(n) AS c FROM (
+                 SELECT explode(transform(filter(sequence(1, size(t)), i -> i < size(t)),
+                          i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS pair, n
+                 FROM (SELECT split(trim(s), ' ') AS t, n FROM s0)) GROUP BY pair),
+        m1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+        s1 AS (SELECT replace(s, concat(' ', m1.pair, ' '), concat(' ', replace(m1.pair, ' ', ''), ' ')) AS s, n
+               FROM s0 CROSS JOIN m1),
+        p2 AS (SELECT pair, sum(n) AS c FROM (
+                 SELECT explode(transform(filter(sequence(1, size(t)), i -> i < size(t)),
+                          i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS pair, n
+                 FROM (SELECT split(trim(s), ' ') AS t, n FROM s1)) GROUP BY pair),
+        m2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+        s2 AS (SELECT replace(s, concat(' ', m2.pair, ' '), concat(' ', replace(m2.pair, ' ', ''), ' ')) AS s, n
+               FROM s1 CROSS JOIN m2),
+        p3 AS (SELECT pair, sum(n) AS c FROM (
+                 SELECT explode(transform(filter(sequence(1, size(t)), i -> i < size(t)),
+                          i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS pair, n
+                 FROM (SELECT split(trim(s), ' ') AS t, n FROM s2)) GROUP BY pair),
+        m3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)
+        SELECT 1 AS merge_no, pair, CAST(c AS BIGINT) AS cnt FROM m1
+        UNION ALL SELECT 2, pair, CAST(c AS BIGINT) FROM m2
+        UNION ALL SELECT 3, pair, CAST(c AS BIGINT) FROM m3
+        ORDER BY merge_no""")
+    },
+    Some("""
+      WITH w AS (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word),
+      s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS s, n FROM w),
+      p1 AS (SELECT pair, sum(n) AS c FROM (
+               SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS pair, n
+               FROM (SELECT string_split(trim(s), ' ') AS t, n FROM s0)) GROUP BY pair),
+      m1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+      s1 AS (SELECT replace(s, ' ' || m1.pair || ' ', ' ' || replace(m1.pair, ' ', '') || ' ') AS s, n
+             FROM s0 CROSS JOIN m1),
+      p2 AS (SELECT pair, sum(n) AS c FROM (
+               SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS pair, n
+               FROM (SELECT string_split(trim(s), ' ') AS t, n FROM s1)) GROUP BY pair),
+      m2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+      s2 AS (SELECT replace(s, ' ' || m2.pair || ' ', ' ' || replace(m2.pair, ' ', '') || ' ') AS s, n
+             FROM s1 CROSS JOIN m2),
+      p3 AS (SELECT pair, sum(n) AS c FROM (
+               SELECT unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS pair, n
+               FROM (SELECT string_split(trim(s), ' ') AS t, n FROM s2)) GROUP BY pair),
+      m3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)
+      SELECT 1 AS merge_no, pair, CAST(c AS BIGINT) AS cnt FROM m1
+      UNION ALL SELECT 2, pair, CAST(c AS BIGINT) FROM m2
+      UNION ALL SELECT 3, pair, CAST(c AS BIGINT) FROM m3
+      ORDER BY merge_no"""))
+
+  val all: Map[String, Q] = Map(
+    "d24_bpe_tokenize" -> d24_bpe_tokenize,
+    "d40_bpe_merges" -> d40_bpe_merges)
 }
