@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class TableDef(
     name: String,
-    format: String, // parquet | csv | json
+    format: String, // parquet | csv | json | kafka
     path: String,
     options: Map[String, String] = Map.empty,
     stream: Boolean = false)
@@ -36,10 +36,19 @@ object ModelLoader {
     * schema/StreamableTable.java's dual batch/stream surface). */
   def load(spark: SparkSession, model: Model): Map[String, DataFrame] = {
     val tables = model.tables.map { t =>
-      val reader = spark.read.format(t.format).options(t.options)
       val df = t.format match {
-        case "csv" => reader.option("header", "true").option("inferSchema", "true").load(t.path)
-        case _ => reader.load(t.path)
+        case "csv" => spark.read.format("csv").options(t.options)
+          .option("header", "true").option("inferSchema", "true").load(t.path)
+        case "kafka" =>
+          // the reference's kafka adapter consumes a live broker
+          // (kafka/KafkaStreamTable.java); this environment has no
+          // broker or client jars (offline — terminal deviation,
+          // COVERAGE.md §kafka), so `kafka` model tables mount the
+          // wire-schema-identical DSv2 log source. path = dir:topic.
+          val Array(dir, topic) = t.path.split(":", 2)
+          spark.read.format("graft-kafka")
+            .options(t.options).option("path", dir).option("topic", topic).load()
+        case _ => spark.read.format(t.format).options(t.options).load(t.path)
       }
       df.createOrReplaceTempView(t.name)
       t.name -> df

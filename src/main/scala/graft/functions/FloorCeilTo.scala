@@ -88,9 +88,11 @@ case class ItemCalcite(child: Expression, index: Expression)
 
   override lazy val replacement: Expression = child.dataType match {
     case ArrayType(et, _) =>
-      // index 0 is a hard error even for Spark's try_element_at; the
-      // reference's ITEM answers NULL — route it (and NULL) around
-      If(Or(IsNull(index), EqualTo(index, Literal(0))),
+      // index <= 0 answers NULL: 0 is a hard error even for Spark's
+      // try_element_at, and a NEGATIVE index indexes from the END there
+      // (a[-1] = last) where the reference's ITEM treats any
+      // out-of-range index — negatives included — as NULL
+      If(Or(IsNull(index), LessThanOrEqual(index, Literal(0))),
         Literal.create(null, et),
         ElementAt(child, Cast(index, IntegerType), None, false))
     case MapType(kt, _, _) =>

@@ -171,9 +171,35 @@ object Dialect2 {
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS xc
       FROM lineitem"""))
 
+  /** Bounded-frame EXCLUDE (the scale path): `n PRECEDING..m FOLLOWING
+    * EXCLUDE ...` lowers to an explode(sequence)-generated frame plus an
+    * EQUI-join on (partition, __rn) — O(n·frame) rows, hash-joined, vs
+    * the |partition|² self-join the unbounded shapes need
+    * (sql/ExcludeFrameSql.scala, plan-gated in PlanQualitySpec).
+    * DuckDB executes EXCLUDE natively — an independent oracle. */
+  val q146_window_exclude_bounded = Q(
+    (s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v146")
+      graft.sql.GraftSql.sql(s, """
+        SELECT l_orderkey, l_linenumber,
+               sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS xc,
+               count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS xg
+        FROM lineitem_v146""")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS xc,
+             count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS xg
+      FROM lineitem"""))
+
   val all: Map[String, Q] = Map(
     "q138_session_tvf" -> q138_session_tvf,
     "q145_window_exclude" -> q145_window_exclude,
+    "q146_window_exclude_bounded" -> q146_window_exclude_bounded,
     "q139_distinct_on" -> q139_distinct_on,
     "q140_select_by" -> q140_select_by,
     "q141_listagg_over" -> q141_listagg_over,

@@ -102,13 +102,27 @@ private[sources] class KafkaLogTable(path: String, topic: String, starting: Stri
   override def name: String = s"graft-kafka:$topic"
   override def schema: StructType = GraftKafkaLog.wireSchema
   override def capabilities: java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = GraftKafkaLog.wireSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new KafkaLogMicroBatch(path, topic, starting)
+        // batch = the full current log, like the Kafka connector's
+        // earliest→latest batch mode (ModelLoader's `kafka` table type)
+        override def toBatch(): org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] = {
+              val files = GraftKafkaLog.partitionFiles(path, topic)
+              files.toSeq.sortBy(_._1).map { case (p, f) =>
+                KafkaLogPartition(f.getAbsolutePath, topic, p, 0L,
+                  GraftKafkaLog.lineCount(f)): InputPartition
+              }.toArray
+            }
+            override def createReaderFactory(): PartitionReaderFactory =
+              new KafkaLogReaderFactory
+          }
       }
     }
 }

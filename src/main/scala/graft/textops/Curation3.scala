@@ -13,21 +13,22 @@ object Curation3 {
   /** Temperature sampling across sources (the multilingual-LM mixing
     * rule): source s keeps rate_s = min(1, (n_s^α / Σ n^α) · N_target /
     * n_s) with α = 0.5 and N_target = half the corpus — upweights small
-    * sources relative to proportional sampling. Selection is the same
-    * deterministic md5-u01 device as d16 (reproducible under any
-    * partitioning, auditable). The α-weight normalizer sums per-source
-    * sqrt in SOURCE ORDER on both engines (a handful of doubles — the
-    * fold order is pinned so the rates are bit-identical).
+    * sources relative to proportional sampling. Selection is the shared
+    * [[HashSelect]] device (as d16/d32): u32 hash vs an INTEGER
+    * threshold, so the float rate is folded through one deterministic
+    * rounding and never compared or emitted as a double. The α-weight
+    * normalizer sums per-source sqrt in SOURCE ORDER on both engines
+    * (a handful of doubles — the fold order is pinned), then the rate
+    * leaves the contract surface as `rate_ppm BIGINT`: no fp fold order
+    * or double rendering can wobble the driver hash.
     *
     * Scale: two aggregations over the corpus plus a broadcast of the
     * per-source rate table (|sources| rows) — one shuffle each; no
     * driver-side data beyond the rate table. */
   val d36_temperature_mix = Q(
     (s, dir) => {
-      val u01 = expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
-        .cast(DoubleType) / lit(4294967296.0)
-      val docs = T(s, dir, "documents").withColumn("u", u01)
+      val docs = T(s, dir, "documents")
+        .withColumn("h", HashSelect.u32(col("doc_id")))
       val per = docs.groupBy("source").agg(count(lit(1)).as("n"))
       val tot = per.agg(
         sum(col("n")).as("total"),
@@ -36,19 +37,19 @@ object Curation3 {
       val rates = per.crossJoin(broadcast(tot))
         .withColumn("rate", least(lit(1.0),
           expr("sqrt(CAST(n AS DOUBLE)) / sumsq * (0.5 * CAST(total AS DOUBLE)) / CAST(n AS DOUBLE)")))
-        .select(col("source"), col("n").as("n_docs"), col("rate"))
+        .select(col("source"), col("n").as("n_docs"),
+          floor(col("rate") * lit(1e6) + lit(0.5)).cast("long").as("rate_ppm"),
+          HashSelect.thr32(col("rate")).as("thr"))
       docs.join(broadcast(rates), "source")
         .groupBy(col("source"))
         .agg(first(col("n_docs")).as("n_docs"),
-          round(first(col("rate")), 6).as("rate"),
-          sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_sampled"))
+          first(col("rate_ppm")).as("rate_ppm"),
+          sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_sampled"))
         .orderBy("source")
     },
-    Some("""
+    Some(s"""
       WITH docs AS (
-        SELECT source,
-          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
-            / 4294967296.0 AS u
+        SELECT source, ${HashSelect.u32Sql("doc_id")} AS h
         FROM documents),
       per AS (SELECT source, COUNT(*) AS n FROM docs GROUP BY source),
       tot AS (SELECT SUM(n) AS total,
@@ -57,11 +58,16 @@ object Curation3 {
       rates AS (
         SELECT source, n AS n_docs,
                least(1.0, sqrt(CAST(n AS DOUBLE)) / sumsq * (0.5 * CAST(total AS DOUBLE)) / CAST(n AS DOUBLE)) AS rate
-        FROM per, tot)
-      SELECT d.source, r.n_docs, ROUND(r.rate, 6) AS rate,
-             SUM(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS n_sampled
-      FROM docs d JOIN rates r ON d.source = r.source
-      GROUP BY d.source, r.n_docs, r.rate ORDER BY d.source"""))
+        FROM per, tot),
+      r2 AS (
+        SELECT source, n_docs,
+               CAST(floor(rate * 1e6 + 0.5) AS BIGINT) AS rate_ppm,
+               ${HashSelect.thr32Sql("rate")} AS thr
+        FROM rates)
+      SELECT d.source, r.n_docs, r.rate_ppm,
+             SUM(CASE WHEN d.h < r.thr THEN 1 ELSE 0 END) AS n_sampled
+      FROM docs d JOIN r2 r ON d.source = r.source
+      GROUP BY d.source, r.n_docs, r.rate_ppm ORDER BY d.source"""))
 
   /** Corpus 5-gram audit: the most frequent word 5-grams (boilerplate /
     * template detection — over-represented n-grams mark scraped

@@ -108,33 +108,34 @@ object Packing {
 
   /** Epoch-mix resampling: per-source target weights (fractional epochs,
     * the training-mix device) realized as floor(w) full copies plus one
-    * more where a deterministic per-doc hash falls under the fractional
-    * part — so a 1.25-weight source upsamples exactly 25% of its docs,
-    * reproducibly under any layout. */
+    * more where the shared [[HashSelect]] u32 hash (mod 1e6) falls
+    * under the integer threshold for the fractional part — so a
+    * 1.25-weight source upsamples exactly 25% of its docs, reproducibly
+    * under any layout, with no float on either side of the compare. */
   val d32_mix_resample = Q(
     (s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           (lit(0.5) + (expr("substring(source, 4)").cast(IntegerType) % 4) * 0.75).as("w"),
-          ((conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
-            .cast(LongType) % 1000000).cast(DoubleType) / 1e6).as("frac"))
+          (HashSelect.u32(col("doc_id")) % 1000000L).as("m"))
         .withColumn("reps",
-          (floor(col("w")) + when(col("frac") < col("w") - floor(col("w")), 1L).otherwise(0L))
-            .cast(LongType))
+          (floor(col("w")) + when(
+            col("m") < ceil((col("w") - floor(col("w"))) * lit(1e6)).cast(LongType),
+            1L).otherwise(0L)).cast(LongType))
         .filter(col("reps") >= 1)
         .select(col("doc_id"), col("source"),
           explode(sequence(lit(1L), col("reps"))).as("copy_no"))
         .orderBy("doc_id", "copy_no")
     },
-    Some("""
+    Some(s"""
       WITH d AS (
         SELECT doc_id, source,
                0.5 + (CAST(substr(source, 4) AS INT) % 4) * 0.75 AS w,
-               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                 % 1000000) / 1e6 AS frac
+               ${HashSelect.u32Sql("doc_id")} % 1000000 AS m
         FROM documents),
       r AS (SELECT doc_id, source,
-              CAST(floor(w) + CASE WHEN frac < w - floor(w) THEN 1 ELSE 0 END AS BIGINT) AS reps
+              CAST(floor(w) + CASE WHEN m < CAST(ceil((w - floor(w)) * 1e6) AS BIGINT)
+                              THEN 1 ELSE 0 END AS BIGINT) AS reps
             FROM d)
       SELECT doc_id, source, CAST(u.copy_no AS BIGINT) AS copy_no
       FROM r, unnest(range(1, reps + 1)) AS u(copy_no)

@@ -14,40 +14,40 @@ object Pipeline2 {
 
   /** Deterministic stratified sampling by language — the step that
     * rebalances a training mix (e.g. downsample the dominant language,
-    * keep the tails). The keep decision is a pure function of the row:
-    * uniform01(doc) = first 8 hex digits of md5(doc_id) as uint32/2^32,
-    * keep iff < rate(lang). No RNG state, no seed plumbing — the sample
-    * is reproducible on any engine and stable under re-partitioning,
+    * keep the tails). The keep decision is the shared [[HashSelect]]
+    * device — a pure function of the row, integer-compared (u32 hash vs
+    * integer threshold). No RNG state, no seed plumbing — the sample is
+    * reproducible on any engine and stable under re-partitioning,
     * which is what makes it auditable in a data lineage review.
     * (Contrast TABLESAMPLE/df.sample: partition-seeded, so the sample
     * changes with the physical layout.) */
   val d16_stratified_sample = Q(
     (s, dir) => {
-      val u01 = expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
-        .cast(DoubleType) / lit(4294967296.0)
       val rate = when(col("lang") === "en", 0.2)
         .when(col("lang") === "de", 0.5)
         .otherwise(1.0)
       T(s, dir, "documents")
-        .withColumn("u", u01)
-        .filter(col("u") < rate)
+        .withColumn("h", HashSelect.u32(col("doc_id")))
+        .filter(col("h") < HashSelect.thr32(rate))
+        .withColumn("u", col("h").cast(DoubleType) / lit(4294967296.0))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"),
           round(min(col("u")), 6).as("min_u"),
           round(max(col("u")), 6).as("max_u"))
         .orderBy("lang")
     },
-    Some("""
+    Some(s"""
       WITH s AS (
-        SELECT lang,
-          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
-            / 4294967296.0 AS u
-        FROM documents)
+        SELECT lang, ${HashSelect.u32Sql("doc_id")} AS h
+        FROM documents),
+      kept AS (
+        SELECT lang, CAST(h AS DOUBLE) / 4294967296.0 AS u
+        FROM s
+        WHERE h < ${HashSelect.thr32Sql(
+        "CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.5 ELSE 1.0 END")})
       SELECT lang, COUNT(*) AS n_sampled,
         ROUND(MIN(u), 6) AS min_u, ROUND(MAX(u), 6) AS max_u
-      FROM s
-      WHERE u < CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.5 ELSE 1.0 END
+      FROM kept
       GROUP BY lang ORDER BY lang"""))
 
   /** Text normalization: lowercase, strip non-alphanumerics, collapse

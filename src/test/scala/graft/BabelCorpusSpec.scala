@@ -28,9 +28,9 @@ class BabelCorpusSpec extends IqHarness {
     2031 -> "INTERVAL cast display: +61:00.000000 vs PT1H1M rendering",
     2927 -> "TIMESTAMP display precision: reference truncates to seconds (TIMESTAMP(0)), Spark keeps millis",
     2937 -> "same TIMESTAMP(0) display-precision truncation",
-    3055 -> "integer division: 1230219000 / 86400 is INT (reference) vs DOUBLE (Spark)",
-    3286 -> "LPAD over BYTES with mixed STRING/BYTES union rows — binary pad surface not mapped",
-    3322 -> "RPAD over BYTES — same",
+    // (3055 integer-literal division, 3286/3322 LPAD/RPAD over BYTES:
+    // lifted in round 7 by BigQueryDialect.rewriteIntLitDiv and
+    // rewriteBinaryPad)
     4269 -> "IFNULL branch typing: reference keeps per-row value strings; Spark coerces the union to BIGINT and rejects 'b'")
 
   private def cleanPg(sql: String): String = graft.sql.PostgresDialect.rewrite(sql)
@@ -170,7 +170,7 @@ class BabelCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(total >= 200, s"parser found only $total cases — quidem parsing regressed")
     // ratchet: raise this floor when new dialect rewrites land
-    assert(pass >= 209, s"babel coverage dropped: $pass passing (floor 209)")
+    assert(pass >= 212, s"babel coverage dropped: $pass passing (floor 212)")
     assert(failures.isEmpty,
       s"undocumented babel failures (${failures.size}):\n${failures.take(10).mkString("\n")}")
   }

@@ -161,9 +161,16 @@ class CollectionSqlSpec extends SparkSpec {
     assert(one("SELECT listagg(x) FROM VALUES ('a'), ('b') t(x)") == "a,b")
   }
 
-  test("aggregate ANY_VALUE computes as the reference's MAX; windowed stays native") {
-    assert(one("SELECT any_value(x) FROM VALUES (1), (9), (5) t(x)") == 9)
-    // windowed ANY_VALUE works on non-comparable types (CALCITE-4813)
+  test("aggregate ANY_VALUE→MAX is conformance-dialect only; product stays native") {
+    // the conformance adapter reproduces the reference's enumerable
+    // engine, which computes ANY_VALUE as MAX (agg.iq:2899)
+    assert(one(graft.sql.CalciteTyping.rewrite(
+      "SELECT any_value(x) FROM VALUES (1), (9), (5) t(x)")) == 9)
+    // the PRODUCT pipeline keeps Spark's any_value: works on
+    // non-orderable types in AGGREGATE position too (max would reject)
+    assert(one("SELECT any_value(m) FROM (SELECT map(1, 2) m)")
+      .asInstanceOf[scala.collection.Map[_, _]].head == (1 -> 2))
+    // windowed ANY_VALUE on non-comparable types (CALCITE-4813)
     assert(one("SELECT any_value(m) over() FROM (SELECT map(1, 2) m)")
       .asInstanceOf[scala.collection.Map[_, _]].head == (1 -> 2))
   }

@@ -93,18 +93,12 @@ class CorpusSpec extends IqHarness {
   /** Individual-case skips keyed (file, statement line): true divergences
     * too narrow for a construct pattern, each with the reason. */
   private val skipCases: Map[(String, Int), String] = {
-    val nestedCorr = "Spark's decorrelator resolves outer references one " +
-      "level deep only; these CALCITE-7394/4945 cases correlate through two+ " +
-      "subquery levels (Spark: UNRESOLVED_COLUMN on the outer alias)"
+    // (former nestedCorr skips — two+-level correlated subqueries — now
+    // run via the manual-Correlate fallback, sql/Decorrelate.scala)
     val existenceJoin = "Spark plans an IN-subquery in the PROJECTION as " +
       "ExistenceJoin, which yields FALSE where 3VL requires UNKNOWN when the " +
       "subquery contains NULLs — known Spark divergence; WHERE-clause forms " +
       "are unaffected (q115-q118 cover NOT IN null semantics)"
-    val unnestProbe3vl = "TRUE IN (SELECT b FROM UNNEST(outer array)): the " +
-      "3VL projection-IN restatement needs the correlated array inside a " +
-      "nested derived table, which Spark's decorrelator resolves one level " +
-      "deep only (same class as nestedCorr); the sibling TRUE-match case " +
-      "passes natively"
     val tupleIn = "struct-typed (a,b) IN list: Spark requires exact struct " +
       "field types (no coercion of NULL/int literals into DECIMAL fields); " +
       "row-value IN covered by q115-q118"
@@ -137,7 +131,24 @@ class CorpusSpec extends IqHarness {
       "none, because no commission decreases along the DESC sequence"
     Map(
       ("agg.iq", 31) -> "duplicate of line-21 case (same SQL, kept once)",
-      ("some.iq", 926) -> unnestProbe3vl,
+      ("unsigned.iq", 142) -> ("integer division with a CAST-expression " +
+        "operand (CAST(1000 AS INT UNSIGNED) / 30): the conformance " +
+        "integer-division shim (CalciteTyping.intLitDiv) covers literal " +
+        "and bare-identifier operands; a general expression operand " +
+        "needs full paren-matching — same divergence class as the " +
+        "lifted misc.iq:2435, one spelling narrower"),
+      ("some.iq", 926) -> ("TRUE IN (SELECT b FROM UNNEST(outer array)): " +
+        "the 3VL restatement correlates an UNQUALIFIED outer column " +
+        "through a nested derived table — invisible to Spark's " +
+        "decorrelator AND to the manual-Correlate fallback, which keys " +
+        "on qualified alias.col refs; the sibling TRUE-match case " +
+        "passes natively"),
+      ("sub-query.iq", 9713) -> ("scalar subquery over GROUPING SETS " +
+        "((deptno),()) on an empty correlated slice: the reference " +
+        "computes each grouping set independently, so the () set yields " +
+        "a count-0 row on empty input; Spark's expand-based lowering is " +
+        "one grouped aggregate, which returns no rows on empty input — " +
+        "SUM over it is NULL where the reference has 0"),
       ("agg.iq", 850) -> ("grouping(deptno) in ORDER BY after rollup with " +
         "deptno absent from the select list: Spark's sort resolution " +
         "cannot reach the aggregate's grouping metadata there"),
@@ -149,29 +160,6 @@ class CorpusSpec extends IqHarness {
         "IN-subquery predicate; Spark's grammar needs (pred) IS NULL"),
       ("sub-query.iq", 2337) -> "same unparenthesized IN ... IS UNKNOWN shape",
       ("sub-query.iq", 2711) -> "same unparenthesized IN ... IS UNKNOWN shape",
-      ("sub-query.iq", 4812) -> nestedCorr,
-      ("sub-query.iq", 4841) -> nestedCorr,
-      ("sub-query.iq", 4865) -> nestedCorr,
-      ("sub-query.iq", 4888) -> nestedCorr,
-      ("sub-query.iq", 4904) -> nestedCorr,
-      ("sub-query.iq", 4930) -> nestedCorr,
-      ("sub-query.iq", 6036) -> nestedCorr,
-      ("sub-query.iq", 6087) -> nestedCorr,
-      ("sub-query.iq", 6111) -> nestedCorr,
-      ("sub-query.iq", 6146) -> nestedCorr,
-      ("sub-query.iq", 6185) -> nestedCorr,
-      ("sub-query.iq", 6211) -> nestedCorr,
-      ("sub-query.iq", 6230) -> nestedCorr,
-      ("sub-query.iq", 6250) -> nestedCorr,
-      ("sub-query.iq", 6350) -> nestedCorr,
-      ("sub-query.iq", 6406) -> nestedCorr,
-      ("sub-query.iq", 6435) -> nestedCorr,
-      ("sub-query.iq", 761) -> ("default null sort order: the reference " +
-        "sorts NULL as largest (Oracle-style), Spark as smallest — under " +
-        "ORDER BY ... LIMIT 1 inside a scalar subquery the picked row " +
-        "differs; explicit NULLS FIRST/LAST collation covered by q10/q15"),
-      ("sub-query.iq", 787) -> "same default null-sort divergence under LIMIT",
-      ("new-decorr.iq", 104) -> "same default null-sort divergence under LIMIT",
       ("cast-with-format.iq", 29) -> ("plain CAST(string AS TIMESTAMP) " +
         "keeps Spark's microsecond precision; the reference's default " +
         "TIMESTAMP(0) truncates to whole seconds — precision-0 truncation " +
@@ -179,8 +167,6 @@ class CorpusSpec extends IqHarness {
       ("lambda.iq", 96) -> ("1-based ITEM subscript inside a lambda body: " +
         "the reference's x[1] is the FIRST element, Spark's the second; " +
         "1-based ITEM semantics covered by q52/Collections"),
-      ("new-decorr.iq", 264) -> nestedCorr,
-      ("new-decorr.iq", 282) -> nestedCorr,
       ("sub-query.iq", 4597) -> ("IS TRUE applied to an unparenthesized " +
         "IN-subquery predicate; Spark's grammar has no IS TRUE postfix"),
       ("join.iq", 993) -> ("ROW(...) constructors inside VALUES expand to " +
@@ -190,17 +176,9 @@ class CorpusSpec extends IqHarness {
         "arbitrary one; deterministic ARG_MAX/MIN covered by q16"),
       ("agg.iq", 3792) -> "same ARG_MIN/ARG_MAX tie-break divergence",
       ("agg.iq", 3804) -> "same ARG_MIN/ARG_MAX tie-break divergence",
-      ("winagg.iq", 484) -> ("rank() over a NULL-holding sort key: the " +
-        "reference sorts NULL last (Oracle-style), Spark first — ranks " +
-        "shift by one; explicit NULLS FIRST/LAST covered by q10/q15"),
-      ("winagg.iq", 503) -> "same default null-sort divergence (dense_rank)",
       ("winagg.iq", 23) -> ("interval-typed RANGE window frame over " +
         "timestamp subtraction — reference day-time INTERVAL frame " +
         "bounds; Spark RANGE bounds must be numeric/date literals"),
-      ("winagg.iq", 703) -> ("first_value over a NULL-holding sort key " +
-        "(hr commission): reference sorts NULL last, Spark first — " +
-        "explicit NULLS FIRST/LAST collation covered by q10/q15"),
-      ("winagg.iq", 727) -> "same default null-sort divergence (named window)",
       ("unnest.iq", 311) -> ("multi-collection zip UNNEST mixing a MAP " +
         "with arrays: the zip lowering (inline(arrays_zip(...))) needs " +
         "nested-field flattening the textual classifier can't type; " +
@@ -208,8 +186,6 @@ class CorpusSpec extends IqHarness {
       ("unnest.iq", 327) -> ("same zip limitation over a row-typed " +
         "(struct) collection"),
       ("unnest.iq", 501) -> "same MAP-in-zip limitation",
-      ("sub-query.iq", 10023) -> (nestedCorr + " (here: a LATERAL " +
-        "correlating through a second join input)"),
       ("pivot.iq", 454) -> ("LATERAL over a VALUES inline table whose " +
         "rows reference the outer query: Spark's inline-table evaluator " +
         "only accepts foldable expressions " +
@@ -294,16 +270,6 @@ class CorpusSpec extends IqHarness {
         "computes the moments in DOUBLE (94999.99999...), and the " +
         "scale-4 re-typing truncates the float artifact to 94999.9999 " +
         "where the reference's decimal arithmetic gives 95000 exactly"),
-      ("agg.iq", 225) -> ("variance/stddev over INT: the reference " +
-        "computes its DECOMPOSED formula (sum(x²) - sum(x)²/n)/n with " +
-        "INTEGER division at every step (var_pop = 289 where exact is " +
-        "288.9); the engine computes exactly and re-types the result " +
-        "(CalciteTyping adapter)"),
-      ("agg.iq", 243) -> "same integer-decomposed variance arithmetic",
-      ("winagg.iq", 810) -> "same integer-decomposed variance arithmetic (windowed)",
-      ("winagg.iq", 899) -> ("same integer-decomposed arithmetic in " +
-        "windowed REGR_SXX/SYY"),
-      ("sub-query.iq", 6062) -> nestedCorr,
       ("measure.iq", 126) -> ("a MEASURE defined inside a CTE and " +
         "AGGREGATE'd in the outer query: plans/Measures resolves " +
         "measures against the immediate FROM, not through WITH " +
@@ -350,9 +316,6 @@ class CorpusSpec extends IqHarness {
         "the widened-carrier scheme (functions/Unsigned.scala) loses the " +
         "UNSIGNED type tag the reference's variant runtime keeps"),
       ("unsigned.iq", 132) -> ("same carrier-scheme TYPEOF divergence"),
-      ("unsigned.iq", 142) -> ("integer division: the reference computes " +
-        "1000/30 = 33 (SQL integer semantics); Spark's / is always " +
-        "fractional — same divergence as misc.iq:2435"),
       ("blank.iq", 219) -> ("MAX/MIN over a MAP column — Spark's map type " +
         "has no ordering (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE); the " +
         "reference orders maps by entry list"),
@@ -366,9 +329,6 @@ class CorpusSpec extends IqHarness {
         "is 0 (bare CAST drops fractions) and literals carry precision " +
         "3; Spark timestamps are fixed micros — TIMESTAMP(p) has no " +
         "equivalent"),
-      ("misc.iq", 2435) -> ("integer division: the reference computes " +
-        "1/2 = 0 (SQL standard integer semantics); Spark's / is always " +
-        "fractional"),
       ("pivot.iq", 240) -> duplicatePivotValue,
       ("pivot.iq", 253) -> duplicatePivotValue,
       ("pivot.iq", 78) -> pivotCountZero,
@@ -478,6 +438,9 @@ class CorpusSpec extends IqHarness {
     // grouping constant, not an ordinal (SqlConformance.isGroupByOrdinal
     // = false) — the corpus's recorded outputs assume that everywhere
     spark.conf.set("spark.sql.groupByOrdinal", "false")
+    // reference default null ordering (largest — Oracle-style); applied
+    // as the LAST rewrite step, see GraftSql.oracleNullDefault
+    graft.sql.GraftSql.oracleNullDefault = true
     try for (fn <- corpusFiles) {
       val cases = parseIq(new java.io.File(refSqlDir, fn))
         .filter(c => c.ddl || c.use == "scott" || c.use == "post" ||
@@ -526,7 +489,10 @@ class CorpusSpec extends IqHarness {
         }
       }
     }
-    finally spark.conf.unset("spark.sql.groupByOrdinal")
+    finally {
+      spark.conf.unset("spark.sql.groupByOrdinal")
+      graft.sql.GraftSql.oracleNullDefault = false
+    }
     createdTables.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     info(s"corpus: $pass passed, $skippedConstruct construct-skips, " +
       s"$skippedCase case-skips, ${engineLimits.size} engine-limits, ${failures.size} failures")
@@ -538,14 +504,16 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1469, s"corpus coverage dropped: $pass passing (floor 1469)")
-    // decorrelator/window/TIME limits + LATERAL-correlation and
-    // correlated-avg subquery shapes surfaced as construct-skips were
-    // lifted (lateral(, avg-family, grouping-sets families — all the
-    // same Spark decorrelator classes); FILTER-on-window-aggregate
-    // lowered via GraftSql.rewriteWindowFilter in round 6
-    assert(engineLimits.size <= 45,
-      s"Spark-limitation count grew: ${engineLimits.size} (was 45) — a rewrite regressed")
+    assert(pass >= 1532, s"corpus coverage dropped: $pass passing (floor 1532)")
+    // round 7: the manual-Correlate fallback (sql/Decorrelate.scala)
+    // lifted 31 of the 45 round-6 limits (nested/deep correlation,
+    // correlated vars under joins inside subqueries, window functions
+    // over outer refs, scalar subqueries in join ON) plus 22 former
+    // nestedCorr case-skips. The remaining 14: Spark INTERNAL_ERROR
+    // shapes it can't even analyze textually-cleanly, TIME type,
+    // UNION-distinct recursion, and DISTINCT+ORDER-BY-unselected.
+    assert(engineLimits.size <= 14,
+      s"Spark-limitation count grew: ${engineLimits.size} (was 14) — a rewrite regressed")
   }
 
   /** The corpora's `!error` cases: statements the reference REJECTS

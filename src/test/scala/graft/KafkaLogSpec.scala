@@ -72,4 +72,27 @@ class KafkaLogSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(spark.table("kafka_latest").count() == 0)
   }
+
+  test("graft-kafka: BATCH read of the full log (the connector's earliest→latest batch mode)") {
+    val dir = Files.createTempDirectory("kafka-log").toFile.getAbsolutePath
+    GraftKafkaLog.append(dir, "b", 0, Seq(record("k0", "1", 100), record("k1", "2", 200)))
+    GraftKafkaLog.append(dir, "b", 1, Seq(record("k2", "3", 300)))
+    val df = spark.read.format("graft-kafka")
+      .option("path", dir).option("topic", "b").load()
+    assert(df.schema.fieldNames.toSeq == Seq(
+      "key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+    assert(df.count() == 3)
+    assert(df.select(max(col("partition"))).head.getInt(0) == 1)
+  }
+
+  test("model file mounts a kafka table type onto the DSv2 log source") {
+    val dir = Files.createTempDirectory("kafka-log").toFile.getAbsolutePath
+    GraftKafkaLog.append(dir, "clicks", 0, Seq(record("u1", "7", 500)))
+    graft.catalog.ModelLoader.load(spark, graft.catalog.Model("m",
+      tables = Seq(graft.catalog.TableDef("clicks_t", "kafka", s"$dir:clicks"))))
+    val rows = spark.sql(
+      "SELECT CAST(key AS STRING) k, partition, offset FROM clicks_t").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq(("u1", 0, 0L)))
+  }
 }

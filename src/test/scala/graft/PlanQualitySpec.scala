@@ -174,17 +174,43 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a single window pass:\n$p")
   }
 
-  test("q143 within distinct: one aggregation exchange on the group key") {
+  test("q143 within distinct: two-level restatement, no pair-collection fold") {
     val p = plan("q143_within_distinct")
-    // the distinct pair fold is group-local (objectHashAggregate over
-    // collect_list) — exactly one shuffle keyed on o_custkey feeds it,
-    // plus the join's own exchange; no cartesian or extra distinct pass
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"unexpected join strategy:\n$p")
     val exchanges = "Exchange hashpartitioning\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(exchanges.exists(_.contains("o_custkey")),
       s"aggregation must shuffle on o_custkey:\n$p")
+    // round 7: the plain grouped shape lowers to GROUP BY (g, keys) →
+    // GROUP BY g — hash aggregates with O(1) per-key state; a
+    // collect_list fold here means the scalable path regressed
+    assert(!p.toLowerCase.contains("collect_list"),
+      s"expected the two-level restatement, found a pair fold:\n$p")
+  }
+
+  test("q145 unbounded EXCLUDE: difference-of-windows, NO self-join") {
+    val p = plan("q145_window_exclude")
+    // the unbounded-frame EXCLUDE lowering is two window aggregates
+    // (partition total minus peer total) — any join here means the
+    // |partition|² fallback regressed into the scale path
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"unbounded EXCLUDE must not plan a join:\n$p")
+    assert("(?i)window".r.findFirstIn(p).isDefined, s"expected window operators:\n$p")
+  }
+
+  test("q146 bounded EXCLUDE: explode-generated frame equi-joined on (partition, rn)") {
+    val p = plan("q146_window_exclude_bounded")
+    // the bounded-frame path generates frame row-numbers with
+    // explode(sequence(...)) and EQUI-joins them — O(n·frame), hashed;
+    // neither a cartesian pair enumeration nor a broadcast loop
+    assert(p.toLowerCase.contains("explode"), s"expected generated frame rows:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on the frame keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bounded EXCLUDE must not pair-enumerate:\n$p")
+    assert(p.contains("__jrn"), s"join must key on the generated frame rn:\n$p")
   }
 
   test("whole-stage codegen covers the hot aggregation path") {

@@ -20,6 +20,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), na_position='first').reset_index(drop=True)
     return df
 
+def _is_exact_float(col) -> bool:
+    """True when every value survives a round-trip through the driver's
+    fixed-precision rendering (%.6f) — i.e. the column is 'rendering
+    safe' even though it is float-typed: dyadic fractions of small
+    denominators and exact small-denominator divisions qualify."""
+    import numpy as np
+    vals = col.dropna().to_numpy(dtype=float)
+    if len(vals) == 0:
+        return True
+    rendered = np.array([float(f"{v:.6f}") for v in vals])
+    return bool(np.array_equal(rendered, np.round(vals, 6)) and
+                np.array_equal(np.round(vals, 6), vals))
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -28,6 +41,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    float_surfaces = []
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
@@ -43,6 +57,17 @@ def main():
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(oracle_df.columns)}"); n_bad += 1; continue
         if len(spark_df) != len(oracle_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(oracle_df)}"); n_bad += 1; continue
+        # Driver-hash fragility lint: the driver hashes a fixed-precision
+        # rendering of every value, so a float column whose bit pattern
+        # depends on fp fold order can hash-mismatch even when this
+        # exact bitwise compare passes (d36, round 6). Single-rounding
+        # surfaces (ROUND of one value, exact divisions) are fine — the
+        # warn below is a summary nudge, not a failure.
+        floatcols = [c for c in spark_df.columns
+                     if str(spark_df[c].dtype).startswith(("float", "Float"))
+                     and not _is_exact_float(spark_df[c])]
+        if floatcols:
+            float_surfaces.append((name, floatcols))
         try:
             pd.testing.assert_frame_equal(spark_df, oracle_df, check_dtype=False, check_exact=True)
             print(f"OK   {name} ({len(spark_df)} rows)"); n_ok += 1
@@ -50,6 +75,11 @@ def main():
             first = str(e).split("\n")
             print(f"FAIL {name}: values differ: {' | '.join(first[:3])}")
             n_bad += 1
+    if float_surfaces:
+        print(f"note: {len(float_surfaces)} queries carry non-6dp float output "
+              f"columns (driver hash is stricter than this compare — keep NEW "
+              f"hashed surfaces integer): "
+              + ", ".join(n for n, _ in float_surfaces))
     print(f"== {n_ok} ok, {n_bad} bad ==")
     sys.exit(1 if n_bad else 0)
 
