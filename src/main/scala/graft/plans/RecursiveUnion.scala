@@ -35,4 +35,35 @@ object RecursiveUnion {
     }
     acc
   }
+
+  /** UNION-distinct recursion (all=false — the form whose TERMINATION
+    * depends on dedup: a cycle's revisited rows must not re-enter the
+    * working table). Semi-naive fixpoint: each iteration's delta is
+    * `step(delta) EXCEPT accumulated` — one distinct-shuffle per
+    * iteration, the standard distributed evaluation; Spark's native
+    * recursive CTE only supports UNION ALL
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so this is the engine's
+    * own path for the reference's recursive_queries.iq:310 family. */
+  def repeatUnionDistinct(
+      seed: DataFrame,
+      step: DataFrame => DataFrame,
+      iterationLimit: Int = 100): DataFrame = {
+    // re-root each checkpointed frame on a bare LogicalRDD: EXCEPT's
+    // inferred constraints reference pre-checkpoint attributes, which
+    // trips Union.rewriteConstraints (key not found) when the next
+    // union analyzes — the rebuild drops the stale constraints
+    def pin(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    var acc = pin(seed.distinct())
+    var delta = acc
+    var i = 0
+    while (i < iterationLimit && !delta.isEmpty) {
+      delta = pin(step(delta).distinct().except(acc))
+      if (!delta.isEmpty) acc = pin(acc.union(delta))
+      i += 1
+    }
+    acc
+  }
 }

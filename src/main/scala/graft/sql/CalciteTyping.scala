@@ -25,7 +25,8 @@ object CalciteTyping {
       "covar_pop|covar_samp|regr_sxx|regr_syy"
 
   def rewrite(sql0: String): String = {
-    val sql = decomposeIntVariance(intLitDiv(anyValueAsMax(sql0)))
+    val sql = decomposeIntVariance(intLitDiv(anyValueAsMax(
+      pivotManual(decimalLitCastDown(timeLiteralArith(sql0))))))
     val masked = maskLiterals(sql)
     // measure statements restructure through MeasureSql — the wrapper's
     // sample would reference columns outside the measure's context
@@ -76,6 +77,79 @@ object CalciteTyping {
       }
     }
     sql
+  }
+
+  /** The reference's DEFAULT decimal cast truncates toward zero
+    * (RelDataTypeSystem rounding mode DOWN — cast.iq:547+); Spark
+    * rounds HALF_UP. For LITERAL sources (number or numeric string)
+    * the truncation is computed here at rewrite time and re-emitted as
+    * an exact cast (no rounding digit left), which also resolves
+    * nested literal cast chains innermost-out. Values that overflow
+    * the target precision are left alone so the `!error` overflow
+    * contracts still fire. Column-typed sources keep Spark's HALF_UP
+    * (divergence pinned in DecimalTypeSystemSpec). */
+  private def decimalLitCastDown(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      val re = "(?i)\\bCAST\\s*\\(".r
+      val it = re.findAllMatchIn(masked).toList
+      for (m <- it if !changed) {
+        val open = masked.indexOf('(', m.start)
+        val close = closeParen(masked, open)
+        if (close > 0) {
+          val content = sql.substring(open + 1, close)
+          // source = a bare/quoted numeric literal (spaces inside the
+          // quotes trim, like the reference's cast), or a literal cast
+          // through FLOAT/REAL/DOUBLE/DECIMAL — inner decimal chains
+          // resolve innermost-out through this loop's own normalized
+          // output; float reprs stay within an ulp of the decimal
+          // text, which never reaches the truncation digit for the
+          // short literals SQL carries
+          val lit = "-?\\d+(?:\\.\\d+)?(?:[eE]-?\\d+)?"
+          val tm = ("(?is)^\\s*(?:'\\s*(" + lit + ")\\s*'|(" + lit + ")|CAST\\s*\\(\\s*(" + lit +
+            ")\\s+AS\\s+(?:FLOAT|REAL|DOUBLE|DECIMAL\\s*\\(\\d+(?:\\s*,\\s*\\d+)?\\))\\s*\\))" +
+            "\\s+AS\\s+DECIMAL\\s*\\((\\d+)\\s*(?:,\\s*(\\d+))?\\)\\s*$").r
+            .findFirstMatchIn(content)
+          tm.foreach { t =>
+            val p = t.group(4).toInt
+            val s = Option(t.group(5)).map(_.toInt).getOrElse(0)
+            val src = Option(t.group(1)).orElse(Option(t.group(2))).getOrElse(t.group(3))
+            try {
+              val v = new java.math.BigDecimal(src)
+                .setScale(s, java.math.RoundingMode.DOWN)
+              if (v.precision <= p || v.unscaledValue.abs.toString.length <= p) {
+                val lit = v.toPlainString
+                val rep = s"CAST($lit AS DECIMAL($p, $s))"
+                val old = sql.substring(m.start, close + 1)
+                if (rep != old) {
+                  sql = sql.substring(0, m.start) + rep + sql.substring(close + 1)
+                  changed = true
+                }
+              }
+            } catch { case _: ArithmeticException => }
+          }
+        }
+      }
+    }
+    sql
+  }
+
+  /** TIME literal ± interval (misc.iq:29/50/60): Spark has no TIME
+    * type; the engine's TIME surface is the 'HH:mm:ss' string encoding
+    * (functions/BigQueryFns time family). Lower the literal arithmetic
+    * onto it. */
+  private def timeLiteralArith(sql: String): String = {
+    val unitUs = Map("SECOND" -> 1000000L, "MINUTE" -> 60000000L, "HOUR" -> 3600000000L)
+    "(?is)\\bTIME\\s+'([\\d:.]+)'\\s*([+-])\\s*CAST\\s*\\(\\s*'(\\d+)'\\s+AS\\s+INTERVAL\\s+(SECOND|MINUTE|HOUR)\\s*\\)".r
+      .replaceAllIn(sql, m => {
+        val sign = if (m.group(2) == "-") -1L else 1L
+        val us = sign * m.group(3).toLong *
+          unitUs(m.group(4).toUpperCase(java.util.Locale.ROOT))
+        s"bq_time_add_micros('${m.group(1)}', ${us}L)"
+      })
   }
 
   /** Integer-literal division: the reference computes SQL-standard
@@ -232,6 +306,128 @@ object CalciteTyping {
     * non-orderable types (MAP, VARIANT — CALCITE-4813, blank.iq:160)
     * and with IGNORE NULLS, both of which max() rejects. Windowed and
     * IGNORE/RESPECT NULLS forms are left alone here too. */
+  /** Manual PIVOT lowering (conformance dialect): the reference (like
+    * Oracle) fills empty COUNT cells with 0 and names generated columns
+    * `<label>_<aggAlias>`; Spark's native pivot aggregates
+    * first(if(...)) — NULL cells — and drops the agg alias for a
+    * single aggregate. Restating the pivot as conditional aggregation
+    * (`FN(CASE WHEN forcol <=> val THEN arg END)` per (value, agg),
+    * grouped by the untouched source columns) reproduces the
+    * reference's cells and column order exactly, duplicate IN-values
+    * included. Applies to `(SELECT <simple cols> ...) PIVOT (...)`
+    * shapes; anything else keeps Spark's native pivot. */
+  private[sql] def pivotManual(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val pm = "(?i)\\bPIVOT\\s*\\(".r.findFirstMatchIn(masked).getOrElse(return sql)
+    val pOpen = masked.indexOf('(', pm.start)
+    val pClose = closeParen(masked, pOpen)
+    if (pClose < 0) return sql
+    // source must be a parenthesized subselect directly before PIVOT
+    val before = masked.substring(0, pm.start)
+    val srcClose = before.reverse.dropWhile(_.isWhitespace).length - 1
+    if (srcClose < 0 || masked.charAt(srcClose) != ')') return sql
+    val srcOpen = GraftSql.openParenOf(masked, srcClose)
+    if (srcOpen < 0 ||
+      "(?is)^\\(\\s*SELECT\\b".r.findFirstIn(masked.substring(srcOpen)).isEmpty) return sql
+    // source select list → the full column set: bare identifiers, or
+    // aliased expressions (`CASE ... END AS gender` contributes gender)
+    val srcBody = masked.substring(srcOpen + 1, srcClose)
+    val srcFrom = "(?is)\\bFROM\\b".r.findAllMatchIn(srcBody).find { f =>
+      val pre = srcBody.substring(0, f.start)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }.getOrElse(return sql)
+    val srcSelEnd = "(?is)^\\s*SELECT\\s".r.findFirstMatchIn(srcBody)
+      .map(_.end - 1).getOrElse(return sql)
+    val srcCols = GraftSql.splitElemsOf(sql, masked,
+      srcOpen + 1 + srcSelEnd, srcOpen + 1 + srcFrom.start).map { item =>
+      val t = item.trim
+      "(?is)\\s+AS\\s+([A-Za-z_]\\w*|`[^`]*`)\\s*$".r.findFirstMatchIn(t)
+        .map(_.group(1).stripPrefix("`").stripSuffix("`"))
+        .getOrElse {
+          if ("^[A-Za-z_]\\w*$".r.matches(t)) t else return sql
+        }
+    }
+    if (srcCols.isEmpty) return sql
+
+    // pivot clause: aggs FOR forcols IN (values)
+    val body = sql.substring(pOpen + 1, pClose)
+    val bodyM = masked.substring(pOpen + 1, pClose)
+    val forM = "(?is)\\bFOR\\b".r.findAllMatchIn(bodyM).find { f =>
+      val pre = bodyM.substring(0, f.start)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }.getOrElse(return sql)
+    val inM = "(?is)\\bIN\\s*\\(".r.findFirstMatchIn(bodyM.substring(forM.end)).getOrElse(return sql)
+    val forColsTxt = body.substring(forM.end, forM.end + inM.start).trim
+    val forCols = GraftSql.splitTopLevel(
+      forColsTxt.stripPrefix("(").stripSuffix(")")).map(_.trim)
+    if (!forCols.forall(c => "^[A-Za-z_]\\w*$".r.matches(c))) return sql
+    val inOpen = pOpen + 1 + forM.end + inM.end - 1
+    val inClose = closeParen(masked, inOpen)
+    if (inClose < 0 || inClose > pClose) return sql
+
+    // aggregates: FN(arg) [AS? alias]
+    final case class Agg(fn: String, arg: String, name: String)
+    val aggs = GraftSql.splitElemsOf(sql, masked, pOpen + 1, pOpen + 1 + forM.start).map { a =>
+      // quoted aliases arrive as backticks (clean0 re-quotes the
+      // corpus's double quotes before this adapter runs)
+      val m2 = ("(?is)^\\s*(SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*(\\*|[A-Za-z_]\\w*)\\s*\\)" +
+        "(?:\\s+(?:AS\\s+)?(`[^`]*`|\"[^\"]*\"|[A-Za-z_]\\w*))?\\s*$").r
+        .findFirstMatchIn(a).getOrElse(return sql)
+      Agg(m2.group(1).toUpperCase(java.util.Locale.ROOT), m2.group(2),
+        Option(m2.group(3)).map { raw =>
+          val n = raw.replaceAll("^[`\"]|[`\"]$", "")
+          // unquoted aliases uppercase (the reference's lexer); quoted
+          // keep their spelling
+          if (raw.head == '`' || raw.head == '"') n
+          else n.toUpperCase(java.util.Locale.ROOT)
+        }.getOrElse(""))
+    }
+    // values: literal | (tuple) [AS? label]
+    final case class Val(comps: Seq[String], label: String)
+    val vals = GraftSql.splitElemsOf(sql, masked, inOpen + 1, inClose).map { v =>
+      val vm = ("(?is)^\\s*(\\([^)]*\\)|'[^']*'|-?\\d+(?:\\.\\d+)?|[A-Za-z_]\\w*)" +
+        "(?:\\s+(?:AS\\s+)?(`[^`]*`|\"[^\"]*\"|[A-Za-z_]\\w*))?\\s*$").r
+        .findFirstMatchIn(v).getOrElse(return sql)
+      val lit = vm.group(1)
+      val comps =
+        if (lit.startsWith("(")) GraftSql.splitTopLevel(lit.stripPrefix("(").stripSuffix(")")).map(_.trim)
+        else Seq(lit)
+      val label = Option(vm.group(2))
+        .map { l =>
+          if (l.head == '`' || l.head == '"') l.replaceAll("^[`\"]|[`\"]$", "")
+          else l.toUpperCase(java.util.Locale.ROOT)
+        }
+        .getOrElse(comps.mkString("_"))
+      Val(comps, label)
+    }
+    if (vals.isEmpty || aggs.isEmpty || vals.exists(_.comps.length != forCols.length))
+      return sql
+
+    val argCols = aggs.map(_.arg).filter(_ != "*")
+    val groupCols = srcCols.filterNot(c =>
+      forCols.exists(_.equalsIgnoreCase(c)) || argCols.exists(_.equalsIgnoreCase(c)))
+    val aggItems = vals.flatMap { v =>
+      // plain `=`: NULL source values match NO pivot value, and an
+      // IN-list `null` matches nothing — Oracle semantics (pivot.iq:184)
+      val cond = forCols.zip(v.comps)
+        .map { case (c, comp) => s"$c = $comp" }.mkString(" AND ")
+      aggs.map { a =>
+        val e = a.fn match {
+          case "COUNT" if a.arg == "*" => s"COUNT(CASE WHEN $cond THEN 1 END)"
+          case fn2 => s"$fn2(CASE WHEN $cond THEN ${a.arg} END)"
+        }
+        val name = if (a.name.isEmpty) v.label else s"${v.label}_${a.name}"
+        s"$e AS `$name`"
+      }
+    }
+    val items = (groupCols ++ aggItems).mkString(", ")
+    val src = sql.substring(srcOpen, srcClose + 1)
+    val groupBy =
+      if (groupCols.isEmpty) "" else s" GROUP BY ${groupCols.mkString(", ")}"
+    val rep = s"(SELECT $items FROM $src __pvt$groupBy)"
+    pivotManual(sql.substring(0, srcOpen) + rep + sql.substring(pClose + 1))
+  }
+
   private def anyValueAsMax(sql: String): String = {
     val masked = maskLiterals(sql)
     "(?i)\\bANY_VALUE\\s*\\(".r.findAllMatchIn(masked).collectFirst {

@@ -114,8 +114,100 @@ object Decorrelate {
     // cannot be a scalar lookup — recurse INSIDE them and process the
     // deeper correlated subqueries instead (their own one-level
     // correlation is Spark-native once the deep refs are substituted).
+    // substitute every outer ref in [open+1, close) with the key row's
+    // typed literals; returns the rewritten body text
+    def substitute(open: Int, close: Int, refs: Seq[(String, String)],
+        row: Row, keyTypes: Array[DataType]): String = {
+      var body = sql.substring(open + 1, close)
+      var bodyMask = masked.substring(open + 1, close)
+      for ((((a, c)), i) <- refs.zipWithIndex) {
+        val re = ("\\b" + a + "\\s*\\.\\s*" + c + "\\b").r
+        val litv = literal(row, i, keyTypes(i))
+        val matches = re.findAllMatchIn(bodyMask).toList.reverse
+        for (m <- matches) {
+          body = body.substring(0, m.start) + litv + body.substring(m.end)
+          bodyMask = bodyMask.substring(0, m.start) + litv + bodyMask.substring(m.end)
+        }
+      }
+      body
+    }
+
+    // distinct key tuples for a subquery's outer refs (None = over cap
+    // or unresolvable alias)
+    def keysFor(refs: Seq[(String, String)], cap: Int): Option[(Array[Row], Array[DataType])] = {
+      if (refs.map(_._1).distinct.exists(a => !bindings.contains(a.toLowerCase)))
+        return None
+      val keyCols = refs.zipWithIndex
+        .map { case ((a, c), i) => s"$a.$c AS __k$i" }.mkString(", ")
+      val fromRefs = refs.map(_._1).distinct
+        .map(a => s"${bindings(a.toLowerCase).ref} $a").mkString(" CROSS JOIN ")
+      val keysDf = spark.sql(s"${ctePrefix}SELECT DISTINCT $keyCols FROM $fromRefs")
+      val keyRows = keysDf.limit(cap + 1).collect()
+      if (keyRows.length > cap) None
+      else Some((keyRows, keysDf.schema.fields.map(_.dataType)))
+    }
+
+    /** LATERAL-positioned correlated subquery (`JOIN LATERAL (S) a ON
+      * cond`): restate as a UNION ALL of the per-key evaluations with
+      * the key tuple as hidden __lk columns, equi-joined back on them —
+      * the textbook Correlate→join restatement, all deferred to Spark
+      * (no driver evaluation). Returns the text edits, or None when the
+      * shape is out of scope (no ON clause, star select, cap). */
+    def lateralEditsFor(open: Int, close: Int, lateralStart: Int): Option[Seq[(Int, Int, String)]] = {
+      // a bare star in the outer select list would expose the __lk cols
+      val selM2 = "(?is)^\\s*SELECT\\s".r.findFirstMatchIn(masked).getOrElse(return None)
+      var i2 = selM2.end
+      var d2 = 0
+      while (i2 < masked.length &&
+        !(d2 == 0 && masked.regionMatches(true, i2, "FROM", 0, 4) &&
+          !masked.charAt(i2 - 1).isLetterOrDigit)) {
+        val ch = masked.charAt(i2)
+        if (ch == '(') d2 += 1 else if (ch == ')') d2 -= 1
+        else if (ch == '*' && d2 == 0) return None
+        i2 += 1
+      }
+      val refs = refsOf(open, close)
+      val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)".r
+        .findFirstMatchIn(masked.substring(close + 1)).getOrElse(return None)
+      val alias = sql.substring(close + 1 + aliasM.start(1), close + 1 + aliasM.end(1))
+      if (keywords(alias.toUpperCase)) return None
+      val onM = "(?is)^\\s*ON\\b".r
+        .findFirstMatchIn(masked.substring(close + 1 + aliasM.end)).getOrElse(return None)
+      val condStart = close + 1 + aliasM.end + onM.end
+      // condition extent: to the next top-level clause keyword / end
+      var j = condStart
+      var depth = 0
+      val boundary = ("(?is)^(WHERE|GROUP|ORDER|LIMIT|OFFSET|FETCH|UNION|" +
+        "INTERSECT|EXCEPT|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|NATURAL|HAVING|QUALIFY|WINDOW)\\b").r
+      var condEnd = -1
+      while (j < masked.length && condEnd < 0) {
+        val ch = masked.charAt(j)
+        if (ch == '(') depth += 1
+        else if (ch == ')') { if (depth == 0) condEnd = j else depth -= 1 }
+        else if (depth == 0 && !masked.charAt(j - 1).isLetterOrDigit &&
+          boundary.findFirstIn(masked.substring(j)).isDefined) condEnd = j
+        j += 1
+      }
+      if (condEnd < 0) condEnd = sql.replaceAll("[;\\s]+$", "").length
+      val (keyRows, keyTypes) = keysFor(refs, 300).getOrElse(return None)
+      if (keyRows.isEmpty) return None
+      val segs = keyRows.map { row =>
+        val lits = refs.indices
+          .map(i3 => s"${literal(row, i3, keyTypes(i3))} AS __lk$i3").mkString(", ")
+        s"SELECT $lits, __lb.* FROM (${substitute(open, close, refs, row, keyTypes)}) __lb"
+      }
+      val unionText = "(" + segs.mkString(" UNION ALL ") + ")"
+      val joinKeys = refs.zipWithIndex
+        .map { case ((a, c), i3) => s"$a.$c <=> $alias.__lk$i3" }.mkString(" AND ")
+      val origCond = sql.substring(condStart, condEnd).trim
+      Some(Seq(
+        (lateralStart, close + 1, unionText),
+        (condStart, condEnd, s" ($origCond) AND $joinKeys ")))
+    }
+
     val work = scala.collection.mutable.Queue.empty[(Int, Int)]
     val chosen = scala.collection.mutable.ListBuffer.empty[(Int, Int, Boolean, Int)]
+    val edits = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
     work ++= top
     while (work.nonEmpty) {
       val (open, close) = work.dequeue()
@@ -125,54 +217,32 @@ object Decorrelate {
       val isExists = up.endsWith("EXISTS")
       if (!isExists &&
         up.matches("(?s).*\\b(IN|ANY|SOME|ALL|LATERAL|FROM|JOIN)\\s*$")) {
-        val inner = outermostIn(correlated, open, close)
-        if (inner.isEmpty) return None // correlation only at this level
-        work ++= inner
+        val lateral =
+          if (up.endsWith("LATERAL"))
+            lateralEditsFor(open, close, preTrim.length - "LATERAL".length)
+          else None
+        lateral match {
+          case Some(es) => edits ++= es
+          case None =>
+            val inner = outermostIn(correlated, open, close)
+            if (inner.isEmpty) return None // correlation only at this level
+            work ++= inner
+        }
       } else {
         val existsStart =
           if (isExists) preTrim.length - "EXISTS".length else open
         chosen += ((open, close, isExists, existsStart))
       }
     }
-    if (chosen.isEmpty) return None
+    if (chosen.isEmpty && edits.isEmpty) return None
 
-    var out = sql
-    // back-to-front so earlier offsets stay valid (regions are disjoint)
-    for ((open, close, isExists, existsStart) <- chosen.sortBy(-_._1)) {
+    for ((open, close, isExists, existsStart) <- chosen) {
       val refs = refsOf(open, close)
-      if (refs.map(_._1).distinct.exists(a => !bindings.contains(a.toLowerCase)))
-        return None
-      val aliases = refs.map(_._1).distinct
-
-      // distinct key tuples from the binding tables
-      val keyCols = refs.zipWithIndex
-        .map { case ((a, c), i) => s"$a.$c AS __k$i" }.mkString(", ")
-      val fromRefs = aliases
-        .map(a => s"${bindings(a.toLowerCase).ref} $a").mkString(" CROSS JOIN ")
-      val keysDf = spark.sql(s"${ctePrefix}SELECT DISTINCT $keyCols FROM $fromRefs")
-      val keyRows = keysDf.limit(maxKeys + 1).collect()
-      if (keyRows.length > maxKeys) return None
-      val keyTypes = keysDf.schema.fields.map(_.dataType)
+      val (keyRows, keyTypes) = keysFor(refs, maxKeys).getOrElse(return None)
 
       // evaluate S per key with refs substituted as typed literals
-      val subBodyMasked = masked.substring(open + 1, close)
-      val subBodyOrig = sql.substring(open + 1, close)
-      val refPat = refs.map { case (a, c) =>
-        ((a, c), ("\\b" + a + "\\s*\\.\\s*" + c + "\\b").r)
-      }
       val results = keyRows.map { row =>
-        var body = subBodyOrig
-        // substitute on masked positions, splice into original text
-        var bodyMask = subBodyMasked
-        for ((((_, _), re), i) <- refPat.zipWithIndex) {
-          val litv = literal(row, i, keyTypes(i))
-          val matches = re.findAllMatchIn(bodyMask).toList.reverse
-          for (m <- matches) {
-            body = body.substring(0, m.start) + litv + body.substring(m.end)
-            bodyMask = bodyMask.substring(0, m.start) + litv + bodyMask.substring(m.end)
-          }
-        }
-        val df = spark.sql(ctePrefix + body)
+        val df = spark.sql(ctePrefix + substitute(open, close, refs, row, keyTypes))
         if (isExists) (java.lang.Boolean.valueOf(!df.isEmpty), BooleanType: DataType)
         else {
           val rows = df.limit(2).collect()
@@ -195,8 +265,13 @@ object Decorrelate {
       val caseExpr =
         if (branches.isEmpty) s"CAST(NULL AS ${resType.sql})"
         else s"(CASE $branches ELSE CAST(NULL AS ${resType.sql}) END)"
-      out = out.substring(0, existsStart) + caseExpr + out.substring(close + 1)
+      edits += ((existsStart, close + 1, caseExpr))
     }
+
+    // back-to-front so earlier offsets stay valid (regions are disjoint)
+    var out = sql
+    for ((s0, e0, txt) <- edits.sortBy(-_._1))
+      out = out.substring(0, s0) + txt + out.substring(e0)
     Some(spark.sql(out))
   }
 

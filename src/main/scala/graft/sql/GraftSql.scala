@@ -79,6 +79,8 @@ object GraftSql {
   private def sqlWithCorrelateFallback(spark: SparkSession, s: String): DataFrame =
     try spark.sql(s)
     catch {
+      case e: Throwable if RecursiveSql.applicable(e) =>
+        RecursiveSql(spark, s).getOrElse(throw e)
       case e: Throwable if Decorrelate.applicable(e) =>
         Decorrelate(spark, s).getOrElse(throw e)
     }
@@ -363,6 +365,7 @@ object GraftSql {
       MeasureSql.ddlRewrite, AsofSql.rewrite, WithinDistinctSql.rewrite,
       GroupingSetsSql.rewrite, ExcludeFrameSql.rewrite,
       SubqueryRewrites.apply, rewriteProjectionIn, rewriteUnorderedWindow,
+      rewriteDistinctOrderByAlias,
       rewriteDistinctOn, rewriteSelectBy, UnpivotTupleSql.rewrite,
       rewriteExclude,
       rewriteRowCompare, rewriteRowNullCheck, rewriteTupleInList,
@@ -377,6 +380,71 @@ object GraftSql {
       rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
       rewritePivotAlias, rewriteUnpivotLabel
     ).foldLeft(sql)((s, f) => f(s))
+
+  /** `SELECT DISTINCT ... GROUP BY ... ORDER BY <aggregate>`: Spark's
+    * analyzer rejects ordering a DISTINCT by an expression that is not
+    * in the (distinct) select list — but when the SAME expression
+    * appears there under an alias (CALCITE-634, sort.iq:354: `select
+    * distinct deptno, count(*) as c ... order by count(*)`), ordering
+    * by the alias is equivalent. Substitute it. */
+  private[graft] def rewriteDistinctOrderByAlias(sql: String): String = {
+    val masked = maskLiterals(sql)
+    if ("(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(masked).isEmpty) return sql
+    def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", "")
+    // select items: DISTINCT .. top-level FROM
+    val selM = "(?is)^\\s*SELECT\\s+DISTINCT\\s".r.findFirstMatchIn(masked).getOrElse(return sql)
+    var i = selM.end
+    var depth = 0
+    var fromAt = -1
+    while (i < masked.length && fromAt < 0) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && masked.regionMatches(true, i, "FROM", 0, 4) &&
+        !masked.charAt(i - 1).isLetterOrDigit &&
+        (i + 4 >= masked.length || !masked.charAt(i + 4).isLetterOrDigit)) fromAt = i
+      i += 1
+    }
+    if (fromAt < 0) return sql
+    val aliasOf = splitElemsOf(sql, masked, selM.end, fromAt).flatMap { item =>
+      "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_]\\w*|`[^`]*`)\\s*$".r.findFirstMatchIn(item.trim)
+        .map(mm => norm(mm.group(1)) -> mm.group(2))
+    }.toMap
+    if (aliasOf.isEmpty) return sql
+    // top-level ORDER BY after FROM
+    val obM = "(?is)\\bORDER\\s+BY\\s".r.findAllMatchIn(masked).filter { m =>
+      m.start > fromAt && {
+        val pre = masked.substring(fromAt, m.start)
+        pre.count(_ == '(') == pre.count(_ == ')')
+      }
+    }.toSeq.lastOption.getOrElse(return sql)
+    var j = obM.end - 1
+    depth = 0
+    var obEnd = -1
+    while (j < masked.length && obEnd < 0) {
+      val c = masked.charAt(j)
+      if (c == '(') depth += 1
+      else if (c == ')') { if (depth == 0) obEnd = j else depth -= 1 }
+      else if (depth == 0 && !masked.charAt(j - 1).isLetterOrDigit &&
+        "(?is)^(LIMIT|OFFSET|FETCH)\\b".r.findFirstIn(masked.substring(j)).isDefined) obEnd = j
+      j += 1
+    }
+    if (obEnd < 0) obEnd = sql.replaceAll("[;\\s]+$", "").length
+    var changed = false
+    val newItems = splitElemsOf(sql, masked, obM.end - 1, obEnd).map { item =>
+      val t = item.trim
+      val sm = "(?is)^(.*?)(\\s+(?:ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$".r
+        .findFirstMatchIn(t).get
+      aliasOf.get(norm(sm.group(1))) match {
+        case Some(alias) =>
+          changed = true
+          alias + Option(sm.group(2)).getOrElse("") + Option(sm.group(3)).getOrElse("")
+        case None => t
+      }
+    }
+    if (!changed) sql
+    else sql.substring(0, obM.end - 1) + " " + newItems.mkString(", ") + sql.substring(obEnd)
+  }
 
   /** Rank-family window calls WITHOUT an ORDER BY (winagg.iq:553 —
     * `row_number() over (partition by deptno)`): the reference permits
@@ -1390,6 +1458,18 @@ object GraftSql {
   private[sql] def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
   /** Index of the ')' matching the '(' at `open` (string-aware). */
+  /** Index of the '(' matching the ')' at `close`, or -1. */
+  private[sql] def openParenOf(s: String, close: Int): Int = {
+    var depth = 0
+    var i = close
+    while (i >= 0) {
+      if (s.charAt(i) == ')') depth += 1
+      else if (s.charAt(i) == '(') { depth -= 1; if (depth == 0) return i }
+      i -= 1
+    }
+    -1
+  }
+
   private[sql] def closeParen(s: String, open: Int): Int = {
     var depth = 0
     var inStr = false

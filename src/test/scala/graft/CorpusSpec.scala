@@ -106,21 +106,18 @@ class CorpusSpec extends IqHarness {
     // spark.sql.groupByOrdinal=false — the reference's default
     // conformance reads GROUP BY <int> as a LITERAL constant, and the
     // corpus's recorded outputs reflect that semantics everywhere)
-    val decimalTrunc = "reference's DEFAULT decimal cast truncates toward " +
-      "zero (RelDataTypeSystem rounding mode DOWN); Spark rounds HALF_UP — " +
-      "divergence pinned in DecimalTypeSystemSpec, and the corpus's own " +
-      "*-rounding-half-up schema variants record Spark's behavior"
+    // (former decimalTrunc skips — DOWN-rounding literal decimal casts —
+    // computed at rewrite time by CalciteTyping.decimalLitCastDown;
+    // column-typed casts keep Spark's HALF_UP, DecimalTypeSystemSpec)
     val caseSensitiveIds = "quoted identifiers \"a\" and \"A\" as distinct " +
       "columns: Spark's resolver is case-preserving but case-INSENSITIVE " +
       "(spark.sql.caseSensitive=false is its supported default), so the " +
       "lookup is ambiguous"
-    val duplicatePivotValue = "duplicate value in the PIVOT IN-list " +
-      "((10, 10, 20)): Spark's PivotFirst hits INVALID_ARRAY_INDEX — an " +
-      "upstream Spark analyzer gap, deduplicating would change the column " +
-      "count the reference expects"
-    val pivotCountZero = "empty PIVOT cells under COUNT: the reference " +
-      "(like Oracle) fills 0; Spark's pivot lowering aggregates " +
-      "first(if(...)) and leaves NULL — value-identical otherwise"
+    // (former pivotCountZero / duplicatePivotValue / pivot-alias skips:
+    // the conformance dialect now lowers subselect-sourced PIVOTs to
+    // conditional aggregation — CalciteTyping.pivotManual — which fills
+    // COUNT cells with 0, keeps duplicate IN-values as duplicate
+    // columns, and names columns label_AGGALIAS like the reference)
     val matchDescQuirk = "MATCH_RECOGNIZE with ORDER BY empid DESC: the " +
       "reference's recorded output (CALCITE-7474, 'similar to BigQuery') " +
       "pairs non-adjacent rows and emits CLASSIFIER()=S under ONE ROW " +
@@ -329,23 +326,6 @@ class CorpusSpec extends IqHarness {
         "is 0 (bare CAST drops fractions) and literals carry precision " +
         "3; Spark timestamps are fixed micros — TIMESTAMP(p) has no " +
         "equivalent"),
-      ("pivot.iq", 240) -> duplicatePivotValue,
-      ("pivot.iq", 253) -> duplicatePivotValue,
-      ("pivot.iq", 78) -> pivotCountZero,
-      ("pivot.iq", 379) -> (pivotCountZero + " (here the NULL-vs-0 cells " +
-        "also feed the UNPIVOT EXCLUDE NULLS filter, dropping the rows)"),
-      ("pivot.iq", 484) -> pivotCountZero,
-      ("pivot.iq", 520) -> pivotCountZero,
-      ("pivot.iq", 95) -> ("Spark's single-aggregate pivot drops the " +
-        "aggregate alias from the generated columns (10, not 10_COUNT), " +
-        "so the reference's \"10_COUNT\" reference cannot resolve"),
-      ("pivot.iq", 23) -> pivotCountZero,
-      ("pivot.iq", 61) -> pivotCountZero,
-      ("pivot.iq", 113) -> pivotCountZero,
-      ("pivot.iq", 184) -> pivotCountZero,
-      ("pivot.iq", 200) -> pivotCountZero,
-      ("pivot.iq", 340) -> pivotCountZero,
-      ("pivot.iq", 412) -> pivotCountZero,
       ("struct.iq", 170) -> ("LIMIT 1 with no ORDER BY over a join — " +
         "which row survives is engine-specific (Calcite returns CLARK, " +
         "Spark's first partition yields SMITH); same query shape with an " +
@@ -357,22 +337,9 @@ class CorpusSpec extends IqHarness {
       ("cast.iq", 860) -> ("CAST to DECIMAL(1000, 4): the reference clamps " +
         "precision beyond its max to the max (CALCITE-4871); Spark rejects " +
         "precision > 38 outright"),
-      ("cast.iq", 907) -> decimalTrunc,
-      ("cast.iq", 957) -> decimalTrunc,
-      ("cast.iq", 967) -> decimalTrunc,
-      ("cast.iq", 981) -> decimalTrunc,
-      ("cast.iq", 1042) -> decimalTrunc,
-      ("cast.iq", 1092) -> decimalTrunc,
-      ("cast.iq", 1142) -> decimalTrunc,
       ("misc.iq", 2215) -> ("CHAR(3) literals inside an ARRAY keep their " +
         "blank padding in the reference ('a  '); Spark's CHAR surface is " +
         "STRING and stores the unpadded value"),
-      ("cast.iq", 634) -> decimalTrunc,
-      ("cast.iq", 655) -> decimalTrunc,
-      ("cast.iq", 676) -> decimalTrunc,
-      ("cast.iq", 697) -> decimalTrunc,
-      ("cast.iq", 718) -> decimalTrunc,
-      ("cast.iq", 739) -> decimalTrunc,
       ("cast.iq", 2049) -> ("CAST(... AS ROW(a ROW(...), b INTEGER)) — " +
         "ROW type syntax; Spark spells struct types STRUCT<...>"),
       ("cast.iq", 2060) -> "same ROW-type cast syntax",
@@ -504,16 +471,20 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1532, s"corpus coverage dropped: $pass passing (floor 1532)")
+    assert(pass >= 1568, s"corpus coverage dropped: $pass passing (floor 1568)")
     // round 7: the manual-Correlate fallback (sql/Decorrelate.scala)
-    // lifted 31 of the 45 round-6 limits (nested/deep correlation,
-    // correlated vars under joins inside subqueries, window functions
-    // over outer refs, scalar subqueries in join ON) plus 22 former
-    // nestedCorr case-skips. The remaining 14: Spark INTERNAL_ERROR
-    // shapes it can't even analyze textually-cleanly, TIME type,
-    // UNION-distinct recursion, and DISTINCT+ORDER-BY-unselected.
-    assert(engineLimits.size <= 14,
-      s"Spark-limitation count grew: ${engineLimits.size} (was 14) — a rewrite regressed")
+    // lifted 34 of the 45 round-6 limits (nested/deep correlation,
+    // correlated vars under joins inside subqueries, scalar subqueries
+    // in join ON, LATERAL subqueries with windows over outer refs —
+    // restated as per-key UNION ALL); RecursiveSql runs UNION-distinct
+    // recursion via the semi-naive fixpoint; DISTINCT+ORDER-BY-agg
+    // lowers to the select alias; TIME-literal arithmetic lowers onto
+    // the string TIME encoding. The remaining 5: Spark INTERNAL_ERROR
+    // shapes (3), correlated refs inside subquery GROUP BY
+    // (CALCITE-7297 — resolution the textual device cannot scope), and
+    // a correlated join predicate referencing both join inputs.
+    assert(engineLimits.size <= 5,
+      s"Spark-limitation count grew: ${engineLimits.size} (was 5) — a rewrite regressed")
   }
 
   /** The corpora's `!error` cases: statements the reference REJECTS

@@ -80,6 +80,22 @@ class DecorrelateSpec extends IqHarness {
     assert(r.length == 14 && r.forall(_(1) == "1"))
   }
 
+  test("LATERAL subquery with window over outer refs (sub-query.iq:8278/8312, CALCITE-7584)") {
+    registerScott()
+    val r = rows("""
+      SELECT e.ename, d.deptno, d.rn
+      FROM emp e
+      JOIN LATERAL (
+        SELECT d.deptno,
+          ROW_NUMBER() OVER (PARTITION BY e.deptno ORDER BY e.empno, d.deptno) AS rn
+        FROM dept d
+        WHERE e.deptno = d.deptno
+      ) d ON TRUE
+      ORDER BY e.empno""")
+    // one matching dept row per employee, each its own window → rn = 1
+    assert(r.length == 14 && r.forall(_(2) == "1"))
+  }
+
   test("correlated scalar subquery in a RIGHT JOIN condition (sub-query.iq:5049, CALCITE-7543)") {
     registerScott()
     val r = rows("""

@@ -189,6 +189,25 @@ class PlanQualitySpec extends SparkSpec {
       s"expected the two-level restatement, found a pair fold:\n$p")
   }
 
+  test("ds07 above-average returns: broadcast dims, window re-uses the agg partitioning") {
+    val p = plan("ds07_returns_above_avg")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+    // the per-nation window must NOT re-shuffle the whole fact — only
+    // the customer-grain aggregate flows into it
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join strategy:\n$p")
+  }
+
+  test("ds12 multi-nation orders: supplier broadcast + partial count-distinct") {
+    val p = plan("ds12_multi_nation_orders")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.exists(_.contains("l_orderkey")),
+      s"count-distinct must shuffle on the order key:\n$p")
+  }
+
   test("q145 unbounded EXCLUDE: difference-of-windows, NO self-join") {
     val p = plan("q145_window_exclude")
     // the unbounded-frame EXCLUDE lowering is two window aggregates
