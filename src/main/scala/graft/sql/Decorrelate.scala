@@ -53,7 +53,10 @@ object Decorrelate {
     "EXISTS", "BETWEEN", "LIKE", "IS", "CASE", "DISTINCT", "ALL", "ANY",
     "SOME", "OVER", "PARTITION", "ROWS", "RANGE", "WITH", "RECURSIVE")
 
-  private final case class Binding(pos: Int, ref: String)
+  /** @param cols trailing column-alias list (`(Id, Name)`) for derived
+    *              tables bound as `(VALUES ...) AS a(Id, Name)` — must
+    *              ride along whenever the binding is re-stated in FROM */
+  private final case class Binding(pos: Int, ref: String, cols: String = "")
 
   /** Attempt the manual-Correlate execution of `sql` (final
     * Spark-dialect text). None = shape out of scope; the caller
@@ -115,18 +118,50 @@ object Decorrelate {
     // deeper correlated subqueries instead (their own one-level
     // correlation is Spark-native once the deep refs are substituted).
     // substitute every outer ref in [open+1, close) with the key row's
-    // typed literals; returns the rewritten body text
+    // typed literals; returns the rewritten body text. With
+    // `bareInGroupBy`, UNQUALIFIED occurrences of the ref columns
+    // inside GROUP BY clauses substitute too — the reference resolves
+    // an unmatched GROUP BY identifier against the OUTER scope
+    // (CALCITE-7297), which Spark reports as UNRESOLVED_COLUMN; the
+    // session runs with groupByOrdinal off, so the spliced literal
+    // grouping constant keeps the reference's semantics.
     def substitute(open: Int, close: Int, refs: Seq[(String, String)],
-        row: Row, keyTypes: Array[DataType]): String = {
+        row: Row, keyTypes: Array[DataType],
+        bareInGroupBy: Boolean = false): String = {
       var body = sql.substring(open + 1, close)
       var bodyMask = masked.substring(open + 1, close)
+      def splice(st: Int, en: Int, txt: String): Unit = {
+        body = body.substring(0, st) + txt + body.substring(en)
+        bodyMask = bodyMask.substring(0, st) + txt + bodyMask.substring(en)
+      }
       for ((((a, c)), i) <- refs.zipWithIndex) {
         val re = ("\\b" + a + "\\s*\\.\\s*" + c + "\\b").r
         val litv = literal(row, i, keyTypes(i))
-        val matches = re.findAllMatchIn(bodyMask).toList.reverse
-        for (m <- matches) {
-          body = body.substring(0, m.start) + litv + body.substring(m.end)
-          bodyMask = bodyMask.substring(0, m.start) + litv + bodyMask.substring(m.end)
+        for (m <- re.findAllMatchIn(bodyMask).toList.reverse)
+          splice(m.start, m.end, litv)
+      }
+      if (bareInGroupBy) {
+        for (g <- "(?is)\\bGROUP\\s+BY\\s".r.findAllMatchIn(bodyMask).toList.reverse) {
+          // clause extent: next clause keyword / unbalanced ')' / end
+          var j = g.end
+          var depth = 0
+          var end = -1
+          while (j < bodyMask.length && end < 0) {
+            val ch = bodyMask.charAt(j)
+            if (ch == '(') depth += 1
+            else if (ch == ')') { if (depth == 0) end = j else depth -= 1 }
+            else if (depth == 0 && !bodyMask.charAt(j - 1).isLetterOrDigit &&
+              "(?is)^(HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\\b".r
+                .findFirstIn(bodyMask.substring(j)).isDefined) end = j
+            j += 1
+          }
+          if (end < 0) end = bodyMask.length
+          for ((((_, c)), i) <- refs.zipWithIndex) {
+            val litv = literal(row, i, keyTypes(i))
+            val bare = ("(?<![\\w.])" + c + "\\b").r
+            for (m <- bare.findAllMatchIn(bodyMask.substring(g.end, end)).toList.reverse)
+              splice(g.end + m.start, g.end + m.end, litv)
+          }
         }
       }
       body
@@ -140,7 +175,10 @@ object Decorrelate {
       val keyCols = refs.zipWithIndex
         .map { case ((a, c), i) => s"$a.$c AS __k$i" }.mkString(", ")
       val fromRefs = refs.map(_._1).distinct
-        .map(a => s"${bindings(a.toLowerCase).ref} $a").mkString(" CROSS JOIN ")
+        .map { a =>
+          val b = bindings(a.toLowerCase)
+          s"${b.ref} $a${b.cols}"
+        }.mkString(" CROSS JOIN ")
       val keysDf = spark.sql(s"${ctePrefix}SELECT DISTINCT $keyCols FROM $fromRefs")
       val keyRows = keysDf.limit(cap + 1).collect()
       if (keyRows.length > cap) None
@@ -205,44 +243,35 @@ object Decorrelate {
         (condStart, condEnd, s" ($origCond) AND $joinKeys ")))
     }
 
-    val work = scala.collection.mutable.Queue.empty[(Int, Int)]
-    val chosen = scala.collection.mutable.ListBuffer.empty[(Int, Int, Boolean, Int)]
-    val edits = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
-    work ++= top
-    while (work.nonEmpty) {
-      val (open, close) = work.dequeue()
-      val pre = masked.substring(0, open)
-      val preTrim = pre.reverse.dropWhile(_.isWhitespace).reverse
-      val up = preTrim.toUpperCase
-      val isExists = up.endsWith("EXISTS")
-      if (!isExists &&
-        up.matches("(?s).*\\b(IN|ANY|SOME|ALL|LATERAL|FROM|JOIN)\\s*$")) {
-        val lateral =
-          if (up.endsWith("LATERAL"))
-            lateralEditsFor(open, close, preTrim.length - "LATERAL".length)
-          else None
-        lateral match {
-          case Some(es) => edits ++= es
-          case None =>
-            val inner = outermostIn(correlated, open, close)
-            if (inner.isEmpty) return None // correlation only at this level
-            work ++= inner
-        }
-      } else {
-        val existsStart =
-          if (isExists) preTrim.length - "EXISTS".length else open
-        chosen += ((open, close, isExists, existsStart))
-      }
-    }
-    if (chosen.isEmpty && edits.isEmpty) return None
-
-    for ((open, close, isExists, existsStart) <- chosen) {
+    /** CASE-lookup edit for a scalar/EXISTS-positioned subquery —
+      * throws when a per-key evaluation fails (the caller then recurses
+      * into the subquery's own correlated children instead: a DEEPER
+      * correlation may be what breaks the standalone evaluation, e.g.
+      * a one-level-correlated aggregate argument that trips Spark's
+      * codegen — CALCITE-6554 / sub-query.iq:1162). */
+    def caseEditFor(open: Int, close: Int, isExists: Boolean,
+        existsStart: Int): Option[(Int, Int, String)] = {
       val refs = refsOf(open, close)
       val (keyRows, keyTypes) = keysFor(refs, maxKeys).getOrElse(return None)
-
-      // evaluate S per key with refs substituted as typed literals
+      // when the first key's evaluation hits UNRESOLVED_COLUMN on one
+      // of the ref columns, the body references the outer column
+      // UNQUALIFIED from a GROUP BY (CALCITE-7297) — re-evaluate the
+      // whole set with the bare-in-GROUP-BY substitution
+      var bare = false
+      def eval(row: Row) =
+        spark.sql(ctePrefix + substitute(open, close, refs, row, keyTypes, bare))
+      if (keyRows.nonEmpty) {
+        try eval(keyRows.head).queryExecution.assertAnalyzed()
+        catch {
+          case e: Throwable
+            if Option(e.getMessage).getOrElse("").contains("UNRESOLVED_COLUMN") &&
+              refs.exists(r => Option(e.getMessage).getOrElse("")
+                .toLowerCase.contains(s"`${r._2.toLowerCase}`")) =>
+            bare = true
+        }
+      }
       val results = keyRows.map { row =>
-        val df = spark.sql(ctePrefix + substitute(open, close, refs, row, keyTypes))
+        val df = eval(row)
         if (isExists) (java.lang.Boolean.valueOf(!df.isEmpty), BooleanType: DataType)
         else {
           val rows = df.limit(2).collect()
@@ -254,8 +283,6 @@ object Decorrelate {
       }
       val resType: DataType =
         results.map(_._2).headOption.getOrElse(BooleanType)
-
-      // CASE-literal lookup: WHEN k-tuple matches (null-safe) THEN result
       val branches = keyRows.zip(results).map { case (row, (res, _)) =>
         val cond = refs.zipWithIndex.map { case ((a, c), i) =>
           s"$a.$c <=> ${literal(row, i, keyTypes(i))}"
@@ -265,8 +292,45 @@ object Decorrelate {
       val caseExpr =
         if (branches.isEmpty) s"CAST(NULL AS ${resType.sql})"
         else s"(CASE $branches ELSE CAST(NULL AS ${resType.sql}) END)"
-      edits += ((existsStart, close + 1, caseExpr))
+      Some((existsStart, close + 1, caseExpr))
     }
+
+    val work = scala.collection.mutable.Queue.empty[(Int, Int)]
+    val edits = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    work ++= top
+    while (work.nonEmpty) {
+      val (open, close) = work.dequeue()
+      val pre = masked.substring(0, open)
+      val preTrim = pre.reverse.dropWhile(_.isWhitespace).reverse
+      val up = preTrim.toUpperCase
+      val isExists = up.endsWith("EXISTS")
+      def recurseInner(): Unit = {
+        val inner = outermostIn(correlated, open, close)
+        if (inner.isEmpty) throw new IllegalStateException("unliftable correlation")
+        work ++= inner
+      }
+      if (!isExists &&
+        up.matches("(?s).*\\b(IN|ANY|SOME|ALL|LATERAL|FROM|JOIN)\\s*$")) {
+        val lateral =
+          if (up.endsWith("LATERAL"))
+            lateralEditsFor(open, close, preTrim.length - "LATERAL".length)
+          else None
+        lateral match {
+          case Some(es) => edits ++= es
+          case None => recurseInner()
+        }
+      } else {
+        val existsStart =
+          if (isExists) preTrim.length - "EXISTS".length else open
+        // evaluation failure → try the deeper correlated children
+        (try caseEditFor(open, close, isExists, existsStart)
+        catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(e0) => edits += e0
+          case None => recurseInner()
+        }
+      }
+    }
+    if (edits.isEmpty) return None
 
     // back-to-front so earlier offsets stay valid (regions are disjoint)
     var out = sql
@@ -311,8 +375,9 @@ object Decorrelate {
       if (!out.contains(name.toLowerCase))
         out(name.toLowerCase) = Binding(m.start(2), table)
     }
-    // derived tables: ") [AS] alias" — capture the parenthesized text
-    val derived = "\\)\\s*(?:(?i:AS)\\s+)?(\\w+)\\b".r
+    // derived tables: ") [AS] alias[(col, ...)]" — capture the
+    // parenthesized text plus any column-alias list
+    val derived = "\\)\\s*(?:(?i:AS)\\s+)?(\\w+)\\s*(\\([^()]*\\))?".r
     for (m <- derived.findAllMatchIn(masked)) {
       val alias = m.group(1)
       if (!keywords(alias.toUpperCase) && !out.contains(alias.toLowerCase)) {
@@ -320,8 +385,8 @@ object Decorrelate {
         val open = openParen(masked, close)
         if (open >= 0 &&
           "^\\(\\s*(?i:SELECT|VALUES)".r.findFirstIn(masked.substring(open)).isDefined)
-          out(alias.toLowerCase) =
-            Binding(open, sql.substring(open, close + 1))
+          out(alias.toLowerCase) = Binding(open, sql.substring(open, close + 1),
+            if (m.start(2) < 0) "" else sql.substring(m.start(2), m.end(2)))
       }
     }
     out.toMap

@@ -77,8 +77,17 @@ object GraftSql {
     * failures of the correlation classes reach the fallback; shapes
     * Spark plans natively never do. */
   private def sqlWithCorrelateFallback(spark: SparkSession, s: String): DataFrame =
-    try spark.sql(s)
-    catch {
+    try {
+      val df = spark.sql(s)
+      // some correlation rejections only fire in the OPTIMIZER
+      // (RewritePredicateSubquery — an EXISTS join predicate
+      // referencing both join inputs) or during PHYSICAL planning
+      // (EXISTS under a join OR — Spark's INTERNAL attribute-not-found);
+      // force planning so the fallback sees them too. The plans are
+      // cached lazy vals, so execution does not redo the work.
+      df.queryExecution.executedPlan
+      df
+    } catch {
       case e: Throwable if RecursiveSql.applicable(e) =>
         RecursiveSql(spark, s).getOrElse(throw e)
       case e: Throwable if Decorrelate.applicable(e) =>

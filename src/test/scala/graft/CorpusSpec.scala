@@ -471,20 +471,21 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1568, s"corpus coverage dropped: $pass passing (floor 1568)")
-    // round 7: the manual-Correlate fallback (sql/Decorrelate.scala)
-    // lifted 34 of the 45 round-6 limits (nested/deep correlation,
-    // correlated vars under joins inside subqueries, scalar subqueries
-    // in join ON, LATERAL subqueries with windows over outer refs —
-    // restated as per-key UNION ALL); RecursiveSql runs UNION-distinct
-    // recursion via the semi-naive fixpoint; DISTINCT+ORDER-BY-agg
-    // lowers to the select alias; TIME-literal arithmetic lowers onto
-    // the string TIME encoding. The remaining 5: Spark INTERNAL_ERROR
-    // shapes (3), correlated refs inside subquery GROUP BY
-    // (CALCITE-7297 — resolution the textual device cannot scope), and
-    // a correlated join predicate referencing both join inputs.
-    assert(engineLimits.size <= 5,
-      s"Spark-limitation count grew: ${engineLimits.size} (was 5) — a rewrite regressed")
+    assert(pass >= 1573, s"corpus coverage dropped: $pass passing (floor 1573)")
+    // round 7: ALL 45 round-6 Spark-limitation cases now execute —
+    // the manual-Correlate fallback (sql/Decorrelate.scala: nested/deep
+    // correlation, correlated vars under joins inside subqueries,
+    // scalar subqueries in join ON, LATERAL-with-window as per-key
+    // UNION ALL, EXISTS join predicates referencing both inputs,
+    // correlated aggregate arguments via inner-first recursion,
+    // unqualified outer GROUP BY refs per CALCITE-7297), RecursiveSql
+    // (UNION-distinct recursion as a semi-naive fixpoint),
+    // DISTINCT+ORDER-BY-agg alias lowering, and TIME-literal
+    // arithmetic on the string TIME encoding. Execution-time INTERNAL
+    // errors retry through the fallback in compareCase (AQE defers
+    // physical planning past the eager force).
+    assert(engineLimits.size <= 0,
+      s"Spark-limitation count grew: ${engineLimits.size} (was 0) — a rewrite regressed")
   }
 
   /** The corpora's `!error` cases: statements the reference REJECTS

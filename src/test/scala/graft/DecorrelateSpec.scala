@@ -96,6 +96,16 @@ class DecorrelateSpec extends IqHarness {
     assert(r.length == 14 && r.forall(_(2) == "1"))
   }
 
+  test("EXISTS in join ON referencing both inputs over VALUES tables (sub-query.iq:9910, CALCITE-7318)") {
+    registerScott()
+    val r = rows("""
+      select Header.Name from ( VALUES (1, 'A'), (2, 'B')) as Header(Id, Name)
+      join (values (11, 1), (12, 1), (21, 2)) as Version(Id, Parent)
+      on not exists (select 1 from (values (11, 1), (12, 1), (21, 2)) as Version2(Id, Parent)
+      where Version2.Parent = Header.Id and Version2.Id > Version.Id)""")
+    assert(r.map(_(0)).sorted == Seq("A", "A", "B"))
+  }
+
   test("correlated scalar subquery in a RIGHT JOIN condition (sub-query.iq:5049, CALCITE-7543)") {
     registerScott()
     val r = rows("""

@@ -284,8 +284,19 @@ trait IqHarness extends SparkSpec {
     * MULTISETS are compared (ORDER BY tie order is engine-specific). */
   def compareCase(c: IqCase, cleaned: String): Option[String] = {
     try {
-      val got = GraftSql.sql(spark, cleaned)
-      val rows = got.collect()
+      val got0 = GraftSql.sql(spark, cleaned)
+      // Spark's EXISTS-under-join-OR and correlated-aggregate-argument
+      // shapes pass ANALYSIS but die at EXECUTION with INTERNAL errors
+      // (AQE defers physical planning past GraftSql's eager force) —
+      // retry those through the manual-Correlate fallback directly
+      val (got, rows) =
+        try (got0, got0.collect())
+        catch {
+          case ex: Throwable if graft.sql.Decorrelate.applicable(ex) =>
+            val df = graft.sql.Decorrelate(spark, GraftSql.rewriteProbe(cleaned))
+              .getOrElse(throw ex)
+            (df, df.collect())
+        }
       if (got.columns.length != c.header.size)
         return Some(s"column count ${got.columns.length} != expected ${c.header.size} (${c.header.mkString(",")})")
       val gotNorm = rows.map(r => (0 until r.length).map(i => postNorm(normValue(r.get(i)))).toSeq)
