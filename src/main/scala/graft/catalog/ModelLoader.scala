@@ -45,7 +45,11 @@ object ModelLoader {
           // broker or client jars (offline — terminal deviation,
           // COVERAGE.md §kafka), so `kafka` model tables mount the
           // wire-schema-identical DSv2 log source. path = dir:topic.
-          val Array(dir, topic) = t.path.split(":", 2)
+          val parts = t.path.split(":", 2)
+          if (parts.length != 2)
+            throw new IllegalArgumentException(
+              s"kafka table '${t.name}': path must be '<dir>:<topic>', got '${t.path}'")
+          val Array(dir, topic) = parts
           spark.read.format("graft-kafka")
             .options(t.options).option("path", dir).option("topic", topic).load()
         case _ => spark.read.format(t.format).options(t.options).load(t.path)

@@ -34,11 +34,20 @@ object Decorrelate {
     * (returns None) rather than loop the driver. */
   private val maxKeys = 2000
 
-  /** Analysis-error classes worth attempting the fallback on. */
+  /** Analysis-error classes worth attempting the fallback on.
+    * UNRESOLVED_COLUMN is the common USER-TYPO error, so it qualifies
+    * only when the unresolved name is a QUALIFIED reference (the
+    * deep-correlation signature: Spark cannot see `d`.`x` two subquery
+    * levels up) — a bare misspelled column skips the fallback's key
+    * evaluation entirely. */
   def applicable(e: Throwable): Boolean = {
     val m = Option(e.getMessage).getOrElse("")
     m.contains("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY") ||
-    m.contains("UNRESOLVED_COLUMN") ||
+    (m.contains("UNRESOLVED_COLUMN") &&
+      // the "Did you mean" suggestion list also prints qualified names
+      // — only the UNRESOLVED name itself counts
+      "`[A-Za-z_]\\w*`\\.`[A-Za-z_]\\w*`".r
+        .findFirstIn(m.split("Did you mean")(0)).isDefined) ||
     m.contains("UNSUPPORTED_EXPR_FOR_OPERATOR") ||
     m.contains("INTERNAL_ERROR")
   }
@@ -72,6 +81,17 @@ object Decorrelate {
     val cteEnd = ctePrefixEnd(masked)
     val ctePrefix = sql.substring(0, cteEnd)
 
+    // an alias may bind in several unrelated scopes — for a subquery at
+    // [open, close], pick the NEAREST ENCLOSING one: the closest
+    // binding before the subquery, else the earliest after it (the
+    // statement-level FROM clause may follow a select-list subquery)
+    def bindingFor(alias: String, open: Int, close: Int): Option[Binding] = {
+      val cs = bindings.getOrElse(alias.toLowerCase, Nil)
+        .filter(b => b.pos < open || b.pos > close)
+      cs.filter(_.pos < open).sortBy(-_.pos).headOption
+        .orElse(cs.filter(_.pos > close).sortBy(_.pos).headOption)
+    }
+
     // candidate subqueries: "( SELECT" anywhere, outermost-correlated only
     val subRe = "\\(\\s*(?i:SELECT)\\b".r
     val all = subRe.findAllMatchIn(masked).map { m =>
@@ -88,8 +108,8 @@ object Decorrelate {
         val before = body.substring(0, r.start).reverse.dropWhile(_.isWhitespace)
         val prevWord = before.takeWhile(c => c.isLetterOrDigit || c == '_').reverse.toUpperCase
         if (prevWord == "FROM" || prevWord == "JOIN") None
-        else bindings.get(alias.toLowerCase) match {
-          case Some(b) if (b.pos < open || b.pos > close) &&
+        else bindingFor(alias, open, close) match {
+          case Some(_) if
             // not rebound inside the subquery
             !aliasBoundIn(masked, sql, open, close, alias) =>
             Some((alias, col))
@@ -168,15 +188,18 @@ object Decorrelate {
     }
 
     // distinct key tuples for a subquery's outer refs (None = over cap
-    // or unresolvable alias)
-    def keysFor(refs: Seq[(String, String)], cap: Int): Option[(Array[Row], Array[DataType])] = {
-      if (refs.map(_._1).distinct.exists(a => !bindings.contains(a.toLowerCase)))
-        return None
+    // or unresolvable alias); bindings resolve scope-aware relative to
+    // the subquery's span
+    def keysFor(refs: Seq[(String, String)], open: Int, close: Int,
+        cap: Int): Option[(Array[Row], Array[DataType])] = {
+      val byAlias = refs.map(_._1).distinct
+        .map(a => a -> bindingFor(a, open, close)).toMap
+      if (byAlias.values.exists(_.isEmpty)) return None
       val keyCols = refs.zipWithIndex
         .map { case ((a, c), i) => s"$a.$c AS __k$i" }.mkString(", ")
       val fromRefs = refs.map(_._1).distinct
         .map { a =>
-          val b = bindings(a.toLowerCase)
+          val b = byAlias(a).get
           s"${b.ref} $a${b.cols}"
         }.mkString(" CROSS JOIN ")
       val keysDf = spark.sql(s"${ctePrefix}SELECT DISTINCT $keyCols FROM $fromRefs")
@@ -227,7 +250,7 @@ object Decorrelate {
         j += 1
       }
       if (condEnd < 0) condEnd = sql.replaceAll("[;\\s]+$", "").length
-      val (keyRows, keyTypes) = keysFor(refs, 300).getOrElse(return None)
+      val (keyRows, keyTypes) = keysFor(refs, open, close, 300).getOrElse(return None)
       if (keyRows.isEmpty) return None
       val segs = keyRows.map { row =>
         val lits = refs.indices
@@ -252,7 +275,7 @@ object Decorrelate {
     def caseEditFor(open: Int, close: Int, isExists: Boolean,
         existsStart: Int): Option[(Int, Int, String)] = {
       val refs = refsOf(open, close)
-      val (keyRows, keyTypes) = keysFor(refs, maxKeys).getOrElse(return None)
+      val (keyRows, keyTypes) = keysFor(refs, open, close, maxKeys).getOrElse(return None)
       // when the first key's evaluation hits UNRESOLVED_COLUMN on one
       // of the ref columns, the body references the outer column
       // UNQUALIFIED from a GROUP BY (CALCITE-7297) — re-evaluate the
@@ -290,7 +313,10 @@ object Decorrelate {
         s"WHEN $cond THEN ${renderResult(res, resType)}"
       }.mkString(" ")
       val caseExpr =
-        if (branches.isEmpty) s"CAST(NULL AS ${resType.sql})"
+        // empty outer key set: no result type is known — a bare NULL
+        // (scalar) coerces in any comparison; EXISTS over nothing is
+        // FALSE (no outer row will look anyway)
+        if (branches.isEmpty) { if (isExists) "FALSE" else "NULL" }
         else s"(CASE $branches ELSE CAST(NULL AS ${resType.sql}) END)"
       Some((existsStart, close + 1, caseExpr))
     }
@@ -362,31 +388,30 @@ object Decorrelate {
 
   /** alias (lowercased) → binding (offset + FROM-clause reference text:
     * a table/CTE name, or a parenthesized derived table). */
-  private def aliasBindings(sql: String, masked: String): Map[String, Binding] = {
-    val out = scala.collection.mutable.Map.empty[String, Binding]
+  private def aliasBindings(sql: String, masked: String): Map[String, List[Binding]] = {
+    val out = scala.collection.mutable.Map.empty[String, List[Binding]]
+    def add(name: String, b: Binding): Unit =
+      out(name.toLowerCase) = out.getOrElse(name.toLowerCase, Nil) :+ b
     // base tables / CTE refs: FROM|JOIN name [AS] alias
     val named = "(?i)\\b(FROM|JOIN)\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?".r
     for (m <- named.findAllMatchIn(masked)) {
       val table = m.group(2)
       val alias = Option(m.group(3)).filterNot(a => keywords(a.toUpperCase))
       val name = alias.getOrElse(table.split('.').last)
-      // first binding wins positionally; later rebinds (inner scopes) are
-      // checked by aliasBoundIn at the use site
-      if (!out.contains(name.toLowerCase))
-        out(name.toLowerCase) = Binding(m.start(2), table)
+      add(name, Binding(m.start(2), table))
     }
     // derived tables: ") [AS] alias[(col, ...)]" — capture the
     // parenthesized text plus any column-alias list
     val derived = "\\)\\s*(?:(?i:AS)\\s+)?(\\w+)\\s*(\\([^()]*\\))?".r
     for (m <- derived.findAllMatchIn(masked)) {
       val alias = m.group(1)
-      if (!keywords(alias.toUpperCase) && !out.contains(alias.toLowerCase)) {
+      if (!keywords(alias.toUpperCase)) {
         val close = m.start // position of ')'
         val open = openParen(masked, close)
         if (open >= 0 &&
           "^\\(\\s*(?i:SELECT|VALUES)".r.findFirstIn(masked.substring(open)).isDefined)
-          out(alias.toLowerCase) = Binding(open, sql.substring(open, close + 1),
-            if (m.start(2) < 0) "" else sql.substring(m.start(2), m.end(2)))
+          add(alias, Binding(open, sql.substring(open, close + 1),
+            if (m.start(2) < 0) "" else sql.substring(m.start(2), m.end(2))))
       }
     }
     out.toMap

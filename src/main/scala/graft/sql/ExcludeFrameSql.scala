@@ -222,21 +222,28 @@ object ExcludeFrameSql {
             case _ => sql.substring(0, 0) // unreachable (NO OTHERS filtered)
           }
         } else { // sum
-          val t = s"sum($a) $pw"
-          val p = s"sum($a) $peerW"
+          // the difference re-associates fp arithmetic, so SUM runs on
+          // the engine's exact-DECIMAL device (the T.dec2 contract):
+          // order-independent and exact for integers/decimals; double
+          // args round at 12 fractional digits — deterministic, where
+          // a float difference would drift by fold order
+          val ad = s"CAST(($a) AS DECIMAL(38, 12))"
+          val t = s"sum($ad) $pw"
+          val p = s"sum($ad) $peerW"
           val nnT = s"count($a) $pw"
           val nnP = s"count($a) $peerW"
           val curNn = s"(CASE WHEN ($a) IS NOT NULL THEN 1 ELSE 0 END)"
-          c.excl match {
+          val raw = c.excl match {
             case "CURRENT ROW" =>
-              s"(CASE WHEN $nnT - $curNn = 0 THEN NULL ELSE $t - coalesce($a, 0) END)"
+              s"(CASE WHEN $nnT - $curNn = 0 THEN NULL ELSE $t - coalesce($ad, 0) END)"
             case "GROUP" =>
               s"(CASE WHEN $nnT = $nnP THEN NULL ELSE $t - coalesce($p, 0) END)"
             case "TIES" =>
               s"(CASE WHEN $nnT = $nnP AND ($a) IS NULL THEN NULL " +
-                s"ELSE $t - coalesce($p, 0) + coalesce($a, 0) END)"
+                s"ELSE $t - coalesce($p, 0) + coalesce($ad, 0) END)"
             case _ => sql.substring(0, 0)
           }
+          s"CAST($raw AS DOUBLE)"
         }
       }
       val newItems = parsed.map { case (s, _, callsOpt) =>
@@ -303,7 +310,12 @@ object ExcludeFrameSql {
     val partJoin =
       if (part.isEmpty) "true"
       else part.map(p => s"${qualify(p, "j")} <=> ${qualify(p, "o")}").mkString(" AND ")
-    val groupBy = ("o.__rn" +: plainCols.toSeq).distinct.mkString(", ")
+    // the partition keys MUST group too: __rn only numbers rows WITHIN
+    // a partition, so without them two rows of different partitions
+    // sharing an __rn (and the same plain items) would merge into one
+    // group aggregating j-matches from BOTH partitions
+    val groupBy = ("o.__rn" +: (part.map(p => qualify(p, "o")) ++ plainCols.toSeq))
+      .distinct.mkString(", ")
     // ---- scale-native path 2: every frame bounded (n PRECEDING..m
     // FOLLOWING) → generate the frame's row numbers with explode(
     // sequence(rn+lo, rn+hi)) and EQUI-join on (partition, __rn): the

@@ -85,7 +85,9 @@ object GraftSql {
       // (EXISTS under a join OR — Spark's INTERNAL attribute-not-found);
       // force planning so the fallback sees them too. The plans are
       // cached lazy vals, so execution does not redo the work.
-      df.queryExecution.executedPlan
+      // Streaming relations must stay lazy (their planning happens in
+      // writeStream.start()).
+      if (!df.isStreaming) df.queryExecution.executedPlan
       df
     } catch {
       case e: Throwable if RecursiveSql.applicable(e) =>
@@ -444,7 +446,12 @@ object GraftSql {
       val t = item.trim
       val sm = "(?is)^(.*?)(\\s+(?:ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$".r
         .findFirstMatchIn(t).get
-      aliasOf.get(norm(sm.group(1))) match {
+      // bare identifiers stay: they resolve against OUTPUT columns
+      // (possibly an alias of a different expression), so substituting
+      // them could silently change the sort key; the Spark-rejected
+      // shape is the non-identifier one (ORDER BY count(*))
+      val isBareIdent = "^[A-Za-z_]\\w*$".r.matches(sm.group(1).trim)
+      aliasOf.get(norm(sm.group(1))).filter(_ => !isBareIdent) match {
         case Some(alias) =>
           changed = true
           alias + Option(sm.group(2)).getOrElse("") + Option(sm.group(3)).getOrElse("")

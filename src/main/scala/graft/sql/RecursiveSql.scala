@@ -53,7 +53,16 @@ object RecursiveSql {
     val seedSql = body.substring(0, um.start).trim
     val stepSql = body.substring(um.end).trim
 
-    val prior = spark.catalog.tableExists(name)
+    // the CTE name must not permanently shadow a same-named session
+    // temp view (or linger, shadowing a catalog table): capture any
+    // prior temp view, and restore/drop after the main query ANALYZES
+    // (analysis inlines the view's plan, so the DataFrame stays valid)
+    val priorTemp =
+      try {
+        if (spark.catalog.tableExists(name) &&
+          spark.catalog.getTable(name).isTemporary) Some(spark.table(name))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     try {
       val seed = spark.sql(seedSql).toDF(cols: _*)
       val acc = graft.plans.RecursiveUnion.repeatUnionDistinct(
@@ -64,6 +73,9 @@ object RecursiveSql {
         })
       acc.createOrReplaceTempView(name)
       Some(spark.sql(main))
-    } finally if (!prior) () // the temp view backs the (lazy) main plan
+    } finally priorTemp match {
+      case Some(df) => df.createOrReplaceTempView(name)
+      case None => spark.catalog.dropTempView(name): Unit
+    }
   }
 }

@@ -151,9 +151,15 @@ object WithinDistinctSql {
       s"CASE WHEN $violated THEN IF(raise_error('$err') IS NULL, max(($arg)), NULL) " +
         s"ELSE max(($arg)) END AS __wv$i2"
     }
-    val innerCols = (gkeyList ++ keys ++ innerVals).mkString(", ")
+    // a WITHIN DISTINCT key that is ALSO a group key must not project
+    // (or group) twice — the duplicate column would make the outer
+    // GROUP BY ambiguous
+    val innerKeys = (gkeyList ++ keys)
+      .foldLeft(Vector.empty[String])((acc, k) =>
+        if (acc.exists(_.equalsIgnoreCase(k.trim))) acc else acc :+ k.trim)
+    val innerCols = (innerKeys ++ innerVals).mkString(", ")
     val inner = s"(SELECT $innerCols FROM $rel$whereTxt " +
-      s"GROUP BY ${(gkeyList ++ keys).mkString(", ")}) __wdt"
+      s"GROUP BY ${innerKeys.mkString(", ")}) __wdt"
     Some(s"SELECT ${items.trim} FROM $inner GROUP BY ${gkeyList.mkString(", ")}$orderTail")
   }
 

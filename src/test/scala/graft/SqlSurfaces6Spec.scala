@@ -29,6 +29,43 @@ class SqlSurfaces6Spec extends SparkSpec {
     assert(e.getMessage.contains("more than one distinct value"))
   }
 
+  test("EXCLUDE keeps partitions apart when the select list omits the partition key") {
+    // regression: the self-join/bounded lowerings must GROUP BY the
+    // partition keys too — without them, rows of different partitions
+    // sharing an __rn and the same plain items merged into one group
+    spark.sql("""CREATE OR REPLACE TEMP VIEW exb AS SELECT * FROM VALUES
+      ('p1', 1, 10), ('p1', 2, 20), ('p2', 1, 30), ('p2', 2, 40)
+      AS t(p, r, v)""")
+    val r = sql1("""
+      SELECT r, sum(v) OVER (PARTITION BY p ORDER BY r
+        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS x
+      FROM exb""")
+    // per partition: x(r=1)=other row's v, x(r=2)=other row's v — four
+    // rows, never cross-partition sums
+    assert(r.length == 4)
+    assert(r.map(x => (x.getInt(0), x.get(1).toString.toDouble)).sortBy(t => (t._1, t._2)).toSeq ==
+      Seq((1, 20.0), (1, 40.0), (2, 10.0), (2, 30.0)))
+  }
+
+  test("WITHIN DISTINCT keys overlapping the GROUP BY keys stay unambiguous") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW wd3 AS SELECT * FROM VALUES
+      (1, 10, 100.0), (1, 10, 100.0), (1, 20, 50.0), (2, 30, 70.0)
+      AS t(g, k, v)""")
+    val r = sql1(
+      "SELECT g, k, SUM(v) WITHIN DISTINCT (k) AS s FROM wd3 GROUP BY g, k ORDER BY g, k")
+    assert(r.map(x => (x.getInt(0), x.getInt(1), x.get(2).toString.toDouble)).toSeq ==
+      Seq((1, 10, 100.0), (1, 20, 50.0), (2, 30, 70.0)))
+  }
+
+  test("ORDER BY of a bare output-alias identifier is never rewritten under DISTINCT") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW oba AS SELECT * FROM VALUES
+      (1, 9), (2, 8), (3, 7) AS t(a, b)""")
+    // ORDER BY a must resolve to the OUTPUT column a (= t.b), not be
+    // substituted with the alias of the select item whose EXPR is `a`
+    val r = sql1("SELECT DISTINCT a AS b, b AS a FROM oba ORDER BY a LIMIT 1")
+    assert((r.head.getInt(0), r.head.getInt(1)) == (3, 7))
+  }
+
   test("FILTER on a window aggregate lowers; navigation functions still reject") {
     spark.sql("""CREATE OR REPLACE TEMP VIEW wf AS SELECT * FROM VALUES
       (1, 10), (1, 25), (2, 5), (2, 40) AS t(g, v)""")
@@ -107,11 +144,14 @@ class SqlSurfaces6Spec extends SparkSpec {
         sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS xt,
         sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE NO OTHERS) AS xn
       FROM ex ORDER BY k, xc""")
-    // total 100; k=2 peers are {20, 30}
-    val rows = r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toSeq
-    assert(rows.contains((2, 80L, 50L, 70L, 100L))) // the v=20 row
-    assert(rows.contains((2, 70L, 50L, 80L, 100L))) // the v=30 row
-    assert(rows.contains((1, 90L, 90L, 100L, 100L)))
+    // total 100; k=2 peers are {20, 30}. The unbounded difference-of-
+    // windows path emits exact-DECIMAL-backed DOUBLEs; EXCLUDE NO
+    // OTHERS stays the native (long) sum — read via toString
+    def d(x: org.apache.spark.sql.Row, i: Int) = x.get(i).toString.toDouble
+    val rows = r.map(x => (x.getInt(0), d(x, 1), d(x, 2), d(x, 3), d(x, 4))).toSeq
+    assert(rows.contains((2, 80.0, 50.0, 70.0, 100.0))) // the v=20 row
+    assert(rows.contains((2, 70.0, 50.0, 80.0, 100.0))) // the v=30 row
+    assert(rows.contains((1, 90.0, 90.0, 100.0, 100.0)))
   }
 
   test("UNPIVOT tuple labels expand per entry with default labels") {
