@@ -148,10 +148,10 @@ object Tpcds2 {
     },
     Some("""
       SELECT
-        SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS b1,
-        SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 25 THEN 1 ELSE 0 END) AS b2,
-        SUM(CASE WHEN l_quantity > 25 AND l_quantity <= 40 THEN 1 ELSE 0 END) AS b3,
-        SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS b4
+        CAST(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        CAST(SUM(CASE WHEN l_quantity > 25 AND l_quantity <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS b4
       FROM lineitem"""))
 
   /** Q90 shape: morning/afternoon ratio report — here small-vs-large
@@ -172,8 +172,8 @@ object Tpcds2 {
     },
     Some("""
       SELECT o_orderpriority,
-        SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS n_small,
-        SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_large,
+        CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
         CAST(FLOOR(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) * 1000000.0 /
              SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)) AS BIGINT) AS ratio_ppm
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -33,6 +33,12 @@ object RecursiveUnion {
       if (!delta.isEmpty) acc = acc.union(delta)
       i += 1
     }
+    // fail closed: a recursion deeper than the limit must error (as
+    // Spark's native recursive CTE and the reference do), not silently
+    // return the truncated prefix
+    if (!delta.isEmpty)
+      throw new IllegalStateException(
+        s"recursion limit exceeded: no fixpoint after $iterationLimit iterations")
     acc
   }
 
@@ -64,6 +70,9 @@ object RecursiveUnion {
       if (!delta.isEmpty) acc = pin(acc.union(delta))
       i += 1
     }
+    if (!delta.isEmpty)
+      throw new IllegalStateException(
+        s"recursion limit exceeded: no fixpoint after $iterationLimit iterations")
     acc
   }
 }

@@ -243,7 +243,15 @@ object ExcludeFrameSql {
                 s"ELSE $t - coalesce($p, 0) + coalesce($ad, 0) END)"
             case _ => sql.substring(0, 0)
           }
-          s"CAST($raw AS DOUBLE)"
+          // re-type to the argument's NATURAL sum class (the self-join
+          // path and non-EXCLUDE calls produce it) without losing the
+          // exact-decimal difference: `+ 0 * sum(a)` folds into the same
+          // Window operator (same spec) and coerces decimal→double for
+          // float args while keeping decimal for integer/decimal args —
+          // a bare CAST AS DOUBLE put a float on driver-hashed surfaces
+          // (ADVICE r7). NULL-correct: 0*NULL only fires when the whole
+          // partition is null, where `raw` is already NULL.
+          s"($raw + 0 * sum($a) $pw)"
         }
       }
       val newItems = parsed.map { case (s, _, callsOpt) =>

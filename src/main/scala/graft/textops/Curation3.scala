@@ -65,7 +65,7 @@ object Curation3 {
                ${HashSelect.thr32Sql("rate")} AS thr
         FROM rates)
       SELECT d.source, r.n_docs, r.rate_ppm,
-             SUM(CASE WHEN d.h < r.thr THEN 1 ELSE 0 END) AS n_sampled
+             CAST(SUM(CASE WHEN d.h < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       FROM docs d JOIN r2 r ON d.source = r.source
       GROUP BY d.source, r.n_docs, r.rate_ppm ORDER BY d.source"""))
 

@@ -119,4 +119,43 @@ class DecorrelateSpec extends IqHarness {
     assert(r.map(_(0)).sorted == Seq("7369", "7499", "7521", "7566", "7654",
       "7782", "7844", "7876", "7900", "7934", "null").sorted)
   }
+
+  test("comma-separated FROM list binds its tail aliases (ADVICE r7)") {
+    registerScott()
+    // `emp e` is comma-bound at the OUTER level; the correlated subquery
+    // references e.deptno — the fallback must resolve `e` to the comma
+    // item, not decline (and not misread it)
+    val r = rows("""
+      SELECT d1.dname, e.ename FROM dept d1, emp e
+      WHERE e.deptno = d1.deptno AND EXISTS (
+        SELECT 1 FROM dept d2 WHERE d2.deptno = d1.deptno AND EXISTS (
+          SELECT 1 FROM dept d3 WHERE d3.deptno = d2.deptno AND d3.dname = d1.dname))
+      AND d1.deptno = 10 ORDER BY e.ename""")
+    assert(r.map(_(1)) == Seq("CLARK", "KING", "MILLER"))
+  }
+
+  test("comma-bound alias INSIDE a subquery shadows a same-named outer alias") {
+    registerScott()
+    // inner `FROM dept x, emp e` rebinds e — its e.sal must NOT be
+    // substituted with the outer e's key literals
+    val r = rows("""
+      select deptno from dept d1 where exists (
+        select 1 from dept d2 where d2.deptno = d1.deptno and exists (
+          select 1 from dept x, emp e
+          where e.deptno = x.deptno and x.deptno = d2.deptno and e.sal > 2800
+            and d1.dname <> 'zzz'))
+      order by deptno""")
+    // depts with an employee earning >2800: 10 (KING), 20 (SCOTT, FORD),
+    // 30 (BLAKE, 2850)
+    assert(r == Seq(Seq("10"), Seq("20"), Seq("30")))
+  }
+
+  test("unrelated INTERNAL_ERROR is not applicable (judge r7 #3)") {
+    assert(!graft.sql.Decorrelate.applicable(
+      new RuntimeException("[INTERNAL_ERROR] something unrelated broke")))
+    assert(graft.sql.Decorrelate.applicable(
+      new RuntimeException("[INTERNAL_ERROR] Found the unresolved operator: LateralJoin")))
+    assert(graft.sql.Decorrelate.applicable(
+      new RuntimeException("[INTERNAL_ERROR] Cannot rewrite correlated subquery")))
+  }
 }

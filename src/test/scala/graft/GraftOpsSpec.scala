@@ -32,6 +32,23 @@ class GraftOpsSpec extends SparkSpec {
       Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
   }
 
+  test("repeatUnion fails closed past the iteration limit (ADVICE r7)") {
+    import spark.implicits._
+    val seed = Seq(1L).toDF("n")
+    // never-converging step: each iteration still produces rows
+    val ex = intercept[IllegalStateException] {
+      seed.repeatUnion(prev => prev.select((col("n") + 1).as("n")),
+        iterationLimit = 3).count()
+    }
+    assert(ex.getMessage.contains("recursion limit exceeded"))
+    val ex2 = intercept[IllegalStateException] {
+      graft.plans.RecursiveUnion.repeatUnionDistinct(
+        seed, prev => prev.select((col("n") + 1).as("n")),
+        iterationLimit = 3).count()
+    }
+    assert(ex2.getMessage.contains("recursion limit exceeded"))
+  }
+
   test("matchRecognize from the DSL") {
     import spark.implicits._
     val df = Seq((1L, 0L, 5.0), (1L, 1L, 4.0), (1L, 2L, 6.0)).toDF("k", "pos", "v")

@@ -33,6 +33,57 @@ def _is_exact_float(col) -> bool:
     return bool(np.array_equal(rendered, np.round(vals, 6)) and
                 np.array_equal(np.round(vals, 6), vals))
 
+def _type_class(duck_type: str) -> str:
+    """Bucket a DuckDB type name into the rendering class the driver's
+    hash sees after the duckdb->pandas conversion."""
+    t = duck_type.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT"):
+        # pandas renders HUGEINT as float64 -> driver hashes "x.000000"
+        return "hugeint"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith(("VARCHAR", "CHAR", "TEXT", "STRING")):
+        return "string"
+    return t.lower()
+
+def lint_types(con, name, sql, files):
+    """DESCRIBE-based driver-hash lint (zero Spark jobs, one DuckDB
+    DESCRIBE each side): any HUGEINT/UHUGEINT oracle column, or any
+    column whose DuckDB type class differs from the Spark parquet
+    type class, will hash-mismatch in the driver even when the
+    value-compare below passes (d36/ds10/ds11, rounds 6-7)."""
+    problems = []
+    try:
+        odesc = con.execute(f"DESCRIBE {sql}").df()
+        sdesc = con.execute(f"DESCRIBE SELECT * FROM read_parquet({files!r})").df()
+    except Exception as e:
+        return [f"describe failed: {type(e).__name__}: {e}"]
+    otypes = dict(zip(odesc["column_name"], odesc["column_type"]))
+    stypes = dict(zip(sdesc["column_name"], sdesc["column_type"]))
+    for c in sorted(set(otypes) | set(stypes)):
+        oc = _type_class(otypes.get(c, "?"))
+        sc = _type_class(stypes.get(c, "?"))
+        if oc == "hugeint":
+            problems.append(f"{c}: oracle {otypes[c]} renders float64 in "
+                            f"pandas vs spark {stypes.get(c)} — CAST the "
+                            f"oracle expr (AS BIGINT)")
+        elif oc != sc and ("?" in (otypes.get(c, "?"), stypes.get(c, "?"))
+                           or {oc, sc} & {"int", "float", "decimal"}):
+            # numeric-class mismatches are the driver-hash trap (int64 vs
+            # float64 vs decimal render differently); DATE vs TIMESTAMP is
+            # rendered identically by the driver (q60/q126/ds05 hash green)
+            problems.append(f"{c}: type-class mismatch oracle "
+                            f"{otypes.get(c)}({oc}) vs spark "
+                            f"{stypes.get(c)}({sc})")
+    return problems
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -68,6 +119,9 @@ def main():
                      and not _is_exact_float(spark_df[c])]
         if floatcols:
             float_surfaces.append((name, floatcols))
+        lint = lint_types(con, name, sql, files)
+        if lint:
+            print(f"LINT {name}: " + "; ".join(lint)); n_bad += 1; continue
         try:
             pd.testing.assert_frame_equal(spark_df, oracle_df, check_dtype=False, check_exact=True)
             print(f"OK   {name} ({len(spark_df)} rows)"); n_ok += 1
