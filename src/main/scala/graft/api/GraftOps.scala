@@ -22,9 +22,13 @@ object GraftOps {
         rightTime: String, payload: Seq[String]): DataFrame =
       AsofJoin.leftAsof(df, right, key, leftTime, rightTime, payload)
 
-    /** WITH RECURSIVE (RelBuilder.repeatUnion): this frame is the seed. */
-    def repeatUnion(step: DataFrame => DataFrame, iterationLimit: Int = 100): DataFrame =
-      RecursiveUnion.repeatUnionAll(df, step, iterationLimit)
+    /** WITH RECURSIVE (RelBuilder.repeatUnion): this frame is the seed.
+      * Like the reference's RepeatUnion, the iteration limit BOUNDS the
+      * recursion — hitting it returns the truncated result (set
+      * failOnLimit for safety-cap semantics instead). */
+    def repeatUnion(step: DataFrame => DataFrame, iterationLimit: Int = 100,
+        failOnLimit: Boolean = false): DataFrame =
+      RecursiveUnion.repeatUnionAll(df, step, iterationLimit, failOnLimit)
 
     /** MATCH_RECOGNIZE (RelBuilder match factory). */
     def matchRecognize(partitionKeys: Seq[String], orderKeys: Seq[String],

@@ -39,6 +39,10 @@ case class AggTyped(agg: Expression, sample: Expression,
         RoundFloor(a, sc), RoundCeil(a, sc)), DecimalType(p, s))
     case ByteType | ShortType | IntegerType | LongType =>
       Cast(agg, LongType) // double→long casts truncate toward zero
+    case DoubleType =>
+      // no-op for the AVG-family (already double); re-types the EXCLUDE
+      // exact-decimal difference back to the natural float sum class
+      Cast(agg, DoubleType)
     case _ => agg
   }
 

@@ -20,11 +20,20 @@ object RecursiveUnion {
   /** @param seed           initial working table
     * @param step           recursive step applied to the previous delta
     * @param iterationLimit hard stop, mirroring RepeatUnion.iterationLimit
+    * @param failOnLimit    error when the limit is hit without fixpoint.
+    *                       The reference's RepeatUnion TRUNCATES at
+    *                       iterationLimit (EnumerableDefaults
+    *                       repeatUnion stops and returns the bounded
+    *                       result) — so the DSL defaults to false; only
+    *                       Spark's native recursive CTE errors, and the
+    *                       SQL WITH RECURSIVE path opts in (its limit is
+    *                       an implicit safety cap, not a user bound).
     */
   def repeatUnionAll(
       seed: DataFrame,
       step: DataFrame => DataFrame,
-      iterationLimit: Int = 100): DataFrame = {
+      iterationLimit: Int = 100,
+      failOnLimit: Boolean = false): DataFrame = {
     var delta = seed.localCheckpoint(true)
     var acc = delta
     var i = 0
@@ -33,10 +42,7 @@ object RecursiveUnion {
       if (!delta.isEmpty) acc = acc.union(delta)
       i += 1
     }
-    // fail closed: a recursion deeper than the limit must error (as
-    // Spark's native recursive CTE and the reference do), not silently
-    // return the truncated prefix
-    if (!delta.isEmpty)
+    if (failOnLimit && !delta.isEmpty)
       throw new IllegalStateException(
         s"recursion limit exceeded: no fixpoint after $iterationLimit iterations")
     acc
@@ -53,7 +59,8 @@ object RecursiveUnion {
   def repeatUnionDistinct(
       seed: DataFrame,
       step: DataFrame => DataFrame,
-      iterationLimit: Int = 100): DataFrame = {
+      iterationLimit: Int = 100,
+      failOnLimit: Boolean = false): DataFrame = {
     // re-root each checkpointed frame on a bare LogicalRDD: EXCEPT's
     // inferred constraints reference pre-checkpoint attributes, which
     // trips Union.rewriteConstraints (key not found) when the next
@@ -70,7 +77,7 @@ object RecursiveUnion {
       if (!delta.isEmpty) acc = pin(acc.union(delta))
       i += 1
     }
-    if (!delta.isEmpty)
+    if (failOnLimit && !delta.isEmpty)
       throw new IllegalStateException(
         s"recursion limit exceeded: no fixpoint after $iterationLimit iterations")
     acc

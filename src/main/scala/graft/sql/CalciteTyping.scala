@@ -26,9 +26,7 @@ object CalciteTyping {
 
   def rewrite(sql0: String): String = {
     val sql = decomposeIntVariance(intLitDiv(anyValueAsMax(
-      pivotManual(decimalLitCastDown(timeLiteralArith(
-        inIsPostfix(orderByGrouping(valuesRowStrip(rowTypeCast(
-          decimalPrecisionClamp(bareCastTimestampTrunc(sql0))))))))))))
+      pivotManual(decimalLitCastDown(timeLiteralArith(sql0))))))
     val masked = maskLiterals(sql)
     // measure statements restructure through MeasureSql — the wrapper's
     // sample would reference columns outside the measure's context

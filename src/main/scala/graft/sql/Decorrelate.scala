@@ -123,7 +123,7 @@ object Decorrelate {
         else bindingFor(alias, open, close) match {
           case Some(_) if
             // not rebound inside the subquery
-            !aliasBoundIn(masked, sql, open, close, alias) =>
+            !aliasBoundIn(masked, open, close, alias) =>
             Some((alias, col))
           case _ => None
         }
@@ -415,7 +415,7 @@ object Decorrelate {
     // comma-separated FROM lists: `FROM dept, emp e` — the named regex
     // above only sees the first item; the tail items would otherwise be
     // invisible (their refs misread as outer correlations — ADVICE r7)
-    for ((pos, table, alias) <- commaFromItems(sql, masked))
+    for ((pos, table, alias) <- commaFromItems(masked))
       add(alias, Binding(pos, table))
     // derived tables: ") [AS] alias[(col, ...)]" — capture the
     // parenthesized text plus any column-alias list
@@ -437,7 +437,7 @@ object Decorrelate {
   /** Is `alias` (re)bound by a FROM/JOIN, derived-table, or
     * comma-FROM-list alias INSIDE [open, close]? Then refs to it in
     * there are not outer refs. */
-  private def aliasBoundIn(masked: String, sql: String, open: Int, close: Int,
+  private def aliasBoundIn(masked: String, open: Int, close: Int,
       alias: String): Boolean = {
     val body = masked.substring(open, close)
     ("(?i)\\b(?:FROM|JOIN)\\s+[\\w.]+\\s+(?:AS\\s+)?" + alias + "\\b").r
@@ -448,7 +448,7 @@ object Decorrelate {
     // `FROM dept, emp e` inside the subquery shadows a same-named outer
     // alias — without this, its refs would be substituted with outer-key
     // literals, silently producing wrong results (ADVICE r7)
-    commaFromItems(sql.substring(open, close), body)
+    commaFromItems(body)
       .exists(_._3.equalsIgnoreCase(alias))
   }
 
@@ -456,8 +456,9 @@ object Decorrelate {
     * (offset, table text, bound alias). Walks from each FROM to the
     * clause boundary at paren depth 0, splitting on depth-0 commas;
     * parenthesized items (derived tables) are left to the `derived`
-    * regex in aliasBindings. */
-  private def commaFromItems(sql: String, masked: String): List[(Int, String, String)] = {
+    * regex in aliasBindings. Masking preserves identifier text, so
+    * table/alias substrings come straight from `masked`. */
+  private def commaFromItems(masked: String): List[(Int, String, String)] = {
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String)]
     val clauseKw = ("(?is)^(WHERE|GROUP|ORDER|HAVING|LIMIT|OFFSET|FETCH|UNION|" +
       "INTERSECT|EXCEPT|QUALIFY|WINDOW|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|NATURAL|ON|USING)\\b").r
@@ -471,7 +472,10 @@ object Decorrelate {
         if (ch == '(') depth += 1
         else if (ch == ')') { if (depth == 0) end = j else depth -= 1 }
         else if (depth == 0 && ch == ',') commas += j
-        else if (depth == 0 && !masked.charAt(j - 1).isLetterOrDigit &&
+        // identifier-aware boundary: '_' is a word char, so `big_union`
+        // must not match the UNION clause keyword (ADVICE r8)
+        else if (depth == 0 && { val p = masked.charAt(j - 1)
+            !p.isLetterOrDigit && p != '_' } &&
           clauseKw.findFirstIn(masked.substring(j)).isDefined) end = j
         j += 1
       }

@@ -245,13 +245,16 @@ object ExcludeFrameSql {
           }
           // re-type to the argument's NATURAL sum class (the self-join
           // path and non-EXCLUDE calls produce it) without losing the
-          // exact-decimal difference: `+ 0 * sum(a)` folds into the same
-          // Window operator (same spec) and coerces decimal→double for
-          // float args while keeping decimal for integer/decimal args —
-          // a bare CAST AS DOUBLE put a float on driver-hashed surfaces
-          // (ADVICE r7). NULL-correct: 0*NULL only fires when the whole
-          // partition is null, where `raw` is already NULL.
-          s"($raw + 0 * sum($a) $pw)"
+          // exact-decimal difference: agg_typed re-types `raw` to the
+          // SAMPLE's analyzed type, and `sum(a) OVER pw` analyzes to
+          // exactly Spark's sum derivation — BIGINT for integral args
+          // (the r7 `+ 0*sum(a)` trick left DECIMAL(38,12), the
+          // int-vs-decimal driver-hash trap ADVICE r8 flagged), DOUBLE
+          // for float, widened-precision decimal at the arg's scale for
+          // decimal (where truncation-at-scale is identity on the exact
+          // difference). The sample is never evaluated (RuntimeReplaceable
+          // drops it), so no extra Window pass.
+          s"agg_typed($raw, sum($a) $pw)"
         }
       }
       val newItems = parsed.map { case (s, _, callsOpt) =>

@@ -65,12 +65,16 @@ object RecursiveSql {
       } catch { case scala.util.control.NonFatal(_) => None }
     try {
       val seed = spark.sql(seedSql).toDF(cols: _*)
+      // failOnLimit: SQL WITH RECURSIVE has no user-specified bound —
+      // the limit is an implicit safety cap, so hitting it must error
+      // rather than silently truncate (unlike DSL repeatUnion(limit=n))
       val acc = graft.plans.RecursiveUnion.repeatUnionDistinct(
         seed,
         delta => {
           delta.createOrReplaceTempView(name)
           spark.sql(stepSql).toDF(cols: _*)
-        })
+        },
+        failOnLimit = true)
       acc.createOrReplaceTempView(name)
       Some(spark.sql(main))
     } finally priorTemp match {

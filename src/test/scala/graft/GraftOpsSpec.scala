@@ -32,21 +32,32 @@ class GraftOpsSpec extends SparkSpec {
       Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
   }
 
-  test("repeatUnion fails closed past the iteration limit (ADVICE r7)") {
+  test("repeatUnion iteration limit: DSL truncates, failOnLimit errors (ADVICE r8)") {
     import spark.implicits._
     val seed = Seq(1L).toDF("n")
-    // never-converging step: each iteration still produces rows
+    // never-converging step: each iteration still produces rows.
+    // Reference semantics (EnumerableDefaults repeatUnion): the DSL
+    // limit BOUNDS the recursion — seed + 3 deltas, no error.
+    val bounded = seed.repeatUnion(
+      prev => prev.select((col("n") + 1).as("n")), iterationLimit = 3)
+    assert(bounded.orderBy("n").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // failOnLimit opts into the SQL safety-cap behavior
     val ex = intercept[IllegalStateException] {
       seed.repeatUnion(prev => prev.select((col("n") + 1).as("n")),
-        iterationLimit = 3).count()
+        iterationLimit = 3, failOnLimit = true).count()
     }
     assert(ex.getMessage.contains("recursion limit exceeded"))
     val ex2 = intercept[IllegalStateException] {
       graft.plans.RecursiveUnion.repeatUnionDistinct(
         seed, prev => prev.select((col("n") + 1).as("n")),
-        iterationLimit = 3).count()
+        iterationLimit = 3, failOnLimit = true).count()
     }
     assert(ex2.getMessage.contains("recursion limit exceeded"))
+    // and without it, distinct-mode also truncates like the reference
+    assert(graft.plans.RecursiveUnion.repeatUnionDistinct(
+      seed, prev => prev.select((col("n") + 1).as("n")),
+      iterationLimit = 3).count() == 4)
   }
 
   test("matchRecognize from the DSL") {
