@@ -98,9 +98,16 @@ case class ItemCalcite(child: Expression, index: Expression)
     case MapType(kt, _, _) =>
       ElementAt(child, Cast(index, kt), None, false)
     case st: StructType =>
+      // FOLDABLE ordinal (a bare literal or a literal under casts, e.g.
+      // X[CAST(2 AS BIGINT)] — operator.iq:325): the field index must
+      // be known at analysis time to pick the struct field
       index match {
-        case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
-          val i = v.toString.toInt
+        case e if e.foldable && (e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }) =>
+          val v = e.eval(null)
+          val i = if (v == null) 0 else v.toString.toInt
           if (i >= 1 && i <= st.fields.length)
             GetStructField(child, i - 1, Some(st.fields(i - 1).name))
           else Literal.create(null, NullType)
@@ -130,4 +137,30 @@ case class ItemCalcite(child: Expression, index: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(child = l, index = r)
+}
+
+/** The reference's TIMESTAMP precision semantics (misc.iq:2148,
+  * CALCITE-1659/1664): the default TIMESTAMP has precision 0 and
+  * TIMESTAMP(p) keeps p fractional digits, truncating the rest —
+  * Spark timestamps are fixed micros. `calcite_ts(ts, p)` drops the
+  * fractional digits beyond p (floor in time order, so pre-epoch
+  * values truncate their DISPLAY fraction too, via the always-
+  * non-negative pmod remainder). */
+case class CalciteTs(child: Expression, precision: Expression)
+    extends BinaryExpression with RuntimeReplaceable {
+  override def left: Expression = child
+  override def right: Expression = precision
+
+  override lazy val replacement: Expression = {
+    val p = precision.eval(null).toString.toInt
+    if (p >= 6) child
+    else {
+      val unit = math.pow(10, 6 - p).toLong
+      val us = UnixMicros(child)
+      MicrosToTimestamp(Subtract(us, Pmod(us, Literal(unit))))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, precision = r)
 }

@@ -63,6 +63,7 @@ object GraftFunctions {
       args.length > 2 && args(2).eval(null) == true)),
     "ceil_to" -> (args => CeilTo(args(0), args(1))),
     "item" -> (args => ItemCalcite(args(0), args(1))),
+    "calcite_ts" -> (args => CalciteTs(args(0), args(1))),
     // is_inf (ref: SqlLibraryOperators.java:2632)
     "is_inf" -> (args =>
       EqualTo(Abs(d(args.head)), Literal(Double.PositiveInfinity))),

@@ -16,11 +16,55 @@ package graft.sql
 object BigQueryDialect {
 
   def rewrite(sql: String): String =
-    rewriteBinaryPad(rewriteIntLitDiv(
+    rewriteSafeCastTime(rewriteTsUnitTrunc(rewriteBinaryPad(rewriteIntLitDiv(
       rewriteContainsSubstr(rewriteUnixDate(rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
         rewriteAddSub(renameFns(rewriteArrayLiteral(rewriteCurrentDatetime(
           rewriteTimeLiteral(rewriteDatetimeLiteral(rewriteTsTzLiteral(
-            rewriteStrings(sql)))))))))))))))))))
+            rewriteStrings(sql)))))))))))))))))))))
+
+  /** TIMESTAMP_MILLIS/TIMESTAMP_MICROS display precision: the reference
+    * renders timestamps at its default precision 0
+    * (big-query.iq:2927/2937 — 06:56:07 where the epoch carries .890s),
+    * so the sub-second part truncates via calcite_ts (the same device
+    * as the core corpus's bare-cast truncation). */
+  private[sql] def rewriteTsUnitTrunc(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    for (m <- "(?i)\\b(timestamp_millis|timestamp_micros)\\s*\\(".r
+        .findAllMatchIn(masked)) {
+      val open = masked.indexOf('(', m.start)
+      val close = GraftSql.closeParen(masked, open)
+      val already = "(?is).*\\bcalcite_ts\\s*\\(\\s*$".r
+        .matches(masked.substring(0, m.start))
+      if (close > 0 && !already)
+        return rewriteTsUnitTrunc(sql.substring(0, m.start) +
+          s"calcite_ts(${sql.substring(m.start, close + 1)}, 0)" +
+          sql.substring(close + 1))
+    }
+    sql
+  }
+
+  /** `SAFE_CAST(x AS TIME)` (big-query.iq:1972): Spark has no TIME
+    * type — the engine's TIME surface is the 'HH:mm:ss' string encoding
+    * (functions/BigQueryFns time family) — so the safe cast becomes a
+    * try-parse onto it: NULL on malformed input, like BigQuery. */
+  private[sql] def rewriteSafeCastTime(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    for (m <- "(?is)\\bSAFE_CAST\\s*\\(".r.findAllMatchIn(masked)) {
+      val open = masked.indexOf('(', m.start)
+      val close = GraftSql.closeParen(masked, open)
+      if (close > 0) {
+        val content = masked.substring(open + 1, close)
+        val t = "(?is)\\s+AS\\s+TIME\\s*$".r.findFirstMatchIn(content)
+        t.foreach { tm =>
+          val src = sql.substring(open + 1, open + 1 + tm.start)
+          return rewriteSafeCastTime(sql.substring(0, m.start) +
+            s"date_format(try_to_timestamp($src, 'H:m:s'), 'HH:mm:ss')" +
+            sql.substring(close + 1))
+        }
+      }
+    }
+    sql
+  }
 
   /** Integer-literal division: the reference corpus records SQL-standard
     * integer semantics (1230219000 / 86400 = 14238, truncating toward

@@ -26,7 +26,9 @@ object CalciteTyping {
 
   def rewrite(sql0: String): String = {
     val sql = decomposeIntVariance(intLitDiv(anyValueAsMax(
-      pivotManual(decimalLitCastDown(timeLiteralArith(sql0))))))
+      pivotManual(decimalLitCastDown(timeLiteralArith(
+        inIsPostfix(orderByGrouping(valuesRowStrip(rowTypeCast(
+          decimalPrecisionClamp(bareCastTimestampTrunc(sql0))))))))))))
     val masked = maskLiterals(sql)
     // measure statements restructure through MeasureSql — the wrapper's
     // sample would reference columns outside the measure's context
@@ -161,13 +163,41 @@ object CalciteTyping {
       "(?<![\\w.'])(-?\\d+)\\s*/\\s*(-?\\d+)(?![\\w.])".r) { (m, orig) =>
       s"DIV(${GraftSql.origGroup(m, orig, 1)}, ${GraftSql.origGroup(m, orig, 2)})"
     }
+    // CAST-expression left operands (unsigned.iq:142 —
+    // CAST(1000 AS INT UNSIGNED) / 30): the paren-matched form of the
+    // bare-identifier branch below, single-pass so its own ELSE-branch
+    // division is never re-visited
+    val s1b = {
+      val masked = maskLiterals(s1)
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- "(?is)\\)\\s*/\\s*(-?\\d+|[A-Za-z_]\\w*)(?![\\w.(])".r
+          .findAllMatchIn(masked) if m.start >= last) {
+        val open = GraftSql.openParenOf(masked, m.start)
+        val cm = if (open > 0)
+          "(?is)\\bCAST\\s*$".r.findFirstMatchIn(masked.substring(0, open)) else None
+        cm.foreach { c =>
+          if (c.start >= last) {
+            val a = s1.substring(c.start, m.start + 1)
+            val b = GraftSql.origGroup(m, s1, 1)
+            val ints = "('tinyint', 'smallint', 'int', 'bigint')"
+            sb.append(s1.substring(last, c.start))
+              .append(s"(CASE WHEN typeof($a) IN $ints AND typeof($b) IN $ints " +
+                s"THEN CAST((CAST($a AS BIGINT) DIV CAST($b AS BIGINT)) AS DOUBLE) " +
+                s"ELSE ($a / $b) END)")
+            last = m.end
+          }
+        }
+      }
+      sb.append(s1.substring(last)).toString
+    }
     // bare-identifier operands (misc.iq:2435 — X/Y over INT columns):
     // branch on the RUNTIME type, so float columns keep fractional `/`.
     // The DIV branch CASTs its operands so it still ANALYZES when the
     // runtime type turns out fractional (pi DIV 2 would not type-check);
     // `interval (expr) unit` stays untouched — its parser needs the
     // plain division text.
-    GraftSql.replaceMasked(s1,
+    GraftSql.replaceMasked(s1b,
       "(?<![\\w.'])([A-Za-z_]\\w*|\\d+)\\s*/\\s*([A-Za-z_]\\w*|\\d+)(?![\\w.(])".r) { (m, orig) =>
       val a = GraftSql.origGroup(m, orig, 1)
       val b = GraftSql.origGroup(m, orig, 2)
@@ -439,5 +469,264 @@ object CalciteTyping {
       } => anyValueAsMax(sql.substring(0, m.start) + "max(" +
         sql.substring(masked.indexOf('(', m.start) + 1))
     }.getOrElse(sql)
+  }
+
+  /** Backward scan from `end` (exclusive) over one expression primary:
+    * identifier chains (dots, backticks, masked literal chars) and
+    * call/paren/bracket groups. Returns the primary's start, or -1. */
+  private def primaryStart(masked: String, end: Int): Int = {
+    var s = end - 1
+    while (s >= 0 && masked.charAt(s).isWhitespace) s -= 1
+    if (s < 0) return -1
+    def depthBack(openCh: Char, closeCh: Char): Unit = {
+      var depth = 1
+      s -= 1
+      while (s >= 0 && depth > 0) {
+        val c = masked.charAt(s)
+        if (c == closeCh) depth += 1 else if (c == openCh) depth -= 1
+        s -= 1
+      }
+    }
+    val first = s
+    var scanning = true
+    while (scanning && s >= 0) {
+      masked.charAt(s) match {
+        case c if c.isLetterOrDigit || c == '_' || c == '.' || c == '`' ||
+          c == '\'' || c == '\u0001' => s -= 1
+        case ')' => depthBack('(', ')')
+        case ']' => depthBack('[', ']')
+        case _ => scanning = false
+      }
+    }
+    if (s + 1 > first) -1 else s + 1
+  }
+
+  /** `x IN (SELECT …) IS [NOT] TRUE|FALSE|UNKNOWN` — the reference's
+    * grammar binds the boolean test over the unparenthesized IN
+    * predicate (sub-query.iq:1963/2337/2711/4597); Spark's needs the
+    * predicate parenthesized. The IN itself is restated with EXACT 3VL:
+    * Spark can plan a correlated IN in this position as an
+    * ExistenceJoin, which answers FALSE where `NULL IN (non-empty)`
+    * must be UNKNOWN — so the restatement reaches the native IN only on
+    * the non-null-lhs TRUE path (where 2VL and 3VL agree) and derives
+    * the UNKNOWN cases from scalar COUNT subqueries (correlation-safe:
+    * scalar subqueries plan anywhere). */
+  private[sql] def inIsPostfix(sql0: String): String = {
+    val masked = maskLiterals(sql0)
+    for (m <- "(?is)\\)\\s*IS\\s+(?:NOT\\s+)?(?:TRUE|FALSE|UNKNOWN)\\b".r
+        .findAllMatchIn(masked)) {
+      val open = GraftSql.openParenOf(masked, m.start)
+      if (open > 0 &&
+          "(?is)^\\s*SELECT\\b".r.findFirstIn(masked.substring(open + 1, m.start)).isDefined) {
+        val inM = "(?is)\\b(NOT\\s+)?IN\\s*$".r
+          .findFirstMatchIn(masked.substring(0, open))
+        if (inM.isDefined) {
+          val opStart = primaryStart(masked, inM.get.start)
+          // the operand must not already sit right after '(' (wrapped)
+          val pre = if (opStart > 0) masked.substring(0, opStart).reverse.dropWhile(_.isWhitespace) else ""
+          if (opStart >= 0 && !pre.startsWith("(")) {
+            val x = sql0.substring(opStart, inM.get.start).trim
+            val q = sql0.substring(open + 1, m.start)
+            val id = s"iip$open"
+            val threeVl =
+              s"""(CASE WHEN (SELECT COUNT(*) FROM ($q) ${id}_c) = 0 THEN FALSE
+                 WHEN ($x) IS NULL THEN CAST(NULL AS BOOLEAN)
+                 WHEN ($x) IN ($q) THEN TRUE
+                 WHEN (SELECT COUNT(${id}_v) FROM ($q) AS ${id}_n(${id}_v)) <
+                   (SELECT COUNT(*) FROM ($q) ${id}_c2) THEN CAST(NULL AS BOOLEAN)
+                 ELSE FALSE END)"""
+            val wrapped =
+              if (inM.get.group(1) != null) s"(NOT $threeVl)" else threeVl
+            return inIsPostfix(sql0.substring(0, opStart) + wrapped +
+              sql0.substring(m.start + 1))
+          }
+        }
+      }
+    }
+    sql0
+  }
+
+  /** `ORDER BY grouping(col), …` where the grouping call's metadata is
+    * unreachable for Spark's sort resolution (agg.iq:850 — col absent
+    * from the select list after ROLLUP): hoist each grouping/grouping_id
+    * call into the select list as a hidden `__gordN` column, wrap in
+    * `SELECT * EXCEPT (…)` and order by the hidden names. */
+  private[sql] def orderByGrouping(sql0: String): String = {
+    val masked = maskLiterals(sql0)
+    def depth0(pos: Int): Boolean = {
+      val pre = masked.substring(0, pos)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }
+    val ob = "(?is)\\bORDER\\s+BY\\b".r.findAllMatchIn(masked)
+      .filter(m => depth0(m.start)).toList.lastOption.getOrElse(return sql0)
+    if ("(?is)\\bGROUP\\s+BY\\b".r.findAllMatchIn(masked)
+        .forall(m => !depth0(m.start))) return sql0
+    // order-item region: up to a depth-0 LIMIT/OFFSET/FETCH or the end
+    val tailEnd = "(?i)\\b(LIMIT|OFFSET|FETCH)\\b".r.findAllMatchIn(masked)
+      .filter(m => m.start > ob.end && depth0(m.start))
+      .map(_.start).minOption.getOrElse(masked.length)
+    val itemsM = masked.substring(ob.end, tailEnd)
+    val gre = "(?i)\\b(GROUPING|GROUPING_ID)\\s*\\(".r
+    if (gre.findFirstIn(itemsM).isEmpty) return sql0
+    // body must be a single SELECT (no depth-0 set ops)
+    if ("(?i)\\b(UNION|INTERSECT|EXCEPT|MINUS)\\b".r.findAllMatchIn(masked)
+        .exists(m => m.start < ob.start && depth0(m.start))) return sql0
+    val from = "(?is)\\bFROM\\b".r.findAllMatchIn(masked)
+      .filter(m => m.start < ob.start && depth0(m.start))
+      .toList.headOption.getOrElse(return sql0)
+    // replace calls right-to-left in the order items, collecting them
+    var items = sql0.substring(ob.end, tailEnd)
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val found = gre.findAllMatchIn(itemsM).toList
+    for ((g, i) <- found.zipWithIndex.reverse) {
+      val open = itemsM.indexOf('(', g.start)
+      val close = closeParen(itemsM, open)
+      if (close < 0) return sql0
+      calls.insert(0, sql0.substring(ob.end + g.start, ob.end + close + 1))
+      items = items.substring(0, g.start) + s"__gord$i" + items.substring(close + 1)
+    }
+    val hidden = calls.zipWithIndex
+      .map { case (c, i) => s"$c AS __gord$i" }.mkString(", ")
+    val names = calls.indices.map(i => s"__gord$i").mkString(", ")
+    val body = sql0.substring(0, from.start) + s", $hidden " +
+      sql0.substring(from.start, ob.start)
+    s"SELECT * EXCEPT ($names) FROM ($body) __gq ORDER BY" + items +
+      sql0.substring(tailEnd)
+  }
+
+  /** `VALUES (ROW(a, b)), …` — the reference expands a ROW constructor
+    * that IS the whole row into the row's columns (join.iq:993,
+    * operator.iq:318); Spark would make it a single struct column.
+    * Strips the redundant ROW wrapper. */
+  private[sql] def valuesRowStrip(sql0: String): String = {
+    val masked = maskLiterals(sql0)
+    for (vm <- "(?i)\\bVALUES\\b".r.findAllMatchIn(masked)) {
+      var j = vm.end
+      var scanning = true
+      while (scanning) {
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        if (j >= masked.length || masked.charAt(j) != '(') scanning = false
+        else {
+          val close = closeParen(masked, j)
+          if (close < 0) scanning = false
+          else {
+            val rm = "(?is)^\\s*ROW\\s*\\(".r.findFirstMatchIn(masked.substring(j + 1, close))
+            rm.foreach { r =>
+              val rowOpen = j + 1 + r.end - 1
+              val rowClose = closeParen(masked, rowOpen)
+              if (rowClose > 0 && masked.substring(rowClose + 1, close).trim.isEmpty)
+                return valuesRowStrip(sql0.substring(0, j + 1) +
+                  sql0.substring(rowOpen + 1, rowClose) + sql0.substring(close))
+            }
+            j = close + 1
+            while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+            if (j < masked.length && masked.charAt(j) == ',') j += 1
+            else scanning = false
+          }
+        }
+      }
+    }
+    sql0
+  }
+
+  /** `CAST(x AS ROW(a T, b ROW(…)))` — SQL-standard ROW type syntax
+    * (cast.iq:2049) → Spark's `STRUCT<a: T, …>`, recursively. */
+  private[sql] def rowTypeCast(sql0: String): String = {
+    def convert(t: String): String = {
+      val m = maskLiterals(t)
+      "(?is)^\\s*ROW\\s*\\(".r.findFirstMatchIn(m) match {
+        case Some(r) if closeParen(m, r.end - 1) == m.length - m.reverse.takeWhile(_.isWhitespace).length - 1 =>
+          val open = r.end - 1
+          val close = closeParen(m, open)
+          val fields = GraftSql.splitElemsOf(t, m, open + 1, close).map { f =>
+            val ft = f.trim
+            val nm = "^([A-Za-z_]\\w*|`[^`]*`)\\s+".r.findFirstMatchIn(ft)
+              .getOrElse(return t)
+            s"${nm.group(1)}: ${convert(ft.substring(nm.end))}"
+          }
+          s"STRUCT<${fields.mkString(", ")}>"
+        case _ => t.trim
+      }
+    }
+    val masked = maskLiterals(sql0)
+    for (m <- "(?is)\\bAS\\s+(ROW)\\s*\\(".r.findAllMatchIn(masked)) {
+      val open = m.start(1) + masked.substring(m.start(1)).indexOf('(')
+      val close = closeParen(masked, open)
+      // `CAST(NULL AS ROW(...))` stays for TypesSql.rewriteCastRow,
+      // whose POSITIONAL field naming (col1..colN) lets the null unify
+      // with bare ROW(..) constructors in one ARRAY[..] (unnest.iq:633)
+      val nullOperand = "(?is)CAST\\s*\\(\\s*NULL\\s+AS\\s*$".r
+        .findFirstIn(masked.substring(0, m.start(1))).isDefined
+      if (close > 0 && !nullOperand) {
+        val conv = convert(sql0.substring(m.start(1), close + 1))
+        if (conv.startsWith("STRUCT<"))
+          return rowTypeCast(sql0.substring(0, m.start(1)) + conv +
+            sql0.substring(close + 1))
+      }
+    }
+    sql0
+  }
+
+  /** DECIMAL precision beyond Spark's max CLAMPS to the max — the
+    * reference clamps to its own max the same way (CALCITE-4871,
+    * cast.iq:860) instead of rejecting. */
+  private[sql] def decimalPrecisionClamp(sql0: String): String =
+    GraftSql.replaceMasked(sql0,
+      "(?i)\\b(DECIMAL|NUMERIC|DEC)\\s*\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)".r) { (m, orig) =>
+      val p = m.group(2).toInt
+      if (p <= 38) orig.substring(m.start, m.end)
+      else {
+        val s = Option(m.group(3)).map(_.toInt).getOrElse(0).min(38)
+        s"${m.group(1)}(38, $s)"
+      }
+    }
+
+  /** The reference's default TIMESTAMP precision is 0 and its literal
+    * precision 3 (misc.iq:2148, cast-with-format.iq:29): a bare
+    * `CAST(x AS TIMESTAMP)` truncates to whole seconds and
+    * `TIMESTAMP(p)` to p fractional digits; `TIMESTAMP 'lit'` drops
+    * digits beyond 3. Spark timestamps are fixed micros, so the
+    * truncation wraps in `calcite_ts(…, p)`
+    * (functions/FloorCeilTo.scala CalciteTs). FORMAT-clause casts keep
+    * their own precision handling (IsoFormat). */
+  private[sql] def bareCastTimestampTrunc(sql0: String): String = {
+    // literal precision 3: truncate the literal text itself
+    var sql = "(?i)\\b(TIMESTAMP\\s+'[^']*\\.\\d{3})\\d+'".r
+      .replaceAllIn(sql0, m => scala.util.matching.Regex
+        .quoteReplacement(m.group(1) + "'"))
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(sql)
+      for (m <- "(?i)\\bCAST\\s*\\(".r.findAllMatchIn(masked).toList if !changed) {
+        val open = masked.indexOf('(', m.start)
+        val close = closeParen(masked, open)
+        val already = "(?is).*\\bcalcite_ts\\s*\\(\\s*$".r
+          .matches(masked.substring(0, m.start))
+        if (close > 0 && !already) {
+          val content = masked.substring(open + 1, close)
+          val tm = "(?is)\\s+AS\\s+TIMESTAMP\\s*(?:\\(\\s*(\\d+)\\s*\\))?\\s*$".r
+            .findFirstMatchIn(content)
+          tm.foreach { t =>
+            val p = Option(t.group(1)).map(_.toInt).getOrElse(0)
+            if (p < 6) {
+              val src = sql.substring(open + 1, open + 1 + t.start)
+              val rep = s"calcite_ts(CAST($src AS TIMESTAMP), $p)"
+              sql = sql.substring(0, m.start) + rep + sql.substring(close + 1)
+              changed = true
+            } else if (t.group(1) != null) {
+              // TIMESTAMP(p>=6): Spark micros already — the wrapper is a
+              // passthrough, kept so the rescan doesn't re-wrap at p=0
+              val src = sql.substring(open + 1, open + 1 + t.start)
+              sql = sql.substring(0, m.start) +
+                s"calcite_ts(CAST($src AS TIMESTAMP), 6)" +
+                sql.substring(close + 1)
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    sql
   }
 }

@@ -23,11 +23,8 @@ class BabelCorpusSpec extends IqHarness {
   /** Documented divergences, keyed by statement line (file is frozen). */
   private val skipCases: Map[Int, String] = Map(
     1949 -> "UNION branch coercion of INT vs VARCHAR SAFE_CAST results — reference coerces, Spark rejects",
-    1972 -> "SAFE_CAST(... AS TIME) — Spark has no TIME type; TIME surface is string-encoded (q109)",
     2009 -> "INTERVAL cast display: +1 (reference) vs P1Y (Spark ANSI interval rendering)",
     2031 -> "INTERVAL cast display: +61:00.000000 vs PT1H1M rendering",
-    2927 -> "TIMESTAMP display precision: reference truncates to seconds (TIMESTAMP(0)), Spark keeps millis",
-    2937 -> "same TIMESTAMP(0) display-precision truncation",
     // (3055 integer-literal division, 3286/3322 LPAD/RPAD over BYTES:
     // lifted in round 7 by BigQueryDialect.rewriteIntLitDiv and
     // rewriteBinaryPad)
@@ -170,7 +167,7 @@ class BabelCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(total >= 200, s"parser found only $total cases — quidem parsing regressed")
     // ratchet: raise this floor when new dialect rewrites land
-    assert(pass >= 212, s"babel coverage dropped: $pass passing (floor 212)")
+    assert(pass >= 215, s"babel coverage dropped: $pass passing (floor 215)")
     assert(failures.isEmpty,
       s"undocumented babel failures (${failures.size}):\n${failures.take(10).mkString("\n")}")
   }

@@ -128,12 +128,6 @@ class CorpusSpec extends IqHarness {
       "none, because no commission decreases along the DESC sequence"
     Map(
       ("agg.iq", 31) -> "duplicate of line-21 case (same SQL, kept once)",
-      ("unsigned.iq", 142) -> ("integer division with a CAST-expression " +
-        "operand (CAST(1000 AS INT UNSIGNED) / 30): the conformance " +
-        "integer-division shim (CalciteTyping.intLitDiv) covers literal " +
-        "and bare-identifier operands; a general expression operand " +
-        "needs full paren-matching — same divergence class as the " +
-        "lifted misc.iq:2435, one spelling narrower"),
       ("some.iq", 926) -> ("TRUE IN (SELECT b FROM UNNEST(outer array)): " +
         "the 3VL restatement correlates an UNQUALIFIED outer column " +
         "through a nested derived table — invisible to Spark's " +
@@ -146,28 +140,13 @@ class CorpusSpec extends IqHarness {
         "a count-0 row on empty input; Spark's expand-based lowering is " +
         "one grouped aggregate, which returns no rows on empty input — " +
         "SUM over it is NULL where the reference has 0"),
-      ("agg.iq", 850) -> ("grouping(deptno) in ORDER BY after rollup with " +
-        "deptno absent from the select list: Spark's sort resolution " +
-        "cannot reach the aggregate's grouping metadata there"),
       ("agg.iq", 3223) -> ("relies on non-ANSI silent int64 overflow " +
         "wraparound (+9223372036854775807 + 1); Spark (ANSI) raises"),
       ("sub-query.iq", 76) -> ("references the hr catalog's emps (salary " +
         "column) — a third fixture schema used once in this corpus"),
-      ("sub-query.iq", 1963) -> ("IS UNKNOWN applied to an unparenthesized " +
-        "IN-subquery predicate; Spark's grammar needs (pred) IS NULL"),
-      ("sub-query.iq", 2337) -> "same unparenthesized IN ... IS UNKNOWN shape",
-      ("sub-query.iq", 2711) -> "same unparenthesized IN ... IS UNKNOWN shape",
-      ("cast-with-format.iq", 29) -> ("plain CAST(string AS TIMESTAMP) " +
-        "keeps Spark's microsecond precision; the reference's default " +
-        "TIMESTAMP(0) truncates to whole seconds — precision-0 truncation " +
-        "under FORMAT is honored (IsoFormat), the bare-cast default is not"),
       ("lambda.iq", 96) -> ("1-based ITEM subscript inside a lambda body: " +
         "the reference's x[1] is the FIRST element, Spark's the second; " +
         "1-based ITEM semantics covered by q52/Collections"),
-      ("sub-query.iq", 4597) -> ("IS TRUE applied to an unparenthesized " +
-        "IN-subquery predicate; Spark's grammar has no IS TRUE postfix"),
-      ("join.iq", 993) -> ("ROW(...) constructors inside VALUES expand to " +
-        "multiple columns in the reference; Spark VALUES has no row-expansion"),
       ("agg.iq", 3780) -> ("ARG_MIN/ARG_MAX tie-break: the reference keeps " +
         "the first row of a tied key group, Spark's min_by/max_by an " +
         "arbitrary one; deterministic ARG_MAX/MIN covered by q16"),
@@ -197,12 +176,6 @@ class CorpusSpec extends IqHarness {
         "implemented instead (functions/FloorCeilTo.scala)"),
       ("operator.iq", 860) -> "same interval-FLOOR/CEIL leading-unit surface",
       ("operator.iq", 875) -> "same interval-FLOOR/CEIL leading-unit surface",
-      ("operator.iq", 318) -> ("ROW(...) expansion inside VALUES plus " +
-        "1-based ordinal struct subscripts — reference row-type " +
-        "machinery; struct ITEM access covered by q52-q55"),
-      ("operator.iq", 331) -> "same ROW-expansion + ordinal subscript shape",
-      ("operator.iq", 344) -> "same ROW-expansion + ordinal subscript shape",
-      ("operator.iq", 357) -> "same ROW-expansion + ordinal subscript shape",
       ("match.iq", 98) -> matchDescQuirk,
       ("match.iq", 113) -> matchDescQuirk,
       ("match.iq", 129) -> matchDescQuirk,
@@ -238,9 +211,6 @@ class CorpusSpec extends IqHarness {
       ("variant.iq", 127) -> ("display spacing: a variant array renders " +
         "compact ([1,2,3]); the reference spaces its elements ([1, 2, 3]) " +
         "— value-identical JSON"),
-      ("misc.iq", 2168) -> ("TIMESTAMP literal precision: the reference " +
-        "rounds the display to its declared precision 3 / bare-cast 0; " +
-        "Spark timestamps are fixed micros (same class as :2148)"),
       ("agg.iq", 3256) -> ("JSON_OBJECTAGG renders its object in the " +
         "reference's hash order — not reproducible; the engine's " +
         "JSON_OBJECT/JSON_ARRAYAGG lowering keeps written order " +
@@ -322,10 +292,6 @@ class CorpusSpec extends IqHarness {
         "per seed but the PRNG streams differ (java.util.Random vs " +
         "Spark's XORShiftRandom); rand_integer(seed, n) IS matched " +
         "bit-for-bit via functions/RandInteger.scala"),
-      ("misc.iq", 2148) -> ("the reference's default TIMESTAMP precision " +
-        "is 0 (bare CAST drops fractions) and literals carry precision " +
-        "3; Spark timestamps are fixed micros — TIMESTAMP(p) has no " +
-        "equivalent"),
       ("struct.iq", 170) -> ("LIMIT 1 with no ORDER BY over a join — " +
         "which row survives is engine-specific (Calcite returns CLARK, " +
         "Spark's first partition yields SMITH); same query shape with an " +
@@ -334,15 +300,9 @@ class CorpusSpec extends IqHarness {
         "renames duplicate row fields with a 0 suffix; Spark keeps " +
         "duplicate struct field names and resolves access to the first, " +
         "so the renamed-field access has no Spark equivalent"),
-      ("cast.iq", 860) -> ("CAST to DECIMAL(1000, 4): the reference clamps " +
-        "precision beyond its max to the max (CALCITE-4871); Spark rejects " +
-        "precision > 38 outright"),
       ("misc.iq", 2215) -> ("CHAR(3) literals inside an ARRAY keep their " +
         "blank padding in the reference ('a  '); Spark's CHAR surface is " +
         "STRING and stores the unpadded value"),
-      ("cast.iq", 2049) -> ("CAST(... AS ROW(a ROW(...), b INTEGER)) — " +
-        "ROW type syntax; Spark spells struct types STRUCT<...>"),
-      ("cast.iq", 2060) -> "same ROW-type cast syntax",
       ("planner.iq", 425) -> ("LIMIT/OFFSET with no ORDER BY: which rows " +
         "the offset slice skips is engine-specific (same class as " +
         "struct.iq:170)"),
