@@ -139,6 +139,19 @@ object IsoFormat {
   private def parseLdt(input: String, fmt: String): LocalDateTime = {
     var pos = 0
     val f = scala.collection.mutable.Map.empty[String, Int]
+    // Strict parse contract, as the reference's (cast-with-format.iq
+    // !error cases, FormatElementEnum parse rules): week/day-of-week/
+    // quarter tokens are not parseable, fields must not repeat, values
+    // must be in range, word tokens must match fully, and the whole
+    // input must be consumed.
+    def set(k: String, v: Int): Unit = {
+      require(!f.contains(k), s"FORMAT parse: duplicate $k token in '$fmt'")
+      f(k) = v
+    }
+    def inRange(v: Int, lo: Int, hi: Int, what: String): Int = {
+      require(v >= lo && v <= hi, s"FORMAT parse: $what $v out of range")
+      v
+    }
     def digits(maxW: Int): (Int, Int) = { // (value, width consumed)
       val start = pos
       while (pos < input.length && pos - start < maxW && input.charAt(pos).isDigit) pos += 1
@@ -156,44 +169,65 @@ object IsoFormat {
         // the input satisfies a literal ('--2017----05' vs '-YYYY--MM')
         while (pos < input.length && !input.charAt(pos).isLetterOrDigit) pos += 1
       case Field(t) => t.toUpperCase(Locale.ROOT) match {
-        case "HH24" => f("hour") = digits(2)._1
-        case "HH12" | "HH" => f("hour12") = digits(2)._1
-        case "MI" => f("minute") = digits(2)._1
-        case "SS" => f("second") = digits(2)._1
-        case "SSSSS" => f("secday") = digits(5)._1
+        case "HH24" => set("hour", inRange(digits(2)._1, 0, 23, "hour"))
+        case "HH12" | "HH" => set("hour12", inRange(digits(2)._1, 1, 12, "hour"))
+        case "MI" => set("minute", inRange(digits(2)._1, 0, 59, "minute"))
+        case "SS" => set("second", inRange(digits(2)._1, 0, 59, "second"))
+        case "SSSSS" => set("secday", inRange(digits(5)._1, 0, 86399, "second of day"))
         case ff if ff.startsWith("FF") =>
           val n = if (ff.length == 2) 9 else ff.charAt(2) - '0'
           digits(n) // TIMESTAMP(0) target: fraction truncates
           ()
-        case "AM" | "PM" => f("pm") = if (word().equalsIgnoreCase("PM")) 1 else 0
+        case "AM" | "PM" =>
+          val w = word()
+          require(w.equalsIgnoreCase("AM") || w.equalsIgnoreCase("PM"),
+            s"FORMAT parse: AM/PM expected, found '$w'")
+          set("pm", if (w.equalsIgnoreCase("PM")) 1 else 0)
         case "A.M." | "P.M." =>
           val start = pos; pos = math.min(pos + 4, input.length)
-          f("pm") = if (input.substring(start, pos).equalsIgnoreCase("P.M.")) 1 else 0
-        case "YYYY" | "RRRR" => f("year") = digits(4)._1
-        case "YYY" => f("year") = digits(3)._1
-        case "YY" => f("year") = digits(2)._1
-        case "Y" => f("year") = digits(1)._1
+          val w = input.substring(start, pos)
+          require(w.equalsIgnoreCase("A.M.") || w.equalsIgnoreCase("P.M."),
+            s"FORMAT parse: A.M./P.M. expected, found '$w'")
+          set("pm", if (w.equalsIgnoreCase("P.M.")) 1 else 0)
+        case "YYYY" | "RRRR" => set("year", digits(4)._1)
+        case "YYY" => set("year", digits(3)._1)
+        case "YY" => set("year", digits(2)._1)
+        case "Y" => set("year", digits(1)._1)
         case "RR" =>
           val (v, w) = digits(2)
-          f("year") = if (w == 2) { if (v >= 50) 1900 + v else 2000 + v } else v
-        case "MONTH" | "MON" =>
+          set("year", if (w == 2) { if (v >= 50) 1900 + v else 2000 + v } else v)
+        case "MONTH" =>
           val w = word().toUpperCase(Locale.ROOT)
-          val m = monthsU.indexWhere(_.startsWith(w))
-          require(m >= 0, s"unknown month '$w'")
-          f("month") = m + 1
-        case "MM" => f("month") = digits(2)._1
+          val m = monthsU.indexOf(w)
+          require(m >= 0, s"FORMAT parse: unknown month '$w'")
+          set("month", m + 1)
+        case "MON" =>
+          val w = word().toUpperCase(Locale.ROOT)
+          val m = monthsU.indexWhere(_.take(3) == w)
+          require(w.length == 3 && m >= 0, s"FORMAT parse: unknown month '$w'")
+          set("month", m + 1)
+        case "MM" => set("month", inRange(digits(2)._1, 1, 12, "month"))
         case "DAY" | "DY" =>
-          val w = word().toUpperCase(Locale.ROOT)
-          require(daysU.indexWhere(_.startsWith(w)) >= 0, s"unknown day '$w'")
-        case "DDD" => f("doy") = digits(3)._1
-        case "DD" => f("day") = digits(2)._1
-        case "D" => digits(1); ()
-        case "WW" => digits(2); ()
-        case "W" => digits(1); ()
-        case "Q" => digits(1); ()
+          throw new IllegalArgumentException(
+            "FORMAT parse: day name token is not allowed in a string to datetime conversion")
+        case "DDD" => set("doy", digits(3)._1)
+        case "DD" => set("day", digits(2)._1)
+        case "D" =>
+          throw new IllegalArgumentException(
+            "FORMAT parse: day of week token is not allowed in a string to datetime conversion")
+        case "WW" | "W" =>
+          throw new IllegalArgumentException(
+            "FORMAT parse: week number token is not allowed in a string to datetime conversion")
+        case "Q" =>
+          throw new IllegalArgumentException(
+            "FORMAT parse: quarter token is not allowed in a string to datetime conversion")
         case _ => ()
       }
     }
+    require(!(f.contains("doy") && (f.contains("day") || f.contains("month"))),
+      "FORMAT parse: day of year provided with day or month token")
+    require(input.substring(pos).forall(c => !c.isLetterOrDigit),
+      s"FORMAT parse: trailing input '${input.substring(pos)}' in '$input'")
     val year = f.getOrElse("year", 1)
     val date: LocalDate =
       if (f.contains("doy")) LocalDate.of(year, 1, 1).plusDays(f("doy") - 1L)

@@ -196,10 +196,40 @@ object Dialect2 {
                ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS xg
       FROM lineitem"""))
 
+  /** MIXED-frame EXCLUDE (round 9, the last quadratic retired): a
+    * bounded EXCLUDE call joins the explode-generated frame, the
+    * unbounded EXCLUDE and the plain unbounded count ride the base CTE
+    * as difference-of-windows / verbatim window columns — no
+    * |partition|² self-join (plan-gated in PlanQualitySpec). DuckDB
+    * executes EXCLUDE natively as the independent oracle. */
+  val q147_window_exclude_mixed = Q(
+    (s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v147")
+      graft.sql.GraftSql.sql(s, """
+        SELECT l_orderkey, l_linenumber,
+               sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS xb,
+               sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xu,
+               count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nall
+        FROM lineitem_v147""")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS xb,
+             sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xu,
+             count(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nall
+      FROM lineitem"""))
+
   val all: Map[String, Q] = Map(
     "q138_session_tvf" -> q138_session_tvf,
     "q145_window_exclude" -> q145_window_exclude,
     "q146_window_exclude_bounded" -> q146_window_exclude_bounded,
+    "q147_window_exclude_mixed" -> q147_window_exclude_mixed,
     "q139_distinct_on" -> q139_distinct_on,
     "q140_select_by" -> q140_select_by,
     "q141_listagg_over" -> q141_listagg_over,

@@ -19,10 +19,19 @@ import GraftSql.{closeParen, maskLiterals, splitTopLevel}
   *
   * Scope: plain `SELECT items FROM rel [ORDER BY ...]` statements whose
   * window calls are ROWS-framed and share one PARTITION/ORDER spec —
-  * beyond that the statement passes through untouched. Scale: the join
-  * is |partition|² worst case (unbounded frames); with bounded frames a
-  * range-join strategy keeps it O(n·frame). The window-operator path
-  * (no EXCLUDE) is never affected.
+  * beyond that the statement passes through untouched. Scale paths
+  * (round 9 retired the mixed-frame quadratic):
+  *  1. all EXCLUDE calls unbounded sum/count → difference-of-windows,
+  *     O(n), no join;
+  *  2. all frames bounded → explode-generated frame equi-join,
+  *     O(n·frame), hash-joined;
+  *  3. MIXED → bounded EXCLUDE calls join as in (2), every other call
+  *     (unbounded sum/count EXCLUDE as (1), NO OTHERS verbatim) rides
+  *     the base CTE as a window column;
+  *  4. the |partition|² self-join remains ONLY for min/max-class or
+  *     half-bounded (n PRECEDING..UNBOUNDED FOLLOWING) aggregates over
+  *     EXCLUDE frames, where no windowed difference exists.
+  * The window-operator path (no EXCLUDE) is never affected.
   */
 object ExcludeFrameSql {
 
@@ -200,14 +209,11 @@ object ExcludeFrameSql {
     // fractional double sum could drift an ulp — those shapes keep the
     // exact self-join below).
     val excluded = allCalls.filter(_.excl != "NO OTHERS")
-    if (excluded.nonEmpty &&
-        allCalls.forall(c => c.lo.isEmpty && c.hi.isEmpty) &&
-        excluded.forall(c => Set("sum", "count").contains(c.fn.toLowerCase))) {
-      val pw =
-        if (part.isEmpty) "OVER ()" else s"OVER (PARTITION BY ${part.mkString(", ")})"
-      val peerKeys = (part ++ order).mkString(", ")
-      val peerW = if (peerKeys.isEmpty) "OVER ()" else s"OVER (PARTITION BY $peerKeys)"
-      def diffExpr(c: OverCall): String = {
+    val pw =
+      if (part.isEmpty) "OVER ()" else s"OVER (PARTITION BY ${part.mkString(", ")})"
+    val peerKeys = (part ++ order).mkString(", ")
+    val peerW = if (peerKeys.isEmpty) "OVER ()" else s"OVER (PARTITION BY $peerKeys)"
+    def diffExpr(c: OverCall): String = {
         val fn = c.fn.toLowerCase
         val a = c.arg.trim
         if (fn == "count") {
@@ -257,6 +263,13 @@ object ExcludeFrameSql {
           s"agg_typed($raw, sum($a) $pw)"
         }
       }
+    // every EXCLUDE call is an unbounded sum/count → pure difference-of-
+    // windows select, no join at all; non-excluded calls (any frame,
+    // any aggregate) keep their original text (they are ordinary window
+    // calls — round 9 relaxed the former all-calls-unbounded guard)
+    if (excluded.nonEmpty &&
+        excluded.forall(c => c.lo.isEmpty && c.hi.isEmpty &&
+          Set("sum", "count").contains(c.fn.toLowerCase))) {
       val newItems = parsed.map { case (s, _, callsOpt) =>
         var out = s
         callsOpt.get.sortBy(-_.start).foreach { c =>
@@ -327,6 +340,60 @@ object ExcludeFrameSql {
     // group aggregating j-matches from BOTH partitions
     val groupBy = ("o.__rn" +: (part.map(p => qualify(p, "o")) ++ plainCols.toSeq))
       .distinct.mkString(", ")
+    // ---- scale-native path 3 (round 9): MIXED frames — bounded
+    // EXCLUDE calls take the explode equi-join exactly as path 2;
+    // every OTHER call (unbounded sum/count EXCLUDE via difference-of-
+    // windows, NO OTHERS calls verbatim — any frame, any aggregate)
+    // rides the base CTE as a precomputed window column, constant per
+    // group, surfaced through max(o.__exwK). The |partition|² self-join
+    // below remains ONLY for min/max-class aggregates over unbounded
+    // EXCLUDE frames, where no windowed difference exists.
+    val boundedExcl = excluded.filter(c => c.lo.isDefined && c.hi.isDefined)
+    val unboundedExcl = excluded.filter(c => c.lo.isEmpty || c.hi.isEmpty)
+    if (boundedExcl.nonEmpty &&
+        !allCalls.forall(c => c.lo.isDefined && c.hi.isDefined) &&
+        // the difference-of-windows device needs the FULL partition:
+        // half-bounded EXCLUDE frames (2 PRECEDING..UNBOUNDED FOLLOWING,
+        // winagg.iq:1147) keep the self-join fallback
+        unboundedExcl.forall(c => c.lo.isEmpty && c.hi.isEmpty &&
+          Set("sum", "count").contains(c.fn.toLowerCase))) {
+      val baseCols = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = 0
+      val mixedItems = parsed.map { case (s, _, callsOpt) =>
+        val calls = callsOpt.get
+        if (calls.isEmpty) {
+          // same plain-item shape the shared groupBy was built from
+          val asM = "(?is)\\s+as\\s+([A-Za-z_`]\\w*|`[^`]*`)\\s*$".r.findFirstMatchIn(s)
+          val expr = asM.map(a => s.substring(0, a.start)).getOrElse(s)
+          qualify(expr, "o") + asM.map(a => s.substring(a.start)).getOrElse("")
+        } else {
+          var out = s
+          calls.sortBy(-_.start).foreach { c =>
+            if (c.excl != "NO OTHERS" && c.lo.isDefined && c.hi.isDefined) {
+              val argExpr =
+                if (c.arg.trim == "*") s"CASE WHEN ${cond(c)} THEN 1 END"
+                else s"CASE WHEN ${cond(c)} THEN ${qualify(c.arg, "j")} END"
+              out = out.substring(0, c.start) + s"${c.fn}($argExpr)" + out.substring(c.end)
+            } else {
+              val expr =
+                if (c.excl == "NO OTHERS") s.substring(c.start, c.end) else diffExpr(c)
+              baseCols += s"$expr AS __exw$k"
+              out = out.substring(0, c.start) + s"max(o.__exw$k)" + out.substring(c.end)
+              k += 1
+            }
+          }
+          out
+        }
+      }
+      val jLo = (0 +: boundedExcl.flatMap(_.lo)).min
+      val jHi = (0 +: boundedExcl.flatMap(_.hi)).max
+      return Some(s"WITH __exb AS (SELECT *, row_number() OVER ($rnSpec) AS __rn" +
+        baseCols.map(", " + _).mkString +
+        s" FROM (SELECT * FROM $rel) __exr),\n" +
+        s"__exo AS (SELECT *, explode(sequence(__rn + ($jLo), __rn + ($jHi))) AS __jrn FROM __exb)\n" +
+        s"SELECT ${mixedItems.mkString(", ")} FROM __exo o JOIN __exb j ON $partJoin " +
+        s"AND j.__rn = o.__jrn GROUP BY $groupBy" + orderTail)
+    }
     // ---- scale-native path 2: every frame bounded (n PRECEDING..m
     // FOLLOWING) → generate the frame's row numbers with explode(
     // sequence(rn+lo, rn+hi)) and EQUI-join on (partition, __rn): the

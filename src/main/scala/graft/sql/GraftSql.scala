@@ -45,8 +45,14 @@ object GraftSql {
         case Some(m) =>
           val kind = text.substring(m.start(1), m.end(1)).toUpperCase(java.util.Locale.ROOT)
           // quoted/qualified spellings (`s`.`my_seq`) resolve by the
-          // bare sequence name, like the reference's seq fixture
-          val seqName = text.substring(m.start(2), m.end(2)).replace("`", "").split('.').last
+          // bare sequence name, like the reference's seq fixture — but
+          // only under the fixture's own schema `s` (or unqualified):
+          // an unknown schema is "Table not found" (sequence.iq:57)
+          val parts = text.substring(m.start(2), m.end(2)).replace("`", "").split('.')
+          if (parts.length > 1 && !parts.init.last.equalsIgnoreCase("s"))
+            throw new IllegalArgumentException(
+              s"Table '${parts.mkString(".")}' not found")
+          val seqName = parts.last
           val alias = text.substring(m.start(3), m.end(3))
           val stripped0 =
             if (m.group(4) != null) text.substring(0, m.start) + text.substring(m.end)
@@ -387,7 +393,7 @@ object GraftSql {
       rewriteSafeCast, rewriteSimilarTo, rewriteQualify, rewriteWindowFilter,
       rewriteUuid,
       rewriteBareTypes, rewriteDecimalLit, rewriteNullifFold,
-      rewriteUnsignedCast, rewriteVariantOps, CollectionSql.apply,
+      rewriteUnsignedArith, rewriteUnsignedCast, rewriteVariantOps, CollectionSql.apply,
       rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
       rewritePivotAlias, rewriteUnpivotLabel
     ).foldLeft(sql)((s, f) => f(s))
@@ -700,6 +706,109 @@ object GraftSql {
     s1.substring(0, listOpen + 1) + entries.mkString(", ") + s1.substring(listClose)
   }
 
+  /** Unsigned ARITHMETIC boundaries (unsigned.iq:27/60/69/108): the
+    * reference derives an UNSIGNED result type for +,-,* and unary
+    * minus over an unsigned operand, then range-checks it — `-u`,
+    * `u1 - u2` below zero and `u * k` past the width's max all ERROR
+    * instead of wrapping into the carrier. Wraps the syntactic
+    * `CAST(.. UNSIGNED) op operand` / `-CAST(.. UNSIGNED)` shapes in an
+    * IF-range-check BEFORE the casts lower (single pass — the wrapped
+    * text re-embeds the casts, which rewriteUnsignedCast then lowers). */
+  private def rewriteUnsignedArith(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val maxOf = Map("TINYINT" -> BigInt(255), "SMALLINT" -> BigInt(65535),
+      "INT" -> BigInt("4294967295"), "INTEGER" -> BigInt("4294967295"),
+      "" -> BigInt("4294967295"), "BIGINT" -> BigInt("18446744073709551615"))
+    val castRe = "(?is)\\bCAST\\s*\\(".r
+    val unsTypeRe = "(?is)\\bAS\\s+((?:TINYINT|SMALLINT|INTEGER|INT|BIGINT)?)\\s*UNSIGNED\\s*$".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- castRe.findAllMatchIn(masked) if m.start >= last) {
+      val open = masked.indexOf('(', m.start)
+      val close = closeParen(masked, open)
+      if (close > 0) {
+        val inner = masked.substring(open + 1, close)
+        unsTypeRe.findFirstMatchIn(inner).foreach { tm =>
+          val myMax = maxOf(tm.group(1).toUpperCase(java.util.Locale.ROOT))
+          // unary minus directly before the cast, in a unary position
+          // (preceded by start, a punctuation/operator, or a keyword)
+          val preTrimmed = masked.substring(0, m.start)
+            .reverse.dropWhile(_.isWhitespace).reverse
+          val unary = preTrimmed.endsWith("-") && {
+            val beforeMinus = preTrimmed.dropRight(1).trim
+            beforeMinus.isEmpty || "([,=<>+*/-".contains(beforeMinus.last) ||
+              "(?is).*\\b(select|where|and|or|when|then|else|on|having|by|values)$".r
+                .matches(beforeMinus)
+          }
+          // binary +,-,* after the cast with a simple right operand
+          var j = close + 1
+          while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+          val op = if (j < masked.length && "+-*".contains(masked.charAt(j))) Some(masked.charAt(j)) else None
+          if (unary) {
+            val exprStart = preTrimmed.length - 1 // the '-' itself
+            val expr = sql.substring(exprStart, close + 1)
+            if (exprStart >= last) {
+              sb.append(sql.substring(last, exprStart))
+                .append(s"IF(($expr) BETWEEN 0 AND $myMax, ($expr), " +
+                  s"CAST(raise_error(CONCAT('Value is out of range : ', " +
+                  s"CAST(($expr) AS STRING))) AS BIGINT))")
+              last = close + 1
+            }
+          } else op.foreach { _ =>
+            // right operand: signed int literal, identifier, or a
+            // balanced call/paren group (e.g. another unsigned cast)
+            var k = j + 1
+            while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+            var end = k
+            if (end < masked.length && masked.charAt(end) == '-') end += 1
+            while (end < masked.length &&
+              (masked.charAt(end).isLetterOrDigit || masked.charAt(end) == '_' ||
+                masked.charAt(end) == '.')) end += 1
+            if (end < masked.length && masked.charAt(end) == '(') {
+              val c2 = closeParen(masked, end)
+              if (c2 > 0) end = c2 + 1
+            }
+            if (end > k && m.start >= last) {
+              // the reference derives the arithmetic's type as the
+              // LEAST RESTRICTIVE of the operands: a WIDER signed
+              // literal absorbs a narrower unsigned operand
+              // (UTINYINT * 255 is INTEGER — unsigned.iq:122 passes
+              // with 65025), while same-width signed literals lose to
+              // the unsigned type (UINT - 200 range-checks). Widths:
+              // int literals are INTEGER (32) unless they need BIGINT.
+              val widthOf = Map("TINYINT" -> 8, "SMALLINT" -> 16,
+                "INT" -> 32, "INTEGER" -> 32, "" -> 32, "BIGINT" -> 64)
+              val myWidth = widthOf(tm.group(1).toUpperCase(java.util.Locale.ROOT))
+              val rightM = masked.substring(k, end)
+              val rightOrig = sql.substring(k, end)
+              val rUns = unsTypeRe.findFirstMatchIn(
+                if (rightM.toUpperCase.endsWith(")")) rightM.dropRight(1) else rightM)
+                .map(_.group(1).toUpperCase(java.util.Locale.ROOT))
+              val rightWidth: Option[Int] =
+                if (rUns.isDefined) rUns.map(widthOf)
+                else if (rightOrig.trim.matches("-?\\d+"))
+                  Some(if (BigInt(rightOrig.trim).abs > BigInt(Int.MaxValue)) 64 else 32)
+                else None // identifier/complex: type unknown, no check
+              val checked = rightWidth.exists(rw =>
+                rUns.isDefined || rw <= myWidth)
+              if (checked) {
+                val rMax = rUns.map(maxOf)
+                val max = Seq(Some(myMax), rMax).flatten.max
+                val expr = sql.substring(m.start, end)
+                sb.append(sql.substring(last, m.start))
+                  .append(s"IF(($expr) BETWEEN 0 AND $max, ($expr), " +
+                    s"CAST(raise_error(CONCAT('Value is out of range : ', " +
+                    s"CAST(($expr) AS STRING))) AS BIGINT))")
+                last = end
+              }
+            }
+          }
+        }
+      }
+    }
+    sb.append(sql.substring(last)).toString
+  }
+
   /** `CAST(e AS [TINYINT|SMALLINT|INT|INTEGER|BIGINT] UNSIGNED)` (ref:
     * sql/type/SqlTypeName.java:61-64, unsigned.iq): lower onto the
     * range-checked widened-carrier scheme of functions/Unsigned.scala —
@@ -846,7 +955,15 @@ object GraftSql {
       s"'${fmt(origGroup(m, o, 1).stripPrefix("'").stripSuffix("'"))}'")
     val s3 = replaceMasked(s2, "(?is)\\bUUID\\s*('[^']*')".r)((m, o) =>
       origGroup(m, o, 1).toLowerCase)
-    replaceMasked(s3, "(?is)\\bAS\\s+UUID\\b".r)((_, _) => "AS STRING")
+    // a string-literal cast VALIDATES the canonical 8-4-4-4-12 form —
+    // the reference rejects bare 32-hex text (misc.iq:90)
+    val s4 = replaceMasked(s3, "(?is)\\bCAST\\s*\\(\\s*('[^']*')\\s+AS\\s+UUID\\s*\\)".r)((m, o) => {
+      val lit = origGroup(m, o, 1).stripPrefix("'").stripSuffix("'")
+      if (!lit.matches("(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+        throw new IllegalArgumentException(s"Invalid UUID string: $lit")
+      s"'${lit.toLowerCase(java.util.Locale.ROOT)}'"
+    })
+    replaceMasked(s4, "(?is)\\bAS\\s+UUID\\b".r)((_, _) => "AS STRING")
   }
 
   /** Length-free character/binary types in expressions (the reference's
@@ -1157,19 +1274,34 @@ object GraftSql {
     // fractional `(1.5)` rounds half-up, beyond-BIGINT values mean "all
     // rows"); a plain integer passes through untouched, an expression is
     // clamped into Spark's INT limit domain and left to constant folding
-    def num(e: String): Option[String] =
+    def num(e0: String, isFetch: Boolean = false): Option[String] = {
+      val e = e0.trim
       if (e.matches("\\d+")) // beyond-INT literals clamp (sort.iq:421)
         Some(if (BigInt(e) > Int.MaxValue) Int.MaxValue.toString else e)
       else if (e.length > 200 ||
         "(?is)\\b(SELECT|FROM|WHERE|ORDER|GROUP)\\b".r.findFirstIn(e).isDefined) None
-      else Some(s"(CAST(LEAST(ROUND($e), 2147483647) AS INT))")
+      else {
+        // the reference's grammar: a non-literal FETCH count must be
+        // PARENTHESIZED (`fetch next 1 + 2` is a parse error,
+        // fetch.iq:103 — OFFSET takes bare expressions, offset.iq:23),
+        // and a count that IS null rejects ("FETCH expression
+        // evaluated to NULL", fetch.iq:75 / offset.iq:70)
+        if (isFetch && !e.startsWith("("))
+          throw new IllegalArgumentException(
+            s"FETCH count must be an integer literal or a parenthesized expression: $e")
+        if ("(?is)^\\(?\\s*CAST\\s*\\(\\s*NULL\\b.*".r.matches(e))
+          throw new IllegalArgumentException(
+            "FETCH/OFFSET expression evaluated to NULL")
+        Some(s"(CAST(LEAST(ROUND($e), 2147483647) AS INT))")
+      }
+    }
     val s1 = replaceMasked(sql, both)((m, o) =>
-      (num(origGroup(m, o, 1)), num(origGroup(m, o, 2))) match {
+      (num(origGroup(m, o, 1)), num(origGroup(m, o, 2), isFetch = true)) match {
         case (Some(off), Some(lim)) => s"LIMIT $lim OFFSET $off"
         case _ => o.substring(m.start, m.end)
       })
     val s2 = replaceMasked(s1, fetchOnly)((m, o) =>
-      num(origGroup(m, o, 1)).map(l => s"LIMIT $l").getOrElse(o.substring(m.start, m.end)))
+      num(origGroup(m, o, 1), isFetch = true).map(l => s"LIMIT $l").getOrElse(o.substring(m.start, m.end)))
     val s3 = replaceMasked(s2, offsetRows)((m, o) =>
       num(origGroup(m, o, 1)).map(x => s"OFFSET $x").getOrElse(o.substring(m.start, m.end)))
     // plain LIMIT/OFFSET beyond Spark's INT domain (sort.iq:421

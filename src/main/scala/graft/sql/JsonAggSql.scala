@@ -19,12 +19,97 @@ import GraftSql.{closeParen, maskLiterals}
   *    itself a to_json(...) or carries FORMAT JSON) concatenates
   *    unquoted: `concat('[', concat_ws(',', collect_list(x)), ']')`.
   *
-  * `FORMAT JSON` on a JSON_OBJECT member and JSON_OBJECTAGG stay
-  * unsupported (the reference renders objectagg in hash order — not
-  * reproducible). */
+  *  - `JSON_OBJECTAGG(k: v [NULL|ABSENT ON NULL])` → a hash-ordered
+  *    object rendering: the reference accumulates into a plain
+  *    `java.util.HashMap` (runtime/JsonFunctions.java:432), so its key
+  *    order IS deterministic — bucket `(h ^ h>>>16) & 15` of the key's
+  *    `String.hashCode` ascending (default capacity 16; the corpus
+  *    objects stay far below the 12-entry resize threshold), insertion
+  *    order within a bucket. The same order is applied to JSON_OBJECT's
+  *    literal keys under the conformance flag (`calciteHashOrder`);
+  *    the default keeps written order, which DuckDB's oracle matches.
+  *
+  * `FORMAT JSON` on a JSON_OBJECT member stays unsupported. */
 object JsonAggSql {
 
-  def apply(sql: String): String = rewriteArrayAgg(rewriteObject(sql))
+  /** Conformance-harness toggle (CorpusSpec only): render JSON_OBJECT's
+    * literal keys in the reference's HashMap iteration order. */
+  @volatile private[graft] var calciteHashOrder = false
+
+  def apply(sql: String): String =
+    rewriteArrayAgg(rewriteObjectAgg(rewriteObject(sql)))
+
+  /** Java HashMap(16) bucket of a key string. */
+  private def jbucket(s: String): Int = { val h = s.hashCode; (h ^ (h >>> 16)) & 15 }
+
+  /** Reorder pairs into HashMap(16) iteration order: bucket ascending,
+    * insertion order within a bucket (Java 8+ chains append). */
+  private[sql] def hashOrder[T](pairs: Seq[(String, T)]): Seq[T] =
+    (0 until 16).flatMap(b => pairs.collect { case (k, v) if jbucket(k) == b => v })
+
+  /** SQL-side HashMap(16) bucket of a dynamic key expression: Java
+    * String.hashCode via a 32-bit-wrapped fold over the code points,
+    * then `(h ^ h>>>16) & 15`. Builtins only — stays in codegen. */
+  private def bucketSql(k: String): String = {
+    val h32 = s"aggregate(transform(sequence(1, length($k)), " +
+      s"__ci -> CAST(ascii(substr($k, __ci, 1)) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (__h, __c) -> pmod(31 * __h + __c, 4294967296))"
+    s"(CASE WHEN length($k) = 0 THEN 0 ELSE CAST(($h32 ^ shiftright($h32, 16)) & 15 AS INT) END)"
+  }
+
+  /** Render any value as its JSON scalar text (numbers bare, strings
+    * quoted, null → 'null') through a to_json envelope. */
+  private def jsonScalar(v: String): String =
+    s"coalesce(nullif(regexp_extract(to_json(named_struct('v', $v), " +
+      "map('ignoreNullFields', 'false')), " +
+      "'^\\\\{\"v\":(.*)\\\\}" + "$', 1), ''), 'null')"
+
+  /** `JSON_OBJECTAGG(k: v [NULL|ABSENT ON NULL])` (ref:
+    * SqlStdOperatorTable JSON_OBJECTAGG; agg.iq:3256,3356): aggregate to
+    * the reference's HashMap-ordered rendering. NULL ON NULL is the
+    * standard (and reference) default. */
+  private[sql] def rewriteObjectAgg(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val re = "(?i)\\bJSON_OBJECTAGG\\s*\\(".r
+    for (m <- re.findAllMatchIn(masked)) {
+      val open = masked.indexOf('(', m.start)
+      val close = closeParen(masked, open)
+      if (close > 0) {
+        var innerOrig = sql.substring(open + 1, close)
+        var innerMask = masked.substring(open + 1, close)
+        val opt = "(?is)\\s+(NULL|ABSENT)\\s+ON\\s+NULL\\s*$".r
+          .findFirstMatchIn(innerMask)
+        val keepNulls = opt.forall(_.group(1).equalsIgnoreCase("NULL"))
+        opt.foreach { o =>
+          innerOrig = innerOrig.substring(0, o.start)
+          innerMask = innerMask.substring(0, o.start)
+        }
+        val colon = topColon(innerMask)
+        val (k, v) =
+          if (colon >= 0)
+            (innerOrig.substring(0, colon).trim, innerOrig.substring(colon + 1).trim)
+          else "(?is)^\\s*KEY\\s+(.*?)\\s+VALUE\\s+(.*)$".r.findFirstMatchIn(innerOrig)
+            .map(km => (km.group(1).trim, km.group(2).trim)).getOrElse(return sql)
+        val entry = s"named_struct('b', ${bucketSql(s"($k)")}, 'k', ($k), 'v', ($v))"
+        val collected =
+          if (keepNulls) s"collect_list($entry)"
+          else s"collect_list(CASE WHEN ($v) IS NOT NULL THEN $entry END)"
+        // stable (bucket, arrival) sort: attach the collect_list index,
+        // then a two-key comparator; concat_ws drops null renders, so an
+        // all-filtered group degrades to '{}' without a guard
+        val indexed = s"zip_with($collected, sequence(1, size($collected)), " +
+          s"(__e, __i) -> named_struct('b', __e.b, 'i', __i, 'k', __e.k, 'v', __e.v))"
+        val sorted = s"array_sort($indexed, (x, y) -> CASE " +
+          s"WHEN x.b < y.b THEN -1 WHEN x.b > y.b THEN 1 " +
+          s"WHEN x.i < y.i THEN -1 WHEN x.i > y.i THEN 1 ELSE 0 END)"
+        val rendered = s"transform($sorted, __e -> " +
+          s"""concat('"', __e.k, '":', ${jsonScalar("__e.v")}))"""
+        val rep = s"concat('{', concat_ws(',', $rendered), '}')"
+        return rewriteObjectAgg(sql.substring(0, m.start) + rep + sql.substring(close + 1))
+      }
+    }
+    sql
+  }
 
   private def splitTop(s: String): Seq[String] = GraftSql.splitTopLevel(s)
 
@@ -51,7 +136,7 @@ object JsonAggSql {
       if (close > 0) {
         var innerOrig = sql.substring(open + 1, close)
         var innerMask = masked.substring(open + 1, close)
-        if (!"(?is).*\\bFORMAT\\s+JSON\\b.*".r.matches(innerMask)) {
+        locally {
           // trailing ON NULL option rides the LAST member's text
           val opt = "(?is)\\s+(NULL|ABSENT)\\s+ON\\s+NULL\\s*$".r
             .findFirstMatchIn(innerMask)
@@ -66,14 +151,50 @@ object JsonAggSql {
             val io = innerOrig.substring(cursor, cursor + im.length)
             cursor += im.length + 1
             val colon = topColon(im)
-            if (colon >= 0) Some((io.substring(0, colon).trim, io.substring(colon + 1).trim))
+            if (colon >= 0)
+              Some((io.substring(0, colon).trim, io.substring(colon + 1).trim,
+                im.substring(colon + 1).trim))
             else "(?is)^\\s*KEY\\s+(.*?)\\s+VALUE\\s+(.*)$".r.findFirstMatchIn(io)
-              .map(km => (km.group(1).trim, km.group(2).trim))
+              .map(km => (km.group(1).trim, km.group(2).trim,
+                im.substring(km.start(2), km.end(2)).trim))
           }
+          // a RAW member embeds pre-rendered JSON unquoted: an explicit
+          // FORMAT JSON tag, or a value that is itself a JSON constructor
+          // (the reference's JSON-typed returns embed raw — agg.iq:3304)
+          val fmtRe = "(?is)\\s+FORMAT\\s+JSON\\s*$".r
+          def rawCtor(vm: String) =
+            "(?is)^\\s*JSON_(OBJECTAGG|ARRAYAGG|OBJECT|ARRAY)\\s*\\(.*".r.matches(vm)
           if (pairs.forall(_.isDefined) && pairs.nonEmpty) {
-            val ns = pairs.flatten.map { case (k, v) => s"$k, ($v)" }.mkString(", ")
+            // conformance: the reference renders JSON_OBJECT through the
+            // same HashMap as objectagg — literal keys reorder statically
+            val flat = pairs.flatten
+            val ordered =
+              if (calciteHashOrder && flat.forall(_._1.matches("'[^']*'")))
+                hashOrder(flat.map(p => (p._1.substring(1, p._1.length - 1), p)))
+              else flat
+            val hasRaw = flat.exists { case (_, _, vm) =>
+              fmtRe.findFirstIn(vm).isDefined || rawCtor(vm) }
             val rep =
-              s"to_json(named_struct($ns), map('ignoreNullFields', '${!keepNulls}'))"
+              if (hasRaw) {
+                // concat device: raw members splice verbatim, scalar
+                // members render through the to_json envelope; the nested
+                // constructors in raw values lower on the next passes
+                val members = ordered.map { case (k, v, vm) =>
+                  val keyPart =
+                    if (k.matches("'[^']*'")) "'\"" + k.substring(1, k.length - 1) + "\":'"
+                    else s"""concat('"', $k, '":')"""
+                  val fm = fmtRe.findFirstMatchIn(vm)
+                  val vv = fm.map(f => v.substring(0, f.start)).getOrElse(v).trim
+                  val raw = fm.isDefined || rawCtor(vm)
+                  val valPart = if (raw) s"($vv)" else jsonScalar(s"($vv)")
+                  if (keepNulls) s"concat($keyPart, coalesce($valPart, 'null'))"
+                  else s"(CASE WHEN ($vv) IS NOT NULL THEN concat($keyPart, $valPart) END)"
+                }
+                s"concat('{', concat_ws(',', ${members.mkString(", ")}), '}')"
+              } else {
+                val ns = ordered.map { case (k, v, _) => s"$k, ($v)" }.mkString(", ")
+                s"to_json(named_struct($ns), map('ignoreNullFields', '${!keepNulls}'))"
+              }
             return rewriteObject(sql.substring(0, m.start) + rep + sql.substring(close + 1))
           }
         }

@@ -211,22 +211,11 @@ class CorpusSpec extends IqHarness {
       ("variant.iq", 127) -> ("display spacing: a variant array renders " +
         "compact ([1,2,3]); the reference spaces its elements ([1, 2, 3]) " +
         "— value-identical JSON"),
-      ("agg.iq", 3256) -> ("JSON_OBJECTAGG renders its object in the " +
-        "reference's hash order — not reproducible; the engine's " +
-        "JSON_OBJECT/JSON_ARRAYAGG lowering keeps written order " +
-        "(sql/JsonAggSql.scala)"),
-      ("agg.iq", 3267) -> "same JSON_OBJECTAGG hash-order display",
-      ("agg.iq", 3278) -> "same JSON_OBJECTAGG hash-order display",
-      ("agg.iq", 3356) -> "same JSON_OBJECTAGG hash-order display",
-      ("agg.iq", 3289) -> ("the enclosing 2-key JSON_OBJECT here is also " +
-        "rendered in hash order by the reference ('employees' before the " +
-        "written-first 'deptno')"),
-      ("agg.iq", 3304) -> "same hash-order JSON_OBJECT display",
-      ("agg.iq", 3373) -> ("LISTAGG over the post fixture's CHAR(5) " +
-        "ename keeps blank padding in the reference ('Jane ,Bob  '); " +
-        "the engine's CHAR surface is STRING (same class as misc.iq:2215)"),
-      ("agg.iq", 3383) -> "same CHAR-padding LISTAGG display",
-      ("agg.iq", 3397) -> "same CHAR-padding LISTAGG display",
+      // (former JSON_OBJECTAGG / JSON_OBJECT hash-order skips — the
+      // reference's HashMap iteration order is deterministic and
+      // JsonAggSql now renders it: bucket (h^h>>>16)&15 ascending,
+      // insertion order within; CHAR(5) ename padding restored by
+      // CalciteTyping.charPadInCalls — agg.iq:3256-3397 all run)
       ("winagg.iq", 943) -> ("windowed MODE over a tied group (deptno 10: " +
         "one F, one M): tie-break is engine-specific — the aggregate MODE " +
         "cases (agg.iq:3511+) are tie-free and pass"),
@@ -300,9 +289,8 @@ class CorpusSpec extends IqHarness {
         "renames duplicate row fields with a 0 suffix; Spark keeps " +
         "duplicate struct field names and resolves access to the first, " +
         "so the renamed-field access has no Spark equivalent"),
-      ("misc.iq", 2215) -> ("CHAR(3) literals inside an ARRAY keep their " +
-        "blank padding in the reference ('a  '); Spark's CHAR surface is " +
-        "STRING and stores the unpadded value"),
+      // (former misc.iq:2215 CHAR-array padding skip — lifted by
+      // CalciteTyping.charLitArrayPad in VALUES display context)
       ("planner.iq", 425) -> ("LIMIT/OFFSET with no ORDER BY: which rows " +
         "the offset slice skips is engine-specific (same class as " +
         "struct.iq:170)"),
@@ -332,6 +320,11 @@ class CorpusSpec extends IqHarness {
     // planner-oriented corpora still carry value-checked !ok cases
     "interpreter.iq", "hep.iq", "planner.iq",
     "dual-table-query.iq", "sequence.iq")
+
+  /** Dev loop only: GRAFT_CORPUS_ONLY=agg.iq,misc.iq runs a slice (the
+    * pass/skip floors are skipped for partial runs — CI runs unset). */
+  private val corpusOnly: Option[Set[String]] =
+    sys.env.get("GRAFT_CORPUS_ONLY").map(_.split(",").map(_.trim).toSet)
 
   /** Spark-analyzer limitations this engine inherits (correlation shapes
     * Spark's decorrelator rejects, plus two known Spark internal errors
@@ -368,7 +361,10 @@ class CorpusSpec extends IqHarness {
     // reference default null ordering (largest — Oracle-style); applied
     // as the LAST rewrite step, see GraftSql.oracleNullDefault
     graft.sql.GraftSql.oracleNullDefault = true
-    try for (fn <- corpusFiles) {
+    // reference JSON_OBJECT key order is its runtime HashMap's
+    // (JsonFunctions.java:432) — render literal keys in that order
+    graft.sql.JsonAggSql.calciteHashOrder = true
+    try for (fn <- corpusFiles if corpusOnly.forall(_.contains(fn))) {
       val cases = parseIq(new java.io.File(refSqlDir, fn))
         .filter(c => c.ddl || c.use == "scott" || c.use == "post" ||
           c.use == "blank" || c.use == "sparkfunc" ||
@@ -419,6 +415,7 @@ class CorpusSpec extends IqHarness {
     finally {
       spark.conf.unset("spark.sql.groupByOrdinal")
       graft.sql.GraftSql.oracleNullDefault = false
+      graft.sql.JsonAggSql.calciteHashOrder = false
     }
     createdTables.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     info(s"corpus: $pass passed, $skippedConstruct construct-skips, " +
@@ -431,7 +428,8 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 1573, s"corpus coverage dropped: $pass passing (floor 1573)")
+    if (corpusOnly.isEmpty)
+      assert(pass >= 1600, s"corpus coverage dropped: $pass passing (floor 1600)")
     // round 7: ALL 45 round-6 Spark-limitation cases now execute —
     // the manual-Correlate fallback (sql/Decorrelate.scala: nested/deep
     // correlation, correlated vars under joins inside subqueries,
@@ -483,7 +481,7 @@ class CorpusSpec extends IqHarness {
     val fw = new java.io.PrintWriter("target/corpus-permissive.txt", "UTF-8")
     try permissiveList.foreach(fw.println) finally fw.close()
     assert(matched >= 110, s"error-contract matches dropped: $matched")
-    assert(permissive <= 30, s"permissive-divergence count grew: $permissive")
+    assert(permissive <= 11, s"permissive-divergence count grew: $permissive")
   }
 
   /** Corpus DDL (`!update` statements): CREATE VIEW → temp view, CREATE
@@ -584,6 +582,16 @@ class CorpusSpec extends IqHarness {
         AS t(deptno, name)""")
   }
 
-  /** None = pass; Some(reason) = mismatch/error. */
-  private def runCase(c: IqCase): Option[String] = compareCase(c, clean(c.sql))
+  /** None = pass; Some(reason) = mismatch/error. The post fixture's
+    * ename is CHAR(5) in the reference (widest VALUES literal) — its
+    * padding is visible only embedded in LISTAGG/JSON strings, where
+    * charPadInCalls restores it; char-literal arrays in VALUES display
+    * pad to their widest element (misc.iq:2215). */
+  private def runCase(c: IqCase): Option[String] = {
+    val padded =
+      if (c.use == "post")
+        graft.sql.CalciteTyping.charPadInCalls(c.sql, Map("ename" -> 5))
+      else c.sql
+    compareCase(c, clean(graft.sql.CalciteTyping.charLitArrayPad(padded)))
+  }
 }

@@ -227,7 +227,14 @@ trait IqHarness extends SparkSpec {
         if (ldt.getNano == 0) "uuuu-MM-dd HH:mm:ss" else "uuuu-MM-dd HH:mm:ss.SSSSSS"))
     case b: Array[Byte] => b.map(x => f"${x & 0xff}%02x").mkString
     case arr: scala.collection.Seq[_] => // NULL elements print as "null"
-      arr.map(e => if (e == null) "null" else normValue(e)).mkString("[", ", ", "]")
+      arr.map {
+        case null => "null"
+        // CHAR padding inside a collection is significant on the
+        // expected side (the cell parser only outer-trims) — string
+        // elements keep their blanks, unlike top-level cells
+        case s: String => normCell(s)
+        case e => normValue(e)
+      }.mkString("[", ", ", "]")
     case r: org.apache.spark.sql.Row => // ROW constructor prints {a, b}; null fields as "null"
       // fields print reference-style (decimals keep their scale: 800.00)
       // because the expected side's brace cell is compared verbatim

@@ -11,7 +11,11 @@ class OperatorSmokeSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "q33_except", "q41_not_exists_anti", "q03_topk_join", "q14_having",
     "q73_similar_to", "q99_match_adjacent_high", "q100_match_sql",
-    "q39_nation_pairs", "d03_minhash_lsh", "d04_jaccard_pairs", "q116_not_in_null")
+    "q39_nation_pairs", "d03_minhash_lsh", "d04_jaccard_pairs", "q116_not_in_null",
+    // ds17 keeps months where cumulative R-revenue exceeds N-revenue,
+    // ds20 customers with orders but zero returns — both legitimately
+    // empty on the 6k-row sf0.001 slice (62/… rows at the sf0.01 oracle)
+    "ds17_cumulative_share", "ds20_no_returns_profile")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name runs") {

@@ -232,6 +232,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("__jrn"), s"join must key on the generated frame rn:\n$p")
   }
 
+  test("q147 mixed-frame EXCLUDE: explode equi-join + base window columns, NO self-join") {
+    val p = plan("q147_window_exclude_mixed")
+    // bounded EXCLUDE joins the generated frame; the unbounded calls
+    // are window columns in the base CTE — a cartesian/nested-loop
+    // join here means the |partition|² fallback regressed
+    assert(p.toLowerCase.contains("explode"), s"expected generated frame rows:\n$p")
+    assert(p.contains("__jrn"), s"join must key on the generated frame rn:\n$p")
+    assert("(?i)window".r.findFirstIn(p).isDefined,
+      s"unbounded calls must ride base window columns:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mixed-frame EXCLUDE must not pair-enumerate:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = run("q01_pricing_summary").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
