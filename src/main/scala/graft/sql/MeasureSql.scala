@@ -35,7 +35,17 @@ object MeasureSql {
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
   private val asMeasureRe = "(?i)\\bAS\\s+MEASURE\\b".r
-  private val itemRe = "(?is)^(.*\\S)\\s+AS\\s+MEASURE\\s+(\\w+)\\s*$".r
+  private val itemRe =
+    "(?is)^(.*\\S)\\s+AS\\s+MEASURE\\s+(`[^`]+`|\"\\w+\"|\\w+)\\s*$".r
+
+  /** A measure name as declared (`avgAge` / "avgAge" may stay quoted) →
+    * the regex alternation matching its quoted or bare spelling. */
+  private def namePat(n: String): String = {
+    val bare = n.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("`").stripSuffix("`")
+    val q = java.util.regex.Pattern.quote(bare)
+    s"(?:`$q`|\"$q\"|$q)"
+  }
 
   /** DDL hook for the static rewrite chain: a CREATE VIEW whose select
     * list declares measures registers them and emits the base view
@@ -96,9 +106,10 @@ object MeasureSql {
             case None => sql
           }
         } else {
-          // aggregate context: strip measures from the block, substitute
+          // aggregate context: strip measures from the block (keeping
+          // the detail columns their expressions aggregate), substitute
           // references in the consumer with the aggregate expansion
-          val stripped = stripList(inner).getOrElse(return sql)
+          val stripped = stripListKeepArgs(inner, defs).getOrElse(return sql)
           val relForTyping = "(" + stripped + ")"
           val outer = before + "(" + stripped + ")" + sql.substring(close + 1)
           substituteAgg(spark, outer, defs, relForTyping)
@@ -148,6 +159,47 @@ object MeasureSql {
   private def stripList(sel: String): Option[String] =
     splitList(sel).map { case (pre, items, post) =>
       pre + items.filter(i => itemRe.findFirstMatchIn(i).isEmpty).mkString(", ") + post
+    }
+
+  private val sqlWords = Set("avg", "sum", "min", "max", "count", "stddev",
+    "variance", "any_value", "distinct", "case", "when", "then", "else",
+    "end", "and", "or", "not", "null", "is", "if", "cast", "as", "in",
+    "like", "between", "true", "false", "filter", "where", "over",
+    "partition", "by", "order", "interval", "extract", "from", "coalesce",
+    "nullif", "decimal", "integer", "bigint", "double", "varchar", "char")
+
+  /** Remove measure items but KEEP the detail columns their expressions
+    * reference (measure.iq:126: a CTE's `avg(sal) AS MEASURE avg_sal`
+    * must leave `sal` visible, or the consumer-side expansion `AVG(sal)`
+    * has nothing to aggregate). A `*` item already exposes everything;
+    * columns already exposed by name/alias are not duplicated. */
+  private def stripListKeepArgs(sel: String,
+      defs: Seq[(String, String)]): Option[String] =
+    splitList(sel).map { case (pre, items, post) =>
+      val kept = items.filter(i => itemRe.findFirstMatchIn(i).isEmpty)
+      val hasStar = kept.exists(i => i.trim == "*" || i.trim.endsWith(".*"))
+      def bare(s: String) = s.trim.replace("\"", "").replace("`", "")
+        .toLowerCase(java.util.Locale.ROOT)
+      val exposed = kept.flatMap { i =>
+        val t = i.trim
+        aliasRe.findFirstMatchIn(t).map(_.group(2)) orElse
+          "(?s)^(?:[\\w\"`]+\\.)?([\\w\"`]+)$".r.findFirstMatchIn(t).map(_.group(1))
+      }.map(bare).toSet
+      val measureNames = defs.map(d => bare(d._1)).toSet
+      val tokRe = ("(?:[A-Za-z_]\\w*|\"\\w+\"|`[^`]+`)" +
+        "(?:\\s*\\.\\s*(?:[A-Za-z_]\\w*|\"\\w+\"|`[^`]+`))*").r
+      val args =
+        if (hasStar) Seq.empty
+        else defs.flatMap { case (_, e) =>
+          tokRe.findAllMatchIn(maskLiterals(e)).toSeq
+            // a name directly followed by '(' is a call, not a column
+            .filterNot(m => e.drop(m.end).trim.startsWith("("))
+            .map(m => e.substring(m.start, m.end))
+        }.filterNot { q =>
+          sqlWords(bare(q.split('.').last)) || exposed(bare(q.split('.').last)) ||
+            measureNames(bare(q.split('.').last)) || sqlWords(bare(q.split('.').head))
+        }.distinctBy(q => bare(q.split('.').last))
+      pre + (kept ++ args).mkString(", ") + post
     }
 
   /** Expand measure items to row-context columns in place (each row is
@@ -228,19 +280,38 @@ object MeasureSql {
     try Some(spark.sql(s"SELECT $arg AS __t FROM $rel LIMIT 0").schema.head.dataType.sql)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Replace measure references (AGGREGATE(m) and bare m) in the
-    * consumer with aggregate expansions (the measure-stripped block no
-    * longer mentions the names, so plain word replacement is safe). */
+  /** Replace measure references (AGGREGATE(m) [FILTER (...)] and bare
+    * m) in the consumer with aggregate expansions (the measure-stripped
+    * block no longer mentions the names, so plain word replacement is
+    * safe). AGGREGATE(m) FILTER (WHERE p) threads the filter INTO each
+    * aggregate call of the expansion (measure.iq:671 — the reference's
+    * AGGREGATE carries the standard FILTER clause). */
   private def substituteAgg(spark: SparkSession, sql: String,
       defs: Seq[(String, String)], rel: String): String = {
-    var out = sql
+    var out = detailContextWhere(sql)
     val forms = defs.foldLeft(Seq.empty[(String, String)]) { case (acc, (n, e)) =>
       acc :+ (n -> aggForm(spark, e, rel, acc))
     }
     forms.foreach { case (n, f) =>
-      out = ("(?i)\\bAGGREGATE\\s*\\(\\s*" + n + "\\s*\\)").r
+      val np = namePat(n)
+      // AGGREGATE(m) FILTER (WHERE p) first — the plain form would
+      // otherwise leave a dangling FILTER clause behind the expansion
+      val filtRe = ("(?i)\\bAGGREGATE\\s*\\(\\s*" + np + "\\s*\\)\\s*FILTER\\s*\\(").r
+      var fm = filtRe.findFirstMatchIn(out)
+      while (fm.isDefined) {
+        val open = out.lastIndexOf('(', fm.get.end - 1)
+        val close = closeParen(maskLiterals(out), open)
+        if (close < 0) fm = None
+        else {
+          val filt = out.substring(open + 1, close).trim
+          out = out.substring(0, fm.get.start) + attachFilter(f, filt) +
+            out.substring(close + 1)
+          fm = filtRe.findFirstMatchIn(out)
+        }
+      }
+      out = ("(?i)\\bAGGREGATE\\s*\\(\\s*" + np + "\\s*\\)").r
         .replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(f))
-      out = ("(?i)(?<![.\\w])" + n + "\\b").r.replaceAllIn(out, m => {
+      out = ("(?i)(?<![.\\w])" + np + "(?!\\w)").r.replaceAllIn(out, m => {
         // not an output alias: `AGGREGATE(m) AS m` keeps its AS m
         val before = m.source.subSequence(0, m.start).toString
         if ("(?is).*\\bAS\\s*$".r.matches(before)) m.matched
@@ -248,6 +319,81 @@ object MeasureSql {
       })
     }
     out
+  }
+
+  /** Detail-context evaluation (the measure paper §3 / measure.iq:671):
+    * a measure aggregates the group's FULL detail rows — the consumer's
+    * WHERE restricts which rows regular aggregates see and which groups
+    * appear, but NOT the measure's input. Lower a grouped consumer
+    * `SELECT ... WHERE p GROUP BY k` to: drop the WHERE (measures then
+    * see all detail rows), attach `FILTER (WHERE p)` to every REGULAR
+    * aggregate call in the select list (they keep the filtered view),
+    * and keep only groups with a qualifying row via HAVING. Runs BEFORE
+    * measure substitution, so measure expansions (introduced later) are
+    * never mistaken for regular aggregates. */
+  private def detailContextWhere(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val whereAt = topLevelIndex(masked, "WHERE")
+    val groupAt = topLevelIndex(masked, "GROUP")
+    if (whereAt < 0 || groupAt < 0 || groupAt < whereAt) return sql
+    val pred = sql.substring(whereAt + 5, groupAt).trim
+    if (pred.isEmpty) return sql
+    // end of the GROUP BY key list: next top-level clause or EOS
+    val tailKw = "(?i)\\b(HAVING|ORDER|LIMIT|OFFSET|FETCH)\\b".r
+    var depth = 0
+    var insertAt = masked.length
+    var havingAt = -1
+    var i = groupAt
+    while (i < masked.length && insertAt == masked.length) {
+      val ch = masked.charAt(i)
+      if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      else if (depth == 0 && (i == 0 || { val p = masked.charAt(i - 1)
+            !p.isLetterOrDigit && p != '_' }) &&
+          tailKw.pattern.matcher(masked.substring(i,
+            math.min(masked.length, i + 7))).lookingAt()) {
+        insertAt = i
+        if (masked.substring(i).toUpperCase(java.util.Locale.ROOT)
+            .startsWith("HAVING")) havingAt = i
+      }
+      i += 1
+    }
+    val keep = s"max(CASE WHEN $pred THEN 1 ELSE 0 END) = 1"
+    val sb = new StringBuilder(sql)
+    if (havingAt >= 0) sb.insert(havingAt + 6, s" $keep AND ")
+    else sb.insert(insertAt, s" HAVING $keep ")
+    sb.replace(whereAt, groupAt, " ")
+    // regular aggregate calls in the select list keep the filtered rows
+    val selRegion = sb.substring(0, whereAt)
+    val callRe = "(?i)\\b(AVG|SUM|MIN|MAX|COUNT|STDDEV|VARIANCE|ANY_VALUE)\\s*\\(".r
+    callRe.findAllMatchIn(maskLiterals(selRegion)).toSeq.sortBy(-_.start)
+      .foreach { m =>
+        val open = selRegion.indexOf('(', m.end - 1)
+        val close = closeParen(maskLiterals(selRegion), open)
+        if (close > 0) {
+          // merge with an existing FILTER clause if one follows
+          val after = selRegion.substring(close + 1)
+          val fm = "(?is)^\\s*FILTER\\s*\\(\\s*WHERE\\b".r.findFirstMatchIn(after)
+          if (fm.isDefined)
+            sb.insert(close + 1 + fm.get.end, s" ($pred) AND ")
+          else sb.insert(close + 1, s" FILTER (WHERE $pred)")
+        }
+      }
+    sb.toString
+  }
+
+  /** Append ` FILTER (p)` to every aggregate CALL inside expansion `f`
+    * (the expansion may wrap the call — CAST(AVG(x) AS t) — so the
+    * clause attaches inside, at the call itself). */
+  private def attachFilter(f: String, filt: String): String = {
+    val callRe = "(?i)\\b(AVG|SUM|MIN|MAX|COUNT|STDDEV|VARIANCE|ANY_VALUE)\\s*\\(".r
+    val sb = new StringBuilder(f)
+    callRe.findAllMatchIn(f).toSeq.sortBy(-_.start).foreach { m =>
+      val open = f.indexOf('(', m.end - 1)
+      val close = closeParen(f, open)
+      if (close > 0) sb.insert(close + 1, s" FILTER ($filt)")
+    }
+    sb.toString
   }
 
   private def subst(e: String, map: Seq[(String, String)]): String =

@@ -226,24 +226,16 @@ class CorpusSpec extends IqHarness {
         "computes the moments in DOUBLE (94999.99999...), and the " +
         "scale-4 re-typing truncates the float artifact to 94999.9999 " +
         "where the reference's decimal arithmetic gives 95000 exactly"),
-      ("measure.iq", 126) -> ("a MEASURE defined inside a CTE and " +
-        "AGGREGATE'd in the outer query: plans/Measures resolves " +
-        "measures against the immediate FROM, not through WITH " +
-        "bindings — engine measure-surface gap, newly visible since " +
-        "the avg-family construct-skip lifted"),
-      ("measure.iq", 644) -> ("the same measure referenced several " +
-        "times at mixed grain in one select: plans/Measures expands " +
-        "each reference independently and the duplicate-name " +
-        "resolution picks one — measure-surface gap"),
-      ("measure.iq", 671) -> ("AGGREGATE(measure) FILTER (WHERE ...): " +
-        "the measure expansion does not thread FILTER clauses"),
-      ("measure-paper.iq", 366) -> ("WITHIN DISTINCT combined with a " +
-        "MEASURE-bearing CTE: MeasureSql's restructuring parses the " +
-        "statement before the WITHIN DISTINCT lowering can run"),
-      ("measure-paper.iq", 79) -> ("AVG inside a MEASURE: the typing " +
-        "adapter stays out of measure statements (MeasureSql " +
-        "restructures them), so the reference's scale-6 truncation " +
-        "of 0.503968254 is not applied"),
+      // (former measure.iq:126/644/671 + measure-paper.iq:366 skips —
+      // round 9 lifted: CTE/derived-table measures keep their argument
+      // columns on strip, AGGREGATE(m) FILTER threads into the
+      // expansion, detail-context WHERE lowering, quoted measure names
+      // parse — MeasureSql)
+      ("measure-paper.iq", 79) -> ("the reference's lax decimal runtime: " +
+        "profitMargin is DECLARED DECIMAL(p,6) (division derivation, so " +
+        "AVG keeps scale 6 — 0.503968) but its RUNTIME values carry 16 " +
+        "digits (2.2 displays 0.3333333333333333 from the same column); " +
+        "one Spark column cannot render both scales"),
       ("agg.iq", 1509) -> ("FUSION element order follows the engine's " +
         "row-accumulation order (a bag has none); cardinality-checked " +
         "FUSION at :1481/:1496 is order-free and passes"),
@@ -429,7 +421,7 @@ class CorpusSpec extends IqHarness {
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
     if (corpusOnly.isEmpty)
-      assert(pass >= 1600, s"corpus coverage dropped: $pass passing (floor 1600)")
+      assert(pass >= 1604, s"corpus coverage dropped: $pass passing (floor 1604)")
     // round 7: ALL 45 round-6 Spark-limitation cases now execute —
     // the manual-Correlate fallback (sql/Decorrelate.scala: nested/deep
     // correlation, correlated vars under joins inside subqueries,
