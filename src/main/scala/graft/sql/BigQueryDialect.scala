@@ -16,11 +16,192 @@ package graft.sql
 object BigQueryDialect {
 
   def rewrite(sql: String): String =
-    rewriteSafeCastTime(rewriteTsUnitTrunc(rewriteBinaryPad(rewriteIntLitDiv(
+    rewriteMixedUnionLits(rewriteSafeCastIntervalLit(
+      rewriteSafeCastTime(rewriteTsUnitTrunc(rewriteBinaryPad(rewriteIntLitDiv(
       rewriteContainsSubstr(rewriteUnixDate(rewriteExtractFields(rewriteBrackets(rewriteLog(rewriteDateTrunc(rewriteTruncs(rewriteDiffs(rewriteCtors(
         rewriteAddSub(renameFns(rewriteArrayLiteral(rewriteCurrentDatetime(
           rewriteTimeLiteral(rewriteDatetimeLiteral(rewriteTsTzLiteral(
-            rewriteStrings(sql)))))))))))))))))))))
+            rewriteStrings(sql)))))))))))))))))))))))
+
+  /** `SAFE_CAST(INTERVAL '<lit>' q1 [TO q2] AS INTERVAL t1 [TO t2])` —
+    * all-literal interval re-qualification, evaluated at REWRITE time
+    * into the reference's interval display string (+1 for INTERVAL
+    * YEAR, +61:00.000000 for MINUTE TO SECOND; big-query.iq:2009/2031 —
+    * Spark's ANSI rendering is P1Y / PT61M). Unparseable or NULL
+    * sources become the NULL string, which also keeps the surrounding
+    * UNION branches one type. */
+  private[sql] def rewriteSafeCastIntervalLit(sql: String): String = {
+    val re = ("(?is)\\bSAFE_CAST\\s*\\(\\s*(INTERVAL\\s+'([^']*)'\\s+(\\w+(?:\\s+TO\\s+\\w+)?)" +
+      "|\"[^\"]*\"|'[^']*'|NULL)\\s+AS\\s+INTERVAL\\s+(\\w+(?:\\s+TO\\s+\\w+)?)\\s*\\)").r
+    maskedReplace(sql, re) { (m, o) =>
+      val target = m.group(4).trim.toUpperCase(java.util.Locale.ROOT)
+      // literal text from the ORIGINAL (masking blanks quoted chars)
+      val src = Option(m.group(2)).map(_ => o.substring(m.start(2), m.end(2)))
+      val srcQ = Option(m.group(3)).map(_.trim.toUpperCase(java.util.Locale.ROOT))
+      (src, srcQ) match {
+        case (Some(lit), Some(q)) =>
+          (for {
+            v <- parseIntervalLit(lit, q)
+            s <- formatInterval(v, target)
+          } yield s"'$s'").getOrElse(o.substring(m.start, m.end))
+        case _ => "CAST(NULL AS STRING)" // string/NULL source: SAFE → NULL
+      }
+    }
+  }
+
+  /** Total micros (Right) or months (Left) of `lit` under qualifier
+    * `q1 [TO q2]` — fields split on the standard separators. */
+  private def parseIntervalLit(lit: String, q: String): Option[Either[Long, Long]] = {
+    val units = q.split("(?i)\\s+TO\\s+").map(_.trim.toUpperCase(java.util.Locale.ROOT))
+    val order = Seq("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND")
+    val i0 = order.indexOf(units.head)
+    val i1 = order.indexOf(units.last)
+    if (i0 < 0 || i1 < i0) return None
+    val fields = lit.trim.split("[ :.-]").toSeq
+    val span = order.slice(i0, i1 + 1)
+    if (fields.length != span.length || fields.exists(!_.forall(_.isDigit))) return None
+    val vals = span.zip(fields.map(_.toLong)).toMap
+    if (i1 <= 1) // year-month family
+      Some(Left(vals.getOrElse("YEAR", 0L) * 12 + vals.getOrElse("MONTH", 0L)))
+    else if (i0 >= 2)
+      Some(Right(vals.getOrElse("DAY", 0L) * 86400000000L +
+        vals.getOrElse("HOUR", 0L) * 3600000000L +
+        vals.getOrElse("MINUTE", 0L) * 60000000L +
+        vals.getOrElse("SECOND", 0L) * 1000000L))
+    else None
+  }
+
+  /** The reference's interval rendering for `value` under the TARGET
+    * qualifier: leading unit unconstrained, sub-units padded
+    * (IntervalSqlType / SqlIntervalLiteral display). */
+  private def formatInterval(v: Either[Long, Long], target: String): Option[String] = {
+    val units = target.split("(?i)\\s+TO\\s+").map(_.trim).toSeq
+    (v, units) match {
+      case (Left(months), Seq("YEAR")) => Some(s"+${months / 12}")
+      case (Left(months), Seq("MONTH")) => Some(s"+$months")
+      case (Left(months), Seq("YEAR", "MONTH")) =>
+        Some(s"+${months / 12}-${months % 12}")
+      case (Right(us), Seq("DAY")) => Some(s"+${us / 86400000000L}")
+      case (Right(us), Seq("HOUR")) => Some(s"+${us / 3600000000L}")
+      case (Right(us), Seq("MINUTE")) => Some(s"+${us / 60000000L}")
+      case (Right(us), Seq("SECOND")) =>
+        Some(f"+${us / 1000000L}.${us % 1000000L}%06d")
+      case (Right(us), Seq("MINUTE", "SECOND")) =>
+        Some(f"+${us / 60000000L}:${us % 60000000L / 1000000L}%02d.${us % 1000000L}%06d")
+      case (Right(us), Seq("HOUR", "MINUTE")) =>
+        Some(f"+${us / 3600000000L}:${us % 3600000000L / 60000000L}%02d")
+      case (Right(us), Seq("DAY", "HOUR")) =>
+        Some(f"+${us / 86400000000L} ${us % 86400000000L / 3600000000L}%02d")
+      case _ => None
+    }
+  }
+
+  /** Inline literal UNIONs (`WITH x AS (SELECT lits UNION ALL ...)`,
+    * no FROM in any branch) whose columns MIX value classes: the
+    * reference coerces the union to VARCHAR and keeps per-row value
+    * strings (big-query.iq:1949 SAFE_CAST panel, :4269 IFNULL panel);
+    * Spark's ANSI union rejects INT-vs-STRING branches. Each item of a
+    * mixed column is wrapped in CAST(... AS STRING). */
+  private[sql] def rewriteMixedUnionLits(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    for (m <- "(?is)\\(\\s*SELECT\\b".r.findAllMatchIn(masked)) {
+      val close = GraftSql.closeParen(masked, m.start)
+      if (close > 0) {
+        val body = sql.substring(m.start + 1, close)
+        val mbody = masked.substring(m.start + 1, close)
+        if ("(?is)\\bUNION\\s+ALL\\b".r.findFirstIn(mbody).isDefined &&
+            !"(?is)\\bFROM\\b".r.findFirstIn(mbody).isDefined) {
+          val branches = splitUnionAll(body, mbody)
+          val itemss = branches.map { case (b, mb) =>
+            val sel = "(?is)^\\s*SELECT\\b".r.findFirstMatchIn(mb)
+              .map(_.end).getOrElse(-1)
+            if (sel < 0) return sql
+            GraftSql.splitTopLevel(b.substring(sel))
+          }
+          val n = itemss.head.length
+          if (itemss.forall(_.length == n)) {
+            val aliasRe = "(?is)^(.*\\S)\\s+AS\\s+(\\w+|\"\\w+\"|`[^`]*`)\\s*$".r
+            def exprOf(it: String) =
+              aliasRe.findFirstMatchIn(it.trim).map(_.group(1)).getOrElse(it.trim)
+            val mixed = (0 until n).filter { c =>
+              val classes = itemss.map(items => litClass(exprOf(items(c))))
+              if (classes.contains("unknown")) false
+              else classes.filter(x => x != "null").distinct.length > 1
+            }
+            if (mixed.nonEmpty) {
+              val newBranches = itemss.zip(branches).map { case (items, (b, mb)) =>
+                val selEnd = "(?is)^\\s*SELECT\\b".r.findFirstMatchIn(mb).get.end
+                val newItems = items.zipWithIndex.map { case (it, c) =>
+                  if (!mixed.contains(c)) it
+                  else {
+                    val t = it.trim
+                    // the reference renders BOOLEAN-to-VARCHAR coercion
+                    // uppercase (TRUE/FALSE)
+                    def str(e: String) =
+                      if (litClass(e) == "bool") s"UPPER(CAST(($e) AS STRING))"
+                      else s"CAST(($e) AS STRING)"
+                    aliasRe.findFirstMatchIn(t) match {
+                      case Some(am) => s"${str(am.group(1))} AS ${am.group(2)}"
+                      case None => str(t)
+                    }
+                  }
+                }
+                b.substring(0, selEnd) + " " + newItems.mkString(", ")
+              }
+              return rewriteMixedUnionLits(sql.substring(0, m.start + 1) +
+                newBranches.mkString(" UNION ALL ") + sql.substring(close))
+            }
+          }
+        }
+      }
+    }
+    sql
+  }
+
+  private def splitUnionAll(b: String, mb: String): Seq[(String, String)] = {
+    val cuts = "(?is)\\bUNION\\s+ALL\\b".r.findAllMatchIn(mb).filter { u =>
+      val pre = mb.substring(0, u.start)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }.toSeq
+    val starts = 0 +: cuts.map(_.end)
+    val ends = cuts.map(_.start) :+ b.length
+    starts.zip(ends).map { case (s, e) => (b.substring(s, e), mb.substring(s, e)) }
+  }
+
+  /** Textual value-class of a literal-ish select item. */
+  private def litClass(e0: String): String = {
+    val e = e0.trim
+    if ("(?is)^NULL$".r.matches(e)) "null"
+    else if ("(?s)^'.*'$|^\".*\"$".r.matches(e)) "string"
+    else if ("^-?\\d+(\\.\\d+)?$".r.matches(e)) "num"
+    else if ("(?i)^(TRUE|FALSE)$".r.matches(e)) "bool"
+    else {
+      val cast = ("(?is)^(?:SAFE_)?(?:CAST|TRY_CAST)\\s*\\(.*\\bAS\\s+" +
+        "(\\w+)\\s*(?:\\(\\s*\\d+\\s*\\))?\\s*\\)$").r
+      val fn = "(?is)^(DATE|TIMESTAMP|DATETIME)\\s*\\(.*\\)$".r
+      val ifnull = "(?is)^IFNULL\\s*\\((.*)\\)$".r
+      cast.findFirstMatchIn(e).map(_.group(1).toUpperCase(java.util.Locale.ROOT) match {
+        case "VARCHAR" | "CHAR" | "STRING" => "string"
+        case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" | "TINYINT" |
+             "DECIMAL" | "NUMERIC" | "FLOAT" | "DOUBLE" | "FLOAT64" | "INT64" => "num"
+        case "DATE" => "date"
+        case "TIMESTAMP" | "DATETIME" => "timestamp"
+        case "BOOLEAN" | "BOOL" => "bool"
+        case _ => "unknown"
+      }).orElse(fn.findFirstMatchIn(e).map(_.group(1).toLowerCase(java.util.Locale.ROOT) match {
+        case "date" => "date"
+        case _ => "timestamp"
+      })).getOrElse {
+        ifnull.findFirstMatchIn(e) match {
+          case Some(im) =>
+            val args = GraftSql.splitTopLevel(im.group(1)).map(a => litClass(a))
+            args.find(a => a != "null" && a != "unknown").getOrElse(
+              if (args.forall(_ == "null")) "null" else "unknown")
+          case None => "unknown"
+        }
+      }
+    }
+  }
 
   /** TIMESTAMP_MILLIS/TIMESTAMP_MICROS display precision: the reference
     * renders timestamps at its default precision 0

@@ -26,9 +26,9 @@ object CalciteTyping {
 
   def rewrite(sql0: String): String = {
     val sql = decomposeIntVariance(intLitDiv(anyValueAsMax(
-      pivotManual(decimalLitCastDown(timeLiteralArith(
+      pivotManual(decimalLitCastDown(timeLiteralArith(intervalOrderedRange(
         inIsPostfix(orderByGrouping(valuesRowStrip(rowTypeCast(
-          decimalPrecisionClamp(bareCastTimestampTrunc(sql0))))))))))))
+          decimalPrecisionClamp(bareCastTimestampTrunc(sql0)))))))))))))
     val masked = maskLiterals(sql)
     // measure statements restructure through MeasureSql — the wrapper's
     // sample would reference columns outside the measure's context
@@ -137,6 +137,85 @@ object CalciteTyping {
       }
     }
     sql
+  }
+
+  /** Interval-ordered RANGE frames (CALCITE-7435, winagg.iq:23). The
+    * reference's postfix interval qualifier `(ts1 - ts2) HOURS` types a
+    * timestamp difference as INTERVAL HOUR; its display is the signed
+    * unit count (+754). Lowered to the NUMERIC count of the unit
+    * (integer `div`, truncation toward zero like the reference's
+    * interval normalization — IntervalSqlType), which the harness
+    * value-compare reads numerically. Interval frame bounds in a RANGE
+    * window ordered by such a key then re-scale to the key's unit
+    * (INTERVAL 2 DAYS over an HOURS key → 48), becoming the plain
+    * numeric bounds Spark's RANGE frame wants — one Window pass, no
+    * extra exchange. */
+  private def intervalOrderedRange(sql0: String): String = {
+    val micros = Map("SECOND" -> 1000000L, "MINUTE" -> 60000000L,
+      "HOUR" -> 3600000000L, "DAY" -> 86400000000L)
+    var sql = sql0
+    var units = Map.empty[String, String] // key column (lower) -> unit
+    // (expr - expr) UNIT AS name — postfix qualifier over a subtraction
+    var go = true
+    while (go) {
+      go = false
+      val masked = maskLiterals(sql)
+      val post = ("(?is)\\)\\s*(SECOND|MINUTE|HOUR|DAY)S?\\s+AS\\s+(\\w+)").r
+      post.findAllMatchIn(masked).toSeq.foreach { m =>
+        if (!go) {
+          // matching open paren of the `)` the match starts at
+          var depth = 0
+          var open = -1
+          var i = m.start
+          while (i >= 0 && open < 0) {
+            val c = masked.charAt(i)
+            if (c == ')') depth += 1
+            else if (c == '(') { depth -= 1; if (depth == 0) open = i }
+            i -= 1
+          }
+          if (open >= 0) {
+            val inner = sql.substring(open + 1, m.start)
+            val im = maskLiterals(inner)
+            val minusAt = {
+              var d = 0; var at = -1; var j = 0
+              while (j < im.length && at < 0) {
+                val c = im.charAt(j)
+                if (c == '(') d += 1 else if (c == ')') d -= 1
+                else if (c == '-' && d == 0 && j > 0) at = j
+                j += 1
+              }
+              at
+            }
+            if (minusAt > 0) {
+              val unit = m.group(1).toUpperCase(java.util.Locale.ROOT)
+              val (lhs, rhs) = (inner.substring(0, minusAt).trim,
+                inner.substring(minusAt + 1).trim)
+              units += (m.group(2).toLowerCase(java.util.Locale.ROOT) -> unit)
+              sql = sql.substring(0, open) +
+                s"((unix_micros(CAST($lhs AS TIMESTAMP)) - " +
+                s"unix_micros(CAST($rhs AS TIMESTAMP))) div ${micros(unit)}) " +
+                s"AS ${m.group(2)}" + sql.substring(m.end)
+              go = true
+            }
+          }
+        }
+      }
+    }
+    if (units.isEmpty) return sql
+    // interval bounds in RANGE frames ordered by a lowered key
+    val frameRe = ("(?is)\\bORDER\\s+BY\\s+(\\w+)\\s+RANGE\\s+BETWEEN\\s+" +
+      "INTERVAL\\s+(\\d+)\\s+(SECOND|MINUTE|HOUR|DAY)S?\\s+(PRECEDING|FOLLOWING)\\s+AND\\s+" +
+      "INTERVAL\\s+(\\d+)\\s+(SECOND|MINUTE|HOUR|DAY)S?\\s+(PRECEDING|FOLLOWING)").r
+    GraftSql.replaceMasked(sql, frameRe)((m, o) =>
+      units.get(m.group(1).toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(ku) =>
+          def scaled(n: String, u: String) =
+            n.toLong * micros(u.toUpperCase(java.util.Locale.ROOT)) / micros(ku)
+          s"ORDER BY ${m.group(1)} RANGE BETWEEN " +
+            s"${scaled(m.group(2), m.group(3))} ${m.group(4).toUpperCase(java.util.Locale.ROOT)} AND " +
+            s"${scaled(m.group(5), m.group(6))} ${m.group(7).toUpperCase(java.util.Locale.ROOT)}"
+        case None => o.substring(m.start, m.end)
+      })
   }
 
   /** TIME literal ± interval (misc.iq:29/50/60): Spark has no TIME

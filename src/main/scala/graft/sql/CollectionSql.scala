@@ -76,7 +76,57 @@ object CollectionSql {
           "struct" + orig.trim
         else orig
       }.mkString(",")
-      cur = cur.substring(0, mm.start) + fn + "(" + inner + ")" + cur.substring(close + 1)
+      // the reference DISPLAYS a multiset with duplicate elements
+      // grouped adjacent, in first-occurrence order (misc.iq:2227:
+      // multiset[1,null,2,1] prints [1, 1, null, 2]); for a
+      // duplicate-free bag the regrouping is the identity, so it is
+      // applied to every MULTISET literal — EXCEPT inside a VALUES
+      // inline-table row, where Spark cannot fold the lambda
+      // (unnest.iq:400) and a literal row has its written order anyway
+      val inValuesRow = {
+        // enclosing-paren chain reaching a `VALUES (` row constructor
+        var depth = 0
+        var i = mm.start - 1
+        var hit = false
+        while (i >= 0 && !hit) {
+          val c = masked.charAt(i)
+          if (c == ')') depth += 1
+          else if (c == '(') {
+            if (depth == 0) {
+              if ("(?is).*\\bVALUES\\s*$".r.matches(masked.substring(0, i))) hit = true
+            } else depth -= 1
+          }
+          i -= 1
+        }
+        // bare-scalar rows: `VALUES multiset[...], ...` with only list
+        // content (no intervening SELECT) between VALUES and the literal
+        hit || "(?is).*\\bVALUES\\s*$".r.matches(masked.substring(0, mm.start)) || {
+          val v = "(?is)\\bVALUES\\b".r.findAllMatchIn(masked.substring(0, mm.start))
+            .toSeq.lastOption
+          v.exists { vm =>
+            val between = masked.substring(vm.end, mm.start)
+            between.count(_ == '(') == between.count(_ == ')') &&
+              "(?is)\\b(SELECT|FROM|WHERE)\\b".r.findFirstIn(between).isEmpty
+          }
+        }
+      }
+      // a literal feeding an infix bag operator / predicate keeps the
+      // plain array shape those lowerings match on (the regroup is a
+      // DISPLAY device; bag ops are order-free)
+      val inBagOp = {
+        val after = masked.substring(close + 1)
+        val before = masked.substring(0, mm.start)
+        "(?is)^\\s*(MULTISET\\s+(UNION|EXCEPT|INTERSECT)|SUBMULTISET|IS\\s+(NOT\\s+)?(A\\s+SET|EMPTY))\\b".r
+          .findFirstIn(after).isDefined ||
+        "(?is).*\\b(MULTISET\\s+(UNION|EXCEPT|INTERSECT)(\\s+ALL|\\s+DISTINCT)?|SUBMULTISET\\s+OF)\\s*$".r
+          .matches(before)
+      }
+      val body =
+        if (mm.group(1).equalsIgnoreCase("multiset") && !inValuesRow && !inBagOp)
+          s"flatten(transform(array_distinct(array($inner)), __mv -> " +
+            s"filter(array($inner), __mx -> __mx <=> __mv)))"
+        else fn + "(" + inner + ")"
+      cur = cur.substring(0, mm.start) + body + cur.substring(close + 1)
       m = re.findFirstMatchIn(maskLiterals(cur))
     }
     cur

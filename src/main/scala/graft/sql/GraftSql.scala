@@ -29,7 +29,7 @@ object GraftSql {
     val text0 = stripComments(rawText)
     // measures first: `AS MEASURE` restructures the statement (and a
     // consumer of a measure view needs the session for type derivation)
-    val text = MeasureSql.maybeRewrite(spark, text0)
+    val text = rowStarFieldAccess(spark, MeasureSql.maybeRewrite(spark, text0))
     ddl(spark, text.trim)
       .orElse(MatchRecognizeSql.maybeRun(spark, text))
       .getOrElse {
@@ -390,11 +390,13 @@ object GraftSql {
       rewriteMysqlLimit,
       rewriteWindowTvf, rewriteExtend, rewriteDual, rewriteFetch,
       rewriteCastFormat, rewriteStarReplace, JsonAggSql.apply, rewriteJsonValue,
+      rewriteJsonExists,
       rewriteSafeCast, rewriteSimilarTo, rewriteQualify, rewriteWindowFilter,
       rewriteUuid,
       rewriteBareTypes, rewriteDecimalLit, rewriteNullifFold,
       rewriteUnsignedArith, rewriteUnsignedCast, rewriteVariantOps, CollectionSql.apply,
-      rewriteTablesample, rewriteIntervalExpr, rewriteValuesAlias,
+      rewriteTablesample, rewriteIntervalExpr, rewriteLateralValues,
+      rewriteValuesAlias,
       rewritePivotAlias, rewriteUnpivotLabel
     ).foldLeft(sql)((s, f) => f(s))
 
@@ -1076,6 +1078,45 @@ object GraftSql {
     })
   }
 
+  /** `[CROSS JOIN] LATERAL (VALUES rows...) AS t (cols)` — a lateral
+    * inline table whose rows reference the OUTER query (the reference's
+    * CROSS APPLY VALUES unpivot idiom, pivot.iq:454). Spark's inline
+    * tables only accept foldable expressions, so the construct lowers
+    * to `LATERAL VIEW inline(array(struct(row1), struct(row2), ...))`
+    * — a pure generator expression over the outer row, no correlated
+    * subquery machinery, one pass, scale-free. */
+  private def rewriteLateralValues(sql: String): String = {
+    val re = "(?is)(?:\\bCROSS\\s+JOIN\\s+|,\\s*)?\\bLATERAL\\s*\\(\\s*VALUES\\b".r
+    val masked = maskLiterals(sql)
+    val m = re.findAllMatchIn(masked).toSeq.headOption.getOrElse(return sql)
+    val open = masked.indexOf('(', m.start)
+    val close = closeParen(masked, open)
+    if (close < 0) return sql
+    val valuesAt = masked.toUpperCase(java.util.Locale.ROOT).indexOf("VALUES", open)
+    val rowsTxt = sql.substring(valuesAt + 6, close)
+    val rows = splitTopLevel(rowsTxt).map(_.trim)
+    // every row must be a parenthesized tuple
+    if (rows.isEmpty || !rows.forall(r => r.startsWith("(") && r.endsWith(")")))
+      return sql
+    // AS t (c1, ..., cn)
+    val tail = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)\\s*\\(([^)]*)\\)".r
+      .findFirstMatchIn(masked.substring(close + 1)).getOrElse(return sql)
+    val alias = tail.group(1)
+    val cols = sql.substring(close + 1 + tail.start(2), close + 1 + tail.end(2))
+    // field names must agree across the array's structs — alias every
+    // field to its output column name
+    val colNames = cols.split(",").map(_.trim)
+    val structs = rows.map { r =>
+      val items = splitTopLevel(r.substring(1, r.length - 1))
+      if (items.length != colNames.length) return sql
+      items.zip(colNames).map { case (v, c) => s"($v) AS $c" }
+        .mkString("struct(", ", ", ")")
+    }.mkString(", ")
+    val lowered = s" LATERAL VIEW inline(array($structs)) $alias AS $cols "
+    rewriteLateralValues(sql.substring(0, m.start) + lowered +
+      sql.substring(close + 1 + tail.end))
+  }
+
   /** `(VALUES 'a', 'b') AS f` — single-column VALUES rows take the
     * table alias as the column name in the reference (SqlValidatorImpl
     * alias derivation; unnest.iq:222), where Spark names the column
@@ -1510,6 +1551,88 @@ object GraftSql {
          WHEN $v IS NULL THEN $onEmpty
          ELSE $v END"""
     rewriteJsonValue(sql.substring(0, at) + lowered + sql.substring(close + 1))
+  }
+
+  /** `ROW(t1.*, t2.*).<name><N>` — the reference uniquifies duplicate
+    * row-field names with a numeric suffix (SqlValidatorUtil.uniquify:
+    * the first occurrence keeps the name, the k-th duplicate becomes
+    * name(k-2); struct.iq:330 — ROW(emp.*, dept.*).deptno0 is dept's
+    * deptno). Spark keeps duplicate struct fields and resolves access
+    * to the FIRST, so the renamed access is resolved here against the
+    * session catalog and lowered to the direct qualified column — no
+    * struct is built at all. */
+  private def rowStarFieldAccess(spark: SparkSession, sql: String): String = {
+    val re = ("(?is)\\bROW\\s*\\(([^()]*\\.\\s*\\*[^()]*)\\)" +
+      "\\s*\\.\\s*([A-Za-z_]\\w*?)(\\d+)\\b").r
+    replaceMasked(sql, re) { (m, o) =>
+      val whole = o.substring(m.start, m.end)
+      try {
+        val args = splitTopLevel(o.substring(m.start(1), m.end(1))).map(_.trim)
+        val fields = args.flatMap { a =>
+          "(?is)^([A-Za-z_]\\w*)\\s*\\.\\s*\\*$".r.findFirstMatchIn(a) match {
+            case Some(t) =>
+              spark.table(t.group(1)).schema.fields.toSeq
+                .map(f => (t.group(1), f.name))
+            case None =>
+              Seq(("", "(?is)([A-Za-z_]\\w*)\\s*$".r.findFirstMatchIn(a)
+                .map(_.group(1)).getOrElse(a)))
+          }
+        }
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        val renamed = fields.map { case (t, n) =>
+          val k = seen.getOrElse(n.toLowerCase(java.util.Locale.ROOT), 0)
+          seen(n.toLowerCase(java.util.Locale.ROOT)) = k + 1
+          val out = if (k == 0) n else s"$n${k - 1}"
+          (t, n, out)
+        }
+        val want = (m.group(2) + m.group(3)).toLowerCase(java.util.Locale.ROOT)
+        renamed.find(_._3.toLowerCase(java.util.Locale.ROOT) == want) match {
+          case Some((t, n, _)) if t.nonEmpty => s"$t.$n"
+          case Some((_, n, _)) => n
+          case None => whole
+        }
+      } catch { case scala.util.control.NonFatal(_) => whole }
+    }
+  }
+
+  /** SQL/JSON `JSON_EXISTS(doc, 'path' [(TRUE|FALSE|UNKNOWN|ERROR) ON
+    * ERROR])` (ref: SqlJsonExistsFunction, runtime JsonFunctions
+    * jsonExists; misc.iq:2399) — a boolean CASE over get_json_object:
+    * malformed document → the ON ERROR behavior (default FALSE per the
+    * standard), else path-hit test. The strict/lax mode prefix is
+    * dropped for Spark's path syntax (both modes agree on existence for
+    * the simple member paths Spark's JSONPath accepts). */
+  private def rewriteJsonExists(sql: String): String = {
+    val kw = "JSON_EXISTS"
+    val at = topLevelIndexAnyDepth(sql, kw)
+    if (at < 0) return sql
+    val open = sql.indexOf('(', at + kw.length)
+    if (open < 0) return sql
+    val close = closeParen(sql, open)
+    if (close < 0) return sql
+    val inner = sql.substring(open + 1, close)
+    val comma = topLevelIndex(inner, ",", wordy = false)
+    if (comma < 0) return sql
+    val doc = inner.substring(0, comma).trim
+    val rest = inner.substring(comma + 1).trim
+    if (!rest.startsWith("'")) return sql
+    var pe = 1
+    while (pe < rest.length && rest.charAt(pe) != '\'') pe += 1
+    val path = rest.substring(1, pe).trim
+      .replaceAll("(?i)^(strict|lax)\\s+", "")
+    val onError = "(?i)\\b(TRUE|FALSE|UNKNOWN|ERROR)\\s+ON\\s+ERROR\\b".r
+      .findFirstMatchIn(rest.substring(pe + 1)) match {
+      case Some(m) if m.group(1).equalsIgnoreCase("TRUE") => "true"
+      case Some(m) if m.group(1).equalsIgnoreCase("UNKNOWN") => "CAST(NULL AS BOOLEAN)"
+      case Some(m) if m.group(1).equalsIgnoreCase("ERROR") =>
+        s"CAST(raise_error('JSON_EXISTS: malformed document') AS BOOLEAN)"
+      case _ => "false"
+    }
+    val lowered =
+      s"""CASE WHEN ($doc) IS NULL THEN CAST(NULL AS BOOLEAN)
+         WHEN get_json_object(($doc), '$$') IS NULL THEN $onError
+         ELSE get_json_object(($doc), '$path') IS NOT NULL END"""
+    rewriteJsonExists(sql.substring(0, at) + lowered + sql.substring(close + 1))
   }
 
   /** topLevelIndex ignoring paren depth (JSON_VALUE sits inside select

@@ -18,8 +18,68 @@ import GraftSql.{closeParen, maskLiterals, splitTopLevel}
 object GroupingSetsSql {
 
   def rewrite(sql: String): String =
-    rewriteGroupingFns(
-      rewriteGroupId(rewriteMixedEmpty(rewriteDistinct(flattenNested(sql)))))
+    rewriteGroupingFns(rewriteGroupId(rewriteEmptySetUnion(
+      rewriteMixedEmpty(rewriteDistinct(flattenNested(sql))))))
+
+  /** GROUPING SETS containing the EMPTY set, with a select list of pure
+    * aggregates → UNION ALL of per-set aggregate branches. The
+    * reference evaluates each grouping set independently, so the ()
+    * set contributes its global-aggregate row even over EMPTY input
+    * (COUNT = 0; sub-query.iq:9713's correlated slice for the
+    * employee-less dept), where Spark's expand-based lowering is one
+    * grouped aggregate that returns no rows on empty input. Fires only
+    * when no grouping column survives into the output (pure-aggregate
+    * items — otherwise column shapes differ per set) and no HAVING /
+    * ORDER tail follows; the branches share one scan and Catalyst
+    * merges their partial aggregates map-side. */
+  private def rewriteEmptySetUnion(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val gsRe = "(?is)\\bGROUP\\s+BY\\s+GROUPING\\s+SETS\\s*\\(".r
+    for (m <- gsRe.findAllMatchIn(masked)) {
+      val open = masked.indexOf('(', m.end - 1)
+      val close = closeParen(masked, open)
+      if (close > 0) {
+        val sets = splitElems(sql, masked, open + 1, close).map(_._1.trim)
+        if (sets.length >= 2 && sets.exists(_.replaceAll("\\s", "") == "()")) {
+          // enclosing paren block (a derived table / subquery), or the
+          // whole statement
+          var depth = 0
+          var bOpen = -1
+          var i = m.start - 1
+          while (i >= 0 && bOpen < 0) {
+            val c = masked.charAt(i)
+            if (c == ')') depth += 1
+            else if (c == '(') { if (depth == 0) bOpen = i else depth -= 1 }
+            i -= 1
+          }
+          val blockStart = bOpen + 1
+          val blockEnd = if (bOpen >= 0) closeParen(masked, bOpen) else masked.length
+          if (blockEnd > close && masked.substring(close + 1, blockEnd).trim.isEmpty) {
+            val head = masked.substring(blockStart, m.start)
+            val selM = "(?is)^\\s*SELECT\\b".r.findFirstMatchIn(head)
+            val fromAt = GraftSql.topLevelIndex(head, "FROM")
+            if (selM.isDefined && fromAt > selM.get.end) {
+              val items = GraftSql.splitTopLevel(
+                sql.substring(blockStart + selM.get.end, blockStart + fromAt))
+              val aggItem = ("(?is)^\\s*(COUNT|SUM|AVG|MIN|MAX)\\s*" +
+                "\\((?:[^()]|\\([^()]*\\))*\\)\\s*(AS\\s+\\w+\\s*)?$").r
+              if (items.nonEmpty && items.forall(it => aggItem.matches(it))) {
+                val prefix = sql.substring(blockStart, m.start)
+                val branches = sets.map { s =>
+                  if (s.replaceAll("\\s", "") == "()") prefix
+                  else prefix + "GROUP BY " +
+                    s.trim.stripPrefix("(").stripSuffix(")")
+                }
+                return rewriteEmptySetUnion(sql.substring(0, blockStart) +
+                  branches.mkString(" UNION ALL ") + sql.substring(blockEnd))
+              }
+            }
+          }
+        }
+      }
+    }
+    sql
+  }
 
   /** GROUPING_ID(args...) → weighted sum of single-column GROUPING()
     * calls (identical semantics in both engines: Σ grouping(ci)·2^(n-1-i))
@@ -112,7 +172,41 @@ object GroupingSetsSql {
           }
       }
     }
-    sb.toString
+    havingByAlias(sb.toString)
+  }
+
+  /** Spark resolves HAVING `grouping(x)` only when x survives into the
+    * aggregate's OUTPUT — with a select list of pure aggregates it
+    * reports x unresolved (agg.iq:818's rollup HAVING). But HAVING over
+    * an output ALIAS resolves fine, so a lowered grouping expression in
+    * HAVING that textually equals a select item is replaced by the
+    * item's alias (longest first, so composite grouping_id arithmetic
+    * wins over the single calls inside it). */
+  private def havingByAlias(sql: String): String = {
+    val masked = maskLiterals(sql)
+    val hv = "(?is)\\bHAVING\\b".r.findAllMatchIn(masked).filter { m =>
+      val pre = masked.substring(0, m.start)
+      pre.count(_ == '(') == pre.count(_ == ')')
+    }.toSeq.headOption.getOrElse(return sql)
+    val hvEnd = clauseEnd(masked, hv.end)
+    if (!"(?is)\\bgrouping\\s*\\(".r.findFirstIn(masked.substring(hv.end, hvEnd)).isDefined)
+      return sql
+    val sel = "(?is)\\bSELECT\\b".r.findFirstMatchIn(masked).getOrElse(return sql)
+    val from = GraftSql.topLevelIndex(masked, "FROM", sel.end)
+    if (from < 0) return sql
+    val items = splitElems(sql, masked, sel.end, from)
+    val aliasRe = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r
+    val pairs = items.flatMap { case (t, _) =>
+      aliasRe.findFirstMatchIn(t.trim).filter(m =>
+        "(?is)\\bgrouping\\s*\\(".r.findFirstIn(m.group(1)).isDefined)
+        .map(m => (m.group(1).trim, m.group(2)))
+    }.sortBy(-_._1.length)
+    if (pairs.isEmpty) return sql
+    var having = sql.substring(hv.end, hvEnd)
+    pairs.foreach { case (e, a) =>
+      having = having.replace(e, a)
+    }
+    sql.substring(0, hv.end) + having + sql.substring(hvEnd)
   }
 
   private def norm(e: String): String =

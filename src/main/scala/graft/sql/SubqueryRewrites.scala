@@ -45,7 +45,42 @@ object SubqueryRewrites {
   def apply(sql: String): String =
     rewriteInValues(rewriteCollect(rewriteGroupByEmpty(rewriteIsUnknown(
       rewriteArrayMap(rewriteUnique(rewriteQuantified(rewriteArgMinMax(
-        rewriteUnorderedRange(sql)))))))))
+        rewriteUnorderedRange(rewriteInUnnest(sql))))))))))
+
+  // ---- IN over an UNNEST subquery ----------------------------------------
+
+  /** `x [NOT] IN (SELECT c FROM UNNEST(arr) [AS a(c)])` → `[NOT]
+    * array_contains(arr, x)` — Spark's array_contains carries exactly
+    * the standard's 3VL membership (true on match, NULL when unmatched
+    * with a NULL element or NULL probe, false otherwise; some.iq:915+,
+    * including the outer-correlated arr of :926 — the lowering is a
+    * plain expression, so outer references need no decorrelation, and
+    * at scale no join is planned at all). Simple probes only (literal /
+    * column ref); compound probes keep the subquery path. */
+  private[sql] def rewriteInUnnest(sql: String): String = {
+    val re = ("(?is)(\\bTRUE\\b|\\bFALSE\\b|'[^']*'|-?\\d+(?:\\.\\d+)?|[A-Za-z_][\\w.]*)" +
+      "\\s+(NOT\\s+)?IN\\s*\\(\\s*SELECT\\s+(\\w+)\\s+FROM\\s+UNNEST\\s*\\(").r
+    val masked = GraftSql.maskLiterals(sql)
+    val m = re.findAllMatchIn(masked).toSeq.headOption.getOrElse(return sql)
+    val unnestOpen = masked.lastIndexOf('(', m.end - 1)
+    val unnestClose = GraftSql.closeParen(masked, unnestOpen)
+    if (unnestClose < 0) return sql
+    // subquery close: optional `AS a(c)` / `a(c)` tail then `)`
+    val inOpen = masked.indexOf('(', m.start + m.group(1).length)
+    val inClose = GraftSql.closeParen(masked, inOpen)
+    if (inClose < 0) return sql
+    val tail = masked.substring(unnestClose + 1, inClose)
+    if (!"(?is)^\\s*(?:AS\\s+)?(?:\\w+\\s*(?:\\(\\s*\\w+\\s*\\))?)?\\s*$".r.matches(tail))
+      return sql
+    val probe = sql.substring(m.start(1), m.end(1))
+    val arr = sql.substring(unnestOpen + 1, unnestClose)
+    // multi-collection UNNEST(a, b) zips — not a membership probe
+    if (GraftSql.splitTopLevel(arr).length != 1) return sql
+    val neg = m.group(2) != null
+    val call = s"array_contains(($arr), $probe)"
+    rewriteInUnnest(sql.substring(0, m.start) +
+      (if (neg) s"(NOT $call)" else call) + sql.substring(inClose + 1))
+  }
 
   // ---- RANGE frame without ORDER BY -------------------------------------
 

@@ -21,14 +21,11 @@ class BabelCorpusSpec extends IqHarness {
   private def clean(sql: String): String = graft.sql.BigQueryDialect.rewrite(sql)
 
   /** Documented divergences, keyed by statement line (file is frozen). */
-  private val skipCases: Map[Int, String] = Map(
-    1949 -> "UNION branch coercion of INT vs VARCHAR SAFE_CAST results — reference coerces, Spark rejects",
-    2009 -> "INTERVAL cast display: +1 (reference) vs P1Y (Spark ANSI interval rendering)",
-    2031 -> "INTERVAL cast display: +61:00.000000 vs PT1H1M rendering",
-    // (3055 integer-literal division, 3286/3322 LPAD/RPAD over BYTES:
-    // lifted in round 7 by BigQueryDialect.rewriteIntLitDiv and
-    // rewriteBinaryPad)
-    4269 -> "IFNULL branch typing: reference keeps per-row value strings; Spark coerces the union to BIGINT and rejects 'b'")
+  // (1949/4269 mixed-literal union coercion and 2009/2031 interval cast
+  // display: lifted in round 9 by BigQueryDialect.rewriteMixedUnionLits
+  // and rewriteSafeCastIntervalLit; 3055 integer-literal division,
+  // 3286/3322 LPAD/RPAD over BYTES: lifted in round 7)
+  private val skipCases: Map[Int, String] = Map.empty
 
   private def cleanPg(sql: String): String = graft.sql.PostgresDialect.rewrite(sql)
   private def cleanRs(sql: String): String = graft.sql.RedshiftDialect.rewrite(sql)
@@ -167,7 +164,7 @@ class BabelCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(total >= 200, s"parser found only $total cases — quidem parsing regressed")
     // ratchet: raise this floor when new dialect rewrites land
-    assert(pass >= 215, s"babel coverage dropped: $pass passing (floor 215)")
+    assert(pass >= 219, s"babel coverage dropped: $pass passing (floor 219)")
     assert(failures.isEmpty,
       s"undocumented babel failures (${failures.size}):\n${failures.take(10).mkString("\n")}")
   }

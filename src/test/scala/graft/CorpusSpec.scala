@@ -1,6 +1,7 @@
 package graft
 
 import scala.collection.mutable.ArrayBuffer
+import scala.util.chaining._
 
 import graft.sql.GraftSql
 
@@ -134,12 +135,6 @@ class CorpusSpec extends IqHarness {
         "decorrelator AND to the manual-Correlate fallback, which keys " +
         "on qualified alias.col refs; the sibling TRUE-match case " +
         "passes natively"),
-      ("sub-query.iq", 9713) -> ("scalar subquery over GROUPING SETS " +
-        "((deptno),()) on an empty correlated slice: the reference " +
-        "computes each grouping set independently, so the () set yields " +
-        "a count-0 row on empty input; Spark's expand-based lowering is " +
-        "one grouped aggregate, which returns no rows on empty input — " +
-        "SUM over it is NULL where the reference has 0"),
       ("agg.iq", 3223) -> ("relies on non-ANSI silent int64 overflow " +
         "wraparound (+9223372036854775807 + 1); Spark (ANSI) raises"),
       ("sub-query.iq", 76) -> ("references the hr catalog's emps (salary " +
@@ -152,9 +147,6 @@ class CorpusSpec extends IqHarness {
         "arbitrary one; deterministic ARG_MAX/MIN covered by q16"),
       ("agg.iq", 3792) -> "same ARG_MIN/ARG_MAX tie-break divergence",
       ("agg.iq", 3804) -> "same ARG_MIN/ARG_MAX tie-break divergence",
-      ("winagg.iq", 23) -> ("interval-typed RANGE window frame over " +
-        "timestamp subtraction — reference day-time INTERVAL frame " +
-        "bounds; Spark RANGE bounds must be numeric/date literals"),
       ("unnest.iq", 311) -> ("multi-collection zip UNNEST mixing a MAP " +
         "with arrays: the zip lowering (inline(arrays_zip(...))) needs " +
         "nested-field flattening the textual classifier can't type; " +
@@ -162,10 +154,6 @@ class CorpusSpec extends IqHarness {
       ("unnest.iq", 327) -> ("same zip limitation over a row-typed " +
         "(struct) collection"),
       ("unnest.iq", 501) -> "same MAP-in-zip limitation",
-      ("pivot.iq", 454) -> ("LATERAL over a VALUES inline table whose " +
-        "rows reference the outer query: Spark's inline-table evaluator " +
-        "only accepts foldable expressions " +
-        "(CANNOT_EVALUATE_EXPRESSION_IN_INLINE_TABLE)"),
       ("operator.iq", 295) -> ("FLOOR/CEIL of TIME: Spark has no TIME " +
         "type (the engine's TIME surface is string-encoded, q109); the " +
         "DATE/TIMESTAMP family at :250/:271 runs via floor_to/ceil_to"),
@@ -219,9 +207,6 @@ class CorpusSpec extends IqHarness {
       ("winagg.iq", 943) -> ("windowed MODE over a tied group (deptno 10: " +
         "one F, one M): tie-break is engine-specific — the aggregate MODE " +
         "cases (agg.iq:3511+) are tie-free and pass"),
-      ("misc.iq", 2399) -> ("JSON_EXISTS with an ON ERROR behavior " +
-        "clause: the engine's JSON predicate surface is IS JSON + " +
-        "JSON_VALUE ON EMPTY/ON ERROR (q54/q106)"),
       ("agg.iq", 2959) -> ("REGR_SXX/SYY over DECIMAL(12,4): Spark " +
         "computes the moments in DOUBLE (94999.99999...), and the " +
         "scale-4 re-typing truncates the float artifact to 94999.9999 " +
@@ -240,16 +225,9 @@ class CorpusSpec extends IqHarness {
         "row-accumulation order (a bag has none); cardinality-checked " +
         "FUSION at :1481/:1496 is order-free and passes"),
       ("agg.iq", 1529) -> "same FUSION accumulation-order display",
-      ("misc.iq", 2227) -> ("the reference's multiset DISPLAY groups " +
-        "duplicate elements ([1, null, 2, 1] prints [1, 1, null, 2]); " +
-        "the engine keeps construction order — same bag"),
       ("misc.iq", 2574) -> ("MAP with a NULL key: Spark's map type " +
         "forbids null keys (NULL_MAP_KEY); the reference's map values " +
         "accept them"),
-      ("agg.iq", 818) -> ("grouping_id/GROUPING over a DUPLICATED " +
-        "grouping column (deptno, gender, deptno): Spark requires " +
-        "grouping_id args to match the grouping columns exactly (same " +
-        "restriction as :870)"),
       ("join.iq", 978) -> ("IS NOT DISTINCT FROM over MAP-typed columns: " +
         "Spark's map type has no ordering/equality (same class as " +
         "blank.iq:219)"),
@@ -277,10 +255,6 @@ class CorpusSpec extends IqHarness {
         "which row survives is engine-specific (Calcite returns CLARK, " +
         "Spark's first partition yields SMITH); same query shape with an " +
         "ORDER BY passes at :221"),
-      ("struct.iq", 330) -> ("row(emp.*, dept.*).deptno0 — the reference " +
-        "renames duplicate row fields with a 0 suffix; Spark keeps " +
-        "duplicate struct field names and resolves access to the first, " +
-        "so the renamed-field access has no Spark equivalent"),
       // (former misc.iq:2215 CHAR-array padding skip — lifted by
       // CalciteTyping.charLitArrayPad in VALUES display context)
       ("planner.iq", 425) -> ("LIMIT/OFFSET with no ORDER BY: which rows " +
@@ -421,7 +395,7 @@ class CorpusSpec extends IqHarness {
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
     if (corpusOnly.isEmpty)
-      assert(pass >= 1604, s"corpus coverage dropped: $pass passing (floor 1604)")
+      assert(pass >= 1611, s"corpus coverage dropped: $pass passing (floor 1611)")
     // round 7: ALL 45 round-6 Spark-limitation cases now execute —
     // the manual-Correlate fallback (sql/Decorrelate.scala: nested/deep
     // correlation, correlated vars under joins inside subqueries,
@@ -554,8 +528,20 @@ class CorpusSpec extends IqHarness {
     .replaceAll("(?i)\"hr\"\\.\"(emps|depts)\"(?=\\s*(\\)|,|$|\\n|WHERE\\b|JOIN\\b|ON\\b|GROUP\\b|ORDER\\b|HAVING\\b|LIMIT\\b|UNION\\b|LEFT\\b|RIGHT\\b|INNER\\b|CROSS\\b|FULL\\b|NATURAL\\b))", "hr_$1 $1")
     .replaceAll("(?i)\"hr\"\\.\"(emps|depts)\"", "hr_$1") // hr shares names with post
     .replaceAll("(?i)\"(scott|post|blank)\"\\.", "")
-    .replaceAll("\"([^\"]+)\"", "`$1`")
+    .pipe(quotedIdsToBackticks)
     .replaceAll("(?<![`\\w])EXPR\\$(\\d+)", "`EXPR\\$$1`")
+
+  /** `"ident"` → backtick-quoted, OUTSIDE single-quoted strings only —
+    * a JSON document literal like '{"foo":"bar"}' (misc.iq:2399) must
+    * keep its double quotes. */
+  private def quotedIdsToBackticks(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    val sb = new StringBuilder(sql)
+    "\"([^\"]+)\"".r.findAllMatchIn(masked).toSeq.sortBy(-_.start).foreach { m =>
+      sb.replace(m.start, m.end, "`" + sql.substring(m.start + 1, m.end - 1) + "`")
+    }
+    sb.toString
+  }
 
   /** The public HR demo schema (CalciteAssert / HrSchema.java — emps
     * with empid/salary/commission, depts), under hr_ names because post

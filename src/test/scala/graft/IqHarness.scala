@@ -197,7 +197,9 @@ trait IqHarness extends SparkSpec {
 
   // ---- normalization + compare -----------------------------------------
 
-  private val numRe = "-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?".r
+  // leading '+' appears on single-unit INTERVAL displays (+754 hours,
+  // winagg.iq:23) — value-equal to the signed number
+  private val numRe = "[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?".r
 
   /** Numerics are rounded to 9 significant digits before compare: the
     * reference computes DECIMAL where Spark computes DOUBLE for several
