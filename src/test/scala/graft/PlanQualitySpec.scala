@@ -245,6 +245,30 @@ class PlanQualitySpec extends SparkSpec {
       s"mixed-frame EXCLUDE must not pair-enumerate:\n$p")
   }
 
+  test("ds27: dimension broadcast + partial agg; the rank window rides the brand aggregate") {
+    val p = plan("ds27_return_ratio_rank")
+    // the part dimension broadcasts onto the fact scan; ranking runs
+    // over the |brands|-row aggregate, never the fact table
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"map-side partial aggregation missing:\n$p")
+    assert("(?i)window".r.findFirstIn(p).isDefined, s"expected rank window:\n$p")
+  }
+
+  test("ds30: exists/not-exists panel is ONE per-order aggregate, no self-join") {
+    val p = plan("ds30_multi_supplier_clean")
+    // the reference's EXISTS + NOT EXISTS pair collapses into a single
+    // groupBy(l_orderkey) — a join here means the subquery pair
+    // regressed into two extra fact passes
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), s"panel must not join:\n$p")
+  }
+
+  test("ds28: census panel is one conditional-aggregation scan, not N subquery scans") {
+    val p = plan("ds28_quantity_band_panel")
+    assert("FileScan parquet".r.findAllMatchIn(p).length == 1,
+      s"panel must scan the fact table exactly once:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = run("q01_pricing_summary").queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
