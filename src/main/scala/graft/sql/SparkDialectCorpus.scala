@@ -8,9 +8,53 @@ package graft.sql
 object SparkDialect {
 
   def rewrite(sql: String): String =
-    rewriteInsertValuesParen(rewriteIsEmpty(rewriteIsASet(rewriteSubmultiset(
-      rewriteMultisetOps(rewriteCollectionLiterals(rewriteTypeSyntax(
-        PostgresDialect.rewriteQuotes(sql))))))))
+    rewriteDecimalArrayClamp(rewriteInsertValuesParen(rewriteIsEmpty(
+      rewriteIsASet(rewriteSubmultiset(rewriteMultisetOps(
+        rewriteCollectionLiterals(rewriteTypeSyntax(
+          PostgresDialect.rewriteQuotes(sql)))))))))
+
+  /** Array literals mixing decimal CASTs with high-scale decimal
+    * literals: the reference's common-type derivation clamps to
+    * precision 19 KEEPING integer digits (DECIMAL(17) + DECIMAL(17,16)
+    * → DECIMAL(19,2) — spark.iq:458 displays 2.11), where Spark keeps
+    * the wide scale. Fires only when the clamp actually bites
+    * (intDigits + scale > 19), so ordinary small arrays never change. */
+  private[sql] def rewriteDecimalArrayClamp(sql: String): String = {
+    val masked = GraftSql.maskLiterals(sql)
+    for (m <- "(?i)\\barray\\s*\\(".r.findAllMatchIn(masked)) {
+      val open = masked.indexOf('(', m.start)
+      val close = GraftSql.closeParen(masked, open)
+      if (close > 0) {
+        val items = GraftSql.splitTopLevel(sql.substring(open + 1, close)).map(_.trim)
+        val castRe = ("(?is)^CAST\\s*\\(\\s*(-?\\d+(?:\\.\\d+)?)\\s+AS\\s+DECIMAL" +
+          "\\s*\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)\\s*\\)$").r
+        val types: Seq[Option[(Int, Int)]] = items.map {
+          case castRe(_, p, s) =>
+            Some((p.toInt, Option(s).map(_.toInt).getOrElse(0)))
+          case it if "^-?\\d+\\.\\d+$".r.matches(it) =>
+            val dot = it.indexOf('.')
+            val frac = it.length - dot - 1
+            Some((it.replace("-", "").length - 1, frac))
+          case it if "^-?\\d+$".r.matches(it) =>
+            Some((it.replace("-", "").length, 0))
+          case _ => None
+        }
+        if (items.length > 1 && types.forall(_.isDefined)) {
+          val intd = types.flatten.map { case (p, s) => p - s }.max
+          val sc = types.flatten.map(_._2).max
+          if (intd + sc > 19) {
+            val scale = math.max(0, 19 - intd)
+            if (scale != sc) {
+              val newItems = items.map(it => s"CAST($it AS DECIMAL(19, $scale))")
+              return rewriteDecimalArrayClamp(sql.substring(0, open + 1) +
+                newItems.mkString(", ") + sql.substring(close))
+            }
+          }
+        }
+      }
+    }
+    sql
+  }
 
   /** `INT ARRAY` → `ARRAY<INT>`, `INT MULTISET` → `ARRAY<INT>` (a
     * multiset is an array with bag semantics downstream),

@@ -70,20 +70,20 @@ class BabelCorpusSpec extends IqHarness {
 
   test("babel postgresql corpus: measured dialect coverage") {
     // residue: Calcite-specific INTERVAL cast rendering (+3721.000000)
-    measureDialect("postgresql.iq", "scott-postgresql", cleanPg, 263)
+    measureDialect("postgresql.iq", "scott-postgresql", cleanPg, 264)
   }
 
   test("babel redshift corpus: measured dialect coverage") {
     // residue: the reference harness's hsqldb connection user ('sa', 3
     // cases — environment, not semantics) + Calcite's interleaved NTILE
     // bucket-size formula (1 case)
-    measureDialect("redshift.iq", "scott-redshift", cleanRs, 119)
+    measureDialect("redshift.iq", "scott-redshift", cleanRs, 122)
   }
 
   test("babel spark corpus: the home dialect passes near-verbatim") {
     // Spark IS the engine here; the adapter covers the reference's
     // COLLECTION surfaces (MULTISET ops/literals, IS EMPTY, type syntax)
-    measureDialect("spark.iq", "scott-spark", graft.sql.SparkDialect.rewrite, 75)
+    measureDialect("spark.iq", "scott-spark", graft.sql.SparkDialect.rewrite, 94)
   }
 
   test("babel within-group-over corpus: WITHIN GROUP aggregates as window functions") {
