@@ -246,4 +246,22 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "source", "rk").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(got == ref, "two-level cap must match the single-window result")
   }
+
+  test("d41 DSIR selection prefers target-like documents") {
+    val sel = run("d41_dsir_select").collect()
+    assert(sel.length == 50, s"top-k must keep 50 docs, got ${sel.length}")
+    // weights are positive BIGINTs, strictly ordered desc then by id
+    val ws = sel.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ws.forall(_._1 > 0))
+    assert(ws.sameElements(ws.sortBy { case (w, id) => (-w, id) }),
+      "selection must be ordered by weight desc, doc_id")
+    // the target slice (lang=en) should dominate the selection: en docs
+    // are scored by their own distribution, so a majority of the top-50
+    // is en (sanity of the importance signal, not an exact contract)
+    val en = T(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val enHits = sel.count(r => en.contains(r.getLong(0)))
+    assert(enHits > 25, s"expected en-majority in the DSIR top-50, got $enHits")
+  }
 }
