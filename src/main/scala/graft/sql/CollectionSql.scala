@@ -219,16 +219,35 @@ object CollectionSql {
         val replacement: Option[String] = kind match {
           case "multiset" => None
           case "zip" =>
-            if (!args.map(_.trim).forall(a => "(?is)^ARRAY\\s*\\(.*".r.matches(a) &&
-                !"(?is).*\\bSTRUCT\\s*\\(.*".r.matches(a))) None
+            // per-operand kinds: a MAP contributes (key, value) columns
+            // through map_entries, a struct ARRAY its tuple fields, a
+            // plain array one column (unnest.iq:311/:327/:501 mixed
+            // zips); subquery/multiset operands keep the generic path
+            val kinds = args.map(a => kindOf(a.trim))
+            if (kinds.exists(k => k == "subq" || k == "multiset")) None
             else {
               // splice original arg texts by the masked split's offsets
               val lens = args.map(_.length)
               val starts = lens.scanLeft(0)((a, b) => a + b + 1).init
               val origArgs = args.indices.map(i =>
                 arg.substring(starts(i), starts(i) + lens(i)).trim)
-              val zip = s"arrays_zip(${origArgs.mkString(", ")})"
-              val fieldCols = args.indices.map(i => s"`$i`")
+              def structArity(maskedArg: String): Int = {
+                val sm = "(?is)STRUCT\\s*\\(".r.findFirstMatchIn(maskedArg).get
+                val sOpen = maskedArg.indexOf('(', sm.end - 1)
+                val sClose = closeParen(maskedArg, sOpen)
+                splitTopB(maskedArg.substring(sOpen + 1, sClose)).length
+              }
+              val zexprs = args.indices.map(i =>
+                if (kinds(i) == "map") s"map_entries(${origArgs(i)})" else origArgs(i))
+              val fieldCols = args.indices.flatMap { i =>
+                kinds(i) match {
+                  case "map" => Seq(s"`$i`.key", s"`$i`.value")
+                  case "struct" =>
+                    (1 to structArity(args(i).trim)).map(j => s"`$i`.col$j")
+                  case _ => Seq(s"`$i`")
+                }
+              }
+              val zip = s"arrays_zip(${zexprs.mkString(", ")})"
               if (!ord)
                 Some(s"(SELECT ${named(fieldCols, cols)} FROM (SELECT inline($zip)) ${g}i)$aliasSuffix")
               else

@@ -147,13 +147,9 @@ class CorpusSpec extends IqHarness {
         "arbitrary one; deterministic ARG_MAX/MIN covered by q16"),
       ("agg.iq", 3792) -> "same ARG_MIN/ARG_MAX tie-break divergence",
       ("agg.iq", 3804) -> "same ARG_MIN/ARG_MAX tie-break divergence",
-      ("unnest.iq", 311) -> ("multi-collection zip UNNEST mixing a MAP " +
-        "with arrays: the zip lowering (inline(arrays_zip(...))) needs " +
-        "nested-field flattening the textual classifier can't type; " +
-        "all-array zips (incl. :343's three-way) run"),
-      ("unnest.iq", 327) -> ("same zip limitation over a row-typed " +
-        "(struct) collection"),
-      ("unnest.iq", 501) -> "same MAP-in-zip limitation",
+      // (former unnest.iq:311/:327/:501 mixed-zip skips — MAP and
+      // struct-array zip operands now flatten per-operand through
+      // map_entries / tuple fields, CollectionSql zip lowering)
       ("operator.iq", 295) -> ("FLOOR/CEIL of TIME: Spark has no TIME " +
         "type (the engine's TIME surface is string-encoded, q109); the " +
         "DATE/TIMESTAMP family at :250/:271 runs via floor_to/ceil_to"),
@@ -395,7 +391,7 @@ class CorpusSpec extends IqHarness {
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
     if (corpusOnly.isEmpty)
-      assert(pass >= 1611, s"corpus coverage dropped: $pass passing (floor 1611)")
+      assert(pass >= 1614, s"corpus coverage dropped: $pass passing (floor 1614)")
     // round 7: ALL 45 round-6 Spark-limitation cases now execute —
     // the manual-Correlate fallback (sql/Decorrelate.scala: nested/deep
     // correlation, correlated vars under joins inside subqueries,
