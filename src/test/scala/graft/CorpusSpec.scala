@@ -137,11 +137,6 @@ class CorpusSpec extends IqHarness {
         "passes natively"),
       ("agg.iq", 3223) -> ("relies on non-ANSI silent int64 overflow " +
         "wraparound (+9223372036854775807 + 1); Spark (ANSI) raises"),
-      ("sub-query.iq", 76) -> ("references the hr catalog's emps (salary " +
-        "column) — a third fixture schema used once in this corpus"),
-      ("lambda.iq", 96) -> ("1-based ITEM subscript inside a lambda body: " +
-        "the reference's x[1] is the FIRST element, Spark's the second; " +
-        "1-based ITEM semantics covered by q52/Collections"),
       ("agg.iq", 3780) -> ("ARG_MIN/ARG_MAX tie-break: the reference keeps " +
         "the first row of a tied key group, Spark's min_by/max_by an " +
         "arbitrary one; deterministic ARG_MAX/MIN covered by q16"),
@@ -192,9 +187,6 @@ class CorpusSpec extends IqHarness {
         "have no ordering for key lookup"),
       ("variant.iq", 29) -> "same variant-keyed map limitation",
       ("variant.iq", 196) -> "same variant-keyed map limitation",
-      ("variant.iq", 127) -> ("display spacing: a variant array renders " +
-        "compact ([1,2,3]); the reference spaces its elements ([1, 2, 3]) " +
-        "— value-identical JSON"),
       // (former JSON_OBJECTAGG / JSON_OBJECT hash-order skips — the
       // reference's HashMap iteration order is deterministic and
       // JsonAggSql now renders it: bucket (h^h>>>16)&15 ascending,
@@ -391,7 +383,7 @@ class CorpusSpec extends IqHarness {
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
     if (corpusOnly.isEmpty)
-      assert(pass >= 1614, s"corpus coverage dropped: $pass passing (floor 1614)")
+      assert(pass >= 1617, s"corpus coverage dropped: $pass passing (floor 1617)")
     // round 7: ALL 45 round-6 Spark-limitation cases now execute —
     // the manual-Correlate fallback (sql/Decorrelate.scala: nested/deep
     // correlation, correlated vars under joins inside subqueries,

@@ -212,7 +212,12 @@ trait IqHarness extends SparkSpec {
         .round(new java.math.MathContext(9)).stripTrailingZeros()
       if (bd.compareTo(java.math.BigDecimal.ZERO) == 0) "0" else bd.toPlainString
     case v if v.startsWith("[") && v.endsWith("]") => // collection cells
-      v.substring(1, v.length - 1).split(", ", -1).map(normCell).mkString("[", ", ", "]")
+      // separator-insensitive: a variant array renders compact [1,2,3],
+      // the reference spaces its elements [1, 2, 3] — value-identical.
+      // Only the separator's OWN space strips (CHAR-padded elements
+      // like 'a  ' keep their padding — misc.iq:2215)
+      v.substring(1, v.length - 1).split(",", -1).map(_.stripPrefix(" "))
+        .map(normCell).mkString("[", ", ", "]")
     case v => v
   }
 
