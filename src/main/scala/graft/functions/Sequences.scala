@@ -31,6 +31,7 @@ object Sequences {
 
   private final case class SeqDef(start: Long, step: Long, cursor: AtomicLong)
   private val catalog = new ConcurrentHashMap[String, SeqDef]()
+  private val schemas = ConcurrentHashMap.newKeySet[String]()
 
   /** CREATE SEQUENCE name START WITH start INCREMENT BY step. */
   def create(name: String, start: Long = 1L, step: Long = 1L): Unit = {
@@ -40,6 +41,18 @@ object Sequences {
   }
 
   def drop(name: String): Unit = catalog.remove(name)
+
+  /** Declare a schema name as a valid sequence qualifier (the fixture
+    * schema of a test harness, or any app-level namespace). A qualified
+    * `NEXT VALUE FOR schema.seq` resolves only when the schema is known
+    * here or exists as a database in the Spark session catalog — the
+    * reference's behavior of rejecting an unknown schema
+    * (core/src/test/resources/sql/sequence.iq:57). */
+  def registerSchema(schema: String): Unit =
+    schemas.add(schema.toLowerCase(java.util.Locale.ROOT))
+
+  def schemaKnown(schema: String): Boolean =
+    schemas.contains(schema.toLowerCase(java.util.Locale.ROOT))
 
   /** The next value a NEXT_VALUE call would start at (start before any
     * allocation). */

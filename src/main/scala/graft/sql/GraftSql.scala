@@ -45,13 +45,19 @@ object GraftSql {
         case Some(m) =>
           val kind = text.substring(m.start(1), m.end(1)).toUpperCase(java.util.Locale.ROOT)
           // quoted/qualified spellings (`s`.`my_seq`) resolve by the
-          // bare sequence name, like the reference's seq fixture — but
-          // only under the fixture's own schema `s` (or unqualified):
-          // an unknown schema is "Table not found" (sequence.iq:57)
+          // bare sequence name; the qualifying schema must actually
+          // exist — registered as a sequence schema or present as a
+          // database in the session catalog — else the statement fails
+          // with "Table not found" (sequence.iq:57). The fixture schema
+          // is registered by the conformance harness, not hardcoded.
           val parts = text.substring(m.start(2), m.end(2)).replace("`", "").split('.')
-          if (parts.length > 1 && !parts.init.last.equalsIgnoreCase("s"))
-            throw new IllegalArgumentException(
+          if (parts.length > 1) {
+            val schema = parts.init.last
+            val known = graft.functions.Sequences.schemaKnown(schema) ||
+              scala.util.Try(spark.catalog.databaseExists(schema)).getOrElse(false)
+            if (!known) throw new IllegalArgumentException(
               s"Table '${parts.mkString(".")}' not found")
+          }
           val seqName = parts.last
           val alias = text.substring(m.start(3), m.end(3))
           val stripped0 =
@@ -1086,9 +1092,19 @@ object GraftSql {
     * — a pure generator expression over the outer row, no correlated
     * subquery machinery, one pass, scale-free. */
   private def rewriteLateralValues(sql: String): String = {
-    val re = "(?is)(?:\\bCROSS\\s+JOIN\\s+|,\\s*)?\\bLATERAL\\s*\\(\\s*VALUES\\b".r
+    val re = "(?is)(\\bCROSS\\s+JOIN\\s+|,\\s*)?\\bLATERAL\\s*\\(\\s*VALUES\\b".r
     val masked = maskLiterals(sql)
     val m = re.findAllMatchIn(masked).toSeq.headOption.getOrElse(return sql)
+    // only FROM-item positions lower to LATERAL VIEW: `LEFT/INNER JOIN
+    // LATERAL (VALUES ...) ON ...` would leave its ON clause dangling,
+    // so anything not preceded by FROM, a comma, or CROSS JOIN passes
+    // through untouched (and fails loudly downstream if unsupported)
+    if (m.group(1) == null) {
+      val pre = masked.substring(0, m.start).trim.toUpperCase(java.util.Locale.ROOT)
+      val fromAt = pre.endsWith("FROM") &&
+        (pre.length == 4 || !pre(pre.length - 5).isLetterOrDigit && pre(pre.length - 5) != '_')
+      if (!fromAt) return sql
+    }
     val open = masked.indexOf('(', m.start)
     val close = closeParen(masked, open)
     if (close < 0) return sql

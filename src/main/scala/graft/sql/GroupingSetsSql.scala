@@ -202,9 +202,28 @@ object GroupingSetsSql {
         .map(m => (m.group(1).trim, m.group(2)))
     }.sortBy(-_._1.length)
     if (pairs.isEmpty) return sql
+    // replace against the MASKED text with identifier-boundary anchoring:
+    // an occurrence inside a string literal (masked to ) can never
+    // match, and `grouping(a)` never rewrites inside `xgrouping(a)` or
+    // an alias-colliding longer expression
     var having = sql.substring(hv.end, hvEnd)
+    var maskedHaving = masked.substring(hv.end, hvEnd)
+    def identChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
     pairs.foreach { case (e, a) =>
-      having = having.replace(e, a)
+      val em = maskLiterals(e)
+      var i = maskedHaving.indexOf(em)
+      while (i >= 0) {
+        val okBefore = i == 0 ||
+          !(identChar(maskedHaving(i - 1)) && identChar(em.head))
+        val after = i + em.length
+        val okAfter = after >= maskedHaving.length ||
+          !(identChar(maskedHaving(after)) && identChar(em.last))
+        if (okBefore && okAfter) {
+          having = having.substring(0, i) + a + having.substring(after)
+          maskedHaving = maskedHaving.substring(0, i) + a + maskedHaving.substring(after)
+          i = maskedHaving.indexOf(em, i + a.length)
+        } else i = maskedHaving.indexOf(em, i + 1)
+      }
     }
     sql.substring(0, hv.end) + having + sql.substring(hvEnd)
   }

@@ -183,21 +183,15 @@ object PostgresDialect {
 object RedshiftDialect {
 
   def rewrite(sql: String): String =
-    rewriteSessionUser(rewriteAggScale(rewriteRankNoOrder(rewriteInitcap(
+    rewriteAggScale(rewriteRankNoOrder(rewriteInitcap(
       rewriteSingleArgGreatest(rewriteTwoArgRegexpReplace(rewritePi(
-        rewriteNtile(rewriteListaggDefault(PostgresDialect.rewriteQuotes(sql))))))))))
+        rewriteNtile(rewriteListaggDefault(PostgresDialect.rewriteQuotes(sql)))))))))
 
-  /** The reference corpus records its JDBC fixture connection user
-    * (`sa` — redshift.iq:2147/2214/2228); CURRENT_USER here returns
-    * the OS user. The harness pins the fixture user the same way it
-    * pins the scott fixture tables — bare whole-statement forms only,
-    * so any other use of the functions keeps engine semantics. */
-  private[sql] def rewriteSessionUser(sql: String): String =
-    "(?is)^\\s*SELECT\\s+(CURRENT_USER|SESSION_USER|USER)\\s*;?\\s*$".r
-      .findFirstMatchIn(sql) match {
-      case Some(m) => s"SELECT 'sa' AS `${m.group(1)}`"
-      case None => sql
-    }
+  // CURRENT_USER / SESSION_USER / USER keep engine semantics (Spark's
+  // session user). The reference corpus records its JDBC fixture
+  // connection user (`sa` — redshift.iq:2147/2214/2227); those three
+  // cases are ENVIRONMENT skips in BabelCorpusSpec, not a rewrite —
+  // pinning the fixture value here would hide a real regression.
 
   /** The reference's NTILE interleaves bucket sizes — row r of N in b
     * buckets lands in floor((r-1)*b/N)+1 (sizes 4,3,4,3 for 14/4),

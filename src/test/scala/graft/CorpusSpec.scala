@@ -353,6 +353,10 @@ class CorpusSpec extends IqHarness {
                   // CURRENT VALUE case depends on it)
                   graft.functions.Sequences.drop("my_seq")
                   graft.functions.Sequences.create("my_seq")
+                  // the fixture catalog's schema (sequence.iq's
+                  // `"s"."my_seq"`) — declared HERE, by the harness,
+                  // so product code never hardcodes it
+                  graft.functions.Sequences.registerSchema("s")
                 }
                 lastUse = c.use
               }
@@ -384,6 +388,11 @@ class CorpusSpec extends IqHarness {
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
     if (corpusOnly.isEmpty)
       assert(pass >= 1617, s"corpus coverage dropped: $pass passing (floor 1617)")
+    else
+      // a typo'd GRAFT_CORPUS_ONLY (or one exported by accident in CI)
+      // must not greenlight a zero-case run with the floor disabled
+      assert(pass > 0, s"GRAFT_CORPUS_ONLY=${corpusOnly.get.mkString(",")} " +
+        "matched no passing cases — filter typo, or the ratchet is accidentally off")
     // round 7: ALL 45 round-6 Spark-limitation cases now execute —
     // the manual-Correlate fallback (sql/Decorrelate.scala: nested/deep
     // correlation, correlated vars under joins inside subqueries,
