@@ -209,8 +209,8 @@ object Extras {
       val n2 = T(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("sk"))
         .join(broadcast(n2), col("c_nationkey") === col("ck"))
         .filter(
@@ -245,7 +245,7 @@ object Extras {
   val q58_disjunctive_join = Q(
     (s, dir) => {
       T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity") >= 10 && col("l_quantity") <= 30) ||

@@ -125,7 +125,7 @@ object Quantified {
       import graft.plans.Measures
       import graft.plans.Measures.{AtAll, Grouped}
       val detail = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
       val m = Measures.MeasuredTable(detail,
         Map("revenue" -> T.dsum(col("l_extendedprice"))))

@@ -74,7 +74,7 @@ object Relational {
       val ord = T(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
       val li = T(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(T.dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - T.dec2(col("l_discount"))))
           .cast(DoubleType).as("revenue"))
@@ -128,8 +128,8 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
       val li = T(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

@@ -95,7 +95,7 @@ object Temporal {
       val supp = T(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"),
           expr("st_point(CAST(s_suppkey % 100 AS DOUBLE), CAST((s_suppkey DIV 7) % 100 AS DOUBLE))").as("sp"))
-      cust.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
+      cust.join(supp, col("c_nationkey") === col("s_nationkey"))
         .filter(expr("st_dwithin(cp, sp, 7.5)"))
         .select(col("c_custkey"), col("s_suppkey"),
           round(expr("st_distance(cp, sp)"), 6).as("dist"))

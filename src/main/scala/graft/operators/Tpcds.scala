@@ -62,7 +62,7 @@ object Tpcds {
       // the per-type total stays DECIMAL through the window sum (exact,
       // order-independent) and casts to double only inside the ratio
       val byPart = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_type"), col("p_partkey"))
         .agg(sum(T.dec2(col("l_extendedprice"))).as("rev_dec"))
@@ -130,7 +130,7 @@ object Tpcds {
   val ds04_rollup_topn = Q(
     (s, dir) => {
       val base = T(s, dir, "orders")
-        .join(broadcast(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        .join(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))

@@ -35,8 +35,8 @@ object Tpcds2 {
       val ret = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("c_custkey"))
         .agg(sum(T.dec2(col("l_extendedprice"))).as("ret_dec"))
@@ -71,7 +71,7 @@ object Tpcds2 {
   val ds08_brand_monthly_topn = Q(
     (s, dir) => {
       val agg = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"),
           month(col("l_shipdate")).as("mo"))
@@ -107,7 +107,7 @@ object Tpcds2 {
   val ds09_channel_intersect = Q(
     (s, dir) => {
       val li = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
       def top(slice: org.apache.spark.sql.DataFrame) = slice
         .groupBy(col("p_type"))
@@ -186,8 +186,8 @@ object Tpcds2 {
   val ds12_multi_nation_orders = Q(
     (s, dir) => {
       val multi = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"))),
+        .join(T(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_orderkey"))
         .agg(countDistinct(col("s_nationkey")).as("n_nations"))
@@ -214,7 +214,7 @@ object Tpcds2 {
   val ds13_below_avg_items = Q(
     (s, dir) => {
       val byPart = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_partkey"))
         .agg(sum(T.dec2(col("l_extendedprice"))).as("rev_dec"))

@@ -69,7 +69,7 @@ object Tpcds3 {
   val ds18_quarterly_deviation = Q(
     (s, dir) => {
       val q = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"),
           quarter(col("l_shipdate")).as("qtr"))
@@ -169,7 +169,7 @@ object Tpcds3 {
   val ds21_margin_rollup_rank = Q(
     (s, dir) => {
       val fact = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        .join(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(T(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
@@ -231,7 +231,7 @@ object Tpcds3 {
         .filter(col("qty") > 150)
       T(s, dir, "orders")
         .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(T(s, dir, "customer").select(col("c_custkey"), col("c_name"))),
+        .join(T(s, dir, "customer").select(col("c_custkey"), col("c_name")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_orderkey"),
           T.dec2(col("o_totalprice")).cast(DoubleType).as("totalprice"),
@@ -325,11 +325,11 @@ object Tpcds3 {
   val ds25_promo_ratio = Q(
     (s, dir) => {
       T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        .join(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"))
         .agg(
@@ -357,7 +357,7 @@ object Tpcds3 {
   val ds26_qoq_growth = Q(
     (s, dir) => {
       val q = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        .join(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))

@@ -33,7 +33,7 @@ object Tpcds4 {
   val ds27_return_ratio_rank = Q(
     (s, dir) => {
       val agg = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
@@ -127,7 +127,7 @@ object Tpcds4 {
   val ds31_neighbor_deviation = Q(
     (s, dir) => {
       val monthly = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"),
           (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("mo"))
@@ -166,7 +166,7 @@ object Tpcds4 {
   val ds32_yearly_return_trend = Q(
     (s, dir) =>
       T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
         .agg(

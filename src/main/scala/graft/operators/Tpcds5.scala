@@ -51,7 +51,7 @@ object Tpcds5 {
   val ds38_channel_consistency = Q(
     (s, dir) =>
       T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
@@ -135,7 +135,7 @@ object Tpcds5 {
   val ds41_union_channel_agg = Q(
     (s, dir) => {
       val li = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
           col("l_orderkey") === col("o_orderkey"))

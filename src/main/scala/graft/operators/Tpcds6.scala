@@ -25,7 +25,7 @@ object Tpcds6 {
       val perCust = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        .join(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("o_custkey"))
         .agg(sum(T.dec2(col("l_extendedprice"))).as("ret"))
@@ -61,7 +61,7 @@ object Tpcds6 {
   val ds44_below_avg_pairs = Q(
     (s, dir) => {
       val pairs = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_suppkey"), col("p_brand"))
         .agg(sum(T.dec2(col("l_extendedprice"))).as("rev"))
@@ -174,7 +174,7 @@ object Tpcds6 {
   val ds48_top_decile_nations = Q(
     (s, dir) => {
       val byNation = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        .join(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
@@ -232,7 +232,7 @@ object Tpcds6 {
   val ds50_share_of_parent = Q(
     (s, dir) => {
       val byBrand = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_type"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_type"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_type"), col("p_brand"))
         .agg(sum(T.dec2(col("l_extendedprice"))).as("rev"))

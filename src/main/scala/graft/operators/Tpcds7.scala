@@ -97,7 +97,7 @@ object Tpcds7 {
   val ds54_size_band_suppliers = Q(
     (s, dir) =>
       T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_size"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(floor((col("p_size") - 1) / 13).cast(LongType).as("size_band"))
         .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
@@ -119,7 +119,7 @@ object Tpcds7 {
       val perOrder = T(s, dir, "lineitem")
         .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        .join(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("o_orderkey"))
         .agg(sum(T.dec2(col("l_extendedprice"))).as("rev"))

@@ -20,7 +20,7 @@ object Tpcds8 {
   val ds58_best_worst_panel = Q(
     (s, dir) => {
       val agg = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
@@ -56,7 +56,7 @@ object Tpcds8 {
   val ds59_region_rollup_rank = Q(
     (s, dir) => {
       val base = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        .join(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
           col("s_nationkey") === col("n_nationkey"))

@@ -36,20 +36,18 @@ object Tpch {
     * aggregation broadcast back onto the (already filtered) join. */
   val t02_min_cost_supplier = Q(
     (s, dir) => {
-      val euroSupp = broadcast(
-        T(s, dir, "supplier")
+      val euroSupp = T(s, dir, "supplier")
           .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(T(s, dir, "region").filter(col("r_name") === "EUROPE")),
-            col("n_regionkey") === col("r_regionkey")))
-      val parts = broadcast(
-        T(s, dir, "part").filter(col("p_size") <= 10 && col("p_type") === "LARGE"))
+            col("n_regionkey") === col("r_regionkey"))
+      val parts = T(s, dir, "part").filter(col("p_size") <= 10 && col("p_type") === "LARGE")
       val joined = T(s, dir, "lineitem")
         .join(parts, col("l_partkey") === col("p_partkey"))
         .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
       val minPrice = joined.groupBy(col("l_partkey").as("mp_partkey"))
         .agg(min(col("l_extendedprice")).as("min_price"))
       joined
-        .join(broadcast(minPrice),
+        .join(minPrice,
           col("l_partkey") === col("mp_partkey") && col("l_extendedprice") === col("min_price"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("p_name"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -73,17 +71,15 @@ object Tpch {
     * per order year. Six dimension joins, all broadcast. */
   val t08_market_share = Q(
     (s, dir) => {
-      val custAmerica = broadcast(
-        T(s, dir, "customer")
+      val custAmerica = T(s, dir, "customer")
           .join(broadcast(T(s, dir, "nation")).as("cn"), col("c_nationkey") === col("cn.n_nationkey"))
           .join(broadcast(T(s, dir, "region").filter(col("r_name") === "AMERICA")),
             col("cn.n_regionkey") === col("r_regionkey"))
-          .select(col("c_custkey")))
-      val suppNation = broadcast(
-        T(s, dir, "supplier")
+          .select(col("c_custkey"))
+      val suppNation = T(s, dir, "supplier")
           .join(broadcast(T(s, dir, "nation")).as("sn"), col("s_nationkey") === col("sn.n_nationkey"))
-          .select(col("s_suppkey"), col("sn.n_name").as("supp_nation")))
-      val parts = broadcast(T(s, dir, "part").filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+          .select(col("s_suppkey"), col("sn.n_name").as("supp_nation"))
+      val parts = T(s, dir, "part").filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(custAmerica, col("o_custkey") === col("c_custkey"))
@@ -117,13 +113,11 @@ object Tpch {
     * by supplier nation and ship year. */
   val t09_product_profit = Q(
     (s, dir) => {
-      val suppNation = broadcast(
-        T(s, dir, "supplier")
+      val suppNation = T(s, dir, "supplier")
           .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name")))
-      val parts = broadcast(
-        T(s, dir, "part").filter(col("p_name").like("%widget%"))
-          .select(col("p_partkey"), col("p_retailprice")))
+          .select(col("s_suppkey"), col("n_name"))
+      val parts = T(s, dir, "part").filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), col("p_retailprice"))
       T(s, dir, "lineitem")
         .join(parts, col("l_partkey") === col("p_partkey"))
         .join(suppNation, col("l_suppkey") === col("s_suppkey"))
@@ -150,7 +144,7 @@ object Tpch {
         .join(T(s, dir, "orders")
           .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(sum(rev()).cast(DoubleType).as("revenue"))
@@ -175,12 +169,11 @@ object Tpch {
   val t11_important_parts = Q(
     (s, dir) => {
       val base = T(s, dir, "lineitem")
-        .join(broadcast(
-          T(s, dir, "supplier")
+        .join(T(s, dir, "supplier")
             .join(broadcast(T(s, dir, "nation")
                 .filter(col("n_name").isin("NATION_7", "NATION_8", "NATION_9"))),
               col("s_nationkey") === col("n_nationkey"))
-            .select(col("s_suppkey"))),
+            .select(col("s_suppkey")),
           col("l_suppkey") === col("s_suppkey"))
       val perPart = base.groupBy(col("l_partkey").as("partkey"))
         .agg(T.dsum(col("l_extendedprice")).as("value"))
@@ -232,7 +225,7 @@ object Tpch {
     (s, dir) => {
       T(s, dir, "lineitem")
         .filter(col("l_shipdate") >= "1997-09-01" && col("l_shipdate") < "1997-10-01")
-        .join(broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO", rev()).otherwise(lit(0).cast(DecimalType(12, 2))))
@@ -279,9 +272,8 @@ object Tpch {
   val t16_supplier_cnt = Q(
     (s, dir) => {
       T(s, dir, "lineitem")
-        .join(broadcast(
-          T(s, dir, "part").filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
-            col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50))),
+        .join(T(s, dir, "part").filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50)),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -301,12 +293,12 @@ object Tpch {
   val t17_small_qty = Q(
     (s, dir) => {
       val li = T(s, dir, "lineitem")
-      val brand = broadcast(T(s, dir, "part").filter(col("p_brand") === "Brand#3").select(col("p_partkey")))
+      val brand = T(s, dir, "part").filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
       val branded = li.join(brand, col("l_partkey") === col("p_partkey"))
       val avgQty = branded.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((lit(0.5) * (sum(T.dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1)))).as("half_avg"))
       branded
-        .join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+        .join(avgQty, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity") < col("half_avg"))
         .agg((sum(T.dec2(col("l_extendedprice"))).cast(DoubleType) / lit(7.0)).as("avg_yearly"))
     },
@@ -328,7 +320,7 @@ object Tpch {
         .filter(col("sum_qty") > 300.0)
       T(s, dir, "orders")
         .join(bigOrders, col("o_orderkey") === col("bo_orderkey"))
-        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -349,8 +341,7 @@ object Tpch {
     * family — nested IN chain lowered to semi joins. */
   val t20_excess_suppliers = Q(
     (s, dir) => {
-      val partkeys = broadcast(
-        T(s, dir, "part").filter(col("p_name").like("%widget%")).select(col("p_partkey")))
+      val partkeys = T(s, dir, "part").filter(col("p_name").like("%widget%")).select(col("p_partkey"))
       val bigShippers = T(s, dir, "lineitem")
         .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
         .join(partkeys, col("l_partkey") === col("p_partkey"), "left_semi")
@@ -393,7 +384,7 @@ object Tpch {
           "left_semi")
         .join(l3, col("l_orderkey") === col("l3_orderkey") && col("l3_shipdate") > col("l_shipdate"),
           "left_anti")
-        .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(countDistinct(col("l_orderkey")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
