@@ -20,7 +20,8 @@ object SparkEntry {
       Stats.all ++ Lateral.all ++ Patterns.all ++ Extras.all ++ Json.all ++
       Temporal.all ++ Tpch.all ++ Tpcds.all ++ Tpcds2.all ++ Tpcds3.all ++
       Tpcds4.all ++ Tpcds5.all ++ Tpcds6.all ++ Tpcds7.all ++ Tpcds8.all ++
-      Tpcds9.all ++ Tpcds10.all ++ Tpcds11.all ++ Library2.all ++ Quantified.all ++
+      Tpcds9.all ++ Tpcds10.all ++ Tpcds11.all ++ Tpcds12.all ++
+      Library2.all ++ Quantified.all ++
       Round4.all ++ Gaps.all ++ Subqueries2.all ++ Tvf.all ++ Funnel.all ++
       Joins2.all ++ Geo.all ++ Dialect2.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
