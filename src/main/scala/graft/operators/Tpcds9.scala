@@ -128,15 +128,19 @@ object Tpcds9 {
       GROUP BY p_brand ORDER BY p_brand"""))
 
   /** Q8 shape: the preferred-zip semi-join — revenue by nation
-    * restricted to nations that have at least 25 well-funded customers
-    * (the derived key set semi-joins the fact path; nothing collects). */
+    * restricted to nations with an ABOVE-AVERAGE count of well-funded
+    * customers (the relative bar is scale-free: selective at every sf
+    * where an absolute count is empty at small scales); the derived
+    * key set semi-joins the fact path, nothing collects. */
   val ds67_preferred_nations = Q(
     (s, dir) => {
-      val preferred = T(s, dir, "customer")
+      val rich = T(s, dir, "customer")
         .filter(col("c_acctbal") > 5000.0)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_rich"))
-        .filter(col("n_rich") >= 25)
+      val tot = rich.agg(sum(col("n_rich")).as("tot"), count(lit(1)).as("n_nat"))
+      val preferred = rich.crossJoin(broadcast(tot))
+        .filter(col("n_rich") * col("n_nat") > col("tot"))
         .select(col("c_nationkey").as("pref_nk"))
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -160,8 +164,13 @@ object Tpcds9 {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
       WHERE c_nationkey IN (
-        SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
-        GROUP BY c_nationkey HAVING COUNT(*) >= 25)
+        SELECT c_nationkey
+        FROM (SELECT c_nationkey, COUNT(*) AS n_rich FROM customer
+              WHERE c_acctbal > 5000 GROUP BY c_nationkey) r,
+             (SELECT SUM(n_rich) AS tot, COUNT(*) AS n_nat
+              FROM (SELECT c_nationkey, COUNT(*) AS n_rich FROM customer
+                    WHERE c_acctbal > 5000 GROUP BY c_nationkey)) t
+        WHERE n_rich * n_nat > tot)
       GROUP BY n_name ORDER BY n_name"""))
 
   /** Q9 shape: the count-gated bucket panel — five quantity bands in

@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GetStructField, In, Or}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, CaseWhen, EqualTo, Expression, GetStructField, In, InSubquery, IsNull, ListQuery, Literal, Or, OuterReference, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.Max
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.types.{BooleanType, StructType}
 
 /** SQL-standard row equality (ref: SqlStdOperatorTable EQUALS over row
   * types; corpus row-equality.iq). The standard compares rows
@@ -42,6 +43,49 @@ object RowEquality {
         case EqualTo(l, r) if isStruct(l) && isStruct(r) => expand(l, r)
         case In(v, list) if isStruct(v) && list.nonEmpty && list.forall(isStruct) =>
           list.map(expand(v, _)).reduceLeft[Expression](Or(_, _))
+        case InSubquery(values, lq: ListQuery)
+            if values.nonEmpty &&
+              values.forall(v => v.resolved && v.foldable &&
+                !v.exists(_.isInstanceOf[OuterReference])) &&
+              lq.plan.resolved && lq.outerAttrs.isEmpty &&
+              uncorrelated(lq.plan) &&
+              lq.plan.output.length == values.length =>
+          inSubquery3vl(values, lq)
       }
     }
+
+  /** Literal-LHS IN-subquery with standard 3VL (row-equality.iq:499):
+    * Spark's optimizer plans a projection-position IN-subquery as
+    * ExistenceJoin, which answers FALSE where the standard requires
+    * UNKNOWN (a NULL field on either side of an otherwise-matching
+    * row). Lowered here — analyzed plan, before that rewrite — to ONE
+    * scalar aggregate over the subquery:
+    *
+    *   max(CASE WHEN v = row THEN 2 WHEN (v = row) IS NULL THEN 1
+    *            ELSE 0 END)  →  2→TRUE, 1→UNKNOWN, 0/empty→FALSE
+    *
+    * Scale: the subquery aggregates to one row before joining back —
+    * a broadcast of a single value, never a row-duplicating join.
+    * Correlated forms (outer refs in the values) are left to Spark's
+    * own planner, which handles their WHERE-position semantics. */
+  /** True when no expression anywhere in the plan — including plans of
+    * nested subquery expressions — carries an outer reference. */
+  private def uncorrelated(plan: LogicalPlan): Boolean = {
+    def exprFree(p: LogicalPlan): Boolean =
+      !p.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
+    exprFree(plan) && plan.subqueriesAll.forall(exprFree)
+  }
+
+  private def inSubquery3vl(values: Seq[Expression], lq: ListQuery): Expression = {
+    val eq = values.zip(lq.plan.output).map { case (v, a) => expand(v, a) }
+      .reduceLeft[Expression](And(_, _))
+    val score = CaseWhen(Seq((eq, Literal(2)), (IsNull(eq), Literal(1))), Some(Literal(0)))
+    val agg = Aggregate(Nil,
+      Seq(Alias(Max(score).toAggregateExpression(), "__in3vl")()), lq.plan)
+    val s = ScalarSubquery(agg)
+    CaseWhen(Seq(
+      (EqualTo(s, Literal(2)), Literal.TrueLiteral),
+      (EqualTo(s, Literal(1)), Literal.create(null, BooleanType))),
+      Some(Literal.FalseLiteral))
+  }
 }

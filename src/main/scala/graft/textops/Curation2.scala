@@ -81,7 +81,7 @@ object Curation2 {
       val exB = bench.select(col("b_id"), explode(col("b_ws")).as("sh"))
       val hot = exC.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > Dedup.ShingleDfCap).select(col("sh"))
-      val cand = exC.join(broadcast(hot), Seq("sh"), "left_anti")
+      val cand = exC.join(hot, Seq("sh"), "left_anti")
         .join(exB, Seq("sh"))
         .select(col("doc_id"), col("b_id")).distinct()
       val verified = cand.join(corpus, "doc_id").join(bench, "b_id")

@@ -125,8 +125,9 @@ object Dedup {
     * relation — the shared engine behind d04/d15/d27/d29.
     *
     * Two stages: (1) CANDIDATES from the inverted shingle index with
-    * corpus-hot shingles (df > maxDf) dropped — the hot set is
-    * vocabulary-bounded and tiny, so it broadcasts into an anti join;
+    * corpus-hot shingles (df > maxDf) dropped — the hot set is the Zipf
+    * head (small in practice, size-aware-joined so AQE broadcasts it
+    * while it fits and shuffles beyond — never a forced broadcast);
     * (2) exact VERIFICATION of each distinct candidate pair on the full
     * shingle arrays, so the cap can never alter a reported value. */
   private[graft] def jaccardPairs(
@@ -134,7 +135,7 @@ object Dedup {
     val ex = shingles.select(col("doc_id"), explode(col("ws")).as("sh"))
     val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
-    val cold = ex.join(broadcast(hot), Seq("sh"), "left_anti")
+    val cold = ex.join(hot, Seq("sh"), "left_anti")
     val cand = cold.select(col("doc_id").as("doc_a"), col("sh"))
       .join(cold.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -256,11 +257,12 @@ object Dedup {
           .as("p"))
         .select(col("p.doc_a"), col("p.doc_b")).distinct()
       // exact verification on candidates only: semi-join the corpus down
-      // to candidate docs (broadcast — the pair set is tiny), THEN
-      // shingle just those docs
+      // to candidate docs (size-aware — AQE broadcasts the pair set
+      // while it is tiny, shuffles if near-dup density ever grows it),
+      // THEN shingle just those docs
       val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
       val sets = Dedup.shingleOf(s,
-        T(s, dir, "documents").join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+        T(s, dir, "documents").join(candDocs, Seq("doc_id"), "left_semi"))
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), Seq("doc_b"))

@@ -173,10 +173,10 @@ class CorpusSpec extends IqHarness {
         "distinguish the variant-null value (prints null) from SQL NULL " +
         "(prints null) — the IS NULL distinction is value-checked at " +
         "variant.iq:92 and equality at :98"),
-      ("row-equality.iq", 499) -> ("row-valued IN-subquery: Spark plans " +
-        "ExistenceJoin, which yields FALSE where 3VL wants NULL (same " +
-        "known analyzer gap as the scalar NOT IN cases; IN-list 3VL is " +
-        "covered by :461/:478 via plans/RowEquality)"),
+      // (former row-equality.iq:499 skip — projection-position IN-subquery
+      // 3VL — lifted round 10: RowEquality.inSubquery3vl lowers the
+      // literal-LHS form to a scalar aggregate before Spark's
+      // ExistenceJoin rewrite can bake FALSE into the UNKNOWN case)
       ("variant.iq", 39) -> ("Spark's variant encoding normalizes integer " +
         "widths to int64 (VariantBuilder), so TYPEOF reports BIGINT where " +
         "the reference keeps the declared INTEGER"),
@@ -386,9 +386,16 @@ class CorpusSpec extends IqHarness {
       engineLimits.foreach(fw.println)
     } finally fw.close()
     assert(failures.isEmpty, s"corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    if (corpusOnly.isEmpty)
-      assert(pass >= 1617, s"corpus coverage dropped: $pass passing (floor 1617)")
-    else
+    if (corpusOnly.isEmpty) {
+      assert(pass >= 1618, s"corpus coverage dropped: $pass passing (floor 1618)")
+      // frozen-divergence drift guard (VERDICT r9 item 5): the number of
+      // case-skips actually HIT is the frozen 39 — a new skip sneaking in
+      // through the table (or a stale row masking a now-passing case)
+      // fails here, not silently in the counts
+      assert(skippedCase <= 39,
+        s"runtime case-skips grew: $skippedCase (frozen at 39) — a new " +
+          "divergence needs a CONFORMANCE.md row and a deliberate table edit")
+    } else
       // a typo'd GRAFT_CORPUS_ONLY (or one exported by accident in CI)
       // must not greenlight a zero-case run with the floor disabled
       assert(pass > 0, s"GRAFT_CORPUS_ONLY=${corpusOnly.get.mkString(",")} " +
@@ -415,6 +422,18 @@ class CorpusSpec extends IqHarness {
     * permissive (a cast it can perform, arithmetic it defines) the case
     * counts as a measured permissive-divergence, ratcheted so the
     * number can only shrink. */
+  test("frozen case-skip table stays frozen (drift guard, VERDICT r9 item 5)") {
+    // the inherent-divergence table in CONFORMANCE.md is end-of-round-9
+    // state; adding a skip without lifting one must fail loudly here,
+    // not silently widen the frozen set. Lifts shrink this number in
+    // the same change.
+    // 43 table rows; 39 fire at runtime (CONFORMANCE.md's count) — the
+    // other 4 are same-statement alternates kept for documentation
+    assert(skipCases.size == 43,
+      s"case-skip table drifted: ${skipCases.size} rows (frozen at 43) — " +
+        "update CONFORMANCE.md's divergence table AND this guard together")
+  }
+
   test("reference .iq error contracts: rejected statements also fail here") {
     assume(refSqlDir.isDirectory, "reference checkout not present")
     registerHr()
