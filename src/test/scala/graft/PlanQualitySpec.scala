@@ -274,4 +274,42 @@ class PlanQualitySpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen"), "hot path fell out of codegen")
   }
+
+  // ---- round-10 pack gates (ds64–ds96, d42) -----------------------------
+
+  test("ds68: count-gated bucket panel is ONE fact scan, no joins") {
+    val p = plan("ds68_gated_buckets")
+    assert("FileScan parquet".r.findAllMatchIn(p).length == 1,
+      s"panel must scan the fact table exactly once:\n$p")
+    assert(!p.contains("Join"), s"panel must not join:\n$p")
+  }
+
+  test("ds76: excess-discount decorrelates to one per-part aggregate join") {
+    val p = plan("ds76_excess_discount")
+    // the correlated scalar (per-part average) must become ONE keyed
+    // aggregate joined back on l_partkey — never a per-row subquery
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated compare regressed to a product:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-part aggregate must be partial before its shuffle")
+  }
+
+  test("ds90: three-channel return shares are one conditional pass, no union of scans") {
+    val p = plan("ds90_return_share_panel")
+    assert("FileScan parquet".r.findAllMatchIn(p).length == 1,
+      s"three channels must fold into one scan:\n$p")
+    assert(!p.contains("Union"), s"no per-channel union:\n$p")
+  }
+
+  test("ds64: week-over-week self-join shuffles both sides on the same key") {
+    val p = plan("ds64_week_over_week")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"shifted-key self-join must stay hashed:\n$p")
+  }
+
+  test("d42: span dedup is keyed shuffles only — no product, no corpus broadcast") {
+    val p = plan("d42_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span count/join must shuffle on the span key:\n$p")
+  }
 }
