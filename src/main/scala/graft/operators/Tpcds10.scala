@@ -186,9 +186,11 @@ object Tpcds10 {
     })
 
   /** Q45 shape: the OR-of-memberships census — customers in a fixed
-    * key-mod list OR in the derived big-spender set. The OR of two
-    * semi-joins runs as ONE semi-join against the union of the key
-    * sets (set-equivalent, single fact pass). */
+    * key-mod list OR in the derived big-spender set. The row-local
+    * mod predicate stays a filter; the derived set joins in as a
+    * unique-keyed flag (left join, no duplication), so the OR costs
+    * ONE customer pass and one keyed join — never a union of fact
+    * scans. */
   val ds79_or_membership = Q(
     (s, dir) => {
       val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
@@ -196,12 +198,10 @@ object Tpcds10 {
       val bigSpenders = o.groupBy(col("o_custkey"))
         .agg(sum(T.dec2(col("o_totalprice"))).as("tot"))
         .filter(col("tot") > 1500000.0)
-        .select(col("o_custkey").as("k"))
-      val modList = cust.filter(col("c_custkey") % 100 isin (5, 17, 23, 42, 77))
-        .select(col("c_custkey").as("k"))
-      val keys = modList.union(bigSpenders).distinct()
+        .select(col("o_custkey").as("k"), lit(1).as("bs"))
       o.join(cust, col("o_custkey") === col("c_custkey"))
-        .join(keys, col("c_custkey") === col("k"), "left_semi")
+        .join(bigSpenders, col("c_custkey") === col("k"), "left")
+        .filter((col("c_custkey") % 100 isin (5, 17, 23, 42, 77)) || col("bs") === 1)
         .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))

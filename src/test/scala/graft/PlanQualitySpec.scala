@@ -312,4 +312,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span count/join must shuffle on the span key:\n$p")
   }
+
+  test("ds65: four year-channel slices fold into ONE fact-side aggregate pass") {
+    val p = plan("ds65_two_channel_growth")
+    // lineitem + orders = exactly two scans; the 4 conditional sums and
+    // the growth cross-multiply must NOT expand into per-slice scans
+    assert("FileScan parquet".r.findAllMatchIn(p).length == 2,
+      s"expected exactly lineitem+orders scans:\n$p")
+    assert(p.contains("partial_sum"), "slices must aggregate map-side")
+  }
+
+  test("ds79: OR of memberships runs as ONE semi-join, not a union of fact passes") {
+    val p = plan("ds79_or_membership")
+    // orders appears twice (fact + big-spender derivation) and customer
+    // once — the OR must not triple-scan the fact side
+    assert("FileScan parquet".r.findAllMatchIn(p).length <= 4,
+      s"OR-of-memberships expanded into extra fact scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"membership must stay hashed:\n$p")
+  }
+
+  test("ds92: the year window rides the monthly aggregate, no second fact pass") {
+    val p = plan("ds92_month_deviation")
+    assert("FileScan parquet".r.findAllMatchIn(p).length == 2,
+      s"expected exactly lineitem+part scans (window on the aggregate):\n$p")
+  }
+
+  test("d43: semantic dedup pairs only within cells — no all-pairs product") {
+    val p = plan("d43_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pair join must stay hashed on (cid, pos):\n$p")
+  }
 }
