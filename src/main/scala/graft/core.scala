@@ -71,4 +71,25 @@ object T {
 
   /** Order-independent average: exact decimal sum / count, in double. */
   def davg(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(lit(1))
+
+  /** Monday epoch for week/day-of-week arithmetic in oracle-checked
+    * shapes (ds64/ds78/ds95 and their DuckDB twins, which must spell
+    * `date_diff('day', TIMESTAMP '1970-01-05', x)`). 1970-01-05 is a
+    * Monday BELOW any plausible data domain, so the day diff is always
+    * non-negative and truncation == floor and pmod == % on BOTH
+    * engines — the cross-engine determinism the shapes rely on would
+    * silently break for pre-epoch dates (Spark casts toward zero and
+    * pmod is non-negative; DuckDB floors and % keeps the sign). */
+  val weekEpoch = "1970-01-05"
+
+  /** Days since [[weekEpoch]] (non-negative over any sane data). */
+  def epochDays(c: Column): Column =
+    datediff(c, lit(weekEpoch).cast("timestamp"))
+
+  /** Week number since [[weekEpoch]]. */
+  def weekSeq(c: Column): Column = (epochDays(c) / 7).cast(LongType)
+
+  /** Day-of-week, 0=Monday..6=Sunday, from pure day arithmetic —
+    * never an engine week/dow function (ISO-week rules differ). */
+  def dow(c: Column): Column = pmod(epochDays(c), lit(7))
 }

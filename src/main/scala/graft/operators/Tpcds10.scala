@@ -156,11 +156,12 @@ object Tpcds10 {
         SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997)"""))
 
   /** Q43 shape: the day-of-week pivot — one row per supplier nation,
-    * seven conditional revenue columns. Day-of-week is day arithmetic
-    * off the Monday epoch (0=Mon..6=Sun), never an engine dow call. */
+    * seven conditional revenue columns. Day-of-week is T.dow — day
+    * arithmetic off the shared pre-domain Monday epoch (0=Mon..6=Sun),
+    * never an engine dow call. */
   val ds78_dow_pivot = Q(
     (s, dir) => {
-      val dow = pmod(datediff(col("l_shipdate"), lit("1994-12-26").cast("timestamp")), lit(7))
+      val dow = T.dow(col("l_shipdate"))
       def d(i: Int) =
         (sum(when(dow === i, T.dec2(col("l_extendedprice"))).otherwise(T.dec2(lit(0)))) * 100)
           .cast(LongType).as(s"d$i")
@@ -175,7 +176,7 @@ object Tpcds10 {
     },
     Some {
       val cols = (0 to 6).map { i =>
-        s"CAST(SUM(CASE WHEN date_diff('day', TIMESTAMP '1994-12-26', l_shipdate) % 7 = $i THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END) * 100 AS BIGINT) AS d$i"
+        s"CAST(SUM(CASE WHEN date_diff('day', TIMESTAMP '1970-01-05', l_shipdate) % 7 = $i THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END) * 100 AS BIGINT) AS d$i"
       }.mkString(",\n        ")
       s"""SELECT n_name,
         $cols

@@ -164,19 +164,19 @@ object Tpcds12 {
 
   /** Q96 shape: the narrow-window selective count — one highly
     * selective conjunctive filter, one number out; every predicate
-    * pushes to the scan. Day-of-week is day arithmetic as in ds64. */
+    * pushes to the scan. Day-of-week is T.dow as in ds64/ds78. */
   val ds95_selective_count = Q(
     (s, dir) =>
       T(s, dir, "lineitem")
         .filter(col("l_quantity").between(26, 30) &&
-          pmod(datediff(col("l_shipdate"), lit("1994-12-26").cast("timestamp")), lit(7)) === 4 &&
+          T.dow(col("l_shipdate")) === 4 &&
           col("l_discount") >= 0.08)
         .agg(count(lit(1)).as("n_lines")),
     Some("""
       SELECT COUNT(*) AS n_lines
       FROM lineitem
       WHERE l_quantity BETWEEN 26 AND 30
-        AND date_diff('day', TIMESTAMP '1994-12-26', l_shipdate) % 7 = 4
+        AND date_diff('day', TIMESTAMP '1970-01-05', l_shipdate) % 7 = 4
         AND l_discount >= CAST(0.08 AS DOUBLE)"""))
 
   /** Q99 shape: ship-lag buckets by (priority, linestatus) — the

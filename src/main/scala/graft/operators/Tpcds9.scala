@@ -25,16 +25,15 @@ object Tpcds9 {
 
   /** Q2 shape: per-(week, day-of-week) revenue joined against the NEXT
     * week's same day — the shifted-key self-join — with the ratio as
-    * integer ppm. Week/dow derive from pure day arithmetic off a fixed
-    * Monday epoch, not engine week functions (ISO-week rules differ
-    * across engines; day arithmetic cannot). */
+    * integer ppm. Week/dow derive from pure day arithmetic off the
+    * shared pre-domain Monday epoch (T.weekSeq/T.dow — truncation,
+    * floor, pmod and % all agree on its non-negative diffs), not
+    * engine week functions (ISO-week rules differ across engines). */
   val ds64_week_over_week = Q(
     (s, dir) => {
       val wk = T(s, dir, "lineitem")
-        .select((datediff(col("l_shipdate"), lit("1994-12-26").cast("timestamp")) / 7)
-            .cast(LongType).as("week_seq"),
-          pmod(datediff(col("l_shipdate"), lit("1994-12-26").cast("timestamp")), lit(7))
-            .cast(IntegerType).as("dow"),
+        .select(T.weekSeq(col("l_shipdate")).as("week_seq"),
+          T.dow(col("l_shipdate")).cast(IntegerType).as("dow"),
           col("l_extendedprice"))
         .groupBy(col("week_seq"), col("dow"))
         .agg((sum(T.dec2(col("l_extendedprice"))) * 100).cast(LongType).as("cents"))
@@ -49,8 +48,8 @@ object Tpcds9 {
     },
     Some("""
       WITH wk AS (
-        SELECT CAST(FLOOR(date_diff('day', TIMESTAMP '1994-12-26', l_shipdate) / 7.0) AS BIGINT) AS week_seq,
-          CAST(date_diff('day', TIMESTAMP '1994-12-26', l_shipdate) % 7 AS INT) AS dow,
+        SELECT CAST(FLOOR(date_diff('day', TIMESTAMP '1970-01-05', l_shipdate) / 7.0) AS BIGINT) AS week_seq,
+          CAST(date_diff('day', TIMESTAMP '1970-01-05', l_shipdate) % 7 AS INT) AS dow,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
         FROM lineitem GROUP BY 1, 2)
       SELECT c.week_seq, c.dow, c.cents AS cur_cents, n.cents AS next_cents,

@@ -54,6 +54,14 @@ object RowEquality {
       }
     }
 
+  /** True when no expression anywhere in the plan — including plans of
+    * nested subquery expressions — carries an outer reference. */
+  private def uncorrelated(plan: LogicalPlan): Boolean = {
+    def exprFree(p: LogicalPlan): Boolean =
+      !p.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
+    exprFree(plan) && plan.subqueriesAll.forall(exprFree)
+  }
+
   /** Literal-LHS IN-subquery with standard 3VL (row-equality.iq:499):
     * Spark's optimizer plans a projection-position IN-subquery as
     * ExistenceJoin, which answers FALSE where the standard requires
@@ -68,14 +76,6 @@ object RowEquality {
     * a broadcast of a single value, never a row-duplicating join.
     * Correlated forms (outer refs in the values) are left to Spark's
     * own planner, which handles their WHERE-position semantics. */
-  /** True when no expression anywhere in the plan — including plans of
-    * nested subquery expressions — carries an outer reference. */
-  private def uncorrelated(plan: LogicalPlan): Boolean = {
-    def exprFree(p: LogicalPlan): Boolean =
-      !p.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
-    exprFree(plan) && plan.subqueriesAll.forall(exprFree)
-  }
-
   private def inSubquery3vl(values: Seq[Expression], lq: ListQuery): Expression = {
     val eq = values.zip(lq.plan.output).map { case (v, a) => expand(v, a) }
       .reduceLeft[Expression](And(_, _))

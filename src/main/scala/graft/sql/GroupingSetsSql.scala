@@ -218,7 +218,11 @@ object GroupingSetsSql {
         val after = i + em.length
         val okAfter = after >= maskedHaving.length ||
           !(identChar(maskedHaving(after)) && identChar(em.last))
-        if (okBefore && okAfter) {
+        // masked match only POSITIONS the candidate; the ORIGINAL text
+        // must equal the expression exactly — two expressions differing
+        // only in same-length literal CONTENT mask identically and must
+        // not substitute for each other
+        if (okBefore && okAfter && having.substring(i, after) == e) {
           having = having.substring(0, i) + a + having.substring(after)
           maskedHaving = maskedHaving.substring(0, i) + a + maskedHaving.substring(after)
           i = maskedHaving.indexOf(em, i + a.length)

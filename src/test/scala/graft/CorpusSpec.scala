@@ -390,8 +390,10 @@ class CorpusSpec extends IqHarness {
       assert(pass >= 1618, s"corpus coverage dropped: $pass passing (floor 1618)")
       // frozen-divergence drift guard (VERDICT r9 item 5): the number of
       // case-skips actually HIT is the frozen 39 — a new skip sneaking in
-      // through the table (or a stale row masking a now-passing case)
-      // fails here, not silently in the counts
+      // through the table fails here, not silently in the counts. (A
+      // STALE row — a skipped case that would now pass — is NOT caught,
+      // since skipped cases never execute; lifting attempts stay a
+      // deliberate per-row audit, as in rounds 9/10.)
       assert(skippedCase <= 39,
         s"runtime case-skips grew: $skippedCase (frozen at 39) — a new " +
           "divergence needs a CONFORMANCE.md row and a deliberate table edit")
