@@ -225,8 +225,77 @@ object Multimodal {
         CAST((126 - CAST(round(src_h * sc) AS INT)) // 2 AS INT) AS pad_y
       FROM s ORDER BY doc_id"""))
 
+  /** Audio-path feature extraction over an opaque media column: the
+    * bytes are read as a 16-bit little-endian PCM waveform (consecutive
+    * byte pairs, DC-centered) and each document reports the classic
+    * voice-activity/loudness gate signals — sample count, zero
+    * crossings, total energy (exact Σv² as BIGINT), and peak amplitude.
+    * The waveform "codec" is the deterministic stand-in (same stub
+    * policy as d11/d22 — a real deployment swaps [[pcmSamples]] for an
+    * actual decoder); the operator shape — partition-local decode, one
+    * row per document, integer features through Catalyst — is the real
+    * audio ingestion stage. Row-local, zero shuffles before the
+    * presentation sort. */
+  private[textops] def pcmSamples(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // little-endian unsigned 16-bit, DC-centered to signed
+      val raw = java.lang.Byte.toUnsignedInt(bytes(2 * i)) |
+        (java.lang.Byte.toUnsignedInt(bytes(2 * i + 1)) << 8)
+      out(i) = raw - 16384
+      i += 1
+    }
+    out
+  }
+
+  val d44_audio_features = Q(
+    (s, dir) => {
+      import s.implicits._
+      T(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val v = pcmSamples(bytes)
+          var zc = 0L; var energy = 0L; var peak = 0L
+          var i = 0
+          while (i < v.length) {
+            val x = v(i).toLong
+            if (i > 0 && v(i - 1).toLong * x < 0) zc += 1
+            energy += x * x
+            if (math.abs(x) > peak) peak = math.abs(x)
+            i += 1
+          }
+          (id, v.length.toLong, zc, energy, peak)
+        })
+        .toDF("doc_id", "n_samples", "zero_crossings", "energy", "peak")
+        .filter(col("n_samples") > 0)
+        .orderBy("doc_id")
+    },
+    // the waveform restated in DuckDB: sample i (1-based) is the
+    // DC-centered little-endian pair of text bytes (ASCII corpus:
+    // byte == char code), crossings via lag, energy/peak exact BIGINTs
+    Some("""
+      WITH samples AS (
+        SELECT doc_id, i,
+          ascii(substr(text, 2 * i - 1, 1)) + 256 * ascii(substr(text, 2 * i, 1)) - 16384 AS v
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, LENGTH(text) // 2)) AS i) t),
+      marked AS (
+        SELECT doc_id, v,
+          CASE WHEN v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0 THEN 1 ELSE 0 END AS zc
+        FROM samples)
+      SELECT doc_id, COUNT(*) AS n_samples,
+        CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+        CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      FROM marked GROUP BY doc_id
+      HAVING COUNT(*) > 0
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "d11_multimodal_features" -> d11_multimodal_features,
     "d22_frame_sample" -> d22_frame_sample,
-    "d28_resize" -> d28_resize)
+    "d28_resize" -> d28_resize,
+    "d44_audio_features" -> d44_audio_features)
 }
