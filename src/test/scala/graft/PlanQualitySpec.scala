@@ -343,4 +343,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"within-cell pair join must stay hashed on (cid, pos):\n$p")
   }
+
+  test("d44: audio decode is row-local — exactly one scan, no joins, no pre-sort shuffle") {
+    val p = plan("d44_audio_features")
+    assert("FileScan parquet".r.findAllMatchIn(p).length == 1,
+      s"decode must be one pass over the media column:\n$p")
+    assert(!p.contains("Join"), s"feature extraction must not join:\n$p")
+  }
 }
