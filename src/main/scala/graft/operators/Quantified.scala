@@ -24,7 +24,7 @@ object Quantified {
       val part = T(s, dir, "part")
       val sub = part.filter(col("p_brand") === "Brand#3")
         .agg(max(col("p_retailprice")).as("mx"), count(lit(1)).as("n"))
-      part.crossJoin(broadcast(sub))
+      part.crossJoin(broadcast(sub)) // 1 row by construction: global agg
         .filter(col("n") === 0 || col("p_retailprice") > col("mx"))
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .orderBy("p_partkey")
@@ -42,7 +42,7 @@ object Quantified {
       val part = T(s, dir, "part")
       val sub = part.filter(col("p_brand") === "Brand#3")
         .agg(max(col("p_retailprice")).as("mx"))
-      part.crossJoin(broadcast(sub))
+      part.crossJoin(broadcast(sub)) // 1 row by construction: global agg
         .filter(col("p_retailprice") < col("mx"))
         .select(col("p_partkey"))
         .orderBy("p_partkey")

@@ -219,7 +219,8 @@ object Relational {
     (s, dir) => {
       val region = T(s, dir, "region").select("r_name")
       val statuses = T(s, dir, "orders").select(col("o_orderstatus")).distinct()
-      region.crossJoin(broadcast(statuses)).orderBy("r_name", "o_orderstatus")
+      region.crossJoin(broadcast(statuses)) // fixed cardinality: 5 regions × ≤3 statuses
+        .orderBy("r_name", "o_orderstatus")
     },
     Some("""
       SELECT r_name, o_orderstatus

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.plans.MaterializedViews
+
+/** Round-11 pack: filtered-MV substitution exercised end-to-end under
+  * the driver's DuckDB oracle.
+  */
+object Round11 {
+
+  /** Filtered-MV substitution with a compensating predicate (ref:
+    * rel/rules/materialize/MaterializedViewRules.java:1 +
+    * plan/SubstitutionVisitor.java:1 filter subsumption): the MV
+    * materializes the 1997-07-01+ slice of orders pre-aggregated by
+    * (status, orderdate); the query asks for the narrower 1998+ slice,
+    * so its predicate IMPLIES the MV's and the optimizer answers it
+    * from the cached rollup with the query predicate re-applied as the
+    * compensation — the fact table is not rescanned (plan-gated in
+    * PlanQualitySpec). Aggregates are exact (COUNT, MAX of bigint), so
+    * the substituted rollup is bit-identical to the direct scan at any
+    * partitioning. At 100 TB this is the filtered-lattice play: one
+    * bounded slice absorbs every dashboard query over the recent range. */
+  val q148_mv_filtered_rollup = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val src = orders.filter(col("o_orderdate") >= "1997-07-01")
+      MaterializedViews.register(s, "q148_mv", src,
+        keys = Seq("o_orderstatus", "o_orderdate"),
+        sums = Nil, maxs = Seq("o_orderkey"))
+      orders.filter(col("o_orderdate") >= "1998-01-01")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), max("o_orderkey").as("last_key"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n, max(o_orderkey) AS last_key
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY o_orderstatus"""))
+
+  val all: Map[String, Q] = Map(
+    "q148_mv_filtered_rollup" -> q148_mv_filtered_rollup)
+}

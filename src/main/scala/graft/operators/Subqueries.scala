@@ -55,7 +55,7 @@ object Subqueries {
       val cust = T(s, dir, "customer")
       val mean = cust.agg(
         (sum(T.dec2(col("c_acctbal"))).cast(DoubleType) / count(lit(1))).as("mean_bal"))
-      cust.crossJoin(broadcast(mean))
+      cust.crossJoin(broadcast(mean)) // 1 row by construction: global agg
         .filter(col("c_acctbal") > col("mean_bal"))
         .select(col("c_custkey"), col("c_acctbal"))
         .orderBy("c_custkey")

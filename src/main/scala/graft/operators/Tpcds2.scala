@@ -313,7 +313,7 @@ object Tpcds2 {
       val cust = T(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), T.dec2(col("c_acctbal")).as("bal"))
       val tot = cust.agg(sum(col("bal")).as("tot"), count(lit(1)).as("n"))
-      cust.crossJoin(broadcast(tot))
+      cust.crossJoin(broadcast(tot)) // 1 row: global agg
         .filter(col("bal") * lit(5) * col("n") > col("tot") * lit(6))
         .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))

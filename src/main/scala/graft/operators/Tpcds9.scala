@@ -138,7 +138,7 @@ object Tpcds9 {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_rich"))
       val tot = rich.agg(sum(col("n_rich")).as("tot"), count(lit(1)).as("n_nat"))
-      val preferred = rich.crossJoin(broadcast(tot))
+      val preferred = rich.crossJoin(broadcast(tot)) // 1 row: global agg
         .filter(col("n_rich") * col("n_nat") > col("tot"))
         .select(col("c_nationkey").as("pref_nk"))
       T(s, dir, "lineitem")
@@ -227,7 +227,7 @@ object Tpcds9 {
         .agg((sum(T.dec2(col("l_extendedprice"))) * 100).cast(LongType).as("cents"))
       val tot = brandRev.agg(sum(col("cents")).as("total_cents"),
         count(lit(1)).as("n_brands"))
-      brandRev.crossJoin(broadcast(tot))
+      brandRev.crossJoin(broadcast(tot)) // 1 row: global agg
         .filter(col("cents") * col("n_brands") > col("total_cents"))
         .select(col("p_brand"), col("cents"))
         .orderBy(col("p_brand"))
@@ -323,7 +323,7 @@ object Tpcds9 {
         .groupBy(col("o_custkey"), col("p_brand"))
         .agg((sum(T.dec2(col("l_extendedprice"))) * 100).cast(LongType).as("cents"))
       val tot = grp.agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_groups"))
-      grp.crossJoin(broadcast(tot))
+      grp.crossJoin(broadcast(tot)) // 1 row: global agg
         .filter(col("cents") * 20 * col("n_groups") > col("total_cents"))
         .select(col("o_custkey"), col("p_brand"), col("cents"))
         .orderBy(col("o_custkey"), col("p_brand"))

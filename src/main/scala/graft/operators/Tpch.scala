@@ -178,7 +178,7 @@ object Tpch {
       val perPart = base.groupBy(col("l_partkey").as("partkey"))
         .agg(T.dsum(col("l_extendedprice")).as("value"))
       val total = base.agg(T.dsum(col("l_extendedprice")).as("total"))
-      perPart.crossJoin(broadcast(total))
+      perPart.crossJoin(broadcast(total)) // 1 row: global agg
         .filter(col("value") > lit(0.001) * col("total"))
         .select(col("partkey"), col("value"))
         .orderBy(col("value").desc, col("partkey"))
@@ -413,7 +413,7 @@ object Tpch {
         .agg((sum(T.dec2(col("c_acctbal"))).cast(DoubleType) / count(lit(1))).as("avg_bal"))
       val recent = T(s, dir, "orders").filter(col("o_orderdate") >= "2000-01-01")
         .select(col("o_custkey"))
-      cust.crossJoin(broadcast(avgBal))
+      cust.crossJoin(broadcast(avgBal)) // 1 row: global agg
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))

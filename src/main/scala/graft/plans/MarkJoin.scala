@@ -34,7 +34,7 @@ object MarkJoin {
     val lk: Column = left(leftKey)
     left
       .join(rkeys, lk === col("__mark_key"), "left")
-      .crossJoin(broadcast(hasNull))
+      .crossJoin(broadcast(hasNull)) // 1 row by construction: global agg
       .withColumn(markName,
         when(col("__mark_hit"), lit(true))                   // definite match
           .when(!col("__mark_rnonempty"), lit(false))        // empty right: IN is FALSE

@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -68,7 +68,10 @@ object MaterializedViews {
       sumsSeq: Seq[String],
       minsSeq: Seq[String],
       maxsSeq: Seq[String],
-      mvDf: DataFrame)
+      mvDf: DataFrame,
+      // the MV's own defining filter, as literal-folded conjuncts; a
+      // query substitutes only when its predicate IMPLIES this one
+      filterConjuncts: Seq[Expression])
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -121,21 +124,35 @@ object MaterializedViews {
     case _ => None
   }
 
-  /** Register + materialize an MV over `source` (a file-based scan).
-    * Partials: sum per `sums` column, min/max per `mins`/`maxs`, and a
-    * group count. Returns the materialized frame (already cached). */
+  /** Register + materialize an MV over `source` (a file-based scan,
+    * optionally FILTERED — the reference's MaterializedViewFilterScanRule
+    * family: a query substitutes when its own predicate implies the
+    * MV's, with the query predicate re-applied on the rollup as the
+    * compensating filter). Partials: sum per `sums` column, min/max per
+    * `mins`/`maxs`, and a group count. Returns the materialized frame
+    * (already cached). */
   def register(spark: SparkSession, name: String, source: DataFrame,
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
     val (signature, srcFilters) = signatureOf(source.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         "MV source must be projects/filters over inner equi-joins of file scans"))
-    require(srcFilters.isEmpty,
-      "MV source must be unfiltered (filter the querying aggregate instead)")
+    // literal-fold the defining filter so register-time (analyzed, casts
+    // unfolded) conjuncts compare equal to query-time (optimized, folded)
+    // conjuncts
+    val filterConjuncts = srcFilters.flatMap(splitAnd).map(foldLiterals)
 
     val cols = partialAggCols(sums, mins, maxs)
     val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
-    store(spark, name, signature, keys, sums, mins, maxs, mv, None)
+    store(spark, name, signature, keys, sums, mins, maxs, mv, None, filterConjuncts)
+  }
+
+  /** Fold foldable subtrees (e.g. the implicit CAST a comparison wraps
+    * around a string literal) to bare literals, so analyzed-plan filters
+    * are comparable with optimizer-folded query filters. */
+  private def foldLiterals(e: Expression): Expression = e.transformUp {
+    case f if f.foldable && !f.isInstanceOf[Literal] =>
+      Literal.create(f.eval(null), f.dataType)
   }
 
   /** The partial-aggregate columns an MV carries per group. */
@@ -153,7 +170,8 @@ object MaterializedViews {
     * installed; unpersists the MV generation it replaces. */
   private def store(spark: SparkSession, name: String, signature: Signature,
       keys: Seq[String], sums: Seq[String], mins: Seq[String],
-      maxs: Seq[String], mv: DataFrame, replaced: Option[DataFrame]): DataFrame = {
+      maxs: Seq[String], mv: DataFrame, replaced: Option[DataFrame],
+      filterConjuncts: Seq[Expression] = Nil): DataFrame = {
     mv.persist()
     mv.count() // materialize now
 
@@ -163,7 +181,7 @@ object MaterializedViews {
     registry.put(name, MvDef(name, signature, keys.toSet, sums.toSet,
       mins.toSet, maxs.toSet, hasCount = true, target,
       target.output.map(a => a.name -> a).toMap,
-      keys, sums, mins, maxs, mv))
+      keys, sums, mins, maxs, mv, filterConjuncts))
     replaced.foreach(_.unpersist())
 
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
@@ -186,8 +204,11 @@ object MaterializedViews {
   def refreshIncremental(spark: SparkSession, name: String, delta: DataFrame): DataFrame = {
     val d = Option(registry.get(name)).getOrElse(
       throw new IllegalArgumentException(s"unknown MV: $name"))
+    // a filtered MV folds in only the delta rows its defining predicate
+    // keeps (conjuncts rebind to the delta by name via their SQL form)
+    val deltaKept = d.filterConjuncts.foldLeft(delta)((df, c) => df.filter(c.sql))
     val cols = partialAggCols(d.sumsSeq, d.minsSeq, d.maxsSeq)
-    val deltaAgg = delta.groupBy(d.keysSeq.map(col): _*).agg(cols.head, cols.tail: _*)
+    val deltaAgg = deltaKept.groupBy(d.keysSeq.map(col): _*).agg(cols.head, cols.tail: _*)
     val mergeCols =
       d.sumsSeq.map(c => sum(col(s"__mv_sum_$c")).as(s"__mv_sum_$c")) ++
         d.sumsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
@@ -198,7 +219,7 @@ object MaterializedViews {
       .groupBy(d.keysSeq.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
     store(spark, name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
-      d.maxsSeq, merged, Some(d.mvDf))
+      d.maxsSeq, merged, Some(d.mvDf), d.filterConjuncts)
   }
 
   def drop(spark: SparkSession, name: String): Unit = registry.remove(name)
@@ -228,25 +249,110 @@ object MaterializedViews {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
         // signatureOf peels pruning Projects and collects Filters;
-        // a query matches an MV when its scan+join shape is identical
-        // and every residual filter references grouping-key columns
-        // only (so it commutes with the rollup and can re-apply on the
-        // MV — the MaterializedViewFilterRule analog).
+        // a query matches an MV when its scan+join shape is identical,
+        // its predicate IMPLIES the MV's defining predicate (filter
+        // subsumption — the MaterializedViewFilterScanRule /
+        // SubstitutionVisitor analog), and the compensating residual
+        // references grouping-key columns only (so it commutes with the
+        // rollup and can re-apply on the MV).
         signatureOf(child).flatMap { case (sig, filters) =>
-          // isnotnull(join key) conjuncts are inferred by Catalyst from
-          // the inner join's constraints; the MV's own inner join
-          // already discarded null keys, so they are vacuous here.
-          val joinCols = sig.joinPairs.flatMap(p => Seq(p._1, p._2))
-          val residual = filters.flatMap(splitAnd).filterNot {
-            case IsNotNull(a: AttributeReference) => joinCols.contains(a.name)
-            case _ => false
-          }
-          registry.values.toArray.collectFirst {
-            case mv: MvDef if mv.signature == sig &&
-                residual.forall(_.references.forall(a => mv.keys.contains(a.name))) =>
-              rewrite(agg, groupings, aggExprs, mv, residual)
-          }.flatten
+          val conjs = filters.flatMap(splitAnd)
+          registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
+            if (mv.signature != sig) None
+            else compensation(mv, conjs, sig)
+              .flatMap(c => rewrite(agg, groupings, aggExprs, mv, c))
+          }.nextOption()
         }.getOrElse(agg)
+    }
+
+    /** A column-range conjunct `col op literal` in normalized form. */
+    private final case class RangePred(col: String, op: String, lit: Literal)
+
+    private def asRange(e: Expression): Option[RangePred] = e match {
+      case EqualTo(a: AttributeReference, l: Literal) => Some(RangePred(a.name, "=", l))
+      case EqualTo(l: Literal, a: AttributeReference) => Some(RangePred(a.name, "=", l))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => Some(RangePred(a.name, ">=", l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => Some(RangePred(a.name, "<=", l))
+      case GreaterThan(a: AttributeReference, l: Literal) => Some(RangePred(a.name, ">", l))
+      case GreaterThan(l: Literal, a: AttributeReference) => Some(RangePred(a.name, "<", l))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => Some(RangePred(a.name, "<=", l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => Some(RangePred(a.name, ">=", l))
+      case LessThan(a: AttributeReference, l: Literal) => Some(RangePred(a.name, "<", l))
+      case LessThan(l: Literal, a: AttributeReference) => Some(RangePred(a.name, ">", l))
+      case _ => None
+    }
+
+    private def litTrue(e: Expression): Boolean =
+      scala.util.Try(e.eval(null) == true).getOrElse(false)
+
+    /** Does range predicate q imply range predicate m (same column)?
+      * Sound, not complete: literal comparisons evaluate through
+      * Catalyst, type mismatches conservatively fail. */
+    private def rangeImplies(q: RangePred, m: RangePred): Boolean =
+      q.col == m.col && ((q.op, m.op) match {
+        case (_, "=")    => q.op == "=" && litTrue(EqualTo(q.lit, m.lit))
+        case ("=", ">=") => litTrue(GreaterThanOrEqual(q.lit, m.lit))
+        case (">=", ">=") => litTrue(GreaterThanOrEqual(q.lit, m.lit))
+        case (">", ">=") => litTrue(GreaterThanOrEqual(q.lit, m.lit))
+        case ("=", ">")  => litTrue(GreaterThan(q.lit, m.lit))
+        case (">", ">")  => litTrue(GreaterThanOrEqual(q.lit, m.lit))
+        case (">=", ">") => litTrue(GreaterThan(q.lit, m.lit))
+        case ("=", "<=") => litTrue(LessThanOrEqual(q.lit, m.lit))
+        case ("<=", "<=") => litTrue(LessThanOrEqual(q.lit, m.lit))
+        case ("<", "<=") => litTrue(LessThanOrEqual(q.lit, m.lit))
+        case ("=", "<")  => litTrue(LessThan(q.lit, m.lit))
+        case ("<", "<")  => litTrue(LessThanOrEqual(q.lit, m.lit))
+        case ("<=", "<") => litTrue(LessThan(q.lit, m.lit))
+        case _ => false
+      })
+
+    /** Canonical name-based SQL form for conjunct equality. Filters that
+      * Catalyst pushed below the loader's TIMESTAMP_NTZ→TIMESTAMP
+      * normalization Project carry NTZ-typed literals while the MV's
+      * (registered above it) carry TIMESTAMP — under the pinned-UTC
+      * session the two are wall-clock identical, so normalize before
+      * rendering. */
+    private def canonSql(e: Expression): String = {
+      val n = if (conf.sessionLocalTimeZone == "UTC") e.transformUp {
+        case Literal(v, org.apache.spark.sql.types.TimestampNTZType) =>
+          Literal(v, org.apache.spark.sql.types.TimestampType)
+      } else e
+      n.sql
+    }
+
+    /** q ⇒ m: exact name-based equality (attribute SQL form carries no
+      * exprIds) or literal-range subsumption on the same column. */
+    private def implies(q: Expression, m: Expression): Boolean =
+      canonSql(q) == canonSql(m) || ((asRange(q), asRange(m)) match {
+        case (Some(a), Some(b)) => rangeImplies(a, b)
+        case _ => false
+      })
+
+    /** The compensating conjuncts to re-apply on the MV, or None when
+      * the query cannot be answered from it. Requirements:
+      *   1. every MV defining conjunct is implied by some query conjunct
+      *      (else the MV is missing rows the query needs);
+      *   2. query conjuncts not exactly absorbed by an MV conjunct must
+      *      reference MV key columns only (they re-apply on the rollup).
+      * Catalyst-inferred isnotnull conjuncts that are vacuous — on a
+      * join key (the MV's inner join discarded null keys) or alongside
+      * a range predicate on the same column (which already rejects
+      * nulls) — are dropped first. */
+    private def compensation(mv: MvDef, conjsAll: Seq[Expression],
+        sig: Signature): Option[Seq[Expression]] = {
+      val joinCols = sig.joinPairs.flatMap(p => Seq(p._1, p._2))
+      val rangeCols = (conjsAll ++ mv.filterConjuncts).flatMap(asRange).map(_.col).toSet
+      val conjs = conjsAll.filterNot {
+        case IsNotNull(a: AttributeReference) =>
+          joinCols.contains(a.name) || rangeCols.contains(a.name)
+        case _ => false
+      }
+      val implied = mv.filterConjuncts.forall(m => conjs.exists(q => implies(q, m)))
+      if (!implied) return None
+      val mvCanon = mv.filterConjuncts.map(canonSql).toSet
+      val comp = conjs.filterNot(q => mvCanon.contains(canonSql(q)))
+      if (comp.forall(_.references.forall(a => mv.keys.contains(a.name)))) Some(comp)
+      else None
     }
 
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],
@@ -292,10 +398,16 @@ object MaterializedViews {
       if (newAggExprs.exists(_.isEmpty)) return None
 
       // key-only filters commute with the rollup: re-apply them on the
-      // MV with references rebound to its attributes
+      // MV with references rebound to its attributes. A filter Catalyst
+      // pushed below the loader's type-normalization Project references
+      // the pre-cast type (TIMESTAMP_NTZ) — cast the rebound attribute
+      // back so the comparison stays resolved.
       val target = filters.foldLeft(mv.target) { (t, cond) =>
         logical.Filter(cond.transform {
-          case a: AttributeReference if mv.keys.contains(a.name) => mv.targetOut(a.name)
+          case a: AttributeReference if mv.keys.contains(a.name) =>
+            val out = mv.targetOut(a.name)
+            if (out.dataType == a.dataType) out
+            else Cast(out, a.dataType, Some(conf.sessionLocalTimeZone))
         }, t)
       }
       Some(Aggregate(newGroupings.map(_.get), newAggExprs.map(_.get), target, None))

@@ -66,7 +66,7 @@ object Measures {
         case Nil => base
         case alls =>
           val aggs = aggFor(alls)
-          base.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+          base.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*))) // 1 row: global agg
       }
 
       val withWhere = refs.collect { case w: AtWhere => w }

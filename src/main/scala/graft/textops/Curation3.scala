@@ -34,7 +34,7 @@ object Curation3 {
         sum(col("n")).as("total"),
         expr("aggregate(array_sort(collect_list(struct(source, CAST(sqrt(n) AS DOUBLE) AS sq))), " +
           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sq)").as("sumsq"))
-      val rates = per.crossJoin(broadcast(tot))
+      val rates = per.crossJoin(broadcast(tot)) // 1 row: global agg
         .withColumn("rate", least(lit(1.0),
           expr("sqrt(CAST(n AS DOUBLE)) / sumsq * (0.5 * CAST(total AS DOUBLE)) / CAST(n AS DOUBLE)")))
         .select(col("source"), col("n").as("n_docs"),

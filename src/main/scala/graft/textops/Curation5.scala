@@ -21,9 +21,9 @@ object Curation5 {
     * as a count and an integer ppm ratio.
     *
     * Scale: one explode to (doc, span) rows, ONE shuffle keyed on the
-    * span text to count global occurrences (at 100 TB the span string
-    * would be xxhash64'd first so shuffle rows stay 16 bytes — here it
-    * stays text so the DuckDB oracle restates it bit-for-bit), a join
+    * span text to count global occurrences (here it stays text so the
+    * DuckDB oracle restates it bit-for-bit; the hash-keyed
+    * length-parametric production form is d45/d46 below), a join
     * back on the same key (reuses the partitioning), and one doc-keyed
     * aggregation. Nothing is quadratic: the hot-span table is the
     * duplicated tail only, and no suffix array is materialized. */
@@ -60,5 +60,71 @@ object Curation5 {
         CAST(n_dup * 1000000 // n_spans AS BIGINT) AS dup_ppm
       FROM per_doc ORDER BY doc_id"""))
 
-  val all: Map[String, Q] = Map("d42_span_dedup" -> d42_span_dedup)
+  /** Length-parametric span audit (the production form of d42): a
+    * repeated span of length ≥ L exists iff a repeated window of
+    * EXACTLY L words exists (any length-M≥L repeat contains repeated
+    * L-windows; any repeated L-window IS a ≥L repeat), so auditing
+    * L-windows at parameter L carries Lee et al.'s full "span ≥ L"
+    * semantics — d42's fixed 4-word window was the L=4 instance.
+    *
+    * Scale: the shuffle key is a 62-bit POLYNOMIAL HASH of the window
+    * (word values from md5, folded mod 2³¹−1 with base 131), not the
+    * span text — shuffle rows stay 16 bytes at any L, the win d42's
+    * comment promised. The fold is restated bit-for-bit by DuckDB's
+    * list_reduce, so the oracle checks the hash arithmetic itself.
+    * Window hashes are computed row-locally (O(words·L) fold; the O(1)
+    * rolling update h′=(h−v·Bᴸ⁻¹)·B+v_new is a per-row micro-opt with
+    * the same values). One hash-keyed shuffle counts global
+    * occurrences, the join back reuses the key, one doc-keyed
+    * aggregation closes — nothing quadratic, no suffix array. */
+  private def spanAudit(s: org.apache.spark.sql.SparkSession, dir: String,
+      L: Int): org.apache.spark.sql.DataFrame = {
+    val p = 2147483647L // 2^31-1: products stay < 2^62 in the fold
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"),
+        expr(s"transform(w, x -> CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT) % $p)")
+          .as("vals"))
+    val grams = docs.select(col("doc_id"),
+      explode(expr(
+        s"transform(sequence(1, size(vals) - ${L - 1}), " +
+          s"i -> aggregate(slice(vals, i, $L), 0L, (acc, x) -> (acc * 131 + x) % $p))"))
+        .as("g"))
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    grams.join(counts, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        expr("n_dup * 1000000 DIV n_spans").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def spanAuditOracle(L: Int): String = s"""
+      WITH words AS (
+        SELECT doc_id,
+          list_transform(string_split(text, ' '),
+            x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2147483647) AS vals
+        FROM documents WHERE len(string_split(text, ' ')) >= $L),
+      grams AS (
+        SELECT doc_id,
+          list_reduce(vals[i:i+${L - 1}], (acc, x) -> (acc * 131 + x) % 2147483647) AS g
+        FROM words, LATERAL (SELECT unnest(generate_series(1, len(vals) - ${L - 1})) AS i) t),
+      counts AS (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g),
+      per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+          COUNT(CASE WHEN cnt > 1 THEN 1 END) AS n_dup
+        FROM grams JOIN counts USING (g) GROUP BY doc_id)
+      SELECT doc_id, n_spans, n_dup,
+        CAST(n_dup * 1000000 // n_spans AS BIGINT) AS dup_ppm
+      FROM per_doc ORDER BY doc_id"""
+
+  val d45_span_audit_l3 = Q((s, dir) => spanAudit(s, dir, 3), Some(spanAuditOracle(3)))
+  val d46_span_audit_l8 = Q((s, dir) => spanAudit(s, dir, 8), Some(spanAuditOracle(8)))
+
+  val all: Map[String, Q] = Map(
+    "d42_span_dedup" -> d42_span_dedup,
+    "d45_span_audit_l3" -> d45_span_audit_l3,
+    "d46_span_audit_l8" -> d46_span_audit_l8)
 }

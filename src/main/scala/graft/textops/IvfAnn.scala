@@ -159,7 +159,7 @@ object IvfAnn {
     Some("""
       WITH q AS (
         SELECT vec_id, i - 1 AS pos, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000e0) AS BIGINT) AS qv
-        FROM embeddings, range(1, 65) t(i)),
+        FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
       seeds AS (
         SELECT vec_id, rn - 1 AS cl FROM (
           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn

@@ -254,6 +254,11 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       T(s, dir, "documents")
+        // structural ASCII guard: the oracle equates UTF-8 bytes with
+        // character codes, which only holds for 1-byte chars — restrict
+        // BOTH sides to byte-length == char-length rows so a non-ASCII
+        // fixture is excluded consistently instead of hash-diverging
+        .filter(octet_length(col("text")) === length(col("text")))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
@@ -280,7 +285,8 @@ object Multimodal {
       WITH samples AS (
         SELECT doc_id, i,
           ascii(substr(text, 2 * i - 1, 1)) + 256 * ascii(substr(text, 2 * i, 1)) - 16384 AS v
-        FROM documents, LATERAL (SELECT unnest(generate_series(1, LENGTH(text) // 2)) AS i) t),
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, LENGTH(text) // 2)) AS i) t
+        WHERE octet_length(encode(text)) = length(text)),
       marked AS (
         SELECT doc_id, v,
           CASE WHEN v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0 THEN 1 ELSE 0 END AS zc

@@ -68,7 +68,7 @@ object SemDedup {
     Some("""
       WITH q AS (
         SELECT vec_id, i - 1 AS pos, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000e0) AS BIGINT) AS qv
-        FROM embeddings, range(1, 65) t(i)),
+        FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
       seeds AS (
         SELECT vec_id, rn - 1 AS cid FROM (
           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn

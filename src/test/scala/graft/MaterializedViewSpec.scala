@@ -189,6 +189,122 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  private def hasMv(q: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = q.queryExecution.optimizedPlan
+    plan.toString.contains("InMemoryRelation") &&
+      plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty
+  }
+
+  test("filtered MV: an implying query predicate substitutes with a compensating filter") {
+    // MV materializes only 1997+ orders; o_orderdate is a key, so
+    // narrower predicates can re-apply on the rollup.
+    val src = source.filter(col("o_orderdate") >= "1997-01-01")
+    def reg() = MaterializedViews.register(spark, "mv_filt", src,
+      keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+    reg()
+    try {
+      // >= 1998 implies >= 1997: substitutes, compensation on the key
+      val q = source.filter(col("o_orderdate") >= "1998-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasMv(q), s"subsumed range must substitute:\n${q.queryExecution.optimizedPlan}")
+      // = a date inside the MV range also implies it
+      val qe = source.filter(col("o_orderdate") === "1998-06-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasMv(qe), "point predicate inside the MV range must substitute")
+      // exact same predicate: absorbed, no compensation needed
+      val qx = source.filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasMv(qx), "exactly-matching predicate must substitute")
+
+      // value parity for the compensated rollup (counts are exact)
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        source.filter(col("o_orderdate") >= "1998-01-01")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      }
+      assert(got == expected, s"compensated rollup diverged: $got vs $expected")
+    } finally MaterializedViews.clear()
+  }
+
+  test("filtered MV: non-implying predicates do NOT substitute") {
+    val src = source.filter(col("o_orderdate") >= "1997-01-01")
+    MaterializedViews.register(spark, "mv_filt2", src,
+      keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+    try {
+      // wider range: the MV is missing 1996 rows
+      val q1 = source.filter(col("o_orderdate") >= "1996-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q1), "wider predicate must not substitute")
+      // no filter at all
+      val q2 = source.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q2), "unfiltered query must not read a filtered MV")
+      // filter on an unrelated column only
+      val q3 = source.filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q3), "predicate not implying the MV's must not substitute")
+      // opposite direction on the same column
+      val q4 = source.filter(col("o_orderdate") <= "1998-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q4), "reverse range must not substitute")
+    } finally MaterializedViews.clear()
+  }
+
+  test("filtered MV on a NON-key column: exact match absorbs, strict implication blocks") {
+    val src = source.filter(col("o_totalprice") > 1000)
+    MaterializedViews.register(spark, "mv_filt3", src,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      // identical predicate: fully absorbed by the MV, no compensation
+      val q = source.filter(col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasMv(q),
+        s"exact non-key predicate must absorb:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        source.filter(col("o_totalprice") > 1000)
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      }
+      assert(got == expected)
+      // strictly narrower on the non-key column: implies the MV's range
+      // but cannot compensate (o_totalprice is not in the rollup output)
+      MaterializedViews.register(spark, "mv_filt3", src,
+        keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+      val q2 = source.filter(col("o_totalprice") > 2000)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q2), "non-key compensation must block substitution")
+    } finally MaterializedViews.clear()
+  }
+
+  test("filtered MV: incremental refresh keeps only delta rows the MV predicate admits") {
+    val src = source.filter(col("o_orderdate") >= "1997-01-01")
+    MaterializedViews.register(spark, "mv_filt4", src,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      // delta straddles the predicate: only 1997+ rows may fold in
+      val delta = source.limit(0).unionByName(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(900001L, 1L, "O", 10.0,
+              java.sql.Timestamp.valueOf("1996-06-01 00:00:00"), "1-URGENT"),
+            org.apache.spark.sql.Row(900002L, 1L, "O", 20.0,
+              java.sql.Timestamp.valueOf("1998-06-01 00:00:00"), "1-URGENT"))),
+          source.schema))
+      val before = src.count()
+      MaterializedViews.refreshIncremental(spark, "mv_filt4", delta)
+      val q = source.filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasMv(q), "refreshed filtered MV must still substitute")
+      val total = q.collect().map(_.getLong(1)).sum
+      assert(total == before + 1, s"only the in-range delta row may fold in: $total vs ${before + 1}")
+    } finally MaterializedViews.clear()
+  }
+
   test("incremental refresh folds a delta in without rescanning; rewrite still fires") {
     // simulate an append-only source: register over the first half,
     // refresh with the second half, compare against the full aggregate

@@ -350,4 +350,26 @@ class PlanQualitySpec extends SparkSpec {
       s"decode must be one pass over the media column:\n$p")
     assert(!p.contains("Join"), s"feature extraction must not join:\n$p")
   }
+
+  test("d45/d46: span audit shuffles 8-byte hashes, no product join, no text re-shuffle") {
+    val p = plan("d46_span_audit_l8")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span-count join must stay hashed on the window hash:\n$p")
+    // the shuffle key is the bigint hash column g, never the span text
+    assert("Exchange hashpartitioning\\(g#\\d+L".r.findFirstIn(p).isDefined,
+      s"expected the hash-keyed exchange:\n$p")
+    assert("FileScan parquet".r.findAllMatchIn(p).length <= 2,
+      s"grams are derived from ≤2 linear passes of documents:\n$p")
+  }
+
+  test("q148: filtered-MV substitution fires — the rollup reads the cached MV, not parquet") {
+    val q = run("q148_mv_filtered_rollup")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.toString.contains("InMemoryRelation"),
+      s"query must be answered from the materialized slice:\n$lp")
+    assert(lp.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }.isEmpty, s"orders must not be rescanned:\n$lp")
+    graft.plans.MaterializedViews.drop(spark, "q148_mv")
+  }
 }
