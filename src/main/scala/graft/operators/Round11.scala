@@ -38,6 +38,33 @@ object Round11 {
       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
       GROUP BY o_orderstatus"""))
 
+  /** Partial-coverage UNION compensation (ref: MaterializedViewRules
+    * .java union rewrite): the MV holds the 1998+ slice pre-aggregated,
+    * the query asks for 1997-07-01+ — STRICTLY WIDER — so the optimizer
+    * answers it as rollup(cached partials ∪ partial-agg of ONLY the
+    * [1997-07-01, 1998) residual slice). The fact table is scanned for
+    * the residual months alone (the complement predicate reaches the
+    * parquet scan); at 100 TB this is the dashboard-over-hot-window
+    * play where occasional wider lookbacks touch only the uncovered
+    * slice. Exact aggregates (COUNT, MAX of bigint) keep the union
+    * rollup bit-identical to a direct scan. */
+  val q149_mv_union_rollup = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val src = orders.filter(col("o_orderdate") >= "1998-01-01")
+      MaterializedViews.register(s, "q149_mv", src,
+        keys = Seq("o_orderstatus", "o_orderdate"),
+        sums = Nil, maxs = Seq("o_orderkey"))
+      orders.filter(col("o_orderdate") >= "1997-07-01")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), max("o_orderkey").as("last_key"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n, max(o_orderkey) AS last_key
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      GROUP BY o_orderstatus"""))
+
   val all: Map[String, Q] = Map(
-    "q148_mv_filtered_rollup" -> q148_mv_filtered_rollup)
+    "q148_mv_filtered_rollup" -> q148_mv_filtered_rollup,
+    "q149_mv_union_rollup" -> q149_mv_union_rollup)
 }

@@ -32,8 +32,12 @@ import org.apache.spark.sql.functions._
   * signature — leaf scan paths + the set of join column pairs, both
   * name-based — so column-pruning Projects, broadcast hints, aliases,
   * and join reorder on the query side don't break recognition
-  * (plan/SubstitutionVisitor.java's canonicalize-then-unify, without
-  * the partial-rewrite compensations).
+  * (plan/SubstitutionVisitor.java's canonicalize-then-unify). Both
+  * compensation directions are supported: a query predicate IMPLYING
+  * the MV's re-applies residually on the rollup (filter subsumption),
+  * and a strictly WIDER single-range query unions the cached partials
+  * with a partial aggregate over only the residual slice of the source
+  * (the reference's partial-coverage union rewrite).
   *
   * At 100 TB this is the lattice play: one wide pre-aggregation pass
   * (keys × partials, typically 10⁴-10⁶ rows) absorbs every subsequent
@@ -70,8 +74,12 @@ object MaterializedViews {
       maxsSeq: Seq[String],
       mvDf: DataFrame,
       // the MV's own defining filter, as literal-folded conjuncts; a
-      // query substitutes only when its predicate IMPLIES this one
-      filterConjuncts: Seq[Expression])
+      // query substitutes only when its predicate IMPLIES this one —
+      // or, for a strictly WIDER query range, via union compensation
+      filterConjuncts: Seq[Expression],
+      // the defining source with its filters stripped: the relation the
+      // union-compensation residual slice scans
+      baseDf: DataFrame)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -141,10 +149,19 @@ object MaterializedViews {
     // unfolded) conjuncts compare equal to query-time (optimized, folded)
     // conjuncts
     val filterConjuncts = srcFilters.flatMap(splitAnd).map(foldLiterals)
+    // the unfiltered base relation — union compensation scans ONLY the
+    // residual slice of it when a query's range is wider than the MV's
+    val baseDf =
+      if (filterConjuncts.isEmpty) source
+      else org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        source.queryExecution.analyzed.transformUp {
+          case f: logical.Filter => f.child
+        })
 
     val cols = partialAggCols(sums, mins, maxs)
     val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
-    store(spark, name, signature, keys, sums, mins, maxs, mv, None, filterConjuncts)
+    store(spark, name, signature, keys, sums, mins, maxs, mv, None,
+      filterConjuncts, baseDf)
   }
 
   /** Fold foldable subtrees (e.g. the implicit CAST a comparison wraps
@@ -171,7 +188,7 @@ object MaterializedViews {
   private def store(spark: SparkSession, name: String, signature: Signature,
       keys: Seq[String], sums: Seq[String], mins: Seq[String],
       maxs: Seq[String], mv: DataFrame, replaced: Option[DataFrame],
-      filterConjuncts: Seq[Expression] = Nil): DataFrame = {
+      filterConjuncts: Seq[Expression], baseDf: DataFrame): DataFrame = {
     mv.persist()
     mv.count() // materialize now
 
@@ -181,7 +198,7 @@ object MaterializedViews {
     registry.put(name, MvDef(name, signature, keys.toSet, sums.toSet,
       mins.toSet, maxs.toSet, hasCount = true, target,
       target.output.map(a => a.name -> a).toMap,
-      keys, sums, mins, maxs, mv, filterConjuncts))
+      keys, sums, mins, maxs, mv, filterConjuncts, baseDf))
     replaced.foreach(_.unpersist())
 
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
@@ -219,7 +236,7 @@ object MaterializedViews {
       .groupBy(d.keysSeq.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
     store(spark, name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
-      d.maxsSeq, merged, Some(d.mvDf), d.filterConjuncts)
+      d.maxsSeq, merged, Some(d.mvDf), d.filterConjuncts, d.baseDf)
   }
 
   def drop(spark: SparkSession, name: String): Unit = registry.remove(name)
@@ -260,7 +277,9 @@ object MaterializedViews {
           registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
             if (mv.signature != sig) None
             else compensation(mv, conjs, sig)
-              .flatMap(c => rewrite(agg, groupings, aggExprs, mv, c))
+              .map(c => targetWithFilters(mv, c))
+              .orElse(unionTarget(mv, conjs, sig))
+              .flatMap(t => rewrite(agg, groupings, aggExprs, mv, t))
           }.nextOption()
         }.getOrElse(agg)
     }
@@ -355,9 +374,94 @@ object MaterializedViews {
       else None
     }
 
+    /** The compensated substitution target: key-only filters commute
+      * with the rollup and re-apply on the MV, with references rebound
+      * to its attributes. A filter Catalyst pushed below the loader's
+      * type-normalization Project references the pre-cast type
+      * (TIMESTAMP_NTZ) — cast the rebound attribute back so the
+      * comparison stays resolved. */
+    private def targetWithFilters(mv: MvDef, filters: Seq[Expression]): LogicalPlan =
+      filters.foldLeft(mv.target) { (t, cond) =>
+        logical.Filter(cond.transform {
+          case a: AttributeReference if mv.keys.contains(a.name) =>
+            val out = mv.targetOut(a.name)
+            if (out.dataType == a.dataType) out
+            else Cast(out, a.dataType, Some(conf.sessionLocalTimeZone))
+        }, t)
+      }
+
+    /** Range negation for the union-compensation residual. */
+    private def negate(e: Expression): Option[Expression] = e match {
+      case GreaterThanOrEqual(a, b) => Some(LessThan(a, b))
+      case GreaterThan(a, b) => Some(LessThanOrEqual(a, b))
+      case LessThanOrEqual(a, b) => Some(GreaterThan(a, b))
+      case LessThan(a, b) => Some(GreaterThanOrEqual(a, b))
+      case _ => None
+    }
+
+    /** UNION compensation (the reference's partial-coverage rewrite,
+      * MaterializedViewRules union case): the query's range is strictly
+      * WIDER than the MV's single range conjunct, so answer it as
+      *   rollup( MV-partials ∪ partial-agg(base WHERE q ∧ ¬m) )
+      * — the fact relation is scanned ONLY for the residual slice
+      * (q ∧ ¬m pushes to the scan), the covered slice comes from the
+      * cache. NULL keys fail q on both paths, so the union is exact.
+      * Scoped to one MV conjunct + one query conjunct on the same
+      * column: the multi-conjunct residual is a disjunction that
+      * defeats pushdown, which is when a user materializes a second
+      * tile instead. */
+    private def unionTarget(mv: MvDef, conjsAll: Seq[Expression],
+        sig: Signature): Option[LogicalPlan] = {
+      if (mv.filterConjuncts.size != 1) return None
+      val m = mv.filterConjuncts.head
+      val joinCols = sig.joinPairs.flatMap(p => Seq(p._1, p._2))
+      val rangeCols = (conjsAll ++ mv.filterConjuncts).flatMap(asRange).map(_.col).toSet
+      val conjs = conjsAll.filterNot {
+        case IsNotNull(a: AttributeReference) =>
+          joinCols.contains(a.name) || rangeCols.contains(a.name)
+        case _ => false
+      }
+      if (conjs.size != 1) return None
+      val q = conjs.head
+      val (mR, qR) = (asRange(m), asRange(q)) match {
+        case (Some(a), Some(b)) if a.col == b.col => (a, b)
+        case _ => return None
+      }
+      // the MV's slice must sit strictly INSIDE the query's range
+      if (!rangeImplies(mR, qR) || canonSql(m) == canonSql(q)) return None
+      val negM = negate(m).getOrElse(return None)
+
+      // residual slice, partial-aggregated at the MV's keys. Rebind the
+      // predicate to the base relation's attributes by name; analysis
+      // only (ofRows + analyzed) — no optimizer re-entry.
+      val baseOut = mv.baseDf.queryExecution.analyzed.output
+        .map(a => a.name -> (a: Expression)).toMap
+      val refs = And(q, negM).references.map(_.name).toSet
+      if (!refs.forall(baseOut.contains)) return None
+      // a conjunct Catalyst pushed below the loader's normalization
+      // Project carries TIMESTAMP_NTZ literals; the base relation's
+      // surface is TIMESTAMP — normalize under the pinned-UTC session
+      // so the analyzer resolves the rebound comparison
+      val ntzFixed =
+        if (conf.sessionLocalTimeZone == "UTC") And(q, negM).transformUp {
+          case Literal(v, org.apache.spark.sql.types.TimestampNTZType) =>
+            Literal(v, org.apache.spark.sql.types.TimestampType)
+        } else And(q, negM)
+      val bound = ntzFixed.transform {
+        case a: AttributeReference => baseOut(a.name)
+      }
+      val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq)
+      val resid = mv.baseDf
+        .filter(org.apache.spark.sql.GraftSqlBridge.column(bound))
+        .groupBy(mv.keysSeq.map(col): _*)
+        .agg(cols.head, cols.tail: _*)
+      Some(logical.Union(Seq(mv.target, resid.queryExecution.analyzed),
+        byName = false, allowMissingCol = false))
+    }
+
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],
         aggExprs: Seq[NamedExpression], mv: MvDef,
-        filters: Seq[Expression]): Option[Aggregate] = {
+        newChild: LogicalPlan): Option[Aggregate] = {
       // grouping keys must be bare attributes covered by the MV keys
       val newGroupings = groupings.map {
         case a: AttributeReference if mv.keys.contains(a.name) =>
@@ -397,20 +501,7 @@ object MaterializedViews {
       }
       if (newAggExprs.exists(_.isEmpty)) return None
 
-      // key-only filters commute with the rollup: re-apply them on the
-      // MV with references rebound to its attributes. A filter Catalyst
-      // pushed below the loader's type-normalization Project references
-      // the pre-cast type (TIMESTAMP_NTZ) — cast the rebound attribute
-      // back so the comparison stays resolved.
-      val target = filters.foldLeft(mv.target) { (t, cond) =>
-        logical.Filter(cond.transform {
-          case a: AttributeReference if mv.keys.contains(a.name) =>
-            val out = mv.targetOut(a.name)
-            if (out.dataType == a.dataType) out
-            else Cast(out, a.dataType, Some(conf.sessionLocalTimeZone))
-        }, t)
-      }
-      Some(Aggregate(newGroupings.map(_.get), newAggExprs.map(_.get), target, None))
+      Some(Aggregate(newGroupings.map(_.get), newAggExprs.map(_.get), newChild, None))
     }
   }
 }

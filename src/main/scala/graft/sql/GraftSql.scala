@@ -365,6 +365,7 @@ object GraftSql {
         Some(spark.emptyDataFrame)
       case _ => MaterializedViewSql.maybeRun(spark, text)
         .orElse(TypesSql.maybeRun(spark, text))
+        .orElse(GeneratedColumnsSql.maybeRun(spark, text))
     }
   }
 

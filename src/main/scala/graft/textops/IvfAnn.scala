@@ -25,7 +25,14 @@ object IvfAnn {
   private def dist2(a: String, b: String) =
     graft.functions.GraftFunctions.squared_distance(col(a), col(b))
 
-  /** Train k centroids (returns driver-side matrix; k·dim doubles). */
+  /** Train k centroids (returns driver-side matrix; k·dim doubles).
+    * The Lloyd's loop is DRIVER-COORDINATED by design: each iteration
+    * moves only k seed rows + k per-cell sums (k·dim doubles) through
+    * the driver — bounded at any corpus size — and `iters` is a small
+    * constant (quantizer training converges in single digits; the
+    * corpus pass per iteration is the distributed cost). Serializing a
+    * handful of iterations on the driver is the classic IVF recipe,
+    * not a scale risk. */
   private[textops] def trainCentroids(
       emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession

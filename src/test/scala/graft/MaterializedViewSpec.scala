@@ -281,6 +281,48 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("filtered MV: a WIDER query range unions the MV with a residual-slice scan") {
+    val src = source.filter(col("o_orderdate") >= "1998-01-01")
+    MaterializedViews.register(spark, "mv_union", src,
+      keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+    try {
+      // 1997+ strictly contains the MV's 1998+ slice: covered part from
+      // the cache, residual [1997, 1998) from ONE filtered fact scan
+      val q = source.filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"),
+        s"union compensation must reuse the cached partials:\n$plan")
+      assert(plan.collect { case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.nonEmpty,
+        s"expected the partial-coverage union:\n$plan")
+      val scans = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 1, s"residual slice must scan the fact exactly once:\n$plan")
+      // the residual filter bounds BOTH sides (q ∧ ¬m)
+      val planStr = plan.toString
+      assert(planStr.contains("< 1998-01-01") && planStr.contains(">= 1997-01-01"),
+        s"residual must be the complement slice:\n$plan")
+
+      // value parity (counts are exact)
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        source.filter(col("o_orderdate") >= "1997-01-01")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      }
+      assert(got == expected, s"union-compensated rollup diverged: $got vs $expected")
+
+      // a wider range on a DIFFERENT column must not union-rewrite
+      MaterializedViews.register(spark, "mv_union", src,
+        keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+      val q2 = source.filter(col("o_totalprice") > 0)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q2), "unrelated predicate must not rewrite")
+    } finally MaterializedViews.clear()
+  }
+
   test("filtered MV: incremental refresh keeps only delta rows the MV predicate admits") {
     val src = source.filter(col("o_orderdate") >= "1997-01-01")
     MaterializedViews.register(spark, "mv_filt4", src,

@@ -25,8 +25,8 @@ import graft.sql.GraftSql
   *     one is tolerated — v1 parquet tables don't carry the constraint).
   *
   * The corpora are STATEFUL scripts: when a CREATE is skipped for a
-  * documented divergence (generated columns, INCLUDING DEFAULTS,
-  * foreign schemas), every later statement touching that object is a
+  * documented divergence (foreign schemas, the JDBC metadata schema),
+  * every later statement touching that object is a
   * cascade of the same divergence — counted as a skip, not a failure,
   * until the name is created again. The gate demands zero undocumented
   * failures and ratchets the pass count.
@@ -41,16 +41,6 @@ class ServerCorpusSpec extends IqHarness {
       "CREATE/DROP FOREIGN SCHEMA binds the reference's Schema SPI (JDBC/" +
         "factory plumbing); the engine's external-store path is the DSv2 " +
         "connector + JDBC source (JdbcSourceSpec)"),
-    ("(?is)\\bvirtual\\b",
-      "generated (VIRTUAL) columns: Spark's datasource tables have no " +
-        "generated-column constraint; the engine's computed-column path " +
-        "is a view over the base table"),
-    ("(?is)\\bincluding\\s+(defaults|all)\\b",
-      "CREATE TABLE LIKE ... INCLUDING DEFAULTS/ALL: Spark's LIKE clause " +
-        "copies the schema only"),
-    ("(?is)\\bdefault\\s+i\\s*\\+",
-      "column DEFAULT referencing another column: Spark requires constant " +
-        "default expressions"),
     ("(?is)\"metadata\"\\.",
       "\"metadata\".TABLES is the reference's JDBC metadata schema; the " +
         "catalog surface here is spark.catalog"))
@@ -210,6 +200,7 @@ class ServerCorpusSpec extends IqHarness {
     try spark.sql("DROP SCHEMA IF EXISTS s CASCADE") catch { case _: Exception => () }
     graft.sql.MaterializedViewSql.clearRegistry()
     graft.sql.TypesSql.clearRegistry()
+    graft.sql.GeneratedColumnsSql.clearRegistry(spark)
   }
 
   test("server DDL corpus: statements execute, values and errors match") {
@@ -273,7 +264,7 @@ class ServerCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(failures.isEmpty,
       s"server corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 145, s"server corpus coverage dropped: $pass passing (floor 145)")
+    assert(pass >= 185, s"server corpus coverage dropped: $pass passing (floor 185)")
   }
 
   private def first(ex: Throwable): String =
