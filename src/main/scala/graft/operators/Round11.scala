@@ -47,7 +47,12 @@ object Round11 {
     * parquet scan); at 100 TB this is the dashboard-over-hot-window
     * play where occasional wider lookbacks touch only the uncovered
     * slice. Exact aggregates (COUNT, MAX of bigint) keep the union
-    * rollup bit-identical to a direct scan. */
+    * rollup bit-identical to a direct scan — which also makes the
+    * session-global registration safe: any OTHER orders rollup these
+    * MVs happen to answer (q148's stays registered for the rest of the
+    * driver session) gets the same exact values by construction. The
+    * query bound (1997-01-01) strictly contains BOTH round-11 MV
+    * slices, so the union path fires whichever the registry yields. */
   val q149_mv_union_rollup = Q(
     (s, dir) => {
       val orders = T(s, dir, "orders")
@@ -55,13 +60,13 @@ object Round11 {
       MaterializedViews.register(s, "q149_mv", src,
         keys = Seq("o_orderstatus", "o_orderdate"),
         sums = Nil, maxs = Seq("o_orderkey"))
-      orders.filter(col("o_orderdate") >= "1997-07-01")
+      orders.filter(col("o_orderdate") >= "1997-01-01")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), max("o_orderkey").as("last_key"))
     },
     Some("""
       SELECT o_orderstatus, COUNT(*) AS n, max(o_orderkey) AS last_key
-      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       GROUP BY o_orderstatus"""))
 
   val all: Map[String, Q] = Map(

@@ -276,10 +276,16 @@ object MaterializedViews {
           val conjs = filters.flatMap(splitAnd)
           registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
             if (mv.signature != sig) None
-            else compensation(mv, conjs, sig)
-              .map(c => targetWithFilters(mv, c))
-              .orElse(unionTarget(mv, conjs, sig))
-              .flatMap(t => rewrite(agg, groupings, aggExprs, mv, t))
+            // rollup-ability first: it is the cheap check, and
+            // unionTarget runs a full analyzer pass building the
+            // residual subtree — never pay that for an aggregate the
+            // MV cannot answer anyway
+            else rollupExprs(mv, groupings, aggExprs).flatMap { case (g, a) =>
+              compensation(mv, conjs, sig)
+                .map(c => targetWithFilters(mv, c))
+                .orElse(unionTarget(mv, conjs, sig))
+                .map(child => Aggregate(g, a, child, None))
+            }
           }.nextOption()
         }.getOrElse(agg)
     }
@@ -306,8 +312,15 @@ object MaterializedViews {
 
     /** Does range predicate q imply range predicate m (same column)?
       * Sound, not complete: literal comparisons evaluate through
-      * Catalyst, type mismatches conservatively fail. */
-    private def rangeImplies(q: RangePred, m: RangePred): Boolean =
+      * Catalyst, type mismatches conservatively fail. NTZ-vs-TIMESTAMP
+      * literal pairs compare as raw micros, which is only wall-clock
+      * sound under the UTC session — refuse the implication elsewhere. */
+    private def rangeImplies(q0: RangePred, m0: RangePred): Boolean = {
+      val q = q0.copy(lit = normalizeNtz(q0.lit).asInstanceOf[Literal])
+      val m = m0.copy(lit = normalizeNtz(m0.lit).asInstanceOf[Literal])
+      if (q.lit.dataType != m.lit.dataType &&
+          Seq(q.lit.dataType, m.lit.dataType).exists(
+            _ == org.apache.spark.sql.types.TimestampNTZType)) return false
       q.col == m.col && ((q.op, m.op) match {
         case (_, "=")    => q.op == "=" && litTrue(EqualTo(q.lit, m.lit))
         case ("=", ">=") => litTrue(GreaterThanOrEqual(q.lit, m.lit))
@@ -324,19 +337,37 @@ object MaterializedViews {
         case ("<=", "<") => litTrue(LessThan(q.lit, m.lit))
         case _ => false
       })
+    }
 
-    /** Canonical name-based SQL form for conjunct equality. Filters that
-      * Catalyst pushed below the loader's TIMESTAMP_NTZ→TIMESTAMP
-      * normalization Project carry NTZ-typed literals while the MV's
-      * (registered above it) carry TIMESTAMP — under the pinned-UTC
-      * session the two are wall-clock identical, so normalize before
-      * rendering. */
-    private def canonSql(e: Expression): String = {
-      val n = if (conf.sessionLocalTimeZone == "UTC") e.transformUp {
+    /** Filters Catalyst pushed below the loader's TIMESTAMP_NTZ→
+      * TIMESTAMP normalization Project carry NTZ-typed literals while
+      * the MV's (registered above it) carry TIMESTAMP — under a
+      * pinned-UTC session the two are wall-clock identical, so fold NTZ
+      * literals onto TIMESTAMP before any comparison. In a non-UTC
+      * session the identity does NOT hold; callers must treat
+      * mixed-type literal comparisons as unknown there. */
+    private def normalizeNtz(e: Expression): Expression =
+      if (conf.sessionLocalTimeZone == "UTC") e.transformUp {
         case Literal(v, org.apache.spark.sql.types.TimestampNTZType) =>
           Literal(v, org.apache.spark.sql.types.TimestampType)
       } else e
-      n.sql
+
+    /** Canonical name-based SQL form for conjunct equality. */
+    private def canonSql(e: Expression): String = normalizeNtz(e).sql
+
+    /** Catalyst-inferred isnotnull conjuncts that are vacuous — on a
+      * join key (the MV's inner join discarded null keys) or alongside
+      * a range predicate on the same column (which already rejects
+      * nulls) — dropped before implication/compensation reasoning. */
+    private def dropVacuousNotNull(mv: MvDef, conjsAll: Seq[Expression],
+        sig: Signature): Seq[Expression] = {
+      val joinCols = sig.joinPairs.flatMap(p => Seq(p._1, p._2))
+      val rangeCols = (conjsAll ++ mv.filterConjuncts).flatMap(asRange).map(_.col).toSet
+      conjsAll.filterNot {
+        case IsNotNull(a: AttributeReference) =>
+          joinCols.contains(a.name) || rangeCols.contains(a.name)
+        case _ => false
+      }
     }
 
     /** q ⇒ m: exact name-based equality (attribute SQL form carries no
@@ -353,19 +384,11 @@ object MaterializedViews {
       *      (else the MV is missing rows the query needs);
       *   2. query conjuncts not exactly absorbed by an MV conjunct must
       *      reference MV key columns only (they re-apply on the rollup).
-      * Catalyst-inferred isnotnull conjuncts that are vacuous — on a
-      * join key (the MV's inner join discarded null keys) or alongside
-      * a range predicate on the same column (which already rejects
-      * nulls) — are dropped first. */
+      * Vacuous isnotnull conjuncts are dropped first
+      * (dropVacuousNotNull). */
     private def compensation(mv: MvDef, conjsAll: Seq[Expression],
         sig: Signature): Option[Seq[Expression]] = {
-      val joinCols = sig.joinPairs.flatMap(p => Seq(p._1, p._2))
-      val rangeCols = (conjsAll ++ mv.filterConjuncts).flatMap(asRange).map(_.col).toSet
-      val conjs = conjsAll.filterNot {
-        case IsNotNull(a: AttributeReference) =>
-          joinCols.contains(a.name) || rangeCols.contains(a.name)
-        case _ => false
-      }
+      val conjs = dropVacuousNotNull(mv, conjsAll, sig)
       val implied = mv.filterConjuncts.forall(m => conjs.exists(q => implies(q, m)))
       if (!implied) return None
       val mvCanon = mv.filterConjuncts.map(canonSql).toSet
@@ -414,13 +437,7 @@ object MaterializedViews {
         sig: Signature): Option[LogicalPlan] = {
       if (mv.filterConjuncts.size != 1) return None
       val m = mv.filterConjuncts.head
-      val joinCols = sig.joinPairs.flatMap(p => Seq(p._1, p._2))
-      val rangeCols = (conjsAll ++ mv.filterConjuncts).flatMap(asRange).map(_.col).toSet
-      val conjs = conjsAll.filterNot {
-        case IsNotNull(a: AttributeReference) =>
-          joinCols.contains(a.name) || rangeCols.contains(a.name)
-        case _ => false
-      }
+      val conjs = dropVacuousNotNull(mv, conjsAll, sig)
       if (conjs.size != 1) return None
       val q = conjs.head
       val (mR, qR) = (asRange(m), asRange(q)) match {
@@ -440,14 +457,9 @@ object MaterializedViews {
       if (!refs.forall(baseOut.contains)) return None
       // a conjunct Catalyst pushed below the loader's normalization
       // Project carries TIMESTAMP_NTZ literals; the base relation's
-      // surface is TIMESTAMP — normalize under the pinned-UTC session
-      // so the analyzer resolves the rebound comparison
-      val ntzFixed =
-        if (conf.sessionLocalTimeZone == "UTC") And(q, negM).transformUp {
-          case Literal(v, org.apache.spark.sql.types.TimestampNTZType) =>
-            Literal(v, org.apache.spark.sql.types.TimestampType)
-        } else And(q, negM)
-      val bound = ntzFixed.transform {
+      // surface is TIMESTAMP — normalize (UTC-gated) so the analyzer
+      // resolves the rebound comparison
+      val bound = normalizeNtz(And(q, negM)).transform {
         case a: AttributeReference => baseOut(a.name)
       }
       val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq)
@@ -459,9 +471,13 @@ object MaterializedViews {
         byName = false, allowMissingCol = false))
     }
 
-    private def rewrite(agg: Aggregate, groupings: Seq[Expression],
-        aggExprs: Seq[NamedExpression], mv: MvDef,
-        newChild: LogicalPlan): Option[Aggregate] = {
+    /** The rolled-up grouping + aggregate expressions over the MV's
+      * output, or None when the query's shape cannot be answered from
+      * the carried partials. Pure expression work — the cheap
+      * admissibility check that runs BEFORE any target construction. */
+    private def rollupExprs(mv: MvDef, groupings: Seq[Expression],
+        aggExprs: Seq[NamedExpression])
+        : Option[(Seq[Expression], Seq[NamedExpression])] = {
       // grouping keys must be bare attributes covered by the MV keys
       val newGroupings = groupings.map {
         case a: AttributeReference if mv.keys.contains(a.name) =>
@@ -478,8 +494,19 @@ object MaterializedViews {
           Some(Min(mv.targetOut(s"__mv_min_${a.name}")).toAggregateExpression())
         case Max(a: AttributeReference) if mv.maxs.contains(a.name) =>
           Some(Max(mv.targetOut(s"__mv_max_${a.name}")).toAggregateExpression())
+        // MIN/MAX of a GROUPING-KEY column: the MV carries every key
+        // combination as a row, so min/max re-aggregate over the key
+        // column directly — no partial needed
+        case Min(a: AttributeReference) if mv.keys.contains(a.name) =>
+          Some(Min(mv.targetOut(a.name)).toAggregateExpression())
+        case Max(a: AttributeReference) if mv.keys.contains(a.name) =>
+          Some(Max(mv.targetOut(a.name)).toAggregateExpression())
         case Count(Seq(Literal(_, _))) if mv.hasCount =>
           Some(Sum(mv.targetOut("__mv_cnt")).toAggregateExpression())
+        // COUNT(x): the per-column non-null partial counts (carried for
+        // the AVG rollup) sum to exactly COUNT(x)
+        case Count(Seq(a: AttributeReference)) if mv.sums.contains(a.name) =>
+          Some(Sum(mv.targetOut(s"__mv_cntn_${a.name}")).toAggregateExpression())
         case avg: Average => avg.child match {
           // AVG(x) = SUM(partial sums) / SUM(partial non-null counts)
           case a: AttributeReference if mv.sums.contains(a.name) =>
@@ -497,11 +524,22 @@ object MaterializedViews {
         case al @ Alias(ae: AggregateExpression, nm)
             if !ae.isDistinct && ae.filter.isEmpty =>
           rollup(ae.aggregateFunction).map(e => Alias(e, nm)(exprId = al.exprId))
+        // COUNT(DISTINCT k) over a GROUPING-KEY column: the MV carries
+        // every distinct key combination as a row, so the distinct
+        // count re-aggregates exactly over the key column (duplicated
+        // (g, k) rows from a union-compensated target dedup away)
+        case al @ Alias(ae: AggregateExpression, nm)
+            if ae.isDistinct && ae.filter.isEmpty =>
+          (ae.aggregateFunction match {
+            case Count(Seq(a: AttributeReference)) if mv.keys.contains(a.name) =>
+              Some(Count(mv.targetOut(a.name)).toAggregateExpression(isDistinct = true))
+            case _ => None
+          }).map(e => Alias(e, nm)(exprId = al.exprId))
         case _ => None
       }
       if (newAggExprs.exists(_.isEmpty)) return None
 
-      Some(Aggregate(newGroupings.map(_.get), newAggExprs.map(_.get), newChild, None))
+      Some((newGroupings.map(_.get), newAggExprs.map(_.get)))
     }
   }
 }

@@ -54,23 +54,25 @@ object GeneratedColumnsSql {
 
   def clearRegistry(spark: SparkSession): Unit = {
     registry.values.asScala.toSeq.foreach { d =>
-      if (d.virtuals.nonEmpty) {
-        spark.catalog.dropTempView(d.name)
-        try spark.sql(s"DROP TABLE IF EXISTS ${d.backing}")
-        catch { case _: Exception => () }
-      }
+      try cleanup(spark, d) catch { case _: Exception => () }
     }
     registry.clear()
   }
 
+  /** Drop the physical objects a registered definition owns. */
+  private def cleanup(spark: SparkSession, d: TableDef): Unit = {
+    if (d.virtuals.nonEmpty) spark.catalog.dropTempView(d.name)
+    spark.sql(s"DROP TABLE IF EXISTS ${d.backing}"): Unit
+  }
+
   private val createRe =
-    "(?is)^create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?([\\w.]+)\\s*\\((.+)\\)\\s*$".r
+    "(?is)^create\\s+(or\\s+replace\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?([\\w.]+)\\s*\\((.+)\\)\\s*$".r
   private val likeRe =
     "(?is)^create\\s+table\\s+([\\w.]+)\\s+like\\s+([\\w.]+)(?:\\s+including\\s+(defaults|all))?\\s*$".r
   private val insertRe =
     "(?is)^insert\\s+into\\s+([\\w.]+)\\s*(?:\\(([^)]*)\\))?\\s*(values\\b.+|select\\b.+|table\\b.+)$".r
   private val dropRe =
-    "(?is)^drop\\s+table\\s+(if\\s+exists\\s+)?([\\w.]+)\\s*$".r
+    "(?is)^drop\\s+table\\s+(if\\s+exists\\s+)?([\\w.]+)(?:\\s+(?:cascade|restrict|purge))?\\s*$".r
   private val truncateRe = "(?is)^truncate\\s+table\\s+([\\w.]+)\\s*$".r
 
   private val virtualColRe =
@@ -101,17 +103,19 @@ object GeneratedColumnsSql {
       case likeRe(tgt, src, including) =>
         Option(registry.get(key(src))).map(d =>
           runLike(spark, tgt, d, Option(including).map(_.toLowerCase)))
-      case createRe(name, colList) => runCreate(spark, text, name, colList)
+      case createRe(orReplace, name, colList) =>
+        // OR REPLACE over a previously-registered definition: tear the
+        // old view/backing down and unregister BEFORE the new create,
+        // so a stale TableDef can never rewrite later INSERTs
+        if (orReplace != null && registry.containsKey(key(name)))
+          cleanup(spark, registry.remove(key(name)))
+        runCreate(spark, name, colList)
       case insertRe(name, cols, rest) =>
         Option(registry.get(key(name))).map(d =>
           runInsert(spark, d,
             Option(cols).map(_.split(",").toSeq.map(c => bare(c.trim))), rest))
       case dropRe(_, name) if registry.containsKey(key(name)) =>
-        val d = registry.remove(key(name))
-        if (d.virtuals.nonEmpty) {
-          spark.catalog.dropTempView(d.name)
-          spark.sql(s"DROP TABLE IF EXISTS ${d.backing}")
-        } else spark.sql(s"DROP TABLE IF EXISTS ${d.name}")
+        cleanup(spark, registry.remove(key(name)))
         Some(spark.emptyDataFrame)
       case truncateRe(name) if registry.containsKey(key(name)) =>
         val d = registry.get(key(name))
@@ -133,7 +137,7 @@ object GeneratedColumnsSql {
   /** Claim the CREATE only when it declares a VIRTUAL column or a
     * DEFAULT that references another column of the table; constant
     * defaults are Spark-native. */
-  private def runCreate(spark: SparkSession, text: String, name: String,
+  private def runCreate(spark: SparkSession, name: String,
       colList: String): Option[DataFrame] = {
     val cols0 = parseCols(colList)
     val names = cols0.map(c => key(c.name)).toSet
@@ -196,27 +200,38 @@ object GeneratedColumnsSql {
   private def runInsert(spark: SparkSession, d: TableDef,
       cols: Option[Seq[String]], rest: String): DataFrame = {
     if (d.virtuals.nonEmpty) {
-      val virtualNames = d.virtuals.map(v => key(v.name)).toSet
+      // naming a generated column (explicitly, or implicitly by
+      // omitting the column list) is an error, as in the reference
       val hit = cols match {
         case None => d.virtuals.headOption // implicit list names every column
         case Some(cs) => d.virtuals.find(v => cs.exists(c => key(c) == key(v.name)))
       }
       hit.foreach(v => throw new IllegalArgumentException(
         s"Cannot INSERT into generated column '${v.name.toUpperCase(java.util.Locale.ROOT)}'"))
-      val listed = cols.get.filterNot(c => virtualNames.contains(key(c)))
-      spark.sql(s"INSERT INTO ${d.backing} (${listed.mkString(", ")}) $rest")
+    }
+    // cols is always defined past here for virtual tables (None threw)
+    val given = cols.getOrElse(d.stored.map(_.name))
+    val missing = d.defaulteds.filterNot(df => given.exists(c => key(c) == key(df.name)))
+    if (missing.isEmpty) {
+      // a listed row-dependent defaulted column must carry a real value:
+      // the physical table has no DEFAULT clause for it, so the bare
+      // DEFAULT keyword would silently become NULL — fail loudly instead
+      // (string literals stripped before the token scan)
+      val listedDefaulted = d.defaulteds.filter(df => given.exists(c => key(c) == key(df.name)))
+      if (listedDefaulted.nonEmpty &&
+          "(?i)\\bdefault\\b".r.findFirstIn(rest.replaceAll("'[^']*'", " ")).isDefined)
+        throw new IllegalArgumentException(
+          s"DEFAULT keyword for row-dependent default column '${listedDefaulted.head.name}'" +
+            " is not supported: omit the column to have it computed")
+      spark.sql(s"INSERT INTO ${d.backing} (${given.mkString(", ")}) $rest")
     } else {
-      val given = cols.getOrElse(d.cols.map(_.name))
-      val missing = d.defaulteds.filterNot(df => given.exists(c => key(c) == key(df.name)))
-      if (missing.isEmpty)
-        spark.sql(s"INSERT INTO ${d.name} (${given.mkString(", ")}) $rest")
-      else {
-        // compute the row-dependent defaults from the source relation
-        val sel = (given ++ missing.map(m => s"(${m.expr}) AS ${m.name}")).mkString(", ")
-        val tgtCols = (given ++ missing.map(_.name)).mkString(", ")
-        spark.sql(
-          s"INSERT INTO ${d.name} ($tgtCols) SELECT $sel FROM ($rest) AS __gen_src(${given.mkString(", ")})")
-      }
+      // compute the row-dependent defaults from the source relation
+      // (covers plain-defaulted tables AND the mixed virtual+default
+      // case, where the target is the backing table)
+      val sel = (given ++ missing.map(m => s"(${m.expr}) AS ${m.name}")).mkString(", ")
+      val tgtCols = (given ++ missing.map(_.name)).mkString(", ")
+      spark.sql(
+        s"INSERT INTO ${d.backing} ($tgtCols) SELECT $sel FROM ($rest) AS __gen_src(${given.mkString(", ")})")
     }
   }
 }

@@ -106,6 +106,50 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("COUNT(col) rolls up from the per-column non-null partial counts") {
+    MaterializedViews.register(spark, "mv_cntn", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      val q = source.groupBy("o_orderstatus")
+        .agg(count(col("o_totalprice")).as("nn"))
+        .orderBy("o_orderstatus")
+      assert(q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "COUNT(col) must substitute via the cntn partial")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        source.groupBy("o_orderstatus")
+          .agg(count(col("o_totalprice")).as("nn"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      }
+      assert(got == expected)
+    } finally MaterializedViews.clear()
+  }
+
+  test("key-column aggregates roll up directly: COUNT(DISTINCT key), MIN/MAX(key)") {
+    MaterializedViews.register(spark, "mv_keyagg", source,
+      keys = Seq("o_orderstatus", "o_orderpriority"), sums = Seq("o_totalprice"))
+    try {
+      val q = source.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_orderpriority")).as("dp"),
+          min("o_orderpriority").as("lo"), max("o_orderpriority").as("hi"))
+        .orderBy("o_orderstatus")
+      assert(q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        s"key-column aggregates must substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r =>
+        (r.getString(0), (r.getLong(1), r.getString(2), r.getString(3)))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        source.groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_orderpriority")).as("dp"),
+            min("o_orderpriority").as("lo"), max("o_orderpriority").as("hi"))
+          .collect().map(r =>
+            (r.getString(0), (r.getLong(1), r.getString(2), r.getString(3)))).toMap
+      }
+      assert(got == expected)
+    } finally MaterializedViews.clear()
+  }
+
   test("AVG rolls up as sum-of-sums over sum-of-counts") {
     MaterializedViews.register(spark, "mv_avg", source,
       keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))

@@ -363,27 +363,29 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q148: filtered-MV substitution fires — the rollup reads the cached MV, not parquet") {
-    val q = run("q148_mv_filtered_rollup")
-    val lp = q.queryExecution.optimizedPlan
-    assert(lp.toString.contains("InMemoryRelation"),
-      s"query must be answered from the materialized slice:\n$lp")
-    assert(lp.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
-    }.isEmpty, s"orders must not be rescanned:\n$lp")
-    graft.plans.MaterializedViews.drop(spark, "q148_mv")
+    try {
+      val q = run("q148_mv_filtered_rollup")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"query must be answered from the materialized slice:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q148_mv")
   }
 
   test("q149: union compensation — cached partials + ONE residual-slice scan") {
-    val q = run("q149_mv_union_rollup")
-    val lp = q.queryExecution.optimizedPlan
-    assert(lp.toString.contains("InMemoryRelation"),
-      s"covered slice must come from the cache:\n$lp")
-    assert(lp.collect {
-      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
-    }.nonEmpty, s"expected the partial-coverage union:\n$lp")
-    assert(lp.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
-    }.size == 1, s"residual slice scans the fact exactly once:\n$lp")
-    graft.plans.MaterializedViews.drop(spark, "q149_mv")
+    try {
+      val q = run("q149_mv_union_rollup")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"covered slice must come from the cache:\n$lp")
+      assert(lp.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.nonEmpty, s"expected the partial-coverage union:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.size == 1, s"residual slice scans the fact exactly once:\n$lp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q149_mv")
   }
 }
