@@ -38,12 +38,19 @@ object Windows {
     * (ref: rel/core/Window.java:259 isRows). */
   val q21_win_running_sum = Q(
     (s, dir) => {
+      // the synthetic generator emits duplicate (l_orderkey,
+      // l_linenumber) pairs (118k at sf0.1), so (shipdate, orderkey,
+      // linenumber) is NOT a total order — one sf0.1 tie group made the
+      // running sum engine-order-dependent. l_quantity as the final key
+      // makes the result multiset deterministic: any residual tie has
+      // equal summands, so the running values coincide in either order.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate"), T.dec2(col("l_quantity")).as("q"))
+          col("l_shipdate"), col("l_quantity"), T.dec2(col("l_quantity")).as("q"))
         .withColumn("running_qty", sum(col("q")).over(w).cast(DoubleType))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
@@ -51,7 +58,7 @@ object Windows {
     Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber,
         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
-          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem
       ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
