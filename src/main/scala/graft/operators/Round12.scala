@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.plans.MaterializedViews
+
+/** Round-12 pack: MV join compensation exercised end-to-end under the
+  * driver's DuckDB oracle.
+  */
+object Round12 {
+
+  /** JOIN compensation (ref: rel/rules/materialize/MaterializedViewRules
+    * .java join variants + plan/SubstitutionVisitor.java unification):
+    * the MV materializes orders⋈customer pre-aggregated by
+    * (o_orderstatus, c_nationkey); the query joins the same star to ONE
+    * extra dimension — nation — and rolls up by n_name. The optimizer
+    * answers it as (cached MV rollup) ⋈ nation: the fact-side join and
+    * shuffle are gone, the only scan left is the 25-row dimension
+    * (plan-gated in PlanQualitySpec). Aggregates stay exact: the revenue
+    * column is cast to DECIMAL(12,2) BELOW the join, so the MV's partial
+    * sums are exact decimals and the rollup is order-independent — the
+    * substituted result is bit-identical to the direct 3-way join at any
+    * partitioning. At 100 TB this is the dashboard-over-lattice shape:
+    * the star is scanned once at registration, and every later
+    * by-dimension breakdown runs MV-rows × dimension, both tiny. */
+  val q150_mv_join_rollup = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+      val customer = T(s, dir, "customer")
+      val nation = T(s, dir, "nation")
+      val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      MaterializedViews.register(s, "q150_mv", star,
+        keys = Seq("o_orderstatus", "c_nationkey"),
+        sums = Seq("o_totalprice"))
+      star.join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev0"))
+        .select(col("n_name"), col("n"),
+          col("rev0").cast("double").as("rev"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  val all: Map[String, Q] = Map(
+    "q150_mv_join_rollup" -> q150_mv_join_rollup)
+}

@@ -65,6 +65,7 @@ object MaterializedViews {
       sums: Set[String],
       mins: Set[String],
       maxs: Set[String],
+      approxes: Set[String],
       hasCount: Boolean,
       target: LogicalPlan,
       targetOut: Map[String, Attribute],
@@ -72,6 +73,7 @@ object MaterializedViews {
       sumsSeq: Seq[String],
       minsSeq: Seq[String],
       maxsSeq: Seq[String],
+      approxSeq: Seq[String],
       mvDf: DataFrame,
       // the MV's own defining filter, as literal-folded conjuncts; a
       // query substitutes only when its predicate IMPLIES this one —
@@ -137,14 +139,38 @@ object MaterializedViews {
     * family: a query substitutes when its own predicate implies the
     * MV's, with the query predicate re-applied on the rollup as the
     * compensating filter). Partials: sum per `sums` column, min/max per
-    * `mins`/`maxs`, and a group count. Returns the materialized frame
-    * (already cached). */
+    * `mins`/`maxs`, an HLL sketch per `approxDistincts` column (answers
+    * APPROX_COUNT_DISTINCT rollups only — never exact ones), and a group
+    * count. Returns the materialized frame (already cached).
+    *
+    * Exactness invariants the registry enforces, so ANY later matching
+    * rollup may be answered from ANY registered MV:
+    *   - every carried partial except the HLL sketches is exact, and the
+    *     sketches only ever substitute an already-approximate function;
+    *   - a source with duplicate output column names is rejected here
+    *     (all matching is name-based — ambiguity would be unsound);
+    *   - staleness: TableDml's mutating writes call invalidatePath,
+    *     which drops every MV reading the written path before the write
+    *     returns — a registered MV therefore always reflects the live
+    *     table (appends the caller wants folded in instead go through
+    *     refreshIncremental). */
   def register(spark: SparkSession, name: String, source: DataFrame,
       keys: Seq[String], sums: Seq[String],
-      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+      approxDistincts: Seq[String] = Nil): DataFrame = {
     val (signature, srcFilters) = signatureOf(source.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         "MV source must be projects/filters over inner equi-joins of file scans"))
+    // every matching/rebinding step downstream (implication, residual
+    // rebind, targetOut) is name-keyed; a join source carrying two
+    // identically-named columns would let a query predicate absorb
+    // against the WRONG table's column — an unsound substitution. Fail
+    // loudly at registration instead.
+    val outNames = source.queryExecution.analyzed.output.map(_.name)
+    val dupNames = outNames.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"MV source has ambiguous duplicate output columns ${dupNames.mkString(", ")}: " +
+        "alias one side before registering (matching is name-based)")
     // literal-fold the defining filter so register-time (analyzed, casts
     // unfolded) conjuncts compare equal to query-time (optimized, folded)
     // conjuncts
@@ -158,10 +184,10 @@ object MaterializedViews {
           case f: logical.Filter => f.child
         })
 
-    val cols = partialAggCols(sums, mins, maxs)
+    val cols = partialAggCols(sums, mins, maxs, approxDistincts)
     val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
-    store(spark, name, signature, keys, sums, mins, maxs, mv, None,
-      filterConjuncts, baseDf)
+    store(spark, name, signature, keys, sums, mins, maxs, approxDistincts, mv,
+      replaced = Option(registry.get(name)).map(_.mvDf), filterConjuncts, baseDf)
   }
 
   /** Fold foldable subtrees (e.g. the implicit CAST a comparison wraps
@@ -172,22 +198,28 @@ object MaterializedViews {
       Literal.create(f.eval(null), f.dataType)
   }
 
-  /** The partial-aggregate columns an MV carries per group. */
+  /** The partial-aggregate columns an MV carries per group. The HLL
+    * sketch partials (ref: profile/ProfilerImpl.java:577-659 — lattice
+    * tiles carry HLL for distinct-count rollups) are Datasketches
+    * binaries: mergeable across groups via hll_union_agg, so an
+    * APPROX_COUNT_DISTINCT rollup never rescans the fact. */
   private def partialAggCols(sums: Seq[String], mins: Seq[String],
-      maxs: Seq[String]): Seq[org.apache.spark.sql.Column] =
+      maxs: Seq[String], approxes: Seq[String] = Nil): Seq[org.apache.spark.sql.Column] =
     sums.map(c => sum(col(c)).as(s"__mv_sum_$c")) ++
       // per-column non-null count, so AVG(x) rolls up as
       // SUM(sum_x)/SUM(cntn_x) even when x has NULLs
       sums.map(c => count(col(c)).as(s"__mv_cntn_$c")) ++
       mins.map(c => min(col(c)).as(s"__mv_min_$c")) ++
-      maxs.map(c => max(col(c)).as(s"__mv_max_$c")) :+
+      maxs.map(c => max(col(c)).as(s"__mv_max_$c")) ++
+      approxes.map(c => hll_sketch_agg(col(c)).as(s"__mv_hll_$c")) :+
       count(lit(1)).as("__mv_cnt")
 
   /** Persist `mv`, splice it into the registry, keep the rewrite rule
     * installed; unpersists the MV generation it replaces. */
   private def store(spark: SparkSession, name: String, signature: Signature,
       keys: Seq[String], sums: Seq[String], mins: Seq[String],
-      maxs: Seq[String], mv: DataFrame, replaced: Option[DataFrame],
+      maxs: Seq[String], approxes: Seq[String], mv: DataFrame,
+      replaced: Option[DataFrame],
       filterConjuncts: Seq[Expression], baseDf: DataFrame): DataFrame = {
     mv.persist()
     mv.count() // materialize now
@@ -196,9 +228,9 @@ object MaterializedViews {
     // InMemoryRelation leaf, which is what we splice into queries
     val target = mv.queryExecution.withCachedData
     registry.put(name, MvDef(name, signature, keys.toSet, sums.toSet,
-      mins.toSet, maxs.toSet, hasCount = true, target,
+      mins.toSet, maxs.toSet, approxes.toSet, hasCount = true, target,
       target.output.map(a => a.name -> a).toMap,
-      keys, sums, mins, maxs, mv, filterConjuncts, baseDf))
+      keys, sums, mins, maxs, approxes, mv, filterConjuncts, baseDf))
     replaced.foreach(_.unpersist())
 
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
@@ -221,26 +253,83 @@ object MaterializedViews {
   def refreshIncremental(spark: SparkSession, name: String, delta: DataFrame): DataFrame = {
     val d = Option(registry.get(name)).getOrElse(
       throw new IllegalArgumentException(s"unknown MV: $name"))
-    // a filtered MV folds in only the delta rows its defining predicate
-    // keeps (conjuncts rebind to the delta by name via their SQL form)
-    val deltaKept = d.filterConjuncts.foldLeft(delta)((df, c) => df.filter(c.sql))
-    val cols = partialAggCols(d.sumsSeq, d.minsSeq, d.maxsSeq)
-    val deltaAgg = deltaKept.groupBy(d.keysSeq.map(col): _*).agg(cols.head, cols.tail: _*)
-    val mergeCols =
-      d.sumsSeq.map(c => sum(col(s"__mv_sum_$c")).as(s"__mv_sum_$c")) ++
-        d.sumsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
-        d.minsSeq.map(c => min(col(s"__mv_min_$c")).as(s"__mv_min_$c")) ++
-        d.maxsSeq.map(c => max(col(s"__mv_max_$c")).as(s"__mv_max_$c")) :+
-        sum(col("__mv_cnt")).as("__mv_cnt")
+    val deltaAgg = deltaPartials(spark, d, delta)
+    val mergeCols = mergePartialCols(d)
     val merged = d.mvDf.unionByName(deltaAgg)
       .groupBy(d.keysSeq.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
     store(spark, name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
-      d.maxsSeq, merged, Some(d.mvDf), d.filterConjuncts, d.baseDf)
+      d.maxsSeq, d.approxSeq, merged, Some(d.mvDf), d.filterConjuncts, d.baseDf)
   }
 
-  def drop(spark: SparkSession, name: String): Unit = registry.remove(name)
-  def clear(): Unit = registry.clear()
+  /** Partial-aggregate the delta at the MV's keys, keeping only the rows
+    * the MV's defining predicate admits. Conjuncts rebind to the delta's
+    * attributes BY NAME (not via a SQL round-trip, which breaks when the
+    * registered source carried qualifiers); a type gap from the loader's
+    * NTZ normalization closes with a cast on the delta side. */
+  private def deltaPartials(spark: SparkSession, d: MvDef, delta: DataFrame): DataFrame = {
+    val deltaOut = delta.queryExecution.analyzed.output
+      .map(a => a.name -> (a: Attribute)).toMap
+    val deltaKept = d.filterConjuncts.foldLeft(delta) { (df, c) =>
+      val missing = c.references.map(_.name).filterNot(deltaOut.contains)
+      require(missing.isEmpty,
+        s"MV ${d.name}: delta is missing filter columns ${missing.mkString(", ")}")
+      val bound = c.transform {
+        case a: AttributeReference =>
+          val out = deltaOut(a.name)
+          if (out.dataType == a.dataType) out
+          else Cast(out, a.dataType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone))
+      }
+      df.filter(org.apache.spark.sql.GraftSqlBridge.column(bound))
+    }
+    val cols = partialAggCols(d.sumsSeq, d.minsSeq, d.maxsSeq, d.approxSeq)
+    deltaKept.groupBy(d.keysSeq.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Merge columns folding two generations of partials: every partial is
+    * a commutative monoid (SUM/counts by SUM, MIN/MAX by themselves, HLL
+    * sketches by union). */
+  private def mergePartialCols(d: MvDef): Seq[org.apache.spark.sql.Column] =
+    d.sumsSeq.map(c => sum(col(s"__mv_sum_$c")).as(s"__mv_sum_$c")) ++
+      d.sumsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+      d.minsSeq.map(c => min(col(s"__mv_min_$c")).as(s"__mv_min_$c")) ++
+      d.maxsSeq.map(c => max(col(s"__mv_max_$c")).as(s"__mv_max_$c")) ++
+      d.approxSeq.map(c => hll_union_agg(col(s"__mv_hll_$c")).as(s"__mv_hll_$c")) :+
+      sum(col("__mv_cnt")).as("__mv_cnt")
+
+  def drop(spark: SparkSession, name: String): Unit =
+    Option(registry.remove(name)).foreach(_.mvDf.unpersist())
+  def clear(): Unit = {
+    registry.values.forEach(d => { d.mvDf.unpersist(); () })
+    registry.clear()
+  }
+
+  /** DML write-barrier (ref: materialize/MaterializationService.java +
+    * MaterializationActor.java — materializations are keyed and
+    * re-resolved, never served stale after the backing table changes):
+    * drop every registered MV whose defining signature reads `path`, so
+    * a rollup issued after an UPDATE/DELETE/MERGE recomputes from the
+    * rewritten source instead of answering from a pre-DML cache.
+    * TableDml calls this before each mutating write returns; appends the
+    * caller WANTS folded in go through refreshIncremental instead (run
+    * it before the append is written, or re-register after). Path
+    * containment is prefix-based so a partition-scoped write under the
+    * table root invalidates MVs over the whole table. Returns the names
+    * of the dropped MVs (empty when nothing read the path). */
+  def invalidatePath(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val qualified =
+      p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+    def touches(leaf: String): Boolean =
+      leaf == qualified || leaf.startsWith(qualified + "/") ||
+        qualified.startsWith(leaf + "/")
+    import scala.jdk.CollectionConverters._
+    val hit = registry.values.asScala
+      .filter(_.signature.leaves.exists(_.exists(touches))).map(_.name).toSeq
+    hit.foreach(drop(spark, _))
+    hit
+  }
 
   /** Continuous MV maintenance from a stream (ref: the reference's
     * materializations never see streams — this is the Spark-native
@@ -265,29 +354,132 @@ object MaterializedViews {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
-        // signatureOf peels pruning Projects and collects Filters;
-        // a query matches an MV when its scan+join shape is identical,
-        // its predicate IMPLIES the MV's defining predicate (filter
-        // subsumption — the MaterializedViewFilterScanRule /
-        // SubstitutionVisitor analog), and the compensating residual
-        // references grouping-key columns only (so it commutes with the
-        // rollup and can re-apply on the MV).
-        signatureOf(child).flatMap { case (sig, filters) =>
-          val conjs = filters.flatMap(splitAnd)
-          registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
-            if (mv.signature != sig) None
-            // rollup-ability first: it is the cheap check, and
-            // unionTarget runs a full analyzer pass building the
-            // residual subtree — never pay that for an aggregate the
-            // MV cannot answer anyway
-            else rollupExprs(mv, groupings, aggExprs).flatMap { case (g, a) =>
-              compensation(mv, conjs, sig)
-                .map(c => targetWithFilters(mv, c))
-                .orElse(unionTarget(mv, conjs, sig))
-                .map(child => Aggregate(g, a, child, None))
-            }
-          }.nextOption()
-        }.getOrElse(agg)
+        exactRewrite(groupings, aggExprs, child)
+          .orElse(joinCompRewrite(groupings, aggExprs, child))
+          .getOrElse(agg)
+    }
+
+    /** Exact-shape substitution: signatureOf peels pruning Projects and
+      * collects Filters; a query matches an MV when its scan+join shape
+      * is identical, its predicate IMPLIES the MV's defining predicate
+      * (filter subsumption — the MaterializedViewFilterScanRule /
+      * SubstitutionVisitor analog), and the compensating residual
+      * references grouping-key columns only (so it commutes with the
+      * rollup and can re-apply on the MV). */
+    private def exactRewrite(groupings: Seq[Expression],
+        aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
+      signatureOf(child).flatMap { case (sig, filters) =>
+        val conjs = filters.flatMap(splitAnd)
+        registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
+          if (mv.signature != sig) None
+          // rollup-ability first: it is the cheap check, and
+          // unionTarget runs a full analyzer pass building the
+          // residual subtree — never pay that for an aggregate the
+          // MV cannot answer anyway
+          else rollupExprs(mv, groupings, aggExprs).flatMap { case (g, a) =>
+            compensation(mv, conjs, sig)
+              .map(c => targetWithFilters(mv, c))
+              .orElse(unionTarget(mv, conjs, sig))
+              .map(child => Aggregate(g, a, child, None))
+          }
+        }.nextOption()
+      }
+
+    /** JOIN compensation (ref: rel/rules/materialize/
+      * MaterializedViewRules.java join variants + plan/
+      * SubstitutionVisitor.java unification): a query whose join set
+      * strictly contains the MV's star — one extra inner equi-join to a
+      * dimension, on columns the MV carries as grouping keys — rewrites
+      * to Aggregate(rollup-exprs, compensated-MV ⋈ dimension).
+      *
+      * Soundness: the extra join's matching depends only on the join-key
+      * columns, which are constant within an MV group, so every source
+      * row of a group matches exactly the dim rows the group's MV row
+      * matches. SUM/COUNT rollups therefore weight each dim match by the
+      * group partial exactly as the row-level join would, and MIN/MAX /
+      * DISTINCT-key value sets are preserved. Aggregates over DIM
+      * columns are admitted only where multiplicity cannot matter
+      * (MIN/MAX, COUNT(DISTINCT)); SUM/COUNT/AVG of a dim column would
+      * need the per-group weight and stay blocked. NULL join keys drop
+      * the whole group on both plans (all rows of a group share the
+      * key), keeping the inner-join semantics exact.
+      *
+      * At 100 TB this removes the fact-side shuffle entirely: the join
+      * runs MV-rows × dimension — typically both broadcast-small. */
+    private def joinCompRewrite(groupings: Seq[Expression],
+        aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+      // peel attribute-only projects/aliases/hints, collecting filters —
+      // by rewrite time Catalyst has pushed predicates below the join,
+      // but a conjunct can legally remain here (e.g. one it could not
+      // push); same-name-cast projects are NOT peeled (they would break
+      // attribute identity between the aggregate and the join output)
+      @scala.annotation.tailrec
+      def peel(p: LogicalPlan, fs: Seq[Expression]): (LogicalPlan, Seq[Expression]) = p match {
+        case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) => peel(ch, fs)
+        case logical.Filter(cond, ch) => peel(ch, fs ++ splitAnd(cond))
+        case a: logical.SubqueryAlias => peel(a.child, fs)
+        case h: logical.ResolvedHint => peel(h.child, fs)
+        case other => (other, fs)
+      }
+      peel(child, Nil) match {
+        case (j: Join, above) if j.joinType == Inner =>
+          j.condition.flatMap { cond =>
+            trySide(j.left, j.right, cond, above, groupings, aggExprs)
+              .orElse(trySide(j.right, j.left, cond, above, groupings, aggExprs))
+          }
+        case _ => None
+      }
+    }
+
+    /** One orientation of the join-compensation match: `star` must be an
+      * MV's exact signature, `dim` is kept verbatim. */
+    private def trySide(star: LogicalPlan, dim: LogicalPlan, cond: Expression,
+        above: Seq[Expression], groupings: Seq[Expression],
+        aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+      val starOut = star.outputSet
+      val dimOut = dim.outputSet
+      // the join condition must be attr=attr conjuncts each bridging
+      // star → dim (no star-only or dim-only residues)
+      def bridge(e: Expression): Option[AttributeReference] = e match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if starOut.contains(a) && dimOut.contains(b) => Some(a)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if starOut.contains(b) && dimOut.contains(a) => Some(b)
+        case _ => None
+      }
+      val starJoinCols = splitAnd(cond).map(bridge)
+      if (starJoinCols.exists(_.isEmpty)) return None
+      // filters still above the join must split cleanly per side: star
+      // conjuncts join the MV compensation, dim conjuncts re-apply above
+      val (starAbove, rest) = above.partition(_.references.subsetOf(starOut))
+      val (dimAbove, mixed) = rest.partition(_.references.subsetOf(dimOut))
+      if (mixed.nonEmpty) return None
+
+      signatureOf(star).flatMap { case (sig, starFs) =>
+        val conjs = (starFs ++ starAbove).flatMap(splitAnd)
+        registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
+          if (mv.signature != sig) None
+          else if (!starJoinCols.flatten.forall(a => mv.keys.contains(a.name))) None
+          else rollupExprs(mv, groupings, aggExprs, dimOut).flatMap { case (g, a) =>
+            compensation(mv, conjs, sig)
+              .map(c => targetWithFilters(mv, c))
+              .orElse(unionTarget(mv, conjs, sig))
+              .map { newStar =>
+                val newCond = cond.transform {
+                  case at: AttributeReference if starOut.contains(at) =>
+                    val out = mv.targetOut(at.name)
+                    if (out.dataType == at.dataType) out
+                    else Cast(out, at.dataType, Some(conf.sessionLocalTimeZone))
+                }
+                val joined: LogicalPlan =
+                  Join(newStar, dim, Inner, Some(newCond), logical.JoinHint.NONE)
+                val filtered = dimAbove.foldLeft(joined)(
+                  (p, f) => logical.Filter(f, p))
+                Aggregate(g, a, filtered, None)
+              }
+          }
+        }.nextOption()
+      }
     }
 
     /** A column-range conjunct `col op literal` in normalized form. */
@@ -462,24 +654,37 @@ object MaterializedViews {
       val bound = normalizeNtz(And(q, negM)).transform {
         case a: AttributeReference => baseOut(a.name)
       }
-      val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq)
+      val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq, mv.approxSeq)
       val resid = mv.baseDf
         .filter(org.apache.spark.sql.GraftSqlBridge.column(bound))
         .groupBy(mv.keysSeq.map(col): _*)
         .agg(cols.head, cols.tail: _*)
-      Some(logical.Union(Seq(mv.target, resid.queryExecution.analyzed),
+      // splice the OPTIMIZED residual: this rule runs in the final
+      // user-provided batch, after logical column pruning — an analyzed
+      // splice would keep the loader's all-column normalization Project
+      // and read every column off the fact scan. Optimizing here prunes
+      // the residual's ReadSchema to keys + aggregated columns.
+      Some(logical.Union(Seq(mv.target, resid.queryExecution.optimizedPlan),
         byName = false, allowMissingCol = false))
     }
 
     /** The rolled-up grouping + aggregate expressions over the MV's
       * output, or None when the query's shape cannot be answered from
       * the carried partials. Pure expression work — the cheap
-      * admissibility check that runs BEFORE any target construction. */
+      * admissibility check that runs BEFORE any target construction.
+      * `dimOut` (join compensation only) is the extra dimension's output:
+      * its attributes pass through verbatim — matched by exprId FIRST so
+      * a dim column that merely shares an MV key's name never rebinds to
+      * the wrong side. */
     private def rollupExprs(mv: MvDef, groupings: Seq[Expression],
-        aggExprs: Seq[NamedExpression])
+        aggExprs: Seq[NamedExpression],
+        dimOut: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+          org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
         : Option[(Seq[Expression], Seq[NamedExpression])] = {
-      // grouping keys must be bare attributes covered by the MV keys
+      // grouping keys must be bare attributes covered by the MV keys —
+      // or attributes of the compensated dimension, kept as-is
       val newGroupings = groupings.map {
+        case a: AttributeReference if dimOut.contains(a) => Some(a)
         case a: AttributeReference if mv.keys.contains(a.name) =>
           Some(mv.targetOut(a.name))
         case _ => None
@@ -487,6 +692,14 @@ object MaterializedViews {
       if (newGroupings.exists(_.isEmpty)) return None
 
       def rollup(fn: AggregateFunction): Option[Expression] = fn match {
+        // MIN/MAX over a DIM column (join compensation): the value set
+        // per group is preserved by the MV-side join, so the function
+        // re-applies unchanged. Multiplicity-sensitive functions over
+        // dim columns (SUM/COUNT/AVG) fall through to None below.
+        case Min(a: AttributeReference) if dimOut.contains(a) =>
+          Some(Min(a).toAggregateExpression())
+        case Max(a: AttributeReference) if dimOut.contains(a) =>
+          Some(Max(a).toAggregateExpression())
         case Sum(a: AttributeReference, _) if mv.sums.contains(a.name) =>
           val inner = Sum(mv.targetOut(s"__mv_sum_${a.name}")).toAggregateExpression()
           Some(if (inner.dataType == fn.dataType) inner else Cast(inner, fn.dataType))
@@ -515,22 +728,47 @@ object MaterializedViews {
             Some(Cast(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), fn.dataType))
           case _ => None
         }
+        // APPROX_COUNT_DISTINCT(x) rolls up from the carried HLL sketch
+        // partials: union the per-group sketches, then estimate — the
+        // reference's lattice-tile HLL column stats
+        // (profile/ProfilerImpl.java:577-659). Only the APPROXIMATE
+        // function substitutes; an exact COUNT(DISTINCT x) on a non-key
+        // stays blocked below (a sketch estimate must never contaminate
+        // an exact path).
+        case hpp: HyperLogLogPlusPlus => hpp.child match {
+          case a: AttributeReference if mv.approxes.contains(a.name) =>
+            Some(org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+              HllUnionAgg(mv.targetOut(s"__mv_hll_${a.name}"), Literal(true))
+                .toAggregateExpression()))
+          case _ => None
+        }
         case _ => None
       }
 
       val newAggExprs = aggExprs.map {
+        case a: AttributeReference if dimOut.contains(a) => Some(a)
         case a: AttributeReference if mv.keys.contains(a.name) =>
           Some(Alias(mv.targetOut(a.name), a.name)(exprId = a.exprId))
         case al @ Alias(ae: AggregateExpression, nm)
             if !ae.isDistinct && ae.filter.isEmpty =>
           rollup(ae.aggregateFunction).map(e => Alias(e, nm)(exprId = al.exprId))
+        // a Cast the optimizer collapsed into the aggregate list (e.g.
+        // `sum(x) ... .cast("double")` projected away) commutes with the
+        // rollup: re-apply it around the rolled-up expression
+        case al @ Alias(c @ Cast(ae: AggregateExpression, _, _, _), nm)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          rollup(ae.aggregateFunction).map(e =>
+            Alias(c.copy(child = e), nm)(exprId = al.exprId))
         // COUNT(DISTINCT k) over a GROUPING-KEY column: the MV carries
         // every distinct key combination as a row, so the distinct
         // count re-aggregates exactly over the key column (duplicated
-        // (g, k) rows from a union-compensated target dedup away)
+        // (g, k) rows from a union-compensated target dedup away).
+        // DISTINCT over a dim column is multiplicity-insensitive too.
         case al @ Alias(ae: AggregateExpression, nm)
             if ae.isDistinct && ae.filter.isEmpty =>
           (ae.aggregateFunction match {
+            case Count(Seq(a: AttributeReference)) if dimOut.contains(a) =>
+              Some(Count(a).toAggregateExpression(isDistinct = true))
             case Count(Seq(a: AttributeReference)) if mv.keys.contains(a.name) =>
               Some(Count(mv.targetOut(a.name)).toAggregateExpression(isDistinct = true))
             case _ => None

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object TableDml {
 
-  /** INSERT INTO path VALUES rows. */
-  def insertInto(spark: SparkSession, path: String, rows: DataFrame): Unit =
+  /** INSERT INTO path VALUES rows. Registered MVs over the path are
+    * invalidated like every other write (the safe default); a caller
+    * maintaining a tile incrementally calls
+    * MaterializedViews.refreshIncremental with the same rows instead of
+    * relying on the registry surviving the append. */
+  def insertInto(spark: SparkSession, path: String, rows: DataFrame): Unit = {
     rows.write.mode("append").parquet(path)
+    MaterializedViews.invalidatePath(spark, path): Unit
+  }
 
   /** UPDATE path SET assignments WHERE cond; returns updated-row count. */
   def update(spark: SparkSession, path: String, cond: Column,
@@ -68,7 +74,12 @@ object TableDml {
     swapIn(spark, path, out)
   }
 
-  /** Materialize `next` beside `path`, then swap directories. */
+  /** Materialize `next` beside `path`, then swap directories. Before the
+    * write returns, every registered MV reading `path` is dropped (ref:
+    * materialize/MaterializationService.java keyed-validity model —
+    * materializations are never served stale after the backing table
+    * changes): a rollup issued after this commit recomputes from the
+    * rewritten source instead of a pre-DML cache. */
   private def swapIn(spark: SparkSession, path: String, next: DataFrame): Unit = {
     val tmp = path + ".__dml_tmp"
     next.write.mode("overwrite").parquet(tmp)
@@ -81,6 +92,7 @@ object TableDml {
     appendLog(fs, path, s"$v,${System.currentTimeMillis()}")
     if (!fs.rename(new Path(tmp), new Path(path)))
       throw new java.io.IOException(s"DML commit failed: rename $tmp -> $path")
+    MaterializedViews.invalidatePath(spark, path): Unit
   }
 
   // ---- time travel over the DML write history -------------------------
@@ -174,6 +186,10 @@ object TableDml {
       if (!fs.rename(new Path(tmp), new Path(sub)))
         throw new java.io.IOException(s"partitioned DML commit failed: $sub")
     }
+    // the MV barrier fires on the TABLE root: an MV's leaf path is the
+    // root of the partitioned layout, and any rewritten partition sits
+    // under it (prefix containment in invalidatePath)
+    if (affected.nonEmpty) MaterializedViews.invalidatePath(spark, path): Unit
     (updated, affected.length)
   }
 

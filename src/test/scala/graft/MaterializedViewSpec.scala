@@ -428,6 +428,188 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("join compensation: a query joining the MV star to one extra dimension substitutes") {
+    val orders = source
+    val customer = T(spark, sfDir, "customer")
+    val nation = T(spark, sfDir, "nation")
+    val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    MaterializedViews.register(spark, "mv_jc", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      val q = star.join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"),
+          max("n_regionkey").as("rk"))
+        .orderBy("n_name")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"star must come from the cached MV:\n$lp")
+      val scans = lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 1, s"only the dimension may be scanned:\n$lp")
+
+      // value parity against the direct 3-way join
+      val expected = {
+        MaterializedViews.clear()
+        star.join(nation, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"),
+            max("n_regionkey").as("rk"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+      }
+      MaterializedViews.register(spark, "mv_jc", star,
+        keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+      val got = q.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (n, rev, rk)) =>
+        val (en, erev, erk) = expected(k)
+        assert(n == en && rk == erk, s"$k: exact columns diverged")
+        assert(math.abs(rev - erev) <= 1e-9 * math.abs(erev), s"$k: sum diverged")
+      }
+
+      // filter on a dim column stays above the compensated join
+      val qf = star.join(nation, col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 1L)
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+      assert(hasMvWithScans(qf, 1), "dim filter must not block compensation")
+      val gotF = qf.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expF = {
+        MaterializedViews.clear()
+        val e = star.join(nation, col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_regionkey") === 1L)
+          .groupBy("n_name").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        MaterializedViews.register(spark, "mv_jc", star,
+          keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+        e
+      }
+      assert(gotF == expF, s"dim-filtered compensation diverged: $gotF vs $expF")
+    } finally MaterializedViews.clear()
+  }
+
+  test("join compensation negatives: non-key join, dim SUM, and non-key star filter stay blocked") {
+    val orders = source
+    val customer = T(spark, sfDir, "customer")
+    val nation = T(spark, sfDir, "nation")
+    val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    MaterializedViews.register(spark, "mv_jcn", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      // join on a star column the MV does NOT carry as a key
+      val q1 = star.join(nation, col("o_custkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q1), "non-key join column must block compensation")
+      // SUM over a DIM column is multiplicity-sensitive
+      val q2 = star.join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("o_orderstatus").agg(sum("n_regionkey").as("s"))
+      assert(!hasMv(q2), "SUM of a dim column must block")
+      // filter on a star NON-key column cannot compensate
+      val q3 = star.filter(col("o_totalprice") > 1000)
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q3), "non-key star filter must block")
+    } finally MaterializedViews.clear()
+  }
+
+  private def hasMvWithScans(q: org.apache.spark.sql.DataFrame, nScans: Int): Boolean = {
+    val plan = q.queryExecution.optimizedPlan
+    plan.toString.contains("InMemoryRelation") &&
+      plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.size == nScans
+  }
+
+  test("DML invalidation: a post-UPDATE rollup reads the rewritten table, not a stale cache") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mvdml").toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "tag", "amt").write.parquet(dir)
+    val other = java.nio.file.Files.createTempDirectory("mvdml").toString + "/u"
+    Seq((9L, "z", 1.0)).toDF("id", "tag", "amt").write.parquet(other)
+    try {
+      def src = spark.read.parquet(dir)
+      MaterializedViews.register(spark, "mv_dml", src,
+        keys = Seq("tag"), sums = Seq("amt"))
+      def rollup = spark.read.parquet(dir).groupBy("tag").agg(sum("amt").as("t"))
+      assert(hasMv(rollup), "MV must answer the rollup before any DML")
+
+      // no-false-invalidation: DML on an UNRELATED path keeps the MV
+      graft.plans.TableDml.update(spark, other, col("id") === 9L,
+        Map("amt" -> lit(2.0)))
+      assert(hasMv(rollup), "DML on an unrelated path must not invalidate")
+
+      // UPDATE on the MV's source: the registry drops the MV before the
+      // write returns, and the rollup reads post-DML values
+      graft.plans.TableDml.update(spark, dir, col("tag") === "a",
+        Map("amt" -> (col("amt") + 100.0)))
+      val q = rollup
+      assert(!hasMv(q), "stale MV must be dropped by the write barrier")
+      val got = q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(got == Map("a" -> 240.0, "b" -> 20.0), s"post-DML values required: $got")
+
+      // DELETE and MERGE also invalidate a freshly re-registered MV
+      MaterializedViews.register(spark, "mv_dml", spark.read.parquet(dir),
+        keys = Seq("tag"), sums = Seq("amt"))
+      assert(hasMv(rollup))
+      graft.plans.TableDml.delete(spark, dir, col("id") === 2L)
+      assert(!hasMv(rollup), "DELETE must invalidate")
+      MaterializedViews.register(spark, "mv_dml", spark.read.parquet(dir),
+        keys = Seq("tag"), sums = Seq("amt"))
+      graft.plans.TableDml.insertInto(spark, dir,
+        Seq((4L, "c", 5.0)).toDF("id", "tag", "amt"))
+      assert(!hasMv(rollup), "append must invalidate (refreshIncremental is the opt-in)")
+      val after = rollup.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(after == Map("a" -> 240.0, "c" -> 5.0), s"got $after")
+    } finally MaterializedViews.clear()
+  }
+
+  test("APPROX_COUNT_DISTINCT rolls up from HLL sketch partials; exact COUNT(DISTINCT) stays blocked") {
+    MaterializedViews.register(spark, "mv_hll", source,
+      keys = Seq("o_orderstatus", "o_orderpriority"), sums = Seq("o_totalprice"),
+      approxDistincts = Seq("o_custkey"))
+    try {
+      val q = source.groupBy("o_orderstatus")
+        .agg(approx_count_distinct("o_custkey").as("ad"))
+        .orderBy("o_orderstatus")
+      assert(hasMv(q),
+        s"approx distinct must substitute via the sketch partial:\n${q.queryExecution.optimizedPlan}")
+      // q18-style error gate: the sketch estimate must sit within 5% of
+      // the exact distinct count per group
+      val exact = {
+        val e = source.groupBy("o_orderstatus")
+          .agg(countDistinct("o_custkey").as("d"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        e
+      }
+      q.collect().foreach { r =>
+        val (s, est) = (r.getString(0), r.getLong(1))
+        val ex = exact(s)
+        assert(math.abs(est - ex).toDouble / ex <= 0.05,
+          s"sketch estimate for $s off by >5%: $est vs exact $ex")
+      }
+      // the exact twin: COUNT(DISTINCT non-key) must NOT be answered
+      // from a sketch — no contamination of exact paths
+      val qx = source.groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("d"))
+      assert(!hasMv(qx), "exact distinct on a non-key must not substitute")
+      // refreshIncremental merges sketches by union: estimates stay
+      // within the gate after folding a delta in
+      val delta = source.limit(500)
+      MaterializedViews.refreshIncremental(spark, "mv_hll", delta)
+      val q2 = source.groupBy("o_orderstatus")
+        .agg(approx_count_distinct("o_custkey").as("ad"))
+      assert(hasMv(q2), "refreshed MV must still answer the approx rollup")
+      q2.collect().foreach { r =>
+        // the delta re-adds existing customers: distinct set unchanged
+        val ex = exact(r.getString(0))
+        assert(math.abs(r.getLong(1) - ex).toDouble / ex <= 0.05)
+      }
+    } finally MaterializedViews.clear()
+  }
+
   test("stream-maintained MV: each micro-batch folds in; counts track the feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

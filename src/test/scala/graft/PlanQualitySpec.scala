@@ -388,4 +388,25 @@ class PlanQualitySpec extends SparkSpec {
       }.size == 1, s"residual slice scans the fact exactly once:\n$lp")
     } finally graft.plans.MaterializedViews.drop(spark, "q149_mv")
   }
+
+  test("q150: join compensation — cached MV rollup ⋈ dimension, fact never rescanned") {
+    try {
+      val q = run("q150_mv_join_rollup")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the star must be answered from the cached MV:\n$lp")
+      val scans = lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 1,
+        s"exactly ONE scan (the nation dimension) may remain:\n$lp")
+      assert(scans.head.schema.fieldNames.contains("n_name"),
+        s"the remaining scan must be the dimension:\n$lp")
+      // physically: the MV-rows × dimension join broadcasts — no
+      // fact-sized shuffle survives the rewrite
+      val pp = q.queryExecution.executedPlan.toString
+      assert(pp.contains("BroadcastHashJoin"),
+        s"tiny dimension join must broadcast:\n$pp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q150_mv")
+  }
 }
