@@ -81,7 +81,11 @@ object MaterializedViews {
       filterConjuncts: Seq[Expression],
       // the defining source with its filters stripped: the relation the
       // union-compensation residual slice scans
-      baseDf: DataFrame)
+      baseDf: DataFrame,
+      // pending stream-appended delta generations (cached partial-agg
+      // frames whose targets are unioned into `target`); compaction
+      // merges them back into one generation
+      gens: Seq[DataFrame] = Nil)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -187,7 +191,8 @@ object MaterializedViews {
     val cols = partialAggCols(sums, mins, maxs, approxDistincts)
     val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
     store(spark, name, signature, keys, sums, mins, maxs, approxDistincts, mv,
-      replaced = Option(registry.get(name)).map(_.mvDf), filterConjuncts, baseDf)
+      replacedAll = Option(registry.get(name)).toSeq.flatMap(d => d.mvDf +: d.gens),
+      filterConjuncts, baseDf)
   }
 
   /** Fold foldable subtrees (e.g. the implicit CAST a comparison wraps
@@ -219,7 +224,7 @@ object MaterializedViews {
   private def store(spark: SparkSession, name: String, signature: Signature,
       keys: Seq[String], sums: Seq[String], mins: Seq[String],
       maxs: Seq[String], approxes: Seq[String], mv: DataFrame,
-      replaced: Option[DataFrame],
+      replacedAll: Seq[DataFrame],
       filterConjuncts: Seq[Expression], baseDf: DataFrame): DataFrame = {
     mv.persist()
     mv.count() // materialize now
@@ -231,7 +236,7 @@ object MaterializedViews {
       mins.toSet, maxs.toSet, approxes.toSet, hasCount = true, target,
       target.output.map(a => a.name -> a).toMap,
       keys, sums, mins, maxs, approxes, mv, filterConjuncts, baseDf))
-    replaced.foreach(_.unpersist())
+    replacedAll.foreach(_.unpersist())
 
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
@@ -254,13 +259,53 @@ object MaterializedViews {
     val d = Option(registry.get(name)).getOrElse(
       throw new IllegalArgumentException(s"unknown MV: $name"))
     val deltaAgg = deltaPartials(spark, d, delta)
+    compactInto(spark, d, Some(deltaAgg))
+  }
+
+  /** Merge the base generation, any pending stream generations, and an
+    * optional fresh delta into ONE generation (a single bounded-by-
+    * |MV|+deltas aggregation), replacing every previous cache entry. */
+  private def compactInto(spark: SparkSession, d: MvDef,
+      extra: Option[DataFrame]): DataFrame = {
     val mergeCols = mergePartialCols(d)
-    val merged = d.mvDf.unionByName(deltaAgg)
+    val merged = (Seq(d.mvDf) ++ d.gens ++ extra).reduce(_ unionByName _)
       .groupBy(d.keysSeq.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
-    store(spark, name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
-      d.maxsSeq, d.approxSeq, merged, Some(d.mvDf), d.filterConjuncts, d.baseDf)
+    store(spark, d.name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
+      d.maxsSeq, d.approxSeq, merged, replacedAll = d.mvDf +: d.gens,
+      d.filterConjuncts, d.baseDf)
   }
+
+  /** O(|delta|) incremental append (the stream-maintenance fast path):
+    * instead of re-aggregating the whole MV per micro-batch, the delta's
+    * partial aggregate is cached as an extra GENERATION and unioned into
+    * the substitution target — the rollup's final aggregate merges
+    * generations exactly as it already merges union-compensation
+    * branches, so results are identical at any generation count. Every
+    * `compactEvery`-th append folds all generations back into one
+    * (amortized O(|MV|)/compactEvery per batch). `generations(name)`
+    * exposes the current count. */
+  def appendIncremental(spark: SparkSession, name: String, delta: DataFrame,
+      compactEvery: Int = 8): DataFrame = {
+    require(compactEvery >= 2, "compactEvery must be at least 2")
+    val d = Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"unknown MV: $name"))
+    val deltaAgg = deltaPartials(spark, d, delta)
+    if (d.gens.size + 2 > compactEvery) compactInto(spark, d, Some(deltaAgg))
+    else {
+      deltaAgg.persist()
+      deltaAgg.count() // materialize the generation now
+      val dTarget = deltaAgg.queryExecution.withCachedData
+      val newTarget = logical.Union(Seq(d.target, dTarget),
+        byName = false, allowMissingCol = false)
+      registry.put(name, d.copy(target = newTarget, gens = d.gens :+ deltaAgg))
+      deltaAgg
+    }
+  }
+
+  /** Number of cached generations (1 = fully compacted). */
+  def generations(name: String): Int =
+    Option(registry.get(name)).map(_.gens.size + 1).getOrElse(0)
 
   /** Partial-aggregate the delta at the MV's keys, keeping only the rows
     * the MV's defining predicate admits. Conjuncts rebind to the delta's
@@ -299,9 +344,9 @@ object MaterializedViews {
       sum(col("__mv_cnt")).as("__mv_cnt")
 
   def drop(spark: SparkSession, name: String): Unit =
-    Option(registry.remove(name)).foreach(_.mvDf.unpersist())
+    Option(registry.remove(name)).foreach(d => (d.mvDf +: d.gens).foreach(_.unpersist()))
   def clear(): Unit = {
-    registry.values.forEach(d => { d.mvDf.unpersist(); () })
+    registry.values.forEach(d => (d.mvDf +: d.gens).foreach(_.unpersist()))
     registry.clear()
   }
 
@@ -334,17 +379,20 @@ object MaterializedViews {
   /** Continuous MV maintenance from a stream (ref: the reference's
     * materializations never see streams — this is the Spark-native
     * composition: STREAM Δ rows ARE the append-only delta contract of
-    * refreshIncremental). Each micro-batch folds into the MV inside
-    * foreachBatch, so rollup queries against the MV see data as fresh
-    * as the last completed batch — a continuously-maintained lattice
-    * tile. Returns the StreamingQuery handle (caller stops it). */
+    * the incremental refresh). Each micro-batch APPENDS its partial
+    * aggregate as a cached generation — per-batch cost O(|batch|), not
+    * O(|MV|) — and every `compactEvery`-th batch folds the generations
+    * back into one, so rollup queries see data as fresh as the last
+    * completed batch at a bounded union width. Returns the
+    * StreamingQuery handle (caller stops it). */
   def maintainFromStream(spark: SparkSession, name: String,
-      delta: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+      delta: DataFrame, compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(delta.isStreaming, "maintainFromStream needs a streaming DataFrame")
     delta.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) { refreshIncremental(spark, name, batch); () }
+        if (!batch.isEmpty) { appendIncremental(spark, name, batch, compactEvery); () }
       }
       .start()
   }
@@ -616,22 +664,31 @@ object MaterializedViews {
 
     /** UNION compensation (the reference's partial-coverage rewrite,
       * MaterializedViewRules union case): the query's range is strictly
-      * WIDER than the MV's single range conjunct, so answer it as
-      *   rollup( MV-partials ∪ partial-agg(base WHERE q ∧ ¬m) )
-      * — the fact relation is scanned ONLY for the residual slice
-      * (q ∧ ¬m pushes to the scan), the covered slice comes from the
-      * cache. NULL keys fail q on both paths, so the union is exact.
-      * Scoped to one MV conjunct + one query conjunct on the same
-      * column: the multi-conjunct residual is a disjunction that
-      * defeats pushdown, which is when a user materializes a second
-      * tile instead. */
+      * WIDER than the MV's on exactly one conjunct, so answer it as
+      *   rollup( MV-partials ∪ partial-agg(base WHERE shared ∧ q ∧ ¬m) )
+      * — the fact relation is scanned ONLY for the residual slice (a
+      * pure conjunction, so it pushes to the scan), the covered slice
+      * comes from the cache. NULL keys fail q on both paths, so the
+      * union is exact. The two sides may share any number of EXACTLY
+      * matching conjuncts (canonical-SQL equality) — e.g. a region
+      * equality carried by both the MV and the query — as long as the
+      * leftover is one range conjunct per side on the same column with
+      * the MV's slice strictly inside the query's. A residual with two
+      * widened ranges would be a disjunction that defeats pushdown,
+      * which is when a user materializes a second tile instead. */
     private def unionTarget(mv: MvDef, conjsAll: Seq[Expression],
         sig: Signature): Option[LogicalPlan] = {
-      if (mv.filterConjuncts.size != 1) return None
-      val m = mv.filterConjuncts.head
       val conjs = dropVacuousNotNull(mv, conjsAll, sig)
-      if (conjs.size != 1) return None
-      val q = conjs.head
+      val mCanon = mv.filterConjuncts.map(canonSql).toSet
+      val qCanon = conjs.map(canonSql).toSet
+      val sharedKeys = mCanon intersect qCanon
+      val mRest = mv.filterConjuncts.filterNot(c => sharedKeys.contains(canonSql(c)))
+      val qRest = conjs.filterNot(c => sharedKeys.contains(canonSql(c)))
+      // the query-side spellings of the shared conjuncts re-apply on the
+      // residual slice (the MV's cached side already satisfies them)
+      val shared = conjs.filter(c => sharedKeys.contains(canonSql(c)))
+      if (mRest.size != 1 || qRest.size != 1) return None
+      val (m, q) = (mRest.head, qRest.head)
       val (mR, qR) = (asRange(m), asRange(q)) match {
         case (Some(a), Some(b)) if a.col == b.col => (a, b)
         case _ => return None
@@ -645,13 +702,14 @@ object MaterializedViews {
       // only (ofRows + analyzed) — no optimizer re-entry.
       val baseOut = mv.baseDf.queryExecution.analyzed.output
         .map(a => a.name -> (a: Expression)).toMap
-      val refs = And(q, negM).references.map(_.name).toSet
+      val residual = (Seq(q, negM) ++ shared).reduce(And)
+      val refs = residual.references.map(_.name).toSet
       if (!refs.forall(baseOut.contains)) return None
       // a conjunct Catalyst pushed below the loader's normalization
       // Project carries TIMESTAMP_NTZ literals; the base relation's
       // surface is TIMESTAMP — normalize (UTC-gated) so the analyzer
       // resolves the rebound comparison
-      val bound = normalizeNtz(And(q, negM)).transform {
+      val bound = normalizeNtz(residual).transform {
         case a: AttributeReference => baseOut(a.name)
       }
       val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq, mv.approxSeq)

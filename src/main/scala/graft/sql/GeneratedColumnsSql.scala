@@ -81,16 +81,32 @@ object GeneratedColumnsSql {
     "(?is)^([\\w`\"]+)\\s+(\\w+(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)\\s+default\\s+(.+)$".r
   private val storedColRe = "(?is)^([\\w`\"]+)\\s+(.+)$".r
 
-  /** Depth-0 comma split (types/exprs carry parens). */
+  /** Depth-0 comma split (types/exprs carry parens), quote-aware: a
+    * comma or paren inside a string literal / quoted identifier (e.g.
+    * `v varchar DEFAULT 'a,b'`) must not split the list; a doubled ''
+    * inside a string literal is the SQL escape. Unbalanced quotes fail
+    * loudly instead of mis-parsing. */
   private def splitCols(s: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
-    var depth = 0; var start = 0
-    for (i <- s.indices) s.charAt(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
-      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
-      case _ =>
+    var depth = 0; var start = 0; var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) {
+        if (ch == quote) {
+          if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else quote = 0
+        }
+      } else ch match {
+        case '\'' | '`' | '"' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
     }
+    require(quote == 0, s"unbalanced quote in column list: $s")
     out += s.substring(start)
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }

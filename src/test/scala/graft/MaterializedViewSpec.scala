@@ -367,6 +367,55 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("multi-conjunct union compensation: shared equality + one widened range") {
+    // MV covers 1-URGENT orders from 1998; query asks 1-URGENT from 1997
+    // — the shared equality rides along, the residual is the pure
+    // conjunction (priority ∧ 1997 ≤ date < 1998) and pushes to the scan
+    val src = source.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderdate") >= "1998-01-01")
+    MaterializedViews.register(spark, "mv_mcu", src,
+      keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+    try {
+      val q = source.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"),
+        s"covered slice must come from the cache:\n$plan")
+      val scans = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 1, s"residual must scan the fact exactly once:\n$plan")
+      val planStr = plan.toString
+      assert(planStr.contains("< 1998-01-01") && planStr.contains(">= 1997-01-01")
+        && planStr.contains("1-URGENT"),
+        s"residual must carry the shared conjunct AND the range complement:\n$plan")
+
+      // value parity
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        source.filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= "1997-01-01")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      }
+      assert(got == expected, s"multi-conjunct union diverged: $got vs $expected")
+
+      // negatives: a query missing the shared equality would need a
+      // disjunctive residual — blocked; so would two widened ranges
+      MaterializedViews.register(spark, "mv_mcu", src,
+        keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+      val q2 = source.filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q2), "query without the shared conjunct must not rewrite")
+      val q3 = source.filter(col("o_orderpriority") =!= "X" &&
+          col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasMv(q3), "a non-matching second conjunct must not rewrite")
+    } finally MaterializedViews.clear()
+  }
+
   test("filtered MV: incremental refresh keeps only delta rows the MV predicate admits") {
     val src = source.filter(col("o_orderdate") >= "1997-01-01")
     MaterializedViews.register(spark, "mv_filt4", src,
@@ -607,6 +656,40 @@ class MaterializedViewSpec extends SparkSpec {
         val ex = exact(r.getString(0))
         assert(math.abs(r.getLong(1) - ex).toDouble / ex <= 0.05)
       }
+    } finally MaterializedViews.clear()
+  }
+
+  test("appendIncremental: per-batch cost is one delta aggregate; compaction folds generations") {
+    import spark.implicits._
+    MaterializedViews.register(spark, "mv_gen", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      val base = source.count()
+      def rollupN = source.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      def delta(n: Int) = (1 to n).map(i => ("O", i * 1.0))
+        .toDF("o_orderstatus", "o_totalprice")
+      // three appends under compactEvery=4: each is a NEW generation —
+      // the cached base is never re-aggregated (that is the cost shape)
+      MaterializedViews.appendIncremental(spark, "mv_gen", delta(2), compactEvery = 4)
+      assert(MaterializedViews.generations("mv_gen") == 2)
+      assert(rollupN == base + 2)
+      MaterializedViews.appendIncremental(spark, "mv_gen", delta(1), compactEvery = 4)
+      assert(MaterializedViews.generations("mv_gen") == 3)
+      MaterializedViews.appendIncremental(spark, "mv_gen", delta(1), compactEvery = 4)
+      assert(MaterializedViews.generations("mv_gen") == 4)
+      assert(rollupN == base + 4)
+      // the 4th append exceeds the bound: generations compact to ONE and
+      // the rollup still answers exactly
+      MaterializedViews.appendIncremental(spark, "mv_gen", delta(3), compactEvery = 4)
+      assert(MaterializedViews.generations("mv_gen") == 1,
+        "compaction must fold every generation back into the base")
+      assert(rollupN == base + 7)
+      // explicit refresh also compacts
+      MaterializedViews.appendIncremental(spark, "mv_gen", delta(1), compactEvery = 4)
+      assert(MaterializedViews.generations("mv_gen") == 2)
+      MaterializedViews.refreshIncremental(spark, "mv_gen", delta(1))
+      assert(MaterializedViews.generations("mv_gen") == 1)
+      assert(rollupN == base + 9)
     } finally MaterializedViews.clear()
   }
 

@@ -163,4 +163,25 @@ class SqlSurfaces6Spec extends SparkSpec {
     val labels = r.map(x => (x.getString(1), x.getString(2))).toSet
     assert(labels == Set(("p", "q"), ("C3_C4", "C3_C4")))
   }
+
+  test("generated-column DDL: string literals with commas/parens survive the column split") {
+    import graft.sql.GeneratedColumnsSql
+    try {
+      // the DEFAULT literal carries a comma, a paren, and an escaped
+      // quote — none may split the column list or corrupt the definition
+      GeneratedColumnsSql.maybeRun(spark,
+        "create table gq (i int, lbl varchar(30) default 'a,b(c)''d', j int as (i + 1) virtual)")
+      GeneratedColumnsSql.maybeRun(spark, "insert into gq (i, lbl) values (1, 'x')")
+      GeneratedColumnsSql.maybeRun(spark, "insert into gq (i) values (2)")
+      val rows = spark.sql("select i, lbl, j from gq order by i").collect()
+      assert(rows.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+        Seq((1, "x", 2), (2, "a,b(c)'d", 3)))
+      // an unbalanced quote fails loudly instead of mis-parsing
+      val e = intercept[Exception] {
+        GeneratedColumnsSql.maybeRun(spark,
+          "create table gq2 (i int, s varchar(30) default 'oops, j int as (i) virtual)")
+      }
+      assert(e.getMessage.contains("unbalanced quote"))
+    } finally GeneratedColumnsSql.clearRegistry(spark)
+  }
 }
