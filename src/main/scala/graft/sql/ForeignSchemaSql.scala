@@ -1,0 +1,133 @@
+package graft.sql
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CREATE/DROP FOREIGN SCHEMA (ref: server/src/main/java/org/apache/
+  * calcite/sql/ddl/SqlCreateForeignSchema.java + server/src/test/
+  * resources/sql/schema.iq:60-170): binds an external store into the
+  * catalog. Spark-native mapping: the schema lands as a session-catalog
+  * DATABASE and each remote table as a `USING jdbc` table inside it, so
+  * ordinary queries (`SELECT ... FROM scott.dept`) read through Spark's
+  * JDBC source — with predicate pushdown into the remote store — the
+  * reference's JdbcSchema adapter shape re-expressed on DSv1 jdbc.
+  *
+  *   - TYPE 'jdbc' + OPTIONS (jdbcUrl, jdbcSchema, jdbcUser,
+  *     jdbcPassword): remote tables are discovered via JDBC
+  *     DatabaseMetaData at create time (the reference resolves names
+  *     lazily; eager registration keeps the catalog surface plain
+  *     Spark, and a re-CREATE refreshes the listing).
+  *   - TYPE 'map' / 'custom': an empty database (the reference's MAP
+  *     schema starts empty).
+  *   - LIBRARY 'cls': the factory class must exist on the classpath —
+  *     the reference's not-found contract — then binds an empty schema
+  *     (factory invocation protocols are engine-specific).
+  *   - TYPE and LIBRARY are mutually exclusive, and one is required
+  *     (SqlCreateForeignSchema's parse contract).
+  *
+  * At scale the JDBC tables behave like any Spark JDBC source:
+  * per-table parallel reads via partitionColumn options are available
+  * on the underlying source, and subtree pushdown (sql/Unparser.scala)
+  * applies unchanged.
+  */
+object ForeignSchemaSql {
+
+  private val createRe =
+    "(?is)^create\\s+(?:or\\s+replace\\s+)?foreign\\s+schema\\s+(?:if\\s+not\\s+exists\\s+)?([\\w.`\"]+)\\s*(.*)$".r
+  private val dropRe =
+    "(?is)^drop\\s+foreign\\s+schema\\s+(if\\s+exists\\s+)?([\\w.`\"]+)\\s*$".r
+  private val typeRe = "(?is)\\btype\\s+'([^']*)'".r
+  private val libRe = "(?is)\\blibrary\\s+'([^']*)'".r
+  private val optPairRe = "[`\"]?(\\w+)[`\"]?\\s+'([^']*)'".r
+
+  private def bare(n: String) = n.replaceAll("[`\"]", "").split('.').last
+
+  def maybeRun(spark: SparkSession, text0: String): Option[DataFrame] = {
+    val text = text0.trim.stripSuffix(";")
+    text match {
+      case dropRe(ifExists, name0) =>
+        val name = bare(name0)
+        val exists = spark.catalog.databaseExists(name)
+        if (!exists && ifExists == null)
+          throw new IllegalArgumentException(
+            s"Schema '${name.toUpperCase(java.util.Locale.ROOT)}' not found")
+        if (exists) spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE"): Unit
+        Some(spark.emptyDataFrame)
+      case createRe(name0, body) =>
+        Some(runCreate(spark, bare(name0), body.trim))
+      case _ => None
+    }
+  }
+
+  private def runCreate(spark: SparkSession, name: String,
+      body: String): DataFrame = {
+    val typ = typeRe.findFirstMatchIn(body).map(_.group(1))
+    val lib = libRe.findFirstMatchIn(body).map(_.group(1))
+    (typ, lib) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "Encountered \"library\": TYPE and LIBRARY are mutually exclusive")
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          "CREATE FOREIGN SCHEMA requires TYPE or LIBRARY")
+      case (None, Some(cls)) =>
+        try Class.forName(cls)
+        catch {
+          case _: ClassNotFoundException | _: NoClassDefFoundError =>
+            throw new IllegalArgumentException(
+              s"Property '$cls' not valid as '$cls' not found in the classpath")
+        }
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+      case (Some(t), None) => t.toLowerCase(java.util.Locale.ROOT) match {
+        case "map" | "custom" =>
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+        case "jdbc" =>
+          val opts = optPairRe.findAllMatchIn(
+            // strip the leading "type 'jdbc'" so it is not read as a pair
+            typeRe.replaceFirstIn(body, ""))
+            .map(m => m.group(1) -> m.group(2)).toMap
+          registerJdbc(spark, name, opts)
+        case other =>
+          throw new IllegalArgumentException(
+            s"Invalid schema type '$other'; valid values: [MAP, JDBC, CUSTOM]")
+      }
+    }
+  }
+
+  /** Discover the remote schema's tables and register each as a Spark
+    * `USING jdbc` table under database `name`. */
+  private def registerJdbc(spark: SparkSession, name: String,
+      opts: Map[String, String]): DataFrame = {
+    val url = opts.getOrElse("jdbcUrl",
+      throw new IllegalArgumentException("jdbc foreign schema requires jdbcUrl"))
+    val schema = opts.get("jdbcSchema")
+    val user = opts.get("jdbcUser")
+    val password = opts.get("jdbcPassword")
+    val props = new java.util.Properties()
+    user.foreach(props.setProperty("user", _))
+    password.foreach(props.setProperty("password", _))
+    val conn = DriverManager.getConnection(url, props)
+    val tables =
+      try {
+        val rs = conn.getMetaData.getTables(null,
+          schema.map(_.toUpperCase(java.util.Locale.ROOT)).orNull, "%",
+          Array("TABLE"))
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString("TABLE_NAME")
+        rs.close()
+        b.result()
+      } finally conn.close()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+    tables.foreach { t =>
+      val dbtable = schema.map(s => s"$s.$t").getOrElse(t)
+      val optStr = (Seq(s"url '$url'", s"dbtable '$dbtable'") ++
+        user.map(u => s"user '$u'") ++
+        password.map(p => s"password '$p'")).mkString(", ")
+      val tbl = s"$name.${t.toLowerCase(java.util.Locale.ROOT)}"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING org.apache.spark.sql.jdbc OPTIONS ($optStr)"): Unit
+    }
+    spark.emptyDataFrame
+  }
+}

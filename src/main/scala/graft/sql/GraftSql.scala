@@ -366,6 +366,7 @@ object GraftSql {
       case _ => MaterializedViewSql.maybeRun(spark, text)
         .orElse(TypesSql.maybeRun(spark, text))
         .orElse(GeneratedColumnsSql.maybeRun(spark, text))
+        .orElse(ForeignSchemaSql.maybeRun(spark, text))
     }
   }
 

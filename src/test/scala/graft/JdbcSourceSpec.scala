@@ -42,6 +42,51 @@ class JdbcSourceSpec extends SparkSpec {
     }
   }
 
+  test("CREATE FOREIGN SCHEMA registers every remote table; queries push down; DROP removes them") {
+    val fsUrl = "jdbc:derby:memory:fsdb;create=true"
+    val conn = DriverManager.getConnection(fsUrl)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE APP.KV1") catch { case _: Exception => () }
+      try st.execute("DROP TABLE APP.KV2") catch { case _: Exception => () }
+      st.execute("CREATE TABLE APP.KV1 (K INT, V DOUBLE)")
+      st.execute("CREATE TABLE APP.KV2 (K INT, S VARCHAR(10))")
+      st.execute("INSERT INTO APP.KV1 VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+      st.execute("INSERT INTO APP.KV2 VALUES (1, 'a'), (2, 'b')")
+      st.close()
+    } finally conn.close()
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""create foreign schema ext type 'jdbc' options (
+           |  `jdbcUrl` 'jdbc:derby:memory:fsdb', `jdbcSchema` 'APP')""".stripMargin)
+      assert(spark.catalog.databaseExists("ext"))
+      val joined = spark.sql(
+        "SELECT s, v FROM ext.kv1 JOIN ext.kv2 ON kv1.k = kv2.k WHERE v > 2 ORDER BY s")
+      assert(joined.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("b", 2.5)))
+      // the filter reaches the remote store
+      val plan = spark.sql("SELECT v FROM ext.kv1 WHERE k > 2")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+        s"predicate must push into the foreign store:\n$plan")
+      // error contracts: bad type, both type+library, missing factory
+      for (bad <- Seq(
+        "create foreign schema fsx type 'bad'",
+        "create foreign schema fsx type 'jdbc' library 'x.Y'",
+        "create foreign schema fsx library 'com.example.NoSuchFactory'",
+        "create foreign schema fsx"))
+        intercept[Exception] { graft.sql.GraftSql.sql(spark, bad) }
+      graft.sql.GraftSql.sql(spark, "drop foreign schema if exists ext")
+      assert(!spark.catalog.databaseExists("ext"))
+      // dropping a missing schema without IF EXISTS is the error path
+      intercept[Exception] {
+        graft.sql.GraftSql.sql(spark, "drop foreign schema ext")
+      }
+    } finally {
+      try spark.sql("DROP DATABASE IF EXISTS ext CASCADE") catch { case _: Exception => () }
+    }
+  }
+
   test("full-subtree pushdown: aggregation executes inside the store") {
     withDerby {
       val pushed = spark.read.format("jdbc")

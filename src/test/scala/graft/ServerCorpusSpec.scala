@@ -37,13 +37,33 @@ class ServerCorpusSpec extends IqHarness {
 
   /** Construct-level skips (regex on the SQL, documented reason). */
   private val skipConstructs: Seq[(String, String)] = Seq(
-    ("(?is)\\bforeign\\s+schema\\b",
-      "CREATE/DROP FOREIGN SCHEMA binds the reference's Schema SPI (JDBC/" +
-        "factory plumbing); the engine's external-store path is the DSv2 " +
-        "connector + JDBC source (JdbcSourceSpec)"),
     ("(?is)\"metadata\"\\.",
       "\"metadata\".TABLES is the reference's JDBC metadata schema; the " +
         "catalog surface here is spark.catalog"))
+
+  // ---- foreign-schema fixture -------------------------------------------
+  // schema.iq's JDBC foreign schema points at the reference's BUNDLED
+  // hsqldb resource database (jdbc:hsqldb:res:scott). That driver/resource
+  // is not in this offline container; Derby is (the metastore). The
+  // fixture adaptation below seeds the same canonical scott.DEPT rows into
+  // an in-memory Derby and rewrites only the URL — CREATE FOREIGN SCHEMA
+  // itself runs for real (sql/ForeignSchemaSql.scala: metadata discovery +
+  // per-table JDBC registration).
+
+  private val scottUrl = "jdbc:derby:memory:scottdb"
+
+  private lazy val seedScott: Unit = {
+    val conn = java.sql.DriverManager.getConnection(scottUrl + ";create=true")
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE SCOTT.DEPT") catch { case _: Exception => () }
+      try st.execute("CREATE SCHEMA SCOTT") catch { case _: Exception => () }
+      st.execute("CREATE TABLE SCOTT.DEPT (DEPTNO INT, DNAME VARCHAR(14), LOC VARCHAR(13))")
+      st.execute("INSERT INTO SCOTT.DEPT VALUES (10,'ACCOUNTING','NEW YORK')," +
+        "(20,'RESEARCH','DALLAS'),(30,'SALES','CHICAGO'),(40,'OPERATIONS','BOSTON')")
+      st.close()
+    } finally conn.close()
+  }
 
   private def constructSkip(sql: String): Option[String] =
     skipConstructs.collectFirst {
@@ -124,7 +144,12 @@ class ServerCorpusSpec extends IqHarness {
     } else Seq(sql)
   }
 
-  private def exec(sql0: String): Unit =
+  private def exec(sql0a: String): Unit = {
+    val sql0 =
+      if (sql0a.contains("jdbc:hsqldb:res:scott")) {
+        seedScott // fixture adaptation: see the comment at scottUrl
+        sql0a.replace("jdbc:hsqldb:res:scott", scottUrl)
+      } else sql0a
     sql0.trim.stripSuffix(";") match {
       case ctasColsRe(ine, name, cols, query) => runCtasWithCols(ine, name, cols, query)
       case _ =>
@@ -133,6 +158,7 @@ class ServerCorpusSpec extends IqHarness {
           GraftSql.sql(spark, s): Unit
         }
     }
+  }
 
   // ---- !type schema compare --------------------------------------------
 
@@ -198,6 +224,8 @@ class ServerCorpusSpec extends IqHarness {
       }
     }
     try spark.sql("DROP SCHEMA IF EXISTS s CASCADE") catch { case _: Exception => () }
+    for (db <- Seq("scott", "fs"))
+      try spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE") catch { case _: Exception => () }
     graft.sql.MaterializedViewSql.clearRegistry()
     graft.sql.TypesSql.clearRegistry()
     graft.sql.GeneratedColumnsSql.clearRegistry(spark)
@@ -264,7 +292,7 @@ class ServerCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(failures.isEmpty,
       s"server corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 185, s"server corpus coverage dropped: $pass passing (floor 185)")
+    assert(pass >= 199, s"server corpus coverage dropped: $pass passing (floor 199)")
   }
 
   private def first(ex: Throwable): String =
