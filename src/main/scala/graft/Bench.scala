@@ -20,6 +20,14 @@ object Bench {
     "q01_pricing_summary", "q03_topk_join", "q05_local_supplier",
     "q06_forecast_revenue", "q07_cust_order_dist", "q21_win_running_sum",
     "q50_unnest_wordcount", "q93_sessionize", "q96_asof_join",
+    // MV substitution headline (round 12): the per-query warmup run
+    // REGISTERS the lattice tile (register-once guard in the query);
+    // the timed runs measure the HIT — the rollup answered from the
+    // cached MV without rescanning the fact. No baseline twin exists:
+    // the reference materializations are planner-level in its own
+    // corpus, so the recorded number documents the engine's
+    // amortized-lattice latency rather than a comparison.
+    "q148_mv_filtered_rollup", "q150_mv_join_rollup",
     "d01_dedup_exact", "d03_minhash_lsh", "d09_knn_bruteforce")
 
   def main(args: Array[String]): Unit = {

@@ -31,9 +31,10 @@ object Round12 {
       val customer = T(s, dir, "customer")
       val nation = T(s, dir, "nation")
       val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
-      MaterializedViews.register(s, "q150_mv", star,
-        keys = Seq("o_orderstatus", "c_nationkey"),
-        sums = Seq("o_totalprice"))
+      if (!MaterializedViews.isRegistered("q150_mv"))
+        MaterializedViews.register(s, "q150_mv", star,
+          keys = Seq("o_orderstatus", "c_nationkey"),
+          sums = Seq("o_totalprice"))
       star.join(nation, col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev0"))

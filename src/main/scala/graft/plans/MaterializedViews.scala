@@ -307,6 +307,12 @@ object MaterializedViews {
   def generations(name: String): Int =
     Option(registry.get(name)).map(_.gens.size + 1).getOrElse(0)
 
+  /** Is `name` currently registered? Lets a caller register once and
+    * answer every later rollup from the cache (the lattice usage
+    * pattern; a DML write to the source drops the registration via
+    * invalidatePath, after which this returns false again). */
+  def isRegistered(name: String): Boolean = registry.containsKey(name)
+
   /** Partial-aggregate the delta at the MV's keys, keeping only the rows
     * the MV's defining predicate admits. Conjuncts rebind to the delta's
     * attributes BY NAME (not via a SQL round-trip, which breaks when the
@@ -436,24 +442,25 @@ object MaterializedViews {
     /** JOIN compensation (ref: rel/rules/materialize/
       * MaterializedViewRules.java join variants + plan/
       * SubstitutionVisitor.java unification): a query whose join set
-      * strictly contains the MV's star — one extra inner equi-join to a
-      * dimension, on columns the MV carries as grouping keys — rewrites
-      * to Aggregate(rollup-exprs, compensated-MV ⋈ dimension).
+      * strictly contains the MV's star — extra inner equi-joins to
+      * dimension tables, each bridged on columns the MV carries as
+      * grouping keys (or on columns of an earlier dimension, the
+      * snowflake case) — rewrites to
+      * Aggregate(rollup-exprs, compensated-MV ⋈ dim₁ ⋈ … ⋈ dimₙ).
       *
-      * Soundness: the extra join's matching depends only on the join-key
-      * columns, which are constant within an MV group, so every source
-      * row of a group matches exactly the dim rows the group's MV row
-      * matches. SUM/COUNT rollups therefore weight each dim match by the
-      * group partial exactly as the row-level join would, and MIN/MAX /
-      * DISTINCT-key value sets are preserved. Aggregates over DIM
-      * columns are admitted only where multiplicity cannot matter
-      * (MIN/MAX, COUNT(DISTINCT)); SUM/COUNT/AVG of a dim column would
-      * need the per-group weight and stay blocked. NULL join keys drop
-      * the whole group on both plans (all rows of a group share the
-      * key), keeping the inner-join semantics exact.
+      * Soundness: the extra joins' matching depends only on key columns,
+      * which are constant within an MV group, so every source row of a
+      * group matches exactly the dim rows the group's MV row matches.
+      * MIN/MAX / DISTINCT value sets are preserved; SUM/COUNT/AVG of a
+      * DIM column re-weight each dim match by the group's row count
+      * (__mv_cnt) — the aggregate-join-transpose identity; star-column
+      * aggregates roll up from partials exactly as the row-level join
+      * would. NULL join keys drop the whole group on both plans (all
+      * rows of a group share the key), keeping inner-join semantics
+      * exact.
       *
-      * At 100 TB this removes the fact-side shuffle entirely: the join
-      * runs MV-rows × dimension — typically both broadcast-small. */
+      * At 100 TB this removes the fact-side shuffle entirely: the joins
+      * run MV-rows × dimensions — typically all broadcast-small. */
     private def joinCompRewrite(groupings: Seq[Expression],
         aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
       // peel attribute-only projects/aliases/hints, collecting filters —
@@ -469,64 +476,86 @@ object MaterializedViews {
         case h: logical.ResolvedHint => peel(h.child, fs)
         case other => (other, fs)
       }
-      peel(child, Nil) match {
-        case (j: Join, above) if j.joinType == Inner =>
-          j.condition.flatMap { cond =>
-            trySide(j.left, j.right, cond, above, groupings, aggExprs)
-              .orElse(trySide(j.right, j.left, cond, above, groupings, aggExprs))
-          }
-        case _ => None
+      // descend the inner-join tree looking for a subtree whose
+      // signature matches a registered MV; everything joined ABOVE that
+      // subtree is collected as (dimension, condition) layers,
+      // innermost first
+      def findStar(p0: LogicalPlan, dims: List[(LogicalPlan, Expression)],
+          above: Seq[Expression])
+          : Option[(Signature, LogicalPlan, Seq[Expression], List[(LogicalPlan, Expression)])] = {
+        val (p, fs) = peel(p0, above)
+        val direct = signatureOf(p).collect {
+          case (sig, starFs) if registry.values.toArray.iterator
+              .map(_.asInstanceOf[MvDef]).exists(_.signature == sig) =>
+            (sig, p, fs ++ starFs, dims)
+        }
+        direct.orElse(p match {
+          case j: Join if j.joinType == Inner && j.condition.isDefined =>
+            findStar(j.left, (j.right, j.condition.get) :: dims, fs)
+              .orElse(findStar(j.right, (j.left, j.condition.get) :: dims, fs))
+          case _ => None
+        })
+      }
+      // the exact path upstream already handles a dim-less match, so
+      // require at least one dim layer; try every MV sharing the
+      // signature (all carried partials are exact, any works)
+      findStar(child, Nil, Nil).filter(_._4.nonEmpty).flatMap {
+        case (sig, star, collected, dims) =>
+          registry.values.toArray.iterator.map(_.asInstanceOf[MvDef])
+            .filter(_.signature == sig)
+            .flatMap(mv => buildJoinComp(mv, star, collected, dims,
+              groupings, aggExprs))
+            .nextOption()
       }
     }
 
-    /** One orientation of the join-compensation match: `star` must be an
-      * MV's exact signature, `dim` is kept verbatim. */
-    private def trySide(star: LogicalPlan, dim: LogicalPlan, cond: Expression,
-        above: Seq[Expression], groupings: Seq[Expression],
-        aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    /** Assemble the compensated plan for one (MV, star-subtree, dims)
+      * decomposition, or None when a condition/filter/aggregate falls
+      * outside what the MV can answer. */
+    private def buildJoinComp(mv: MvDef, star: LogicalPlan,
+        collected: Seq[Expression], dims: List[(LogicalPlan, Expression)],
+        groupings: Seq[Expression], aggExprs: Seq[NamedExpression])
+        : Option[LogicalPlan] = {
       val starOut = star.outputSet
-      val dimOut = dim.outputSet
-      // the join condition must be attr=attr conjuncts each bridging
-      // star → dim (no star-only or dim-only residues)
-      def bridge(e: Expression): Option[AttributeReference] = e match {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if starOut.contains(a) && dimOut.contains(b) => Some(a)
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if starOut.contains(b) && dimOut.contains(a) => Some(b)
-        case _ => None
+      val dimOut = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        dims.flatMap(_._1.output))
+      // every join-condition conjunct must be attr=attr where each
+      // star-side column is an MV grouping key (dim-side attrs pass
+      // through, covering dim-to-dim snowflake bridges)
+      def condOk(e: Expression): Boolean = splitAnd(e).forall {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          Seq(a, b).forall(at => dimOut.contains(at) ||
+            (starOut.contains(at) && mv.keys.contains(at.name)))
+        case _ => false
       }
-      val starJoinCols = splitAnd(cond).map(bridge)
-      if (starJoinCols.exists(_.isEmpty)) return None
-      // filters still above the join must split cleanly per side: star
-      // conjuncts join the MV compensation, dim conjuncts re-apply above
-      val (starAbove, rest) = above.partition(_.references.subsetOf(starOut))
+      if (!dims.forall { case (_, cond) => condOk(cond) }) return None
+      // filters collected along the way must split cleanly: star-side
+      // conjuncts join the MV compensation, dim-side conjuncts re-apply
+      // above the compensated join
+      val (starAbove, rest) = collected.partition(_.references.subsetOf(starOut))
       val (dimAbove, mixed) = rest.partition(_.references.subsetOf(dimOut))
       if (mixed.nonEmpty) return None
+      val conjs = starAbove.flatMap(splitAnd)
 
-      signatureOf(star).flatMap { case (sig, starFs) =>
-        val conjs = (starFs ++ starAbove).flatMap(splitAnd)
-        registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
-          if (mv.signature != sig) None
-          else if (!starJoinCols.flatten.forall(a => mv.keys.contains(a.name))) None
-          else rollupExprs(mv, groupings, aggExprs, dimOut).flatMap { case (g, a) =>
-            compensation(mv, conjs, sig)
-              .map(c => targetWithFilters(mv, c))
-              .orElse(unionTarget(mv, conjs, sig))
-              .map { newStar =>
-                val newCond = cond.transform {
-                  case at: AttributeReference if starOut.contains(at) =>
-                    val out = mv.targetOut(at.name)
-                    if (out.dataType == at.dataType) out
-                    else Cast(out, at.dataType, Some(conf.sessionLocalTimeZone))
-                }
-                val joined: LogicalPlan =
-                  Join(newStar, dim, Inner, Some(newCond), logical.JoinHint.NONE)
-                val filtered = dimAbove.foldLeft(joined)(
-                  (p, f) => logical.Filter(f, p))
-                Aggregate(g, a, filtered, None)
-              }
+      rollupExprs(mv, groupings, aggExprs, dimOut).flatMap { case (g, a) =>
+        compensation(mv, conjs, mv.signature)
+          .map(c => targetWithFilters(mv, c))
+          .orElse(unionTarget(mv, conjs, mv.signature))
+          .map { newStar =>
+            def rebind(e: Expression): Expression = e.transform {
+              case at: AttributeReference if starOut.contains(at) =>
+                val out = mv.targetOut(at.name)
+                if (out.dataType == at.dataType) out
+                else Cast(out, at.dataType, Some(conf.sessionLocalTimeZone))
+            }
+            val joined = dims.foldLeft(newStar: LogicalPlan) {
+              case (acc, (dim, cond)) =>
+                Join(acc, dim, Inner, Some(rebind(cond)), logical.JoinHint.NONE)
+            }
+            val filtered = dimAbove.foldLeft(joined)(
+              (p, f) => logical.Filter(f, p))
+            Aggregate(g, a, filtered, None)
           }
-        }.nextOption()
       }
     }
 
@@ -749,15 +778,51 @@ object MaterializedViews {
       }
       if (newGroupings.exists(_.isEmpty)) return None
 
+      // join compensation: a (group, dim-row) pair in the rewritten join
+      // stands for __mv_cnt source-row pairs, so multiplicity-sensitive
+      // aggregates over DIM columns re-weight by the carried group count
+      // (the aggregate-join-transpose identity). Decimal dim columns are
+      // left blocked (the weighted product would re-type the result).
+      def cntAttr: Attribute = mv.targetOut("__mv_cnt")
+      def weighted(a: AttributeReference): Option[Expression] = a.dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          Some(org.apache.spark.sql.catalyst.expressions.Multiply(
+            Cast(a, DoubleType), Cast(cntAttr, DoubleType)))
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+          Some(org.apache.spark.sql.catalyst.expressions.Multiply(
+            Cast(a, org.apache.spark.sql.types.LongType),
+            Cast(cntAttr, org.apache.spark.sql.types.LongType)))
+        case _ => None
+      }
+      // COUNT(dim-col) = Σ over pairs where the dim value is non-null of
+      // the group count
+      def dimCount(a: AttributeReference): Expression =
+        Sum(org.apache.spark.sql.catalyst.expressions.If(
+          IsNotNull(a), Cast(cntAttr, org.apache.spark.sql.types.LongType),
+          Literal(0L))).toAggregateExpression()
+
       def rollup(fn: AggregateFunction): Option[Expression] = fn match {
         // MIN/MAX over a DIM column (join compensation): the value set
         // per group is preserved by the MV-side join, so the function
-        // re-applies unchanged. Multiplicity-sensitive functions over
-        // dim columns (SUM/COUNT/AVG) fall through to None below.
+        // re-applies unchanged
         case Min(a: AttributeReference) if dimOut.contains(a) =>
           Some(Min(a).toAggregateExpression())
         case Max(a: AttributeReference) if dimOut.contains(a) =>
           Some(Max(a).toAggregateExpression())
+        case Sum(a: AttributeReference, _) if dimOut.contains(a) =>
+          weighted(a).map(w =>
+            Cast(Sum(w).toAggregateExpression(), fn.dataType))
+        case Count(Seq(a: AttributeReference)) if dimOut.contains(a) =>
+          Some(dimCount(a))
+        case avg: Average if avg.child.isInstanceOf[AttributeReference] &&
+            dimOut.contains(avg.child.asInstanceOf[AttributeReference]) =>
+          val a = avg.child.asInstanceOf[AttributeReference]
+          weighted(a).map { w =>
+            val s = Sum(w).toAggregateExpression()
+            Cast(Divide(Cast(s, DoubleType), Cast(dimCount(a), DoubleType)),
+              fn.dataType)
+          }
         case Sum(a: AttributeReference, _) if mv.sums.contains(a.name) =>
           val inner = Sum(mv.targetOut(s"__mv_sum_${a.name}")).toAggregateExpression()
           Some(if (inner.dataType == fn.dataType) inner else Cast(inner, fn.dataType))

@@ -539,7 +539,50 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
-  test("join compensation negatives: non-key join, dim SUM, and non-key star filter stay blocked") {
+  test("join compensation: multi-dim snowflake + weighted dim aggregates") {
+    val orders = source
+    val customer = T(spark, sfDir, "customer")
+    val nation = T(spark, sfDir, "nation")
+    val region = T(spark, sfDir, "region")
+    val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    MaterializedViews.register(spark, "mv_snow", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      // TWO extra dims; region joins on NATION's column (snowflake
+      // bridge), and the aggregates include multiplicity-sensitive
+      // SUM/COUNT/AVG over DIM columns — re-weighted by __mv_cnt
+      def q = star
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n"), sum("n_regionkey").as("sreg"),
+          count(col("n_name")).as("cn"), avg("n_nationkey").as("an"))
+        .orderBy("r_name")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"snowflake star must come from the cached MV:\n$lp")
+      val scans = lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 2, s"only nation + region may be scanned:\n$lp")
+
+      val got = q.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        q.collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (n, sreg, cn, an)) =>
+        val (en, esreg, ecn, ean) = expected(k)
+        assert(n == en && sreg == esreg && cn == ecn, s"$k: exact columns diverged")
+        assert(math.abs(an - ean) <= 1e-9 * math.abs(ean), s"$k: avg diverged")
+      }
+    } finally MaterializedViews.clear()
+  }
+
+  test("join compensation negatives: non-key join and non-key star filter stay blocked") {
     val orders = source
     val customer = T(spark, sfDir, "customer")
     val nation = T(spark, sfDir, "nation")
@@ -551,10 +594,10 @@ class MaterializedViewSpec extends SparkSpec {
       val q1 = star.join(nation, col("o_custkey") === col("n_nationkey"))
         .groupBy("n_name").agg(count(lit(1)).as("n"))
       assert(!hasMv(q1), "non-key join column must block compensation")
-      // SUM over a DIM column is multiplicity-sensitive
+      // a function the rollup cannot re-weight over a dim column
       val q2 = star.join(nation, col("c_nationkey") === col("n_nationkey"))
-        .groupBy("o_orderstatus").agg(sum("n_regionkey").as("s"))
-      assert(!hasMv(q2), "SUM of a dim column must block")
+        .groupBy("o_orderstatus").agg(stddev("n_regionkey").as("s"))
+      assert(!hasMv(q2), "non-rollupable dim aggregate must block")
       // filter on a star NON-key column cannot compensate
       val q3 = star.filter(col("o_totalprice") > 1000)
         .join(nation, col("c_nationkey") === col("n_nationkey"))
