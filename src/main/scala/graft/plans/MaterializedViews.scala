@@ -82,6 +82,13 @@ object MaterializedViews {
       // the defining source with its filters stripped: the relation the
       // union-compensation residual slice scans
       baseDf: DataFrame,
+      // the defining source's output types: a refresh delta is cast to
+      // these before partial-aggregating, so a cast-projected source
+      // (e.g. a money column normalized to DECIMAL below the rollup)
+      // folds deltas in at the SAME type — otherwise unionByName's set-op
+      // widening would silently degrade an exact decimal partial to
+      // double
+      srcTypes: Map[String, org.apache.spark.sql.types.DataType],
       // pending stream-appended delta generations (cached partial-agg
       // frames whose targets are unioned into `target`); compaction
       // merges them back into one generation
@@ -153,11 +160,12 @@ object MaterializedViews {
     *     sketches only ever substitute an already-approximate function;
     *   - a source with duplicate output column names is rejected here
     *     (all matching is name-based — ambiguity would be unsound);
-    *   - staleness: TableDml's mutating writes call invalidatePath,
-    *     which drops every MV reading the written path before the write
-    *     returns — a registered MV therefore always reflects the live
-    *     table (appends the caller wants folded in instead go through
-    *     refreshIncremental). */
+    *   - staleness: TableDml's mutating writes drop every MV reading
+    *     the written path before the write returns (invalidatePath), so
+    *     a registered MV always reflects the live table. Appends are
+    *     the one algebraically foldable write: TableDml.insertInto
+    *     refreshes single-leaf MVs in place (foldAppendOrInvalidate)
+    *     and drops join MVs, whose delta would need the join partners. */
   def register(spark: SparkSession, name: String, source: DataFrame,
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
@@ -235,7 +243,8 @@ object MaterializedViews {
     registry.put(name, MvDef(name, signature, keys.toSet, sums.toSet,
       mins.toSet, maxs.toSet, approxes.toSet, hasCount = true, target,
       target.output.map(a => a.name -> a).toMap,
-      keys, sums, mins, maxs, approxes, mv, filterConjuncts, baseDf))
+      keys, sums, mins, maxs, approxes, mv, filterConjuncts, baseDf,
+      baseDf.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap))
     replacedAll.foreach(_.unpersist())
 
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
@@ -318,7 +327,17 @@ object MaterializedViews {
     * attributes BY NAME (not via a SQL round-trip, which breaks when the
     * registered source carried qualifiers); a type gap from the loader's
     * NTZ normalization closes with a cast on the delta side. */
-  private def deltaPartials(spark: SparkSession, d: MvDef, delta: DataFrame): DataFrame = {
+  private def deltaPartials(spark: SparkSession, d: MvDef, delta0: DataFrame): DataFrame = {
+    // fold the delta in AS IF it had been appended to the defining
+    // source: columns the source reads through a normalization cast
+    // (srcTypes) are cast to the registered type first, so partials
+    // merge at identical types (no set-op widening)
+    val delta = delta0.select(delta0.schema.fields.map { f =>
+      d.srcTypes.get(f.name) match {
+        case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
     val deltaOut = delta.queryExecution.analyzed.output
       .map(a => a.name -> (a: Attribute)).toMap
     val deltaKept = d.filterConjuncts.foldLeft(delta) { (df, c) =>
@@ -369,6 +388,26 @@ object MaterializedViews {
     * table root invalidates MVs over the whole table. Returns the names
     * of the dropped MVs (empty when nothing read the path). */
   def invalidatePath(spark: SparkSession, path: String): Seq[String] = {
+    val hit = touchedBy(spark, path).map(_.name)
+    hit.foreach(drop(spark, _))
+    hit
+  }
+
+  /** APPEND write-barrier (TableDml.insertInto): an append is exactly
+    * refreshIncremental's delta contract, so a SINGLE-LEAF MV over the
+    * appended path folds the new rows in algebraically and stays live —
+    * the nightly-load path never re-registers. A JOIN MV cannot fold a
+    * one-sided append (the delta's join partners are unknown) and drops
+    * like any other write. Returns (folded, dropped) names. */
+  def foldAppendOrInvalidate(spark: SparkSession, path: String,
+      rows: DataFrame): (Seq[String], Seq[String]) = {
+    val (foldable, joins) = touchedBy(spark, path).partition(_.signature.leaves.size == 1)
+    joins.foreach(d => drop(spark, d.name))
+    foldable.foreach(d => refreshIncremental(spark, d.name, rows))
+    (foldable.map(_.name), joins.map(_.name))
+  }
+
+  private def touchedBy(spark: SparkSession, path: String): Seq[MvDef] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val qualified =
       p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
@@ -376,10 +415,8 @@ object MaterializedViews {
       leaf == qualified || leaf.startsWith(qualified + "/") ||
         qualified.startsWith(leaf + "/")
     import scala.jdk.CollectionConverters._
-    val hit = registry.values.asScala
-      .filter(_.signature.leaves.exists(_.exists(touches))).map(_.name).toSeq
-    hit.foreach(drop(spark, _))
-    hit
+    registry.values.asScala
+      .filter(_.signature.leaves.exists(_.exists(touches))).toSeq
   }
 
   /** Continuous MV maintenance from a stream (ref: the reference's

@@ -22,14 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object TableDml {
 
-  /** INSERT INTO path VALUES rows. Registered MVs over the path are
-    * invalidated like every other write (the safe default); a caller
-    * maintaining a tile incrementally calls
-    * MaterializedViews.refreshIncremental with the same rows instead of
-    * relying on the registry surviving the append. */
+  /** INSERT INTO path VALUES rows. Single-leaf MVs over the path fold
+    * the appended rows in algebraically and stay live (the append IS
+    * refreshIncremental's delta contract); join MVs cannot fold a
+    * one-sided append and are invalidated like every other write. */
   def insertInto(spark: SparkSession, path: String, rows: DataFrame): Unit = {
     rows.write.mode("append").parquet(path)
-    MaterializedViews.invalidatePath(spark, path): Unit
+    MaterializedViews.foldAppendOrInvalidate(spark, path, rows): Unit
   }
 
   /** UPDATE path SET assignments WHERE cond; returns updated-row count. */

@@ -650,11 +650,30 @@ class MaterializedViewSpec extends SparkSpec {
       assert(!hasMv(rollup), "DELETE must invalidate")
       MaterializedViews.register(spark, "mv_dml", spark.read.parquet(dir),
         keys = Seq("tag"), sums = Seq("amt"))
+      // an APPEND is the one foldable write: the single-leaf MV absorbs
+      // the delta algebraically and keeps answering — with fresh values
       graft.plans.TableDml.insertInto(spark, dir,
         Seq((4L, "c", 5.0)).toDF("id", "tag", "amt"))
-      assert(!hasMv(rollup), "append must invalidate (refreshIncremental is the opt-in)")
-      val after = rollup.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(MaterializedViews.isRegistered("mv_dml"),
+        "append must FOLD into a single-leaf MV, not drop it")
+      val q2 = rollup
+      assert(hasMv(q2), "folded MV must still substitute")
+      val after = q2.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
       assert(after == Map("a" -> 240.0, "c" -> 5.0), s"got $after")
+
+      // a JOIN MV cannot fold a one-sided append: it drops
+      val other2 = java.nio.file.Files.createTempDirectory("mvdml").toString + "/v"
+      Seq((1L, 7.0)).toDF("id", "w").write.parquet(other2)
+      val joined = spark.read.parquet(dir)
+        .join(spark.read.parquet(other2), "id")
+      MaterializedViews.register(spark, "mv_dml_join", joined,
+        keys = Seq("tag"), sums = Seq("w"))
+      graft.plans.TableDml.insertInto(spark, dir,
+        Seq((5L, "d", 1.0)).toDF("id", "tag", "amt"))
+      assert(!MaterializedViews.isRegistered("mv_dml_join"),
+        "join MV must drop on a one-sided append")
+      assert(MaterializedViews.isRegistered("mv_dml"),
+        "the single-leaf MV folds the same append")
     } finally MaterializedViews.clear()
   }
 
