@@ -92,7 +92,12 @@ object MaterializedViews {
       // pending stream-appended delta generations (cached partial-agg
       // frames whose targets are unioned into `target`); compaction
       // merges them back into one generation
-      gens: Seq[DataFrame] = Nil)
+      gens: Seq[DataFrame] = Nil,
+      // false once a delta that is NOT backed by the source files has
+      // been folded in (stream maintenance, ad-hoc refresh): the cached
+      // partials stay exact, but union compensation's residual FILE scan
+      // could no longer see those rows — so unionTarget refuses such MVs
+      unionSafe: Boolean = true)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -233,7 +238,8 @@ object MaterializedViews {
       keys: Seq[String], sums: Seq[String], mins: Seq[String],
       maxs: Seq[String], approxes: Seq[String], mv: DataFrame,
       replacedAll: Seq[DataFrame],
-      filterConjuncts: Seq[Expression], baseDf: DataFrame): DataFrame = {
+      filterConjuncts: Seq[Expression], baseDf: DataFrame,
+      unionSafe: Boolean = true): DataFrame = {
     mv.persist()
     mv.count() // materialize now
 
@@ -244,7 +250,8 @@ object MaterializedViews {
       mins.toSet, maxs.toSet, approxes.toSet, hasCount = true, target,
       target.output.map(a => a.name -> a).toMap,
       keys, sums, mins, maxs, approxes, mv, filterConjuncts, baseDf,
-      baseDf.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap))
+      baseDf.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap,
+      gens = Nil, unionSafe = unionSafe))
     replacedAll.foreach(_.unpersist())
 
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
@@ -264,25 +271,41 @@ object MaterializedViews {
     * the fact table is never rescanned). Caller contract: delta holds
     * only new rows (append-only source); updates/deletes need DML-side
     * recompute of the affected partitions. */
-  def refreshIncremental(spark: SparkSession, name: String, delta: DataFrame): DataFrame = {
+  /** Serializes registry read-modify-write sections (refresh, append,
+    * compaction, drop-and-fold barriers) so a stream micro-batch cannot
+    * resurrect an MV a concurrent DML barrier just dropped, and two
+    * concurrent appends cannot lose a generation. The rewrite rule's
+    * read path stays lock-free (plain ConcurrentHashMap reads);
+    * maintenance is rare, so holding the lock across the merge job is
+    * acceptable. */
+  private val maintLock = new Object
+
+  /** `deltaInFiles`: pass true ONLY when the delta rows are also
+    * physically present in the MV's source files (TableDml.insertInto's
+    * fold path) — otherwise the MV is marked union-unsafe, because a
+    * union-compensation residual scan of the files could not see those
+    * rows. */
+  def refreshIncremental(spark: SparkSession, name: String, delta: DataFrame,
+      deltaInFiles: Boolean = false): DataFrame = maintLock.synchronized {
     val d = Option(registry.get(name)).getOrElse(
       throw new IllegalArgumentException(s"unknown MV: $name"))
     val deltaAgg = deltaPartials(spark, d, delta)
-    compactInto(spark, d, Some(deltaAgg))
+    compactInto(spark, d, Some(deltaAgg), deltaInFiles)
   }
 
   /** Merge the base generation, any pending stream generations, and an
     * optional fresh delta into ONE generation (a single bounded-by-
     * |MV|+deltas aggregation), replacing every previous cache entry. */
   private def compactInto(spark: SparkSession, d: MvDef,
-      extra: Option[DataFrame]): DataFrame = {
+      extra: Option[DataFrame], deltaInFiles: Boolean): DataFrame = {
     val mergeCols = mergePartialCols(d)
     val merged = (Seq(d.mvDf) ++ d.gens ++ extra).reduce(_ unionByName _)
       .groupBy(d.keysSeq.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
     store(spark, d.name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
       d.maxsSeq, d.approxSeq, merged, replacedAll = d.mvDf +: d.gens,
-      d.filterConjuncts, d.baseDf)
+      d.filterConjuncts, d.baseDf,
+      unionSafe = d.unionSafe && (extra.isEmpty || deltaInFiles))
   }
 
   /** O(|delta|) incremental append (the stream-maintenance fast path):
@@ -295,22 +318,24 @@ object MaterializedViews {
     * (amortized O(|MV|)/compactEvery per batch). `generations(name)`
     * exposes the current count. */
   def appendIncremental(spark: SparkSession, name: String, delta: DataFrame,
-      compactEvery: Int = 8): DataFrame = {
-    require(compactEvery >= 2, "compactEvery must be at least 2")
-    val d = Option(registry.get(name)).getOrElse(
-      throw new IllegalArgumentException(s"unknown MV: $name"))
-    val deltaAgg = deltaPartials(spark, d, delta)
-    if (d.gens.size + 2 > compactEvery) compactInto(spark, d, Some(deltaAgg))
-    else {
-      deltaAgg.persist()
-      deltaAgg.count() // materialize the generation now
-      val dTarget = deltaAgg.queryExecution.withCachedData
-      val newTarget = logical.Union(Seq(d.target, dTarget),
-        byName = false, allowMissingCol = false)
-      registry.put(name, d.copy(target = newTarget, gens = d.gens :+ deltaAgg))
-      deltaAgg
+      compactEvery: Int = 8, deltaInFiles: Boolean = false): DataFrame =
+    maintLock.synchronized {
+      require(compactEvery >= 2, "compactEvery must be at least 2")
+      val d = Option(registry.get(name)).getOrElse(
+        throw new IllegalArgumentException(s"unknown MV: $name"))
+      val deltaAgg = deltaPartials(spark, d, delta)
+      if (d.gens.size + 2 > compactEvery) compactInto(spark, d, Some(deltaAgg), deltaInFiles)
+      else {
+        deltaAgg.persist()
+        deltaAgg.count() // materialize the generation now
+        val dTarget = deltaAgg.queryExecution.withCachedData
+        val newTarget = logical.Union(Seq(d.target, dTarget),
+          byName = false, allowMissingCol = false)
+        registry.put(name, d.copy(target = newTarget, gens = d.gens :+ deltaAgg,
+          unionSafe = d.unionSafe && deltaInFiles))
+        deltaAgg
+      }
     }
-  }
 
   /** Number of cached generations (1 = fully compacted). */
   def generations(name: String): Int =
@@ -387,24 +412,55 @@ object MaterializedViews {
     * containment is prefix-based so a partition-scoped write under the
     * table root invalidates MVs over the whole table. Returns the names
     * of the dropped MVs (empty when nothing read the path). */
-  def invalidatePath(spark: SparkSession, path: String): Seq[String] = {
-    val hit = touchedBy(spark, path).map(_.name)
-    hit.foreach(drop(spark, _))
-    hit
-  }
+  def invalidatePath(spark: SparkSession, path: String): Seq[String] =
+    maintLock.synchronized {
+      val hit = touchedBy(spark, path).map(_.name)
+      hit.foreach(drop(spark, _))
+      hit
+    }
+
+  /** Does any single-leaf MV read `path`? (TableDml.insertInto persists
+    * the append rows before writing when this is true, so the fold sees
+    * the same snapshot that was written.) */
+  def watchesPath(spark: SparkSession, path: String): Boolean =
+    touchedBy(spark, path).exists(_.signature.leaves.size == 1)
 
   /** APPEND write-barrier (TableDml.insertInto): an append is exactly
     * refreshIncremental's delta contract, so a SINGLE-LEAF MV over the
     * appended path folds the new rows in algebraically and stays live —
     * the nightly-load path never re-registers. A JOIN MV cannot fold a
     * one-sided append (the delta's join partners are unknown) and drops
-    * like any other write. Returns (folded, dropped) names. */
+    * like any other write. The appended rows ARE in the files, so the
+    * MV stays union-compensation-safe: the base relation's file indexes
+    * are refreshed so a residual scan sees the new files. A fold that
+    * fails for any reason downgrades to DROP (the barrier's guarantee
+    * is no-stale-MV, never at the cost of failing a committed write).
+    * Returns (folded, dropped) names. */
   def foldAppendOrInvalidate(spark: SparkSession, path: String,
-      rows: DataFrame): (Seq[String], Seq[String]) = {
+      rows: DataFrame): (Seq[String], Seq[String]) = maintLock.synchronized {
     val (foldable, joins) = touchedBy(spark, path).partition(_.signature.leaves.size == 1)
     joins.foreach(d => drop(spark, d.name))
-    foldable.foreach(d => refreshIncremental(spark, d.name, rows))
-    (foldable.map(_.name), joins.map(_.name))
+    val outcomes = foldable.map { d =>
+      try {
+        d.baseDf.queryExecution.analyzed.foreach {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.refresh()
+            case _ => ()
+          }
+          case _ => ()
+        }
+        compactInto(spark, d, Some(deltaPartials(spark, d, rows)), deltaInFiles = true)
+        (d.name, true)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] MV ${d.name}: append fold failed (${e.getMessage}); dropping")
+          drop(spark, d.name)
+          (d.name, false)
+      }
+    }
+    (outcomes.collect { case (n, true) => n },
+      joins.map(_.name) ++ outcomes.collect { case (n, false) => n })
   }
 
   private def touchedBy(spark: SparkSession, path: String): Seq[MvDef] = {
@@ -443,12 +499,17 @@ object MaterializedViews {
   /** The substitution rule (runs in the user-provided optimizer batch). */
   object MvRewrite extends Rule[LogicalPlan] {
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case agg @ Aggregate(groupings, aggExprs, child, _) =>
-        exactRewrite(groupings, aggExprs, child)
-          .orElse(joinCompRewrite(groupings, aggExprs, child))
-          .getOrElse(agg)
-    }
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      // fast path: the rule stays installed after the last drop()/
+      // invalidation — don't pay signature extraction per Aggregate for
+      // an empty registry
+      if (registry.isEmpty) plan
+      else plan.transformUp {
+        case agg @ Aggregate(groupings, aggExprs, child, _) =>
+          exactRewrite(groupings, aggExprs, child)
+            .orElse(joinCompRewrite(groupings, aggExprs, child))
+            .getOrElse(agg)
+      }
 
     /** Exact-shape substitution: signatureOf peels pruning Projects and
       * collects Filters; a query matches an MV when its scan+join shape
@@ -744,6 +805,11 @@ object MaterializedViews {
       * which is when a user materializes a second tile instead. */
     private def unionTarget(mv: MvDef, conjsAll: Seq[Expression],
         sig: Signature): Option[LogicalPlan] = {
+      // an MV fed deltas that are NOT in the source files (stream
+      // maintenance, ad-hoc refresh) answers covered slices from its
+      // exact cached partials, but a residual FILE scan would miss those
+      // rows — refuse union compensation for it
+      if (!mv.unionSafe) return None
       val conjs = dropVacuousNotNull(mv, conjsAll, sig)
       val mCanon = mv.filterConjuncts.map(canonSql).toSet
       val qCanon = conjs.map(canonSql).toSet
@@ -894,8 +960,11 @@ object MaterializedViews {
         // (profile/ProfilerImpl.java:577-659). Only the APPROXIMATE
         // function substitutes; an exact COUNT(DISTINCT x) on a non-key
         // stays blocked below (a sketch estimate must never contaminate
-        // an exact path).
-        case hpp: HyperLogLogPlusPlus => hpp.child match {
+        // an exact path). The rsd guard keeps the substitution within
+        // contract: the carried Datasketches partial (lgK=12, ~1.63%
+        // standard error) may only answer requests whose tolerance is
+        // looser — a tighter-than-sketch relativeSD must run unrewritten.
+        case hpp: HyperLogLogPlusPlus if hpp.relativeSD >= 0.0165 => hpp.child match {
           case a: AttributeReference if mv.approxes.contains(a.name) =>
             Some(org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
               HllUnionAgg(mv.targetOut(s"__mv_hll_${a.name}"), Literal(true))

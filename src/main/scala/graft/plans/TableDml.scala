@@ -25,10 +25,18 @@ object TableDml {
   /** INSERT INTO path VALUES rows. Single-leaf MVs over the path fold
     * the appended rows in algebraically and stay live (the append IS
     * refreshIncremental's delta contract); join MVs cannot fold a
-    * one-sided append and are invalidated like every other write. */
+    * one-sided append and are invalidated like every other write. When
+    * a fold will run, `rows` is persisted BEFORE the write so the fold
+    * aggregates the same snapshot that landed in the files (a
+    * non-deterministic source plan would otherwise fold a different
+    * delta than it wrote). */
   def insertInto(spark: SparkSession, path: String, rows: DataFrame): Unit = {
-    rows.write.mode("append").parquet(path)
-    MaterializedViews.foldAppendOrInvalidate(spark, path, rows): Unit
+    val watched = MaterializedViews.watchesPath(spark, path)
+    val r = if (watched) rows.persist() else rows
+    try {
+      r.write.mode("append").parquet(path)
+      MaterializedViews.foldAppendOrInvalidate(spark, path, r): Unit
+    } finally if (watched) { r.unpersist(); () }
   }
 
   /** UPDATE path SET assignments WHERE cond; returns updated-row count. */

@@ -110,20 +110,27 @@ object ForeignSchemaSql {
     val conn = DriverManager.getConnection(url, props)
     val tables =
       try {
-        val rs = conn.getMetaData.getTables(null,
-          schema.map(_.toUpperCase(java.util.Locale.ROOT)).orNull, "%",
+        // the schema pattern is passed AS GIVEN: JDBC metadata patterns
+        // are case-sensitive, and stores disagree on folding (Derby/
+        // HSQLDB fold up, PostgreSQL folds down) — the user writes the
+        // store's spelling, as the reference's JdbcSchema options do
+        val rs = conn.getMetaData.getTables(null, schema.orNull, "%",
           Array("TABLE"))
         val b = Seq.newBuilder[String]
         while (rs.next()) b += rs.getString("TABLE_NAME")
         rs.close()
         b.result()
       } finally conn.close()
+    // option values land inside single-quoted SQL literals: escape
+    // quote/backslash so a password like o'brien cannot break out of
+    // (or inject into) the OPTIONS list
+    def esc(v: String) = v.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
     tables.foreach { t =>
       val dbtable = schema.map(s => s"$s.$t").getOrElse(t)
-      val optStr = (Seq(s"url '$url'", s"dbtable '$dbtable'") ++
-        user.map(u => s"user '$u'") ++
-        password.map(p => s"password '$p'")).mkString(", ")
+      val optStr = (Seq(s"url '${esc(url)}'", s"dbtable '${esc(dbtable)}'") ++
+        user.map(u => s"user '${esc(u)}'") ++
+        password.map(p => s"password '${esc(p)}'")).mkString(", ")
       val tbl = s"$name.${t.toLowerCase(java.util.Locale.ROOT)}"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"CREATE TABLE $tbl USING org.apache.spark.sql.jdbc OPTIONS ($optStr)"): Unit

@@ -721,6 +721,69 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("folded appends stay union-safe: the residual scan sees the appended files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mvus").toString + "/t"
+    (1 to 100).map(i => ("g" + (i % 3), i.toDouble, i.toLong))
+      .toDF("g", "v", "k").write.parquet(dir)
+    try {
+      // MV covers the k >= 50 slice
+      val src = spark.read.parquet(dir).filter(col("k") >= 50L)
+      MaterializedViews.register(spark, "mv_us", src,
+        keys = Seq("g", "k"), sums = Seq("v"))
+      // append rows OUTSIDE the MV slice (k in [40, 50)): the fold keeps
+      // the MV live and refreshes the base file index
+      graft.plans.TableDml.insertInto(spark, dir,
+        Seq(("g0", 1000.0, 45L), ("g1", 2000.0, 46L)).toDF("g", "v", "k"))
+      assert(MaterializedViews.isRegistered("mv_us"), "append must fold, not drop")
+      // wider query (k >= 40) union-compensates; its residual FILE scan
+      // must include the just-appended rows
+      val q = spark.read.parquet(dir).filter(col("k") >= 40L)
+        .groupBy("g").agg(sum("v").as("t"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"),
+        s"wider range must still union-compensate after a folded append:\n$plan")
+      val got = q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        spark.read.parquet(dir).filter(col("k") >= 40L)
+          .groupBy("g").agg(sum("v").as("t"))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      }
+      assert(got == expected,
+        s"residual scan missed appended rows: $got vs $expected")
+
+      // an MV fed a NON-file delta must refuse union compensation (its
+      // residual file scan could not see those rows) while compensation
+      // from the cache alone still works
+      MaterializedViews.register(spark, "mv_us", spark.read.parquet(dir)
+        .filter(col("k") >= 50L), keys = Seq("g", "k"), sums = Seq("v"))
+      MaterializedViews.refreshIncremental(spark, "mv_us",
+        Seq(("g2", 7.0, 60L)).toDF("g", "v", "k"))
+      val qWide = spark.read.parquet(dir).filter(col("k") >= 40L)
+        .groupBy("g").agg(sum("v").as("t"))
+      assert(!hasMv(qWide), "non-file delta must disable union compensation")
+      val qNarrow = spark.read.parquet(dir).filter(col("k") >= 60L)
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      assert(hasMv(qNarrow), "cache-only compensation stays available")
+    } finally MaterializedViews.clear()
+  }
+
+  test("APPROX_COUNT_DISTINCT with a tighter-than-sketch rsd is NOT substituted") {
+    MaterializedViews.register(spark, "mv_rsd", source,
+      keys = Seq("o_orderstatus"), sums = Nil,
+      approxDistincts = Seq("o_custkey"))
+    try {
+      val loose = source.groupBy("o_orderstatus")
+        .agg(approx_count_distinct("o_custkey", 0.05).as("ad"))
+      assert(hasMv(loose), "default-tolerance approx must substitute")
+      val tight = source.groupBy("o_orderstatus")
+        .agg(approx_count_distinct("o_custkey", 0.005).as("ad"))
+      assert(!hasMv(tight),
+        "a 0.5% rsd request must run unrewritten (sketch error ~1.6%)")
+    } finally MaterializedViews.clear()
+  }
+
   test("appendIncremental: per-batch cost is one delta aggregate; compaction folds generations") {
     import spark.implicits._
     MaterializedViews.register(spark, "mv_gen", source,
