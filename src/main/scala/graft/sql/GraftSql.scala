@@ -364,6 +364,7 @@ object GraftSql {
         graft.functions.Sequences.drop(name)
         Some(spark.emptyDataFrame)
       case _ => MaterializedViewSql.maybeRun(spark, text)
+        .orElse(MaterializedViewSql.maybeMetadataTables(spark, text))
         .orElse(TypesSql.maybeRun(spark, text))
         .orElse(GeneratedColumnsSql.maybeRun(spark, text))
         .orElse(ForeignSchemaSql.maybeRun(spark, text))

@@ -103,4 +103,41 @@ object MaterializedViewSql {
         "CREATE MATERIALIZED VIEW requires AS <query>")
     case _ => None
   }
+
+  private val metadataTablesRe =
+    "(?is)^select\\s+\\*\\s+from\\s+[`\"]?metadata[`\"]?\\s*\\.\\s*tables\\s*$".r
+
+  /** The reference's JDBC metadata schema, `"metadata".TABLES` (ref:
+    * jdbc CalciteMetaImpl — Avatica surfaces DatabaseMetaData.getTables
+    * as a queryable system table; recorded in materialized_view.iq:247).
+    * Row shape = java.sql.DatabaseMetaData.getTables columns. Contents:
+    * every registered schema-qualified materialized view (tableType
+    * MATERIALIZED VIEW) plus the metadata system tables themselves.
+    * Root-schema objects are omitted — the reference's own recorded
+    * behavior (materialized_view.iq:246: root-schema MVs "currently do
+    * not" appear in the catalog). */
+  def maybeMetadataTables(spark: SparkSession, text: String): Option[DataFrame] =
+    text.trim.stripSuffix(";") match {
+      case metadataTablesRe() =>
+        import scala.jdk.CollectionConverters._
+        val header = Seq("tableCat", "tableSchem", "tableName", "tableType",
+          "remarks", "typeCat", "typeSchem", "typeName",
+          "selfReferencingColName", "refGeneration")
+        def row(schem: String, name: String, typ: String) =
+          org.apache.spark.sql.Row(null, schem, name, typ,
+            null, null, null, null, null, null)
+        val mvRows = registered.asScala.toSeq.sorted.filter(_.contains("."))
+          .map { n =>
+            val parts = n.split('.')
+            row(uc(parts.init.mkString(".")), uc(parts.last), "MATERIALIZED VIEW")
+          }
+        val sysRows = Seq(row("metadata", "COLUMNS", "SYSTEM TABLE"),
+          row("metadata", "TABLES", "SYSTEM TABLE"))
+        val schema = org.apache.spark.sql.types.StructType(header.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(mvRows ++ sysRows, 1), schema))
+      case _ => None
+    }
 }

@@ -35,11 +35,10 @@ class ServerCorpusSpec extends IqHarness {
 
   private val serverDir = new java.io.File("/root/reference/server/src/test/resources/sql")
 
-  /** Construct-level skips (regex on the SQL, documented reason). */
-  private val skipConstructs: Seq[(String, String)] = Seq(
-    ("(?is)\"metadata\"\\.",
-      "\"metadata\".TABLES is the reference's JDBC metadata schema; the " +
-        "catalog surface here is spark.catalog"))
+  /** Construct-level skips (regex on the SQL, documented reason) —
+    * EMPTY as of round 12: foreign schemas run against live Derby JDBC
+    * and "metadata".TABLES is served by MaterializedViewSql. */
+  private val skipConstructs: Seq[(String, String)] = Seq.empty
 
   // ---- foreign-schema fixture -------------------------------------------
   // schema.iq's JDBC foreign schema points at the reference's BUNDLED
@@ -292,7 +291,9 @@ class ServerCorpusSpec extends IqHarness {
     try failures.foreach(fw.println) finally fw.close()
     assert(failures.isEmpty,
       s"server corpus failures (${failures.size}):\n${failures.take(15).mkString("\n")}")
-    assert(pass >= 199, s"server corpus coverage dropped: $pass passing (floor 199)")
+    assert(pass >= 200, s"server corpus coverage dropped: $pass passing (floor 200)")
+    assert(skipped == 0 && cascades == 0,
+      s"server corpus must stay skip-free: $skipped skips, $cascades cascades")
   }
 
   private def first(ex: Throwable): String =
