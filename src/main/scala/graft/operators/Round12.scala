@@ -49,6 +49,47 @@ object Round12 {
       WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name"""))
 
+  /** Snowflake join compensation with weighted dim aggregates (ref:
+    * MaterializedViewRules join variants + the aggregate-join-transpose
+    * identity): the same orders⋈customer star MV answers a query that
+    * adds TWO dimension layers — nation on the MV key, region bridged
+    * through NATION's column — and aggregates BOTH star columns (from
+    * partials) and dim columns: COUNT(n_name) re-weights each dim match
+    * by the group's row count (__mv_cnt), so the result is identical to
+    * the row-level 4-way join. Plan-gated: only the two dimension scans
+    * remain (PlanQualitySpec). At 100 TB: zero fact I/O for any
+    * by-geography breakdown once the star tile exists. */
+  val q151_mv_snowflake_rollup = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+      val customer = T(s, dir, "customer")
+      val nation = T(s, dir, "nation")
+      val region = T(s, dir, "region")
+      val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      if (!MaterializedViews.isRegistered("q151_mv"))
+        MaterializedViews.register(s, "q151_mv", star,
+          keys = Seq("o_orderstatus", "c_nationkey"),
+          sums = Seq("o_totalprice"))
+      star.join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev0"),
+          count(col("n_name")).as("cn"))
+        .select(col("r_name"), col("n"),
+          col("rev0").cast("double").as("rev"), col("cn"))
+        .orderBy("r_name")
+    },
+    Some("""
+      SELECT r_name, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             COUNT(n_name) AS cn
+      FROM orders, customer, nation, region
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
   val all: Map[String, Q] = Map(
-    "q150_mv_join_rollup" -> q150_mv_join_rollup)
+    "q150_mv_join_rollup" -> q150_mv_join_rollup,
+    "q151_mv_snowflake_rollup" -> q151_mv_snowflake_rollup)
 }

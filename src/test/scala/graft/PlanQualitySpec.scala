@@ -409,4 +409,20 @@ class PlanQualitySpec extends SparkSpec {
         s"tiny dimension join must broadcast:\n$pp")
     } finally graft.plans.MaterializedViews.drop(spark, "q150_mv")
   }
+
+  test("q151: snowflake compensation — ONLY the two dimension scans remain") {
+    try {
+      val q = run("q151_mv_snowflake_rollup")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the star must be answered from the cached MV:\n$lp")
+      val scans = lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 2, s"exactly nation + region may be scanned:\n$lp")
+      val scanned = scans.flatMap(_.schema.fieldNames).toSet
+      assert(scanned.contains("n_name") && scanned.contains("r_name"),
+        s"the remaining scans must be the dimensions:\n$lp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q151_mv")
+  }
 }
