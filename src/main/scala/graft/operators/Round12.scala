@@ -89,7 +89,32 @@ object Round12 {
         AND n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
+  /** Time-hierarchy rollup from a day-keyed tile (ref: materialize/
+    * Lattice.java time dimensions + SubstitutionVisitor expression
+    * unification): the MV is keyed by (status, orderdate) at DAY grain;
+    * the query groups by year(o_orderdate) — a deterministic expression
+    * of a grouping key — so equal keys imply equal years and the rollup
+    * merely MERGES tile groups, which is exactly the partial merge. The
+    * fact table is never rescanned (plan-gated). At 100 TB this is why
+    * ONE day-grain tile serves every month/quarter/year dashboard. */
+  val q152_mv_time_rollup = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      if (!MaterializedViews.isRegistered("q152_mv"))
+        MaterializedViews.register(s, "q152_mv", orders,
+          keys = Seq("o_orderstatus", "o_orderdate"),
+          sums = Nil, maxs = Seq("o_orderkey"))
+      orders.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"), max("o_orderkey").as("last_key"))
+        .orderBy("yr")
+    },
+    Some("""
+      SELECT year(o_orderdate) AS yr, COUNT(*) AS n,
+             max(o_orderkey) AS last_key
+      FROM orders GROUP BY 1 ORDER BY yr"""))
+
   val all: Map[String, Q] = Map(
     "q150_mv_join_rollup" -> q150_mv_join_rollup,
-    "q151_mv_snowflake_rollup" -> q151_mv_snowflake_rollup)
+    "q151_mv_snowflake_rollup" -> q151_mv_snowflake_rollup,
+    "q152_mv_time_rollup" -> q152_mv_time_rollup)
 }

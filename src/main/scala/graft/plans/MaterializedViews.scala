@@ -506,10 +506,48 @@ object MaterializedViews {
       if (registry.isEmpty) plan
       else plan.transformUp {
         case agg @ Aggregate(groupings, aggExprs, child, _) =>
-          exactRewrite(groupings, aggExprs, child)
-            .orElse(joinCompRewrite(groupings, aggExprs, child))
+          val (g2, a2, child2) = inlineGroupingProject(groupings, aggExprs, child)
+          exactRewrite(g2, a2, child2)
+            .orElse(joinCompRewrite(g2, a2, child2))
             .getOrElse(agg)
       }
+
+    /** Catalyst extracts non-trivial grouping expressions into a
+      * `_groupingexpression` Project below the Aggregate (so the plan
+      * groups by a bare attribute). That Project hides the scan shape
+      * from signature matching — inline its alias definitions back into
+      * the grouping/aggregate expressions and match against its child.
+      * Only fires when the Project holds something beyond bare
+      * attributes and same-name normalization casts (those belong to
+      * the signature peeler), and every alias is deterministic and
+      * aggregate-free. */
+    private def inlineGroupingProject(groupings: Seq[Expression],
+        aggExprs: Seq[NamedExpression], child: LogicalPlan)
+        : (Seq[Expression], Seq[NamedExpression], LogicalPlan) = child match {
+      case Project(ps, ch) if ps.forall {
+            case _: AttributeReference => true
+            case Alias(e, _) => e.deterministic &&
+              !e.exists(_.isInstanceOf[AggregateExpression])
+            case _ => false
+          } && ps.exists {
+            case Alias(Cast(ar: AttributeReference, _, _, _), n) => ar.name != n
+            case _: Alias => true
+            case _ => false
+          } =>
+        val defs = ps.collect { case al @ Alias(e, _) => al.exprId -> e }.toMap
+        // a bare reference to an inlined alias at the TOP of the agg
+        // list would stop being a NamedExpression after substitution
+        if (aggExprs.exists {
+          case ar: AttributeReference => defs.contains(ar.exprId)
+          case _ => false
+        }) return (groupings, aggExprs, child)
+        def sub(e: Expression): Expression = e.transform {
+          case ar: AttributeReference if defs.contains(ar.exprId) => defs(ar.exprId)
+        }
+        inlineGroupingProject(groupings.map(sub),
+          aggExprs.map(x => sub(x).asInstanceOf[NamedExpression]), ch)
+      case _ => (groupings, aggExprs, child)
+    }
 
     /** Exact-shape substitution: signatureOf peels pruning Projects and
       * collects Filters; a query matches an MV when its scan+join shape
@@ -871,12 +909,35 @@ object MaterializedViews {
         dimOut: org.apache.spark.sql.catalyst.expressions.AttributeSet =
           org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
         : Option[(Seq[Expression], Seq[NamedExpression])] = {
-      // grouping keys must be bare attributes covered by the MV keys —
-      // or attributes of the compensated dimension, kept as-is
+      // a deterministic expression whose every reference is an MV
+      // grouping key (or a compensated-dim column) commutes with the
+      // rollup: equal keys ⇒ equal expression value, so grouping by it
+      // merely MERGES MV groups — which is exactly what the partial
+      // merge computes (the lattice time-hierarchy rollup:
+      // GROUP BY year(d) answered from a day-keyed tile)
+      def keyDerived(e: Expression): Boolean =
+        e.deterministic && e.references.nonEmpty &&
+          !e.exists(_.isInstanceOf[AggregateExpression]) &&
+          e.references.forall(a =>
+            dimOut.contains(a) || mv.keys.contains(a.name))
+      def rebindKeys(e: Expression): Expression = e.transform {
+        case a: AttributeReference if !dimOut.contains(a) &&
+            mv.keys.contains(a.name) =>
+          val out = mv.targetOut(a.name)
+          // a grouping expression inlined from below the loader's
+          // normalization Project references the pre-cast type — close
+          // the gap like targetWithFilters does
+          if (out.dataType == a.dataType) out
+          else Cast(out, a.dataType, Some(conf.sessionLocalTimeZone))
+      }
+      // grouping keys must be bare attributes covered by the MV keys,
+      // attributes of the compensated dimension (kept as-is), or
+      // key-derived expressions (rebound)
       val newGroupings = groupings.map {
         case a: AttributeReference if dimOut.contains(a) => Some(a)
         case a: AttributeReference if mv.keys.contains(a.name) =>
           Some(mv.targetOut(a.name))
+        case e if keyDerived(e) => Some(rebindKeys(e))
         case _ => None
       }
       if (newGroupings.exists(_.isEmpty)) return None
@@ -978,6 +1039,10 @@ object MaterializedViews {
         case a: AttributeReference if dimOut.contains(a) => Some(a)
         case a: AttributeReference if mv.keys.contains(a.name) =>
           Some(Alias(mv.targetOut(a.name), a.name)(exprId = a.exprId))
+        // grouping-expression pass-through (the SELECT-list copy of a
+        // key-derived grouping like year(d)): rebind its key references
+        case al @ Alias(e, nm) if keyDerived(e) =>
+          Some(Alias(rebindKeys(e), nm)(exprId = al.exprId))
         case al @ Alias(ae: AggregateExpression, nm)
             if !ae.isDistinct && ae.filter.isEmpty =>
           rollup(ae.aggregateFunction).map(e => Alias(e, nm)(exprId = al.exprId))

@@ -367,6 +367,44 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("key-derived grouping expressions roll up: GROUP BY year(key) from a day-keyed tile") {
+    MaterializedViews.register(spark, "mv_time", source,
+      keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+    try {
+      val q = source.groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("t"))
+        .orderBy("yr")
+      assert(hasMv(q),
+        s"year(key) grouping must substitute:\n${q.queryExecution.optimizedPlan}")
+      // mixed expression of two keys also rolls up
+      val q2 = source.groupBy(
+          concat(col("o_orderstatus"), lit("-"), year(col("o_orderdate"))).as("g"))
+        .agg(count(lit(1)).as("n"))
+      assert(hasMv(q2), "expression over multiple keys must substitute")
+      // an expression referencing a NON-key column must block
+      val q3 = source.groupBy((col("o_custkey") % 10).as("b"))
+        .agg(count(lit(1)).as("n"))
+      assert(!hasMv(q3), "non-key expression grouping must not substitute")
+      // a non-deterministic grouping must block
+      val q4 = source.groupBy((rand() * 0).as("r"))
+        .agg(count(lit(1)).as("n"))
+      assert(!hasMv(q4), "non-deterministic grouping must not substitute")
+
+      val got = q.collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        source.groupBy(year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("t"))
+          .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+      }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (n, t)) =>
+        assert(n == expected(k)._1, s"$k count diverged")
+        assert(math.abs(t - expected(k)._2) <= 1e-9 * math.abs(expected(k)._2))
+      }
+    } finally MaterializedViews.clear()
+  }
+
   test("multi-conjunct union compensation: shared equality + one widened range") {
     // MV covers 1-URGENT orders from 1998; query asks 1-URGENT from 1997
     // — the shared equality rides along, the residual is the pure

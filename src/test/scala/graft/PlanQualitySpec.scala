@@ -425,4 +425,16 @@ class PlanQualitySpec extends SparkSpec {
         s"the remaining scans must be the dimensions:\n$lp")
     } finally graft.plans.MaterializedViews.drop(spark, "q151_mv")
   }
+
+  test("q152: year() rollup from the day-keyed tile — fact never rescanned") {
+    try {
+      val q = run("q152_mv_time_rollup")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"time rollup must come from the cached tile:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q152_mv")
+  }
 }
