@@ -113,8 +113,48 @@ object Round12 {
              max(o_orderkey) AS last_key
       FROM orders GROUP BY 1 ORDER BY yr"""))
 
+  /** Derived-measure tile (ref: materialize/Lattice.java measure
+    * expressions + MaterializedViewAggregateRule): the MV carries
+    * SUM/COUNT partials for the EXPRESSIONS qty = dec(l_quantity) and
+    * disc_price = dec(l_extendedprice) × (1 − dec(l_discount)) — the
+    * TPC-H Q1 measures — keyed by (returnflag, linestatus) with the Q1
+    * ship-date filter absorbed exactly. The query's aggregate ARGUMENTS
+    * match the registered expressions by canonical folded SQL and roll
+    * up from the cached partials: zero lineitem scans (plan-gated).
+    * Decimal arithmetic keeps every partial exact, so the substituted
+    * result is bit-identical at any partitioning. At 100 TB this is the
+    * full lattice play: ONE pass over the fact precomputes the measure
+    * expressions every pricing dashboard reads. */
+  val q153_mv_measure_rollup = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = T(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+      def qty = T.dec2(col("l_quantity"))
+      def discPrice = T.dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(12, 2)) - T.dec2(col("l_discount")))
+      if (!MaterializedViews.isRegistered("q153_mv"))
+        MaterializedViews.register(s, "q153_mv", li,
+          keys = Seq("l_returnflag", "l_linestatus"), sums = Nil,
+          sumExprs = Seq("qty" -> qty, "disc_price" -> discPrice))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(qty).cast("double").as("sum_qty"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Map[String, Q] = Map(
     "q150_mv_join_rollup" -> q150_mv_join_rollup,
     "q151_mv_snowflake_rollup" -> q151_mv_snowflake_rollup,
-    "q152_mv_time_rollup" -> q152_mv_time_rollup)
+    "q152_mv_time_rollup" -> q152_mv_time_rollup,
+    "q153_mv_measure_rollup" -> q153_mv_measure_rollup)
 }

@@ -89,6 +89,12 @@ object MaterializedViews {
       // widening would silently degrade an exact decimal partial to
       // double
       srcTypes: Map[String, org.apache.spark.sql.types.DataType],
+      // derived measures (the reference lattice's measure EXPRESSIONS,
+      // e.g. revenue = price * (1 - discount)): canonical folded SQL of
+      // the defining expression → partial name, plus the re-applicable
+      // unresolved Columns for delta refreshes
+      sumDefs: Map[String, String] = Map.empty,
+      sumExprCols: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       // pending stream-appended delta generations (cached partial-agg
       // frames whose targets are unioned into `target`); compaction
       // merges them back into one generation
@@ -174,7 +180,8 @@ object MaterializedViews {
   def register(spark: SparkSession, name: String, source: DataFrame,
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
-      approxDistincts: Seq[String] = Nil): DataFrame = {
+      approxDistincts: Seq[String] = Nil,
+      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
     val (signature, srcFilters) = signatureOf(source.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         "MV source must be projects/filters over inner equi-joins of file scans"))
@@ -201,11 +208,20 @@ object MaterializedViews {
           case f: logical.Filter => f.child
         })
 
-    val cols = partialAggCols(sums, mins, maxs, approxDistincts)
+    // derived measures: canonicalize each defining expression against
+    // the source (analyzed + literal-folded SQL) so a query-side
+    // aggregate argument can be matched by name-based expression
+    // equality (the reference lattice's measure expressions)
+    val sumDefs = sumExprs.map { case (n, c) =>
+      val e = source.select(c.as(n)).queryExecution.analyzed
+        .asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+      foldLiterals(e).sql -> n
+    }.toMap
+    val cols = partialAggCols(sums, mins, maxs, approxDistincts, sumExprs)
     val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
     store(spark, name, signature, keys, sums, mins, maxs, approxDistincts, mv,
       replacedAll = Option(registry.get(name)).toSeq.flatMap(d => d.mvDf +: d.gens),
-      filterConjuncts, baseDf)
+      filterConjuncts, baseDf, sumDefs = sumDefs, sumExprCols = sumExprs)
   }
 
   /** Fold foldable subtrees (e.g. the implicit CAST a comparison wraps
@@ -222,8 +238,12 @@ object MaterializedViews {
     * binaries: mergeable across groups via hll_union_agg, so an
     * APPROX_COUNT_DISTINCT rollup never rescans the fact. */
   private def partialAggCols(sums: Seq[String], mins: Seq[String],
-      maxs: Seq[String], approxes: Seq[String] = Nil): Seq[org.apache.spark.sql.Column] =
+      maxs: Seq[String], approxes: Seq[String] = Nil,
+      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : Seq[org.apache.spark.sql.Column] =
     sums.map(c => sum(col(c)).as(s"__mv_sum_$c")) ++
+      sumExprs.map { case (n, c) => sum(c).as(s"__mv_sum_$n") } ++
+      sumExprs.map { case (n, c) => count(c).as(s"__mv_cntn_$n") } ++
       // per-column non-null count, so AVG(x) rolls up as
       // SUM(sum_x)/SUM(cntn_x) even when x has NULLs
       sums.map(c => count(col(c)).as(s"__mv_cntn_$c")) ++
@@ -239,7 +259,9 @@ object MaterializedViews {
       maxs: Seq[String], approxes: Seq[String], mv: DataFrame,
       replacedAll: Seq[DataFrame],
       filterConjuncts: Seq[Expression], baseDf: DataFrame,
-      unionSafe: Boolean = true): DataFrame = {
+      unionSafe: Boolean = true,
+      sumDefs: Map[String, String] = Map.empty,
+      sumExprCols: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
     mv.persist()
     mv.count() // materialize now
 
@@ -251,6 +273,7 @@ object MaterializedViews {
       target.output.map(a => a.name -> a).toMap,
       keys, sums, mins, maxs, approxes, mv, filterConjuncts, baseDf,
       baseDf.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap,
+      sumDefs = sumDefs, sumExprCols = sumExprCols,
       gens = Nil, unionSafe = unionSafe))
     replacedAll.foreach(_.unpersist())
 
@@ -305,7 +328,8 @@ object MaterializedViews {
     store(spark, d.name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
       d.maxsSeq, d.approxSeq, merged, replacedAll = d.mvDf +: d.gens,
       d.filterConjuncts, d.baseDf,
-      unionSafe = d.unionSafe && (extra.isEmpty || deltaInFiles))
+      unionSafe = d.unionSafe && (extra.isEmpty || deltaInFiles),
+      sumDefs = d.sumDefs, sumExprCols = d.sumExprCols)
   }
 
   /** O(|delta|) incremental append (the stream-maintenance fast path):
@@ -378,20 +402,23 @@ object MaterializedViews {
       }
       df.filter(org.apache.spark.sql.GraftSqlBridge.column(bound))
     }
-    val cols = partialAggCols(d.sumsSeq, d.minsSeq, d.maxsSeq, d.approxSeq)
+    val cols = partialAggCols(d.sumsSeq, d.minsSeq, d.maxsSeq, d.approxSeq,
+      d.sumExprCols)
     deltaKept.groupBy(d.keysSeq.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
   /** Merge columns folding two generations of partials: every partial is
     * a commutative monoid (SUM/counts by SUM, MIN/MAX by themselves, HLL
     * sketches by union). */
-  private def mergePartialCols(d: MvDef): Seq[org.apache.spark.sql.Column] =
-    d.sumsSeq.map(c => sum(col(s"__mv_sum_$c")).as(s"__mv_sum_$c")) ++
-      d.sumsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+  private def mergePartialCols(d: MvDef): Seq[org.apache.spark.sql.Column] = {
+    val sumNames = d.sumsSeq ++ d.sumExprCols.map(_._1)
+    sumNames.map(c => sum(col(s"__mv_sum_$c")).as(s"__mv_sum_$c")) ++
+      sumNames.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
       d.minsSeq.map(c => min(col(s"__mv_min_$c")).as(s"__mv_min_$c")) ++
       d.maxsSeq.map(c => max(col(s"__mv_max_$c")).as(s"__mv_max_$c")) ++
       d.approxSeq.map(c => hll_union_agg(col(s"__mv_hll_$c")).as(s"__mv_hll_$c")) :+
       sum(col("__mv_cnt")).as("__mv_cnt")
+  }
 
   def drop(spark: SparkSession, name: String): Unit =
     Option(registry.remove(name)).foreach(d => (d.mvDf +: d.gens).foreach(_.unpersist()))
@@ -882,7 +909,8 @@ object MaterializedViews {
       val bound = normalizeNtz(residual).transform {
         case a: AttributeReference => baseOut(a.name)
       }
-      val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq, mv.approxSeq)
+      val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq, mv.approxSeq,
+        mv.sumExprCols)
       val resid = mv.baseDf
         .filter(org.apache.spark.sql.GraftSqlBridge.column(bound))
         .groupBy(mv.keysSeq.map(col): _*)
@@ -966,6 +994,16 @@ object MaterializedViews {
           IsNotNull(a), Cast(cntAttr, org.apache.spark.sql.types.LongType),
           Literal(0L))).toAggregateExpression()
 
+      // derived-measure lookup: does this aggregate argument match one
+      // of the MV's registered defining expressions (canonical folded
+      // SQL — attribute SQL carries no exprIds, so the comparison is
+      // name-based like every other matching step)? Dim attributes must
+      // not leak into the match.
+      def derivedOf(e: Expression): Option[String] =
+        if (mv.sumDefs.isEmpty || e.isInstanceOf[AttributeReference] ||
+            e.references.exists(dimOut.contains)) None
+        else mv.sumDefs.get(foldLiterals(e).sql)
+
       def rollup(fn: AggregateFunction): Option[Expression] = fn match {
         // MIN/MAX over a DIM column (join compensation): the value set
         // per group is preserved by the MV-side join, so the function
@@ -1013,8 +1051,25 @@ object MaterializedViews {
             val s = Sum(mv.targetOut(s"__mv_sum_${a.name}")).toAggregateExpression()
             val c = Sum(mv.targetOut(s"__mv_cntn_${a.name}")).toAggregateExpression()
             Some(Cast(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), fn.dataType))
+          case e if derivedOf(e).isDefined =>
+            val n = derivedOf(e).get
+            val s = Sum(mv.targetOut(s"__mv_sum_$n")).toAggregateExpression()
+            val c = Sum(mv.targetOut(s"__mv_cntn_$n")).toAggregateExpression()
+            Some(Cast(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), fn.dataType))
           case _ => None
         }
+        // DERIVED MEASURES (the reference lattice's measure expressions,
+        // materialize/Lattice.java Measure.args — e.g. revenue =
+        // price * (1 - discount)): the aggregate's ARGUMENT matches a
+        // registered defining expression by canonical folded SQL, so
+        // SUM/COUNT roll up from the carried partials exactly as a
+        // plain column would
+        case Sum(e, _) if derivedOf(e).isDefined =>
+          val inner = Sum(mv.targetOut(s"__mv_sum_${derivedOf(e).get}"))
+            .toAggregateExpression()
+          Some(if (inner.dataType == fn.dataType) inner else Cast(inner, fn.dataType))
+        case Count(Seq(e)) if derivedOf(e).isDefined =>
+          Some(Sum(mv.targetOut(s"__mv_cntn_${derivedOf(e).get}")).toAggregateExpression())
         // APPROX_COUNT_DISTINCT(x) rolls up from the carried HLL sketch
         // partials: union the per-group sketches, then estimate — the
         // reference's lattice-tile HLL column stats

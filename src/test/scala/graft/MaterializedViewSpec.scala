@@ -367,6 +367,46 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("derived measures: SUM/AVG/COUNT of a registered expression roll up from the tile") {
+    val li = T(spark, sfDir, "lineitem")
+    def revenue = T.dec2(col("l_extendedprice")) *
+      (lit(1).cast(org.apache.spark.sql.types.DecimalType(12, 2)) - T.dec2(col("l_discount")))
+    MaterializedViews.register(spark, "mv_rev", li,
+      keys = Seq("l_returnflag", "l_linestatus"), sums = Nil,
+      sumExprs = Seq("revenue" -> revenue))
+    try {
+      val q = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(revenue).as("rev"), avg(revenue).as("arev"),
+          count(revenue).as("crev"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+      assert(hasMv(q),
+        s"registered measure expression must substitute:\n${q.queryExecution.optimizedPlan}")
+      // a DIFFERENT expression must not match the measure
+      val q2 = li.groupBy("l_returnflag")
+        .agg(sum(T.dec2(col("l_extendedprice")) * T.dec2(col("l_discount"))).as("x"))
+      assert(!hasMv(q2), "an unregistered expression must not substitute")
+
+      val got = q.collect().map(r => (r.getString(0) + r.getString(1),
+        (r.getDecimal(2), r.getDecimal(3), r.getLong(4), r.getLong(5)))).toMap
+      val expected = {
+        MaterializedViews.clear()
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(revenue).as("rev"), avg(revenue).as("arev"),
+            count(revenue).as("crev"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0) + r.getString(1),
+            (r.getDecimal(2), r.getDecimal(3), r.getLong(4), r.getLong(5)))).toMap
+      }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (rev, arev, crev, n)) =>
+        val (erev, earev, ecrev, en) = expected(k)
+        assert(rev.compareTo(erev) == 0, s"$k: decimal sum diverged $rev vs $erev")
+        assert(crev == ecrev && n == en, s"$k: counts diverged")
+        assert(math.abs(arev.doubleValue - earev.doubleValue) <=
+          1e-9 * math.abs(earev.doubleValue))
+      }
+    } finally MaterializedViews.clear()
+  }
+
   test("key-derived grouping expressions roll up: GROUP BY year(key) from a day-keyed tile") {
     MaterializedViews.register(spark, "mv_time", source,
       keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))

@@ -426,6 +426,18 @@ class PlanQualitySpec extends SparkSpec {
     } finally graft.plans.MaterializedViews.drop(spark, "q151_mv")
   }
 
+  test("q153: derived-measure rollup — Q1 measures answered with zero lineitem scans") {
+    try {
+      val q = run("q153_mv_measure_rollup")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"measure rollup must come from the cached tile:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"lineitem must not be rescanned:\n$lp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q153_mv")
+  }
+
   test("q152: year() rollup from the day-keyed tile — fact never rescanned") {
     try {
       val q = run("q152_mv_time_rollup")
