@@ -5,7 +5,18 @@ package graft
   * Value correctness is covered by the DuckDB-oracle gate (tools/check.py
   * at sf0.01); this suite is the compile-shape-and-run gate.
   */
-class OperatorSmokeSpec extends SparkSpec {
+class OperatorSmokeSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // q148–q153 register MVs as part of their definition (register-once,
+  // answer-later — the lattice usage pattern). Within ONE session that
+  // is exactly the product contract; across test SUITES it leaks
+  // global-registry state that can re-shape later suites' plans (an MV
+  // answers a sub-plan from cache). Leave the registry as we found it.
+  override def afterAll(): Unit = {
+    try graft.plans.MaterializedViews.clear()
+    finally super.afterAll()
+  }
 
   // queries whose result may be legitimately empty at sf=0.001
   private val mayBeEmpty = Set(

@@ -6,7 +6,19 @@ package graft
   * top-K without global sort) so a regression shows up as a test
   * failure, not a 100× slowdown on the cluster.
   */
-class PlanQualitySpec extends SparkSpec {
+class PlanQualitySpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // The MV registry is JVM-global and other suites (OperatorSmokeSpec,
+  // Verify-style sweeps) legitimately leave MVs registered — exact for
+  // VALUES by the registry's invariant, but a leftover tile can answer a
+  // sub-plan here (even a union-compensation residual) from cache and
+  // change the very plan SHAPE these gates pin. Pin the shapes from a
+  // clean registry instead of from suite-ordering luck.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.plans.MaterializedViews.clear()
+  }
 
   private def plan(name: String): String =
     run(name).queryExecution.executedPlan.toString
