@@ -152,9 +152,45 @@ object Round12 {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** GROUPING SETS / ROLLUP / CUBE from a tile (ref: rel/rules/
+    * AggregateStarTableRule.java + materialize/Lattice.java — a tile
+    * whose keys cover the grouping columns answers any grouping-set
+    * query over them). Catalyst plans ROLLUP as Aggregate over Expand;
+    * the rewrite substitutes the cached tile BELOW the same Expand,
+    * re-pointing grouping entries at tile keys and aggregates at the
+    * carried partials — so the whole 3-level rollup (status×priority,
+    * status, grand total) runs over tile rows with zero fact scans
+    * (plan-gated in PlanQualitySpec). Exact by the merge argument: all
+    * rows of a tile group share every key, so nulling a key per
+    * grouping set merges whole groups — precisely the partial merge.
+    * At 100 TB this is the cube-dashboard play: one tile pass absorbs
+    * every ROLLUP/CUBE panel a BI layer fires. */
+  val q154_mv_grouping_sets = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+      if (!MaterializedViews.isRegistered("q154_mv"))
+        MaterializedViews.register(s, "q154_mv", orders,
+          keys = Seq("o_orderstatus", "o_orderpriority"),
+          sums = Seq("o_totalprice"))
+      orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum("o_totalprice").cast("double").as("rev"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus, o_orderpriority"""))
+
   val all: Map[String, Q] = Map(
     "q150_mv_join_rollup" -> q150_mv_join_rollup,
     "q151_mv_snowflake_rollup" -> q151_mv_snowflake_rollup,
     "q152_mv_time_rollup" -> q152_mv_time_rollup,
-    "q153_mv_measure_rollup" -> q153_mv_measure_rollup)
+    "q153_mv_measure_rollup" -> q153_mv_measure_rollup,
+    "q154_mv_grouping_sets" -> q154_mv_grouping_sets)
 }

@@ -533,10 +533,14 @@ object MaterializedViews {
       if (registry.isEmpty) plan
       else plan.transformUp {
         case agg @ Aggregate(groupings, aggExprs, child, _) =>
-          val (g2, a2, child2) = inlineGroupingProject(groupings, aggExprs, child)
-          exactRewrite(g2, a2, child2)
-            .orElse(joinCompRewrite(g2, a2, child2))
-            .getOrElse(agg)
+          (child match {
+            case expand: logical.Expand =>
+              expandRewrite(groupings, aggExprs, expand)
+            case _ =>
+              val (g2, a2, child2) = inlineGroupingProject(groupings, aggExprs, child)
+              exactRewrite(g2, a2, child2)
+                .orElse(joinCompRewrite(g2, a2, child2))
+          }).getOrElse(agg)
       }
 
     /** Catalyst extracts non-trivial grouping expressions into a
@@ -719,6 +723,116 @@ object MaterializedViews {
               (p, f) => logical.Filter(f, p))
             Aggregate(g, a, filtered, None)
           }
+      }
+    }
+
+    /** GROUPING SETS / ROLLUP / CUBE answered from a tile (ref:
+      * rel/rules/AggregateStarTableRule.java + materialize/Lattice.java
+      * — a tile whose keys cover every grouping column answers any
+      * grouping-set query over them). Catalyst plans grouping sets as
+      * Aggregate over Expand: each source row is replicated once per
+      * grouping set, with the keys OUTSIDE that set nulled and a
+      * grouping-id literal appended. Substituting the tile below the
+      * SAME Expand is exact — all rows of a tile group share every key,
+      * so nulling a key per set merges whole groups, which is precisely
+      * what the partial merge computes. The rewrite:
+      *   - re-points Expand's child at the compensated tile (filter
+      *     subsumption / union compensation, as in the exact path);
+      *   - routes the needed tile columns (partials + keys the
+      *     aggregates read) THROUGH Expand as passthrough outputs;
+      *   - rewrites each grouping ENTRY (a key attribute, by name) to
+      *     the tile's key column, keeping Catalyst's null/grouping-id
+      *     literals verbatim;
+      *   - converts the aggregate functions to partial merges
+      *     (rollupAgg) over the passthrough attributes.
+      * The Aggregate's own grouping attributes and grouping-id keep
+      * their exprIds, so nothing above the node re-resolves. At 100 TB
+      * this is the cube-dashboard play: one day×dim tile answers every
+      * ROLLUP/CUBE panel with zero fact scans. */
+    private def expandRewrite(groupings: Seq[Expression],
+        aggExprs: Seq[NamedExpression], expand: logical.Expand): Option[LogicalPlan] = {
+      def seqOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+        if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+      if (!groupings.forall(_.isInstanceOf[AttributeReference])) return None
+      signatureOf(expand.child).flatMap { case (sig, filters) =>
+        val childOut = expand.child.outputSet
+        // grouping positions carry fresh attributes (key-or-null copies
+        // + the grouping-id); passthrough positions reuse the child's
+        // exprIds — that identity is how Catalyst builds Expand
+        val groupPos = expand.output.zipWithIndex.filterNot {
+          case (a, _) => childOut.contains(a)
+        }
+        // aggregate arguments must read PASSTHROUGH columns only: an
+        // aggregate over a nulled grouping copy (e.g. MIN(status) of the
+        // per-set column) does not commute with the tile merge
+        val aggArgRefs = aggExprs.flatMap(_.collect {
+          case ae: AggregateExpression => ae.references
+        }).foldLeft(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)(_ ++ _)
+        val conjs = filters.flatMap(splitAnd)
+        val groupingAttrSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          groupings.flatMap(_.references))
+        registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
+          if (!aggArgRefs.subsetOf(childOut)) None
+          else
+          if (mv.signature != sig) None
+          else {
+            // tile columns the rewritten plan reads, routed through
+            // Expand: one passthrough attribute per partial/key name,
+            // allocated on first use (nullable — a union-compensated
+            // target may widen nullability)
+            val passed = scala.collection.mutable.LinkedHashMap[String, Attribute]()
+            def lookup(name: String): Expression = passed.getOrElseUpdate(name,
+              mv.targetOut(name).newInstance().withNullability(true))
+            val rollup = rollupAgg(mv, lookup,
+              org.apache.spark.sql.catalyst.expressions.AttributeSet.empty) _
+            val newAggExprs = seqOpt(aggExprs.map {
+              case a: AttributeReference if groupingAttrSet.contains(a) =>
+                Some(a: NamedExpression)
+              case al @ Alias(a: AttributeReference, _) if groupingAttrSet.contains(a) =>
+                Some(al: NamedExpression)
+              case al @ Alias(ae: AggregateExpression, nm)
+                  if !ae.isDistinct && ae.filter.isEmpty =>
+                rollup(ae.aggregateFunction)
+                  .map(e => Alias(e, nm)(exprId = al.exprId): NamedExpression)
+              // a Cast the optimizer collapsed around the aggregate
+              // commutes with the rollup, as in the exact path
+              case al @ Alias(c @ Cast(ae: AggregateExpression, _, _, _), nm)
+                  if !ae.isDistinct && ae.filter.isEmpty =>
+                rollup(ae.aggregateFunction)
+                  .map(e => Alias(c.copy(child = e), nm)(exprId = al.exprId): NamedExpression)
+              case _ => None
+            })
+            // each grouping ENTRY is a tile key (rebound by name, cast
+            // closing the loader's type-normalization gap) or one of
+            // Catalyst's planted literals (typed null / grouping-id)
+            def entryOf(e: Expression): Option[Expression] = e match {
+              case a: AttributeReference if mv.keys.contains(a.name) =>
+                val out = mv.targetOut(a.name)
+                Some(if (out.dataType == a.dataType) out
+                else Cast(out, a.dataType, Some(conf.sessionLocalTimeZone)))
+              case l: Literal => Some(l)
+              case _ => None
+            }
+            val groupRows = seqOpt(expand.projections.map(row =>
+              seqOpt(groupPos.map { case (_, i) => entryOf(row(i)) })))
+            (newAggExprs, groupRows) match {
+              case (Some(aggs), Some(rows)) =>
+                compensation(mv, conjs, sig)
+                  .map(c => targetWithFilters(mv, c))
+                  .orElse(unionTarget(mv, conjs, sig))
+                  .map { target =>
+                    val passSeq = passed.toSeq
+                    val newOutput = passSeq.map(_._2) ++ groupPos.map(_._1)
+                    val newProjections = rows.map(groupEntries =>
+                      passSeq.map { case (n, _) => mv.targetOut(n): Expression } ++
+                        groupEntries)
+                    Aggregate(groupings, aggs,
+                      logical.Expand(newProjections, newOutput, target), None)
+                  }
+              case _ => None
+            }
+          }
+        }.nextOption()
       }
     }
 
@@ -924,6 +1038,137 @@ object MaterializedViews {
         byName = false, allowMissingCol = false))
     }
 
+    /** Rewrite ONE aggregate function into its partial-merge form over
+      * the MV's carried columns, or None when the MV cannot answer it.
+      * `tout` resolves a target-output column NAME (a partial like
+      * `__mv_sum_x`, or a grouping key) to the expression that carries
+      * it in the rewritten plan — the exact/join paths pass
+      * `mv.targetOut` (the cached relation's own attributes); the
+      * grouping-sets path passes a lookup that routes the same columns
+      * THROUGH the Expand node. `dimOut` is the compensated dimensions'
+      * output (join path only): dim-column aggregates re-weight by the
+      * carried group count — the aggregate-join-transpose identity.
+      * Decimal dim columns are left blocked (the weighted product would
+      * re-type the result). */
+    private def rollupAgg(mv: MvDef, tout: String => Expression,
+        dimOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+        (fn: AggregateFunction): Option[Expression] = {
+      def cntAttr: Expression = tout("__mv_cnt")
+      def weighted(a: AttributeReference): Option[Expression] = a.dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          Some(org.apache.spark.sql.catalyst.expressions.Multiply(
+            Cast(a, DoubleType), Cast(cntAttr, DoubleType)))
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+          Some(org.apache.spark.sql.catalyst.expressions.Multiply(
+            Cast(a, org.apache.spark.sql.types.LongType),
+            Cast(cntAttr, org.apache.spark.sql.types.LongType)))
+        case _ => None
+      }
+      // COUNT(dim-col) = Σ over pairs where the dim value is non-null of
+      // the group count
+      def dimCount(a: AttributeReference): Expression =
+        Sum(org.apache.spark.sql.catalyst.expressions.If(
+          IsNotNull(a), Cast(cntAttr, org.apache.spark.sql.types.LongType),
+          Literal(0L))).toAggregateExpression()
+
+      // derived-measure lookup: does this aggregate argument match one
+      // of the MV's registered defining expressions (canonical folded
+      // SQL — attribute SQL carries no exprIds, so the comparison is
+      // name-based like every other matching step)? Dim attributes must
+      // not leak into the match.
+      def derivedOf(e: Expression): Option[String] =
+        if (mv.sumDefs.isEmpty || e.isInstanceOf[AttributeReference] ||
+            e.references.exists(dimOut.contains)) None
+        else mv.sumDefs.get(foldLiterals(e).sql)
+
+      fn match {
+        // MIN/MAX over a DIM column (join compensation): the value set
+        // per group is preserved by the MV-side join, so the function
+        // re-applies unchanged
+        case Min(a: AttributeReference) if dimOut.contains(a) =>
+          Some(Min(a).toAggregateExpression())
+        case Max(a: AttributeReference) if dimOut.contains(a) =>
+          Some(Max(a).toAggregateExpression())
+        case Sum(a: AttributeReference, _) if dimOut.contains(a) =>
+          weighted(a).map(w =>
+            Cast(Sum(w).toAggregateExpression(), fn.dataType))
+        case Count(Seq(a: AttributeReference)) if dimOut.contains(a) =>
+          Some(dimCount(a))
+        case avg: Average if avg.child.isInstanceOf[AttributeReference] &&
+            dimOut.contains(avg.child.asInstanceOf[AttributeReference]) =>
+          val a = avg.child.asInstanceOf[AttributeReference]
+          weighted(a).map { w =>
+            val s = Sum(w).toAggregateExpression()
+            Cast(Divide(Cast(s, DoubleType), Cast(dimCount(a), DoubleType)),
+              fn.dataType)
+          }
+        case Sum(a: AttributeReference, _) if mv.sums.contains(a.name) =>
+          val inner = Sum(tout(s"__mv_sum_${a.name}")).toAggregateExpression()
+          Some(if (inner.dataType == fn.dataType) inner else Cast(inner, fn.dataType))
+        case Min(a: AttributeReference) if mv.mins.contains(a.name) =>
+          Some(Min(tout(s"__mv_min_${a.name}")).toAggregateExpression())
+        case Max(a: AttributeReference) if mv.maxs.contains(a.name) =>
+          Some(Max(tout(s"__mv_max_${a.name}")).toAggregateExpression())
+        // MIN/MAX of a GROUPING-KEY column: the MV carries every key
+        // combination as a row, so min/max re-aggregate over the key
+        // column directly — no partial needed
+        case Min(a: AttributeReference) if mv.keys.contains(a.name) =>
+          Some(Min(tout(a.name)).toAggregateExpression())
+        case Max(a: AttributeReference) if mv.keys.contains(a.name) =>
+          Some(Max(tout(a.name)).toAggregateExpression())
+        case Count(Seq(Literal(_, _))) if mv.hasCount =>
+          Some(Sum(tout("__mv_cnt")).toAggregateExpression())
+        // COUNT(x): the per-column non-null partial counts (carried for
+        // the AVG rollup) sum to exactly COUNT(x)
+        case Count(Seq(a: AttributeReference)) if mv.sums.contains(a.name) =>
+          Some(Sum(tout(s"__mv_cntn_${a.name}")).toAggregateExpression())
+        case avg: Average => avg.child match {
+          // AVG(x) = SUM(partial sums) / SUM(partial non-null counts)
+          case a: AttributeReference if mv.sums.contains(a.name) =>
+            val s = Sum(tout(s"__mv_sum_${a.name}")).toAggregateExpression()
+            val c = Sum(tout(s"__mv_cntn_${a.name}")).toAggregateExpression()
+            Some(Cast(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), fn.dataType))
+          case e if derivedOf(e).isDefined =>
+            val n = derivedOf(e).get
+            val s = Sum(tout(s"__mv_sum_$n")).toAggregateExpression()
+            val c = Sum(tout(s"__mv_cntn_$n")).toAggregateExpression()
+            Some(Cast(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), fn.dataType))
+          case _ => None
+        }
+        // DERIVED MEASURES (the reference lattice's measure expressions,
+        // materialize/Lattice.java Measure.args — e.g. revenue =
+        // price * (1 - discount)): the aggregate's ARGUMENT matches a
+        // registered defining expression by canonical folded SQL, so
+        // SUM/COUNT roll up from the carried partials exactly as a
+        // plain column would
+        case Sum(e, _) if derivedOf(e).isDefined =>
+          val inner = Sum(tout(s"__mv_sum_${derivedOf(e).get}"))
+            .toAggregateExpression()
+          Some(if (inner.dataType == fn.dataType) inner else Cast(inner, fn.dataType))
+        case Count(Seq(e)) if derivedOf(e).isDefined =>
+          Some(Sum(tout(s"__mv_cntn_${derivedOf(e).get}")).toAggregateExpression())
+        // APPROX_COUNT_DISTINCT(x) rolls up from the carried HLL sketch
+        // partials: union the per-group sketches, then estimate — the
+        // reference's lattice-tile HLL column stats
+        // (profile/ProfilerImpl.java:577-659). Only the APPROXIMATE
+        // function substitutes; an exact COUNT(DISTINCT x) on a non-key
+        // stays blocked below (a sketch estimate must never contaminate
+        // an exact path). The rsd guard keeps the substitution within
+        // contract: the carried Datasketches partial (lgK=12, ~1.63%
+        // standard error) may only answer requests whose tolerance is
+        // looser — a tighter-than-sketch relativeSD must run unrewritten.
+        case hpp: HyperLogLogPlusPlus if hpp.relativeSD >= 0.0165 => hpp.child match {
+          case a: AttributeReference if mv.approxes.contains(a.name) =>
+            Some(org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+              HllUnionAgg(tout(s"__mv_hll_${a.name}"), Literal(true))
+                .toAggregateExpression()))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
     /** The rolled-up grouping + aggregate expressions over the MV's
       * output, or None when the query's shape cannot be answered from
       * the carried partials. Pure expression work — the cheap
@@ -970,125 +1215,7 @@ object MaterializedViews {
       }
       if (newGroupings.exists(_.isEmpty)) return None
 
-      // join compensation: a (group, dim-row) pair in the rewritten join
-      // stands for __mv_cnt source-row pairs, so multiplicity-sensitive
-      // aggregates over DIM columns re-weight by the carried group count
-      // (the aggregate-join-transpose identity). Decimal dim columns are
-      // left blocked (the weighted product would re-type the result).
-      def cntAttr: Attribute = mv.targetOut("__mv_cnt")
-      def weighted(a: AttributeReference): Option[Expression] = a.dataType match {
-        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
-          Some(org.apache.spark.sql.catalyst.expressions.Multiply(
-            Cast(a, DoubleType), Cast(cntAttr, DoubleType)))
-        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
-          Some(org.apache.spark.sql.catalyst.expressions.Multiply(
-            Cast(a, org.apache.spark.sql.types.LongType),
-            Cast(cntAttr, org.apache.spark.sql.types.LongType)))
-        case _ => None
-      }
-      // COUNT(dim-col) = Σ over pairs where the dim value is non-null of
-      // the group count
-      def dimCount(a: AttributeReference): Expression =
-        Sum(org.apache.spark.sql.catalyst.expressions.If(
-          IsNotNull(a), Cast(cntAttr, org.apache.spark.sql.types.LongType),
-          Literal(0L))).toAggregateExpression()
-
-      // derived-measure lookup: does this aggregate argument match one
-      // of the MV's registered defining expressions (canonical folded
-      // SQL — attribute SQL carries no exprIds, so the comparison is
-      // name-based like every other matching step)? Dim attributes must
-      // not leak into the match.
-      def derivedOf(e: Expression): Option[String] =
-        if (mv.sumDefs.isEmpty || e.isInstanceOf[AttributeReference] ||
-            e.references.exists(dimOut.contains)) None
-        else mv.sumDefs.get(foldLiterals(e).sql)
-
-      def rollup(fn: AggregateFunction): Option[Expression] = fn match {
-        // MIN/MAX over a DIM column (join compensation): the value set
-        // per group is preserved by the MV-side join, so the function
-        // re-applies unchanged
-        case Min(a: AttributeReference) if dimOut.contains(a) =>
-          Some(Min(a).toAggregateExpression())
-        case Max(a: AttributeReference) if dimOut.contains(a) =>
-          Some(Max(a).toAggregateExpression())
-        case Sum(a: AttributeReference, _) if dimOut.contains(a) =>
-          weighted(a).map(w =>
-            Cast(Sum(w).toAggregateExpression(), fn.dataType))
-        case Count(Seq(a: AttributeReference)) if dimOut.contains(a) =>
-          Some(dimCount(a))
-        case avg: Average if avg.child.isInstanceOf[AttributeReference] &&
-            dimOut.contains(avg.child.asInstanceOf[AttributeReference]) =>
-          val a = avg.child.asInstanceOf[AttributeReference]
-          weighted(a).map { w =>
-            val s = Sum(w).toAggregateExpression()
-            Cast(Divide(Cast(s, DoubleType), Cast(dimCount(a), DoubleType)),
-              fn.dataType)
-          }
-        case Sum(a: AttributeReference, _) if mv.sums.contains(a.name) =>
-          val inner = Sum(mv.targetOut(s"__mv_sum_${a.name}")).toAggregateExpression()
-          Some(if (inner.dataType == fn.dataType) inner else Cast(inner, fn.dataType))
-        case Min(a: AttributeReference) if mv.mins.contains(a.name) =>
-          Some(Min(mv.targetOut(s"__mv_min_${a.name}")).toAggregateExpression())
-        case Max(a: AttributeReference) if mv.maxs.contains(a.name) =>
-          Some(Max(mv.targetOut(s"__mv_max_${a.name}")).toAggregateExpression())
-        // MIN/MAX of a GROUPING-KEY column: the MV carries every key
-        // combination as a row, so min/max re-aggregate over the key
-        // column directly — no partial needed
-        case Min(a: AttributeReference) if mv.keys.contains(a.name) =>
-          Some(Min(mv.targetOut(a.name)).toAggregateExpression())
-        case Max(a: AttributeReference) if mv.keys.contains(a.name) =>
-          Some(Max(mv.targetOut(a.name)).toAggregateExpression())
-        case Count(Seq(Literal(_, _))) if mv.hasCount =>
-          Some(Sum(mv.targetOut("__mv_cnt")).toAggregateExpression())
-        // COUNT(x): the per-column non-null partial counts (carried for
-        // the AVG rollup) sum to exactly COUNT(x)
-        case Count(Seq(a: AttributeReference)) if mv.sums.contains(a.name) =>
-          Some(Sum(mv.targetOut(s"__mv_cntn_${a.name}")).toAggregateExpression())
-        case avg: Average => avg.child match {
-          // AVG(x) = SUM(partial sums) / SUM(partial non-null counts)
-          case a: AttributeReference if mv.sums.contains(a.name) =>
-            val s = Sum(mv.targetOut(s"__mv_sum_${a.name}")).toAggregateExpression()
-            val c = Sum(mv.targetOut(s"__mv_cntn_${a.name}")).toAggregateExpression()
-            Some(Cast(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), fn.dataType))
-          case e if derivedOf(e).isDefined =>
-            val n = derivedOf(e).get
-            val s = Sum(mv.targetOut(s"__mv_sum_$n")).toAggregateExpression()
-            val c = Sum(mv.targetOut(s"__mv_cntn_$n")).toAggregateExpression()
-            Some(Cast(Divide(Cast(s, DoubleType), Cast(c, DoubleType)), fn.dataType))
-          case _ => None
-        }
-        // DERIVED MEASURES (the reference lattice's measure expressions,
-        // materialize/Lattice.java Measure.args — e.g. revenue =
-        // price * (1 - discount)): the aggregate's ARGUMENT matches a
-        // registered defining expression by canonical folded SQL, so
-        // SUM/COUNT roll up from the carried partials exactly as a
-        // plain column would
-        case Sum(e, _) if derivedOf(e).isDefined =>
-          val inner = Sum(mv.targetOut(s"__mv_sum_${derivedOf(e).get}"))
-            .toAggregateExpression()
-          Some(if (inner.dataType == fn.dataType) inner else Cast(inner, fn.dataType))
-        case Count(Seq(e)) if derivedOf(e).isDefined =>
-          Some(Sum(mv.targetOut(s"__mv_cntn_${derivedOf(e).get}")).toAggregateExpression())
-        // APPROX_COUNT_DISTINCT(x) rolls up from the carried HLL sketch
-        // partials: union the per-group sketches, then estimate — the
-        // reference's lattice-tile HLL column stats
-        // (profile/ProfilerImpl.java:577-659). Only the APPROXIMATE
-        // function substitutes; an exact COUNT(DISTINCT x) on a non-key
-        // stays blocked below (a sketch estimate must never contaminate
-        // an exact path). The rsd guard keeps the substitution within
-        // contract: the carried Datasketches partial (lgK=12, ~1.63%
-        // standard error) may only answer requests whose tolerance is
-        // looser — a tighter-than-sketch relativeSD must run unrewritten.
-        case hpp: HyperLogLogPlusPlus if hpp.relativeSD >= 0.0165 => hpp.child match {
-          case a: AttributeReference if mv.approxes.contains(a.name) =>
-            Some(org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
-              HllUnionAgg(mv.targetOut(s"__mv_hll_${a.name}"), Literal(true))
-                .toAggregateExpression()))
-          case _ => None
-        }
-        case _ => None
-      }
+      val rollup = rollupAgg(mv, mv.targetOut, dimOut) _
 
       val newAggExprs = aggExprs.map {
         case a: AttributeReference if dimOut.contains(a) => Some(a)

@@ -918,4 +918,68 @@ class MaterializedViewSpec extends SparkSpec {
       assert(n == baseCnt + 3, s"expected ${baseCnt + 3}, got $n")
     } finally MaterializedViews.clear()
   }
+
+  test("CUBE over tile keys is answered from the cache, values identical") {
+    def q = source.filter(col("o_orderdate") >= lit("1996-01-01"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), avg("o_totalprice").as("a"),
+        count(col("o_totalprice")).as("cn"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    val expected = q.collect()
+    // the tile is WIDER-keyed and WIDER-filtered than the query: the
+    // extra key merges away, the narrower date range re-applies as the
+    // compensating filter on the tile (o_orderdate is a key)
+    MaterializedViews.register(spark, "mv_cube",
+      source.filter(col("o_orderdate") >= lit("1995-01-01")),
+      keys = Seq("o_orderstatus", "o_orderpriority", "o_orderdate"),
+      sums = Seq("o_totalprice"))
+    try {
+      val q2 = q
+      val lp = q2.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"), s"expected tile scan:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"source must not be rescanned:\n$lp")
+      val got = q2.collect()
+      assert(got.length == expected.length)
+      // AVG over a raw-double column rolls up as Σ(partial sums)/Σ(counts),
+      // which re-associates the double accumulation — ulp-level tolerance,
+      // exactly like the plain-rollup value-parity case above. The counts
+      // and grouping ids are exact.
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.get(0) == e.get(0) && g.get(1) == e.get(1))
+        assert(g.getLong(2) == e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) <= 1e-9 * math.abs(e.getDouble(3)))
+        assert(g.getLong(4) == e.getLong(4) && g.getLong(5) == e.getLong(5))
+      }
+    } finally MaterializedViews.clear()
+  }
+
+  test("rollup aggregates over the KEY passthrough ride the tile; non-key groupings block") {
+    MaterializedViews.register(spark, "mv_gs", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      // grouping column o_orderpriority is not a tile key — blocked
+      val q1 = source.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(!q1.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "a grouping column outside the tile keys must block the rewrite")
+      assert(q1.count() > 0)
+      // MIN(status) in a rollup reads the PASSTHROUGH column (Spark
+      // resolves the aggregate argument against the pre-grouping value,
+      // not the per-set nulled copy), so it commutes with the tile
+      // merge: per grouping set, the tile rows carry the same key value
+      // set as the source rows. Rewritten AND identical.
+      def q2 = source.rollup(col("o_orderstatus"))
+        .agg(min(col("o_orderstatus")).as("m"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"))
+      val lp = q2.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"MIN over the key passthrough must ride the tile:\n$lp")
+      val got = q2.collect()
+      MaterializedViews.clear()
+      assert(got.map(_.toString).toSeq == q2.collect().map(_.toString).toSeq)
+    } finally MaterializedViews.clear()
+  }
 }

@@ -450,6 +450,21 @@ class PlanQualitySpec extends SparkSpec
     } finally graft.plans.MaterializedViews.drop(spark, "q153_mv")
   }
 
+  test("q154: ROLLUP grouping sets ride the tile — Expand over the cache, zero fact scans") {
+    try {
+      val q = run("q154_mv_grouping_sets")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+      }.nonEmpty, s"the grouping-set Expand must survive the rewrite:\n$lp")
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the rollup must be answered from the cached tile:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q154_mv")
+  }
+
   test("q152: year() rollup from the day-keyed tile — fact never rescanned") {
     try {
       val q = run("q152_mv_time_rollup")
