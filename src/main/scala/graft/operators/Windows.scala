@@ -41,16 +41,22 @@ object Windows {
       // the synthetic generator emits duplicate (l_orderkey,
       // l_linenumber) pairs (118k at sf0.1), so (shipdate, orderkey,
       // linenumber) is NOT a total order — one sf0.1 tie group made the
-      // running sum engine-order-dependent. l_quantity as the final key
-      // makes the result multiset deterministic: any residual tie has
-      // equal summands, so the running values coincide in either order.
+      // running sum engine-order-dependent. The quantity as the final
+      // key makes the result multiset deterministic: any residual tie
+      // has equal summands, so the running values coincide in either
+      // order. (linenumber, quantity-cents) pack into ONE bigint —
+      // cents are exact on the DECIMAL(12,2) and < 2^32, so the packed
+      // key induces the same lexicographic preorder while the
+      // window sort compares 3 keys instead of 4 and the sort buffer
+      // carries one column less (the r11 tiebreak cost, clawed back).
+      val ln_qty = col("l_linenumber").cast(LongType) * lit(4294967296L) +
+        (T.dec2(col("l_quantity")) * lit(100)).cast(LongType)
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("ln_qty"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate"), col("l_quantity"), T.dec2(col("l_quantity")).as("q"))
+          col("l_shipdate"), ln_qty.as("ln_qty"), T.dec2(col("l_quantity")).as("q"))
         .withColumn("running_qty", sum(col("q")).over(w).cast(DoubleType))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
