@@ -29,8 +29,7 @@ object Round11 {
       // register once per session: later invocations (bench's timed
       // runs, dashboard re-queries) measure the MV HIT, which is the
       // lattice amortization story; DML on orders would drop it
-      if (!MaterializedViews.isRegistered("q148_mv"))
-        MaterializedViews.register(s, "q148_mv", src,
+      MaterializedViews.registerOnce(s, "q148_mv", src,
           keys = Seq("o_orderstatus", "o_orderdate"),
           sums = Nil, maxs = Seq("o_orderkey"))
       orders.filter(col("o_orderdate") >= "1998-01-01")
@@ -61,8 +60,7 @@ object Round11 {
     (s, dir) => {
       val orders = T(s, dir, "orders")
       val src = orders.filter(col("o_orderdate") >= "1998-01-01")
-      if (!MaterializedViews.isRegistered("q149_mv"))
-        MaterializedViews.register(s, "q149_mv", src,
+      MaterializedViews.registerOnce(s, "q149_mv", src,
           keys = Seq("o_orderstatus", "o_orderdate"),
           sums = Nil, maxs = Seq("o_orderkey"))
       orders.filter(col("o_orderdate") >= "1997-01-01")

@@ -31,8 +31,7 @@ object Round12 {
       val customer = T(s, dir, "customer")
       val nation = T(s, dir, "nation")
       val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
-      if (!MaterializedViews.isRegistered("q150_mv"))
-        MaterializedViews.register(s, "q150_mv", star,
+      MaterializedViews.registerOnce(s, "q150_mv", star,
           keys = Seq("o_orderstatus", "c_nationkey"),
           sums = Seq("o_totalprice"))
       star.join(nation, col("c_nationkey") === col("n_nationkey"))
@@ -67,8 +66,7 @@ object Round12 {
       val nation = T(s, dir, "nation")
       val region = T(s, dir, "region")
       val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
-      if (!MaterializedViews.isRegistered("q151_mv"))
-        MaterializedViews.register(s, "q151_mv", star,
+      MaterializedViews.registerOnce(s, "q151_mv", star,
           keys = Seq("o_orderstatus", "c_nationkey"),
           sums = Seq("o_totalprice"))
       star.join(nation, col("c_nationkey") === col("n_nationkey"))
@@ -100,8 +98,7 @@ object Round12 {
   val q152_mv_time_rollup = Q(
     (s, dir) => {
       val orders = T(s, dir, "orders")
-      if (!MaterializedViews.isRegistered("q152_mv"))
-        MaterializedViews.register(s, "q152_mv", orders,
+      MaterializedViews.registerOnce(s, "q152_mv", orders,
           keys = Seq("o_orderstatus", "o_orderdate"),
           sums = Nil, maxs = Seq("o_orderkey"))
       orders.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
@@ -132,8 +129,7 @@ object Round12 {
       def qty = T.dec2(col("l_quantity"))
       def discPrice = T.dec2(col("l_extendedprice")) *
         (lit(1).cast(DecimalType(12, 2)) - T.dec2(col("l_discount")))
-      if (!MaterializedViews.isRegistered("q153_mv"))
-        MaterializedViews.register(s, "q153_mv", li,
+      MaterializedViews.registerOnce(s, "q153_mv", li,
           keys = Seq("l_returnflag", "l_linestatus"), sums = Nil,
           sumExprs = Seq("qty" -> qty, "disc_price" -> discPrice))
       li.groupBy("l_returnflag", "l_linestatus")
@@ -169,8 +165,7 @@ object Round12 {
     (s, dir) => {
       val orders = T(s, dir, "orders")
         .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
-      if (!MaterializedViews.isRegistered("q154_mv"))
-        MaterializedViews.register(s, "q154_mv", orders,
+      MaterializedViews.registerOnce(s, "q154_mv", orders,
           keys = Seq("o_orderstatus", "o_orderpriority"),
           sums = Seq("o_totalprice"))
       orders.rollup(col("o_orderstatus"), col("o_orderpriority"))

@@ -181,7 +181,8 @@ object MaterializedViews {
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
       approxDistincts: Seq[String] = Nil,
-      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
+    maintLock.synchronized {
     val (signature, srcFilters) = signatureOf(source.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         "MV source must be projects/filters over inner equi-joins of file scans"))
@@ -223,6 +224,28 @@ object MaterializedViews {
       replacedAll = Option(registry.get(name)).toSeq.flatMap(d => d.mvDf +: d.gens),
       filterConjuncts, baseDf, sumDefs = sumDefs, sumExprCols = sumExprs)
   }
+
+  /** Register-once (the lattice usage pattern: a defining query runs on
+    * every dashboard refresh, the tile materializes once): if `name` is
+    * already registered with the SAME source signature, keep the live
+    * MV and return its frame. A name collision with a DIFFERENT
+    * signature re-registers — the same query re-run against another
+    * dataset must not silently run unrewritten behind a stale guard. */
+  def registerOnce(spark: SparkSession, name: String, source: DataFrame,
+      keys: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+      approxDistincts: Seq[String] = Nil,
+      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
+    maintLock.synchronized {
+      val sig = signatureOf(source.queryExecution.analyzed).map(_._1)
+      Option(registry.get(name)) match {
+        case Some(d) if sig.contains(d.signature) && d.keysSeq == keys &&
+            d.sumsSeq == sums && d.minsSeq == mins && d.maxsSeq == maxs &&
+            d.approxSeq == approxDistincts => d.mvDf
+        case _ => register(spark, name, source, keys, sums, mins, maxs,
+          approxDistincts, sumExprs)
+      }
+    }
 
   /** Fold foldable subtrees (e.g. the implicit CAST a comparison wraps
     * around a string literal) to bare literals, so analyzed-plan filters
@@ -275,7 +298,12 @@ object MaterializedViews {
       baseDf.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap,
       sumDefs = sumDefs, sumExprCols = sumExprCols,
       gens = Nil, unionSafe = unionSafe))
-    replacedAll.foreach(_.unpersist())
+    // re-registering an IDENTICAL definition resolves to the SAME cache
+    // entry (the CacheManager dedups by canonicalized plan) — unpersist
+    // of the replaced frame would clear the entry just stored
+    val newPlan = mv.queryExecution.analyzed
+    replacedAll.filterNot(_.queryExecution.analyzed.sameResult(newPlan))
+      .foreach(_.unpersist())
 
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
@@ -320,11 +348,20 @@ object MaterializedViews {
     * optional fresh delta into ONE generation (a single bounded-by-
     * |MV|+deltas aggregation), replacing every previous cache entry. */
   private def compactInto(spark: SparkSession, d: MvDef,
-      extra: Option[DataFrame], deltaInFiles: Boolean): DataFrame = {
+      extra: Option[DataFrame], deltaInFiles: Boolean,
+      cutLineage: Boolean = false): DataFrame = {
     val mergeCols = mergePartialCols(d)
-    val merged = (Seq(d.mvDf) ++ d.gens ++ extra).reduce(_ unionByName _)
+    val merged0 = (Seq(d.mvDf) ++ d.gens ++ extra).reduce(_ unionByName _)
       .groupBy(d.keysSeq.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
+    // the append-fold path cuts the merged generation's LINEAGE
+    // (tile-scale rows): its logical plan unions the old cached partials
+    // — whose own lineage re-reads the file index the fold just
+    // refresh()ed — with the delta partials. A cache-eviction recompute
+    // through that lineage would scan the appended files AND re-add the
+    // delta (double count). Checkpointed blocks either exist or fail
+    // loudly; they can never silently recompute to a different answer.
+    val merged = if (cutLineage) merged0.localCheckpoint(true) else merged0
     store(spark, d.name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
       d.maxsSeq, d.approxSeq, merged, replacedAll = d.mvDf +: d.gens,
       d.filterConjuncts, d.baseDf,
@@ -420,9 +457,13 @@ object MaterializedViews {
       sum(col("__mv_cnt")).as("__mv_cnt")
   }
 
-  def drop(spark: SparkSession, name: String): Unit =
+  // drop/clear hold maintLock like every other registry write: an
+  // unsynchronized drop racing a stream micro-batch could be resurrected
+  // by the batch's registry.put, with its cache already unpersisted
+  def drop(spark: SparkSession, name: String): Unit = maintLock.synchronized {
     Option(registry.remove(name)).foreach(d => (d.mvDf +: d.gens).foreach(_.unpersist()))
-  def clear(): Unit = {
+  }
+  def clear(): Unit = maintLock.synchronized {
     registry.values.forEach(d => (d.mvDf +: d.gens).foreach(_.unpersist()))
     registry.clear()
   }
@@ -476,7 +517,8 @@ object MaterializedViews {
           }
           case _ => ()
         }
-        compactInto(spark, d, Some(deltaPartials(spark, d, rows)), deltaInFiles = true)
+        compactInto(spark, d, Some(deltaPartials(spark, d, rows)),
+          deltaInFiles = true, cutLineage = true)
         (d.name, true)
       } catch {
         case scala.util.control.NonFatal(e) =>

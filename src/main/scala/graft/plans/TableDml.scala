@@ -172,7 +172,10 @@ object TableDml {
     val affected = table.filter(cond).select(col(partCol)).distinct()
       .collect().map(_.get(0))
     var updated = 0L
-    affected.foreach { v =>
+    // the MV barrier must also cover a MID-LOOP abort: once the first
+    // partition commit lands the table has changed, so invalidate in a
+    // finally — never leave a stale MV behind a partially applied write
+    try affected.foreach { v =>
       val sub = s"$path/$partCol=$v"
       // the partition column is directory-encoded, not in the files:
       // restore it as a literal so `cond` can reference it, and write
@@ -196,7 +199,7 @@ object TableDml {
     // the MV barrier fires on the TABLE root: an MV's leaf path is the
     // root of the partitioned layout, and any rewritten partition sits
     // under it (prefix containment in invalidatePath)
-    if (affected.nonEmpty) MaterializedViews.invalidatePath(spark, path): Unit
+    finally if (affected.nonEmpty) MaterializedViews.invalidatePath(spark, path): Unit
     (updated, affected.length)
   }
 

@@ -37,22 +37,36 @@ object ForeignSchemaSql {
     "(?is)^create\\s+(?:or\\s+replace\\s+)?foreign\\s+schema\\s+(?:if\\s+not\\s+exists\\s+)?([\\w.`\"]+)\\s*(.*)$".r
   private val dropRe =
     "(?is)^drop\\s+foreign\\s+schema\\s+(if\\s+exists\\s+)?([\\w.`\"]+)\\s*$".r
-  private val typeRe = "(?is)\\btype\\s+'([^']*)'".r
-  private val libRe = "(?is)\\blibrary\\s+'([^']*)'".r
-  private val optPairRe = "[`\"]?(\\w+)[`\"]?\\s+'([^']*)'".r
+  // option VALUES use the SQL-standard doubled-quote escape ('' = one
+  // quote inside the literal) — [^']* alone would mis-split a password
+  // like 'o''brien' and resume parsing inside the remainder
+  private val typeRe = "(?is)\\btype\\s+'((?:[^']|'')*)'".r
+  private val libRe = "(?is)\\blibrary\\s+'((?:[^']|'')*)'".r
+  private val optPairRe = "[`\"]?(\\w+)[`\"]?\\s+'((?:[^']|'')*)'".r
+  private def unq(v: String) = v.replace("''", "'")
 
   private def bare(n: String) = n.replaceAll("[`\"]", "").split('.').last
+
+  /** Names created by CREATE FOREIGN SCHEMA this session: DROP FOREIGN
+    * SCHEMA may only tear down schemas THIS statement family created —
+    * a regular database that merely shares the name (e.g. one holding
+    * managed tables) must not be cascade-dropped by the foreign-schema
+    * surface. */
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def maybeRun(spark: SparkSession, text0: String): Option[DataFrame] = {
     val text = text0.trim.stripSuffix(";")
     text match {
       case dropRe(ifExists, name0) =>
         val name = bare(name0)
-        val exists = spark.catalog.databaseExists(name)
-        if (!exists && ifExists == null)
+        val isForeign = created.contains(name.toLowerCase(java.util.Locale.ROOT))
+        if (!isForeign && ifExists == null)
           throw new IllegalArgumentException(
             s"Schema '${name.toUpperCase(java.util.Locale.ROOT)}' not found")
-        if (exists) spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE"): Unit
+        if (isForeign) {
+          created.remove(name.toLowerCase(java.util.Locale.ROOT))
+          spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE"): Unit
+        }
         Some(spark.emptyDataFrame)
       case createRe(name0, body) =>
         Some(runCreate(spark, bare(name0), body.trim))
@@ -62,8 +76,9 @@ object ForeignSchemaSql {
 
   private def runCreate(spark: SparkSession, name: String,
       body: String): DataFrame = {
-    val typ = typeRe.findFirstMatchIn(body).map(_.group(1))
-    val lib = libRe.findFirstMatchIn(body).map(_.group(1))
+    val typ = typeRe.findFirstMatchIn(body).map(m => unq(m.group(1)))
+    val lib = libRe.findFirstMatchIn(body).map(m => unq(m.group(1)))
+    def mark(): Unit = { created.add(name.toLowerCase(java.util.Locale.ROOT)); () }
     (typ, lib) match {
       case (Some(_), Some(_)) =>
         throw new IllegalArgumentException(
@@ -78,16 +93,19 @@ object ForeignSchemaSql {
             throw new IllegalArgumentException(
               s"Property '$cls' not valid as '$cls' not found in the classpath")
         }
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+        val df = spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+        mark(); df
       case (Some(t), None) => t.toLowerCase(java.util.Locale.ROOT) match {
         case "map" | "custom" =>
-          spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+          val df = spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+          mark(); df
         case "jdbc" =>
           val opts = optPairRe.findAllMatchIn(
             // strip the leading "type 'jdbc'" so it is not read as a pair
             typeRe.replaceFirstIn(body, ""))
-            .map(m => m.group(1) -> m.group(2)).toMap
-          registerJdbc(spark, name, opts)
+            .map(m => m.group(1) -> unq(m.group(2))).toMap
+          val df = registerJdbc(spark, name, opts)
+          mark(); df
         case other =>
           throw new IllegalArgumentException(
             s"Invalid schema type '$other'; valid values: [MAP, JDBC, CUSTOM]")

@@ -82,6 +82,17 @@ class JdbcSourceSpec extends SparkSpec {
       intercept[Exception] {
         graft.sql.GraftSql.sql(spark, "drop foreign schema ext")
       }
+      // DROP FOREIGN SCHEMA must not cascade-drop a REGULAR database
+      // that merely shares the name — only schemas this statement
+      // family created are in scope
+      spark.sql("CREATE DATABASE IF NOT EXISTS plaindb")
+      try {
+        intercept[Exception] {
+          graft.sql.GraftSql.sql(spark, "drop foreign schema plaindb")
+        }
+        assert(spark.catalog.databaseExists("plaindb"),
+          "a non-foreign database must survive DROP FOREIGN SCHEMA")
+      } finally spark.sql("DROP DATABASE IF EXISTS plaindb CASCADE")
     } finally {
       try spark.sql("DROP DATABASE IF EXISTS ext CASCADE") catch { case _: Exception => () }
     }

@@ -919,6 +919,25 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("registerOnce keeps a live same-signature MV and replaces a different one") {
+    val a = MaterializedViews.registerOnce(spark, "mv_once", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      // same name + same signature + same spec: the live tile is kept
+      val b = MaterializedViews.registerOnce(spark, "mv_once", source,
+        keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+      assert(a eq b, "identical re-registration must return the live MV frame")
+      // same name, DIFFERENT source: the guard must NOT leave the stale
+      // tile answering for a dataset it never saw — it re-registers
+      val li = T(spark, sfDir, "lineitem")
+      MaterializedViews.registerOnce(spark, "mv_once", li,
+        keys = Seq("l_returnflag"), sums = Seq("l_quantity"))
+      val q = li.groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "the re-registered tile must answer the new source's rollup")
+    } finally MaterializedViews.clear()
+  }
+
   test("CUBE over tile keys is answered from the cache, values identical") {
     def q = source.filter(col("o_orderdate") >= lit("1996-01-01"))
       .cube(col("o_orderstatus"), col("o_orderpriority"))
