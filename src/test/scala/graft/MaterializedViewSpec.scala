@@ -974,6 +974,31 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("ROLLUP over a STAR-JOIN source rides the star tile — zero fact scans") {
+    val orders = source.withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+    val customer = T(spark, sfDir, "customer")
+    def star = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    def q = star.rollup(col("o_orderstatus"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").cast("double").as("rev"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("c_nationkey"))
+    val expected = q.collect().map(_.toString).toSeq
+    MaterializedViews.registerOnce(spark, "mv_star_gs", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      val q2 = q
+      val lp = q2.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the star rollup must be answered from the tile:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"neither star side may be rescanned:\n$lp")
+      // decimal partials make the substituted grouping-set result
+      // bit-identical, not just tolerance-close
+      assert(q2.collect().map(_.toString).toSeq == expected)
+    } finally MaterializedViews.clear()
+  }
+
   test("rollup aggregates over the KEY passthrough ride the tile; non-key groupings block") {
     MaterializedViews.register(spark, "mv_gs", source,
       keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
