@@ -123,6 +123,9 @@ object MaterializedViews {
     case logical.Filter(cond, ch) =>
       signatureOf(ch).map { case (sig, fs) => (sig, cond +: fs) }
     case a: logical.SubqueryAlias => signatureOf(a.child)
+    // a temp-view source carries a View wrapper under its alias — the
+    // same name-transparency argument as SubqueryAlias applies
+    case v: logical.View => signatureOf(v.child)
     case h: logical.ResolvedHint => signatureOf(h.child)
     case j: Join if j.joinType == Inner =>
       for {

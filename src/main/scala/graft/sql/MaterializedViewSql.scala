@@ -84,6 +84,7 @@ object MaterializedViewSql {
           df.createOrReplaceTempView(name)
         }
         registered.add(lc(name))
+        maybeRegisterTile(spark, lc(name), df)
       }
       Some(spark.emptyDataFrame)
     case dropRe(ifExists, name0) =>
@@ -91,6 +92,7 @@ object MaterializedViewSql {
       if (registered.remove(lc(name))) {
         if (name.contains(".")) spark.sql(s"DROP TABLE IF EXISTS $name")
         else spark.catalog.dropTempView(name)
+        graft.plans.MaterializedViews.drop(spark, s"ddl:${lc(name)}")
         ()
       } else if (ifExists == null)
         throw new IllegalArgumentException(
@@ -103,6 +105,64 @@ object MaterializedViewSql {
         "CREATE MATERIALIZED VIEW requires AS <query>")
     case _ => None
   }
+
+  /** Opportunistic PLANNER registration (ref: the reference's CREATE
+    * MATERIALIZED VIEW feeds MaterializationService — the planner then
+    * substitutes the materialization into OTHER queries matching its
+    * defining expression, jdbc/CalcitePrepareImpl + materialize/
+    * MaterializationService.java — not just named reads): when the view
+    * body analyzes to a plain rollup — bare-attribute grouping keys,
+    * SUM/MIN/MAX/COUNT/AVG over bare attributes — over a file-backed
+    * source the tile registry can sign, register the equivalent tile
+    * under `ddl:<name>`. Later rollup queries over the same source are
+    * then answered from this materialization transparently, exactly
+    * like a programmatically registered lattice tile (every carried
+    * partial is exact, so the registry's any-MV-may-answer invariant
+    * holds). Anything else — joins with expressions, windows,
+    * VALUES-backed temp views — stays a plain named materialization;
+    * failures here never fail the DDL. */
+  private def maybeRegisterTile(spark: SparkSession, name: String,
+      df: DataFrame): Unit = try {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    df.queryExecution.analyzed match {
+      case Aggregate(groupings, aggExprs, child, _)
+          if groupings.nonEmpty && groupings.forall(_.isInstanceOf[AttributeReference]) =>
+        val keys = groupings.map(_.asInstanceOf[AttributeReference].name)
+        val sums = Seq.newBuilder[String]
+        val mins = Seq.newBuilder[String]
+        val maxs = Seq.newBuilder[String]
+        val ok = aggExprs.forall {
+          case a: AttributeReference => keys.contains(a.name)
+          case Alias(a: AttributeReference, _) => keys.contains(a.name)
+          case Alias(ae: AggregateExpression, _)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case Sum(a: AttributeReference, _) => sums += a.name; true
+              case Min(a: AttributeReference) => mins += a.name; true
+              case Max(a: AttributeReference) => maxs += a.name; true
+              case Count(Seq(Literal(_, _))) => true
+              // COUNT(x)/AVG(x) roll up from the sum-side partials
+              // (__mv_cntn_x rides every sums entry)
+              case Count(Seq(a: AttributeReference)) => sums += a.name; true
+              case avg: Average => avg.child match {
+                case a: AttributeReference => sums += a.name; true
+                case _ => false
+              }
+              case _ => false
+            }
+          case _ => false
+        }
+        if (ok) {
+          val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, child)
+          graft.plans.MaterializedViews.registerOnce(spark, s"ddl:$name", src,
+            keys, sums.result().distinct, mins.result().distinct,
+            maxs.result().distinct): Unit
+        }
+      case _ => ()
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   private val metadataTablesRe =
     "(?is)^select\\s+\\*\\s+from\\s+[`\"]?metadata[`\"]?\\s*\\.\\s*tables\\s*$".r

@@ -184,4 +184,47 @@ class SqlSurfaces6Spec extends SparkSpec {
       assert(e.getMessage.contains("unbalanced quote"))
     } finally GeneratedColumnsSql.clearRegistry(spark)
   }
+
+  test("CREATE MATERIALIZED VIEW over a parquet rollup feeds the transparent rewrite") {
+    import org.apache.spark.sql.functions._
+    val orders = T(spark, "/root/testdata/sf0.001", "orders")
+    orders.createOrReplaceTempView("orders_ddlmv")
+    graft.plans.MaterializedViews.clear()
+    try {
+      graft.sql.GraftSql.sql(spark,
+        """CREATE MATERIALIZED VIEW ddl_tile AS
+          |SELECT o_orderstatus, o_orderpriority,
+          |       SUM(o_totalprice) AS s, COUNT(*) AS n
+          |FROM orders_ddlmv GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+      // the named read target exists (the statement surface)...
+      assert(spark.sql("SELECT * FROM ddl_tile").count() > 0)
+      // ...AND the planner answers an UNRELATED rollup over the same
+      // parquet source from the materialization (the reference's
+      // MaterializationService behavior), exact counts included
+      def q = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"rollup must be answered from the DDL materialization:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+      val got = q.collect().map(_.toString).toSeq
+      graft.plans.MaterializedViews.clear()
+      assert(got == q.collect().map(_.toString).toSeq)
+      // DROP tears the planner registration down with the name
+      graft.sql.GraftSql.sql(spark,
+        """CREATE MATERIALIZED VIEW ddl_tile2 AS
+          |SELECT o_orderstatus, COUNT(*) AS n
+          |FROM orders_ddlmv GROUP BY o_orderstatus""".stripMargin)
+      graft.sql.GraftSql.sql(spark, "DROP MATERIALIZED VIEW ddl_tile2")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "a dropped DDL materialization must stop answering rollups")
+    } finally {
+      try { graft.sql.GraftSql.sql(spark, "DROP MATERIALIZED VIEW IF EXISTS ddl_tile"); () }
+      catch { case _: Exception => () }
+      graft.plans.MaterializedViews.clear()
+      spark.catalog.dropTempView("orders_ddlmv"); ()
+    }
+  }
 }
