@@ -182,10 +182,40 @@ object Round12 {
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus, o_orderpriority"""))
 
+  /** Time-hierarchy × grouping sets (ref: AggregateStarTableRule +
+    * Lattice.java time dimensions): ROLLUP(year(o_orderdate),
+    * o_orderstatus) answered from the DAY-keyed tile — Catalyst
+    * extracts year(...) into the Project below Expand, and the rewrite
+    * rebinds the grouping entry through that alias to the tile key
+    * (equal day keys imply equal years, so the per-set merge IS the
+    * partial merge). Zero fact scans (plan-gated). At 100 TB: the
+    * year/quarter/month drill-down panel never rescans the fact. */
+  val q155_mv_time_grouping_sets = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      MaterializedViews.registerOnce(s, "q155_mv", orders,
+        keys = Seq("o_orderstatus", "o_orderdate"),
+        sums = Nil, maxs = Seq("o_orderkey"))
+      orders.rollup(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), max("o_orderkey").as("last_key"),
+          grouping_id().as("gid"))
+        .select(col("yr").cast("long").as("yr"), col("o_orderstatus"),
+          col("n"), col("last_key"), col("gid"))
+        .orderBy(col("gid"), col("yr"), col("o_orderstatus"))
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+             COUNT(*) AS n, MAX(o_orderkey) AS last_key,
+             CAST(GROUPING(year(o_orderdate), o_orderstatus) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+      ORDER BY gid, yr, o_orderstatus"""))
+
   val all: Map[String, Q] = Map(
     "q150_mv_join_rollup" -> q150_mv_join_rollup,
     "q151_mv_snowflake_rollup" -> q151_mv_snowflake_rollup,
     "q152_mv_time_rollup" -> q152_mv_time_rollup,
     "q153_mv_measure_rollup" -> q153_mv_measure_rollup,
-    "q154_mv_grouping_sets" -> q154_mv_grouping_sets)
+    "q154_mv_grouping_sets" -> q154_mv_grouping_sets,
+    "q155_mv_time_grouping_sets" -> q155_mv_time_grouping_sets)
 }

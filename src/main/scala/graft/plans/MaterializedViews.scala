@@ -799,7 +799,33 @@ object MaterializedViews {
       def seqOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
         if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
       if (!groupings.forall(_.isInstanceOf[AttributeReference])) return None
-      signatureOf(expand.child).flatMap { case (sig, filters) =>
+      // Catalyst extracts a non-trivial grouping expression (year(d) in
+      // ROLLUP(year(d), ...)) into the Project below Expand and lets the
+      // grouping ENTRIES reference its alias. Collect those definitions —
+      // a key-DERIVED entry rebinds through them (the time-hierarchy ×
+      // grouping-sets shape: one day tile answers every year/month
+      // ROLLUP panel) — and strip them for signature extraction, which
+      // otherwise rejects the Project.
+      val exprDefs = expand.child match {
+        case Project(ps, _) => ps.collect {
+          case al @ Alias(e, _) if e.deterministic &&
+              !e.exists(_.isInstanceOf[AggregateExpression]) => al.exprId -> e
+        }.toMap
+        case _ => Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]
+      }
+      val sigPlan = expand.child match {
+        case Project(ps, ch) if ps.exists {
+          case Alias(Cast(a: AttributeReference, _, _, _), n) => a.name != n
+          case _: Alias => true
+          case _ => false
+        } => Project(ps.filter {
+          case _: AttributeReference => true
+          case Alias(Cast(a: AttributeReference, _, _, _), n) => a.name == n
+          case _ => false
+        }, ch)
+        case other => other
+      }
+      signatureOf(sigPlan).flatMap { case (sig, filters) =>
         val childOut = expand.child.outputSet
         // grouping positions carry fresh attributes (key-or-null copies
         // + the grouping-id); passthrough positions reuse the child's
@@ -833,7 +859,14 @@ object MaterializedViews {
             val newAggExprs = seqOpt(aggExprs.map {
               case a: AttributeReference if groupingAttrSet.contains(a) =>
                 Some(a: NamedExpression)
-              case al @ Alias(a: AttributeReference, _) if groupingAttrSet.contains(a) =>
+              // any deterministic expression over the GROUPING outputs
+              // (a bare copy, or a Cast the optimizer collapsed into the
+              // select list) passes through — those attrs keep their
+              // exprIds across the rewrite
+              case al @ Alias(e, _) if e.deterministic &&
+                  !e.exists(_.isInstanceOf[AggregateExpression]) &&
+                  e.references.nonEmpty &&
+                  e.references.subsetOf(groupingAttrSet) =>
                 Some(al: NamedExpression)
               case al @ Alias(ae: AggregateExpression, nm)
                   if !ae.isDistinct && ae.filter.isEmpty =>
@@ -847,14 +880,28 @@ object MaterializedViews {
                   .map(e => Alias(c.copy(child = e), nm)(exprId = al.exprId): NamedExpression)
               case _ => None
             })
-            // each grouping ENTRY is a tile key (rebound by name, cast
-            // closing the loader's type-normalization gap) or one of
-            // Catalyst's planted literals (typed null / grouping-id)
+            // each grouping ENTRY is a tile key, a key-DERIVED expression
+            // (via the extracted Project alias — equal keys imply equal
+            // value, so the set-merge IS the partial merge, as in the
+            // exact path's keyDerived groupings), or one of Catalyst's
+            // planted literals (typed null / grouping-id). Key references
+            // rebind by name, a cast closing the loader's
+            // type-normalization gap.
+            def keyExpr(e: Expression): Option[Expression] =
+              if (e.deterministic && e.references.nonEmpty &&
+                  !e.exists(_.isInstanceOf[AggregateExpression]) &&
+                  e.references.forall(a => mv.keys.contains(a.name)))
+                Some(e.transform {
+                  case a: AttributeReference if mv.keys.contains(a.name) =>
+                    val out = mv.targetOut(a.name)
+                    if (out.dataType == a.dataType) out
+                    else Cast(out, a.dataType, Some(conf.sessionLocalTimeZone))
+                })
+              else None
             def entryOf(e: Expression): Option[Expression] = e match {
-              case a: AttributeReference if mv.keys.contains(a.name) =>
-                val out = mv.targetOut(a.name)
-                Some(if (out.dataType == a.dataType) out
-                else Cast(out, a.dataType, Some(conf.sessionLocalTimeZone)))
+              case a: AttributeReference if mv.keys.contains(a.name) => keyExpr(a)
+              case a: AttributeReference if exprDefs.contains(a.exprId) =>
+                keyExpr(exprDefs(a.exprId))
               case l: Literal => Some(l)
               case _ => None
             }

@@ -465,6 +465,21 @@ class PlanQualitySpec extends SparkSpec
     } finally graft.plans.MaterializedViews.drop(spark, "q154_mv")
   }
 
+  test("q155: ROLLUP(year(key), status) rides the day tile — zero fact scans") {
+    try {
+      val q = run("q155_mv_time_grouping_sets")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+      }.nonEmpty, s"the grouping-set Expand must survive the rewrite:\n$lp")
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the time rollup must be answered from the cached tile:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q155_mv")
+  }
+
   test("q152: year() rollup from the day-keyed tile — fact never rescanned") {
     try {
       val q = run("q152_mv_time_rollup")
