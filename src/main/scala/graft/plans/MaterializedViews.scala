@@ -878,6 +878,17 @@ object MaterializedViews {
                   if !ae.isDistinct && ae.filter.isEmpty =>
                 rollup(ae.aggregateFunction)
                   .map(e => Alias(c.copy(child = e), nm)(exprId = al.exprId): NamedExpression)
+              // COUNT(DISTINCT key): the tile carries each key combination
+              // once per group, so the distinct count re-aggregates over
+              // the key passthrough exactly (duplicated rows from a
+              // union-compensated target dedup away) — as in the exact path
+              case al @ Alias(ae: AggregateExpression, nm)
+                  if ae.isDistinct && ae.filter.isEmpty =>
+                (ae.aggregateFunction match {
+                  case Count(Seq(a: AttributeReference)) if mv.keys.contains(a.name) =>
+                    Some(Count(lookup(a.name)).toAggregateExpression(isDistinct = true))
+                  case _ => None
+                }).map(e => Alias(e, nm)(exprId = al.exprId): NamedExpression)
               case _ => None
             })
             // each grouping ENTRY is a tile key, a key-DERIVED expression

@@ -999,6 +999,40 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("ROLLUP composes with COUNT(DISTINCT key) and HLL approx-distinct from the tile") {
+    def q = source.rollup(col("o_orderstatus"))
+      .agg(countDistinct(col("o_orderpriority")).as("dp"),
+        approx_count_distinct(col("o_custkey")).as("ac"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"))
+    val expected = q.collect()
+    MaterializedViews.register(spark, "mv_gs_d", source,
+      keys = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Nil, approxDistincts = Seq("o_custkey"))
+    try {
+      val q2 = q
+      val lp = q2.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"distinct-over-key + sketch rollup must ride the tile:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+      val got = q2.collect()
+      assert(got.length == expected.length)
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.get(0) == e.get(0))
+        // exact: distinct key count, plain count, grouping id
+        assert(g.getLong(1) == e.getLong(1) && g.getLong(3) == e.getLong(3) &&
+          g.getLong(4) == e.getLong(4))
+        // approximate: the Datasketches-union estimate replaces the HLL++
+        // builtin — same ~2% contract as the non-grouping-set substitution
+        val (a, b) = (g.getLong(2).toDouble, e.getLong(2).toDouble)
+        assert(math.abs(a - b) <= 0.05 * math.max(a, b) + 2,
+          s"sketch estimate too far: got $a want ~$b")
+      }
+    } finally MaterializedViews.clear()
+  }
+
   test("rollup aggregates over the KEY passthrough ride the tile; non-key groupings block") {
     MaterializedViews.register(spark, "mv_gs", source,
       keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
