@@ -24,8 +24,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * This is the statement-level GENERAL materialization; the
   * aggregate-rollup registry with transparent query rewrite (the 100 TB
   * scale path: partial-aggregate tiles + substitution) stays in
-  * plans/MaterializedViews.scala — a name registered here is a direct
-  * read target, not a rewrite source.
+  * plans/MaterializedViews.scala. A rollup-shaped body ALSO registers
+  * there (maybeRegisterTile), with deliberately DIFFERENT staleness
+  * contracts after source DML:
+  *   - the NAMED read target keeps serving its materialized snapshot
+  *     until re-created — the standard materialized-view contract
+  *     (PostgreSQL REFRESH semantics; the reference's materialization
+  *     tables likewise hold their populated contents);
+  *   - the transparent REWRITE is invalidated by TableDml's write
+  *     barrier (both registries key the same path), because a rewrite
+  *     the user never asked for must never silently answer with
+  *     pre-DML data — so an explicit `SELECT * FROM mv` may lag the
+  *     table, but an ordinary rollup query never does.
   */
 object MaterializedViewSql {
 
