@@ -240,11 +240,23 @@ object MaterializedViews {
       approxDistincts: Seq[String] = Nil,
       sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
     maintLock.synchronized {
-      val sig = signatureOf(source.queryExecution.analyzed).map(_._1)
+      // identity = the FULL definition: scan/join signature, the
+      // defining filter conjuncts (a differently-filtered slice of the
+      // same table is a different MV), every partial list, and the
+      // derived-measure expressions by canonical SQL
+      val parsed = signatureOf(source.queryExecution.analyzed)
+      val qFilters = parsed.toSeq.flatMap(_._2).flatMap(splitAnd)
+        .map(e => foldLiterals(e).sql).toSet
+      val qSumDefs = sumExprs.map { case (n, c) =>
+        foldLiterals(source.select(c.as(n)).queryExecution.analyzed
+          .asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child).sql -> n
+      }.toMap
       Option(registry.get(name)) match {
-        case Some(d) if sig.contains(d.signature) && d.keysSeq == keys &&
-            d.sumsSeq == sums && d.minsSeq == mins && d.maxsSeq == maxs &&
-            d.approxSeq == approxDistincts => d.mvDf
+        case Some(d) if parsed.map(_._1).contains(d.signature) &&
+            d.filterConjuncts.map(_.sql).toSet == qFilters &&
+            d.keysSeq == keys && d.sumsSeq == sums && d.minsSeq == mins &&
+            d.maxsSeq == maxs && d.approxSeq == approxDistincts &&
+            d.sumDefs == qSumDefs => d.mvDf
         case _ => register(spark, name, source, keys, sums, mins, maxs,
           approxDistincts, sumExprs)
       }
@@ -351,20 +363,23 @@ object MaterializedViews {
     * optional fresh delta into ONE generation (a single bounded-by-
     * |MV|+deltas aggregation), replacing every previous cache entry. */
   private def compactInto(spark: SparkSession, d: MvDef,
-      extra: Option[DataFrame], deltaInFiles: Boolean,
-      cutLineage: Boolean = false): DataFrame = {
+      extra: Option[DataFrame], deltaInFiles: Boolean): DataFrame = {
     val mergeCols = mergePartialCols(d)
     val merged0 = (Seq(d.mvDf) ++ d.gens ++ extra).reduce(_ unionByName _)
       .groupBy(d.keysSeq.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
-    // the append-fold path cuts the merged generation's LINEAGE
-    // (tile-scale rows): its logical plan unions the old cached partials
-    // — whose own lineage re-reads the file index the fold just
-    // refresh()ed — with the delta partials. A cache-eviction recompute
-    // through that lineage would scan the appended files AND re-add the
-    // delta (double count). Checkpointed blocks either exist or fail
-    // loudly; they can never silently recompute to a different answer.
-    val merged = if (cutLineage) merged0.localCheckpoint(true) else merged0
+    // an in-files delta cuts the merged generation's LINEAGE (tile-scale
+    // rows): its logical plan unions the old cached partials — whose own
+    // lineage re-reads a file index that now (or later, via a shared
+    // FileIndex) lists the appended files — with the delta partials. A
+    // cache-eviction recompute through that lineage would scan the
+    // appended files AND re-add the delta (double count). Checkpointed
+    // blocks either exist or fail loudly; they can never silently
+    // recompute to a different answer. Applies to EVERY deltaInFiles
+    // caller (fold barrier AND user-driven refresh/append), not just
+    // the barrier's own site.
+    val merged = if (deltaInFiles) merged0.localCheckpoint(true)
+      else merged0
     store(spark, d.name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
       d.maxsSeq, d.approxSeq, merged, replacedAll = d.mvDf +: d.gens,
       d.filterConjuncts, d.baseDf,
@@ -521,7 +536,7 @@ object MaterializedViews {
           case _ => ()
         }
         compactInto(spark, d, Some(deltaPartials(spark, d, rows)),
-          deltaInFiles = true, cutLineage = true)
+          deltaInFiles = true)
         (d.name, true)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -909,10 +924,14 @@ object MaterializedViews {
                     else Cast(out, a.dataType, Some(conf.sessionLocalTimeZone))
                 })
               else None
+            // exprId lookup FIRST: a grouping alias that merely shares a
+            // tile key's NAME (e.g. date_trunc(..).as("o_orderdate"))
+            // must rebind through its definition, never to the raw key —
+            // the same exprId-before-name rule rollupExprs documents
             def entryOf(e: Expression): Option[Expression] = e match {
-              case a: AttributeReference if mv.keys.contains(a.name) => keyExpr(a)
               case a: AttributeReference if exprDefs.contains(a.exprId) =>
                 keyExpr(exprDefs(a.exprId))
+              case a: AttributeReference if mv.keys.contains(a.name) => keyExpr(a)
               case l: Literal => Some(l)
               case _ => None
             }

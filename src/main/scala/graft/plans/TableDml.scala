@@ -92,14 +92,19 @@ object TableDml {
     next.write.mode("overwrite").parquet(tmp)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     // retire the pre-image as a numbered version instead of deleting it:
-    // DML history IS the temporal table (rel/core/Snapshot.java reads it)
+    // DML history IS the temporal table (rel/core/Snapshot.java reads it).
+    // The MV barrier sits in a finally: once the archive rename lands the
+    // table has changed, and an abort between the two renames must not
+    // leave a stale tile live (dropping on a failed-before-any-change
+    // commit merely forces a recompute — conservative, never wrong).
     val v = history(spark, path).size
-    if (!fs.rename(new Path(path), new Path(versionDir(path, v))))
-      throw new java.io.IOException(s"DML commit failed: archive v$v")
-    appendLog(fs, path, s"$v,${System.currentTimeMillis()}")
-    if (!fs.rename(new Path(tmp), new Path(path)))
-      throw new java.io.IOException(s"DML commit failed: rename $tmp -> $path")
-    MaterializedViews.invalidatePath(spark, path): Unit
+    try {
+      if (!fs.rename(new Path(path), new Path(versionDir(path, v))))
+        throw new java.io.IOException(s"DML commit failed: archive v$v")
+      appendLog(fs, path, s"$v,${System.currentTimeMillis()}")
+      if (!fs.rename(new Path(tmp), new Path(path)))
+        throw new java.io.IOException(s"DML commit failed: rename $tmp -> $path")
+    } finally MaterializedViews.invalidatePath(spark, path): Unit
   }
 
   // ---- time travel over the DML write history -------------------------

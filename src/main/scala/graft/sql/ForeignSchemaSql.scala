@@ -51,15 +51,44 @@ object ForeignSchemaSql {
     * SCHEMA may only tear down schemas THIS statement family created —
     * a regular database that merely shares the name (e.g. one holding
     * managed tables) must not be cascade-dropped by the foreign-schema
-    * surface. */
+    * surface. Foreign-ness also persists in the database's properties
+    * (DBPROPERTIES), so a foreign schema created before a JVM restart
+    * stays droppable through this surface. CREATE refuses a name an
+    * ordinary database already holds (the collision is the same
+    * data-loss hazard from the other direction). A database dropped
+    * out-of-band and recreated as a regular one under a stale marker
+    * remains the user's own bypass of this surface. */
   private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val foreignProp = "graft.foreign"
+
+  private def hasForeignProp(spark: SparkSession, name: String): Boolean =
+    try spark.sql(s"DESCRIBE DATABASE EXTENDED $name").collect().exists(r =>
+      r.getString(0) == "Properties" && r.getString(1).contains(foreignProp))
+    catch { case _: Exception => false }
+
+  private def isForeignSchema(spark: SparkSession, name: String): Boolean = {
+    val n = name.toLowerCase(java.util.Locale.ROOT)
+    created.contains(n) || hasForeignProp(spark, name)
+  }
+
+  /** CREATE DATABASE for a foreign schema: refuses to adopt an existing
+    * NON-foreign database, and stamps foreign-ness into DBPROPERTIES. */
+  private def createDb(spark: SparkSession, name: String): DataFrame = {
+    if (spark.catalog.databaseExists(name) && !isForeignSchema(spark, name))
+      throw new IllegalArgumentException(
+        s"Schema '${name.toUpperCase(java.util.Locale.ROOT)}' already exists " +
+          "and is not a foreign schema")
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS $name WITH DBPROPERTIES ('$foreignProp'='true')")
+  }
 
   def maybeRun(spark: SparkSession, text0: String): Option[DataFrame] = {
     val text = text0.trim.stripSuffix(";")
     text match {
       case dropRe(ifExists, name0) =>
         val name = bare(name0)
-        val isForeign = created.contains(name.toLowerCase(java.util.Locale.ROOT))
+        val isForeign = isForeignSchema(spark, name)
         if (!isForeign && ifExists == null)
           throw new IllegalArgumentException(
             s"Schema '${name.toUpperCase(java.util.Locale.ROOT)}' not found")
@@ -93,11 +122,11 @@ object ForeignSchemaSql {
             throw new IllegalArgumentException(
               s"Property '$cls' not valid as '$cls' not found in the classpath")
         }
-        val df = spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+        val df = createDb(spark, name)
         mark(); df
       case (Some(t), None) => t.toLowerCase(java.util.Locale.ROOT) match {
         case "map" | "custom" =>
-          val df = spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+          val df = createDb(spark, name)
           mark(); df
         case "jdbc" =>
           val opts = optPairRe.findAllMatchIn(
@@ -143,7 +172,7 @@ object ForeignSchemaSql {
     // quote/backslash so a password like o'brien cannot break out of
     // (or inject into) the OPTIONS list
     def esc(v: String) = v.replace("\\", "\\\\").replace("'", "\\'")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+    createDb(spark, name)
     tables.foreach { t =>
       val dbtable = schema.map(s => s"$s.$t").getOrElse(t)
       val optStr = (Seq(s"url '${esc(url)}'", s"dbtable '${esc(dbtable)}'") ++

@@ -130,7 +130,13 @@ object MaterializedViewSql {
     * partial is exact, so the registry's any-MV-may-answer invariant
     * holds). Anything else — joins with expressions, windows,
     * VALUES-backed temp views — stays a plain named materialization;
-    * failures here never fail the DDL. */
+    * failures here never fail the DDL.
+    *
+    * Cost note: the tile aggregates the source a second time (the named
+    * snapshot's result lacks the cntn/cnt partials the rollup merge
+    * needs) — a deliberate one-time 2× DDL cost for zero-fact-scan
+    * answers afterwards; a shared-scan derivation is possible if DDL
+    * latency ever matters. */
   private def maybeRegisterTile(spark: SparkSession, name: String,
       df: DataFrame): Unit = try {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
