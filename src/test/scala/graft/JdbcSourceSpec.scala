@@ -92,6 +92,16 @@ class JdbcSourceSpec extends SparkSpec {
         }
         assert(spark.catalog.databaseExists("plaindb"),
           "a non-foreign database must survive DROP FOREIGN SCHEMA")
+        // ...and CREATE FOREIGN SCHEMA must refuse to ADOPT it (adoption
+        // would make the next DROP FOREIGN SCHEMA cascade-drop it)
+        intercept[Exception] {
+          graft.sql.GraftSql.sql(spark, "create foreign schema plaindb type 'map'")
+        }
+        intercept[Exception] {
+          graft.sql.GraftSql.sql(spark, "drop foreign schema plaindb")
+        }
+        assert(spark.catalog.databaseExists("plaindb"),
+          "a refused adoption must leave the database untouched")
       } finally spark.sql("DROP DATABASE IF EXISTS plaindb CASCADE")
     } finally {
       try spark.sql("DROP DATABASE IF EXISTS ext CASCADE") catch { case _: Exception => () }
