@@ -171,7 +171,12 @@ object MaterializedViews {
     * Exactness invariants the registry enforces, so ANY later matching
     * rollup may be answered from ANY registered MV:
     *   - every carried partial except the HLL sketches is exact, and the
-    *     sketches only ever substitute an already-approximate function;
+    *     sketches only ever substitute an already-approximate function.
+    *     One recombination caveat: AVG answers as Σsum/Σcount through
+    *     DOUBLE division (ulp-level vs the unrewritten Average's decimal
+    *     division — MaterializedViewSpec pins the 1e-9 contract), so a
+    *     hash-compared surface should cast AVG outputs to double, as
+    *     every oracle query here does;
     *   - a source with duplicate output column names is rejected here
     *     (all matching is name-based — ambiguity would be unsound);
     *   - staleness: TableDml's mutating writes drop every MV reading
