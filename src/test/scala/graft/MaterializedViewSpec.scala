@@ -1033,6 +1033,29 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("a grouping alias sharing a key's NAME rebinds through its definition, not the raw key") {
+    // ROLLUP(date_trunc('year', d).as("o_orderdate")): the alias collides
+    // with the day-grain tile key by NAME. The entry must rebind through
+    // the alias DEFINITION (year granularity) — rebinding to the raw key
+    // would silently emit per-day groups
+    def q = source.rollup(date_trunc("year", col("o_orderdate")).as("o_orderdate"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderdate"))
+    val expected = q.collect().map(_.toString).toSeq
+    MaterializedViews.register(spark, "mv_name_clash", source,
+      keys = Seq("o_orderstatus", "o_orderdate"), sums = Nil)
+    try {
+      val q2 = q
+      val lp = q2.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the year-trunc rollup must still ride the day tile:\n$lp")
+      val got = q2.collect().map(_.toString).toSeq
+      assert(got == expected,
+        s"alias-named-like-key must keep YEAR granularity: got ${got.take(3)}")
+      assert(got.length < 30, "per-day groups would mean the raw key leaked in")
+    } finally MaterializedViews.clear()
+  }
+
   test("rollup aggregates over the KEY passthrough ride the tile; non-key groupings block") {
     MaterializedViews.register(spark, "mv_gs", source,
       keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
