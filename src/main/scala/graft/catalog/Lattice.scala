@@ -46,4 +46,23 @@ object Lattice {
   def materialize(spark: SparkSession, name: String, source: DataFrame,
       tile: TileSuggestion, sums: Seq[String]): DataFrame =
     graft.plans.MaterializedViews.register(spark, name, source, tile.dims, sums)
+
+  /** The closed advisor loop (ref: materialize/TileSuggester.java feeding
+    * Lattice.java — the reference's lattice auto-materializes recommended
+    * tiles so the first matching query already rewrites): profile the
+    * star ONCE, keep the suggestions that fit `budgetRows`, and register
+    * each as a substitutable MV named `<prefix>_<dims>`. An over-budget
+    * dimension set is never materialized — the budget is the knob that
+    * keeps tile building from re-paying the fact scan it exists to
+    * amortize. Returns the registered tile names (empty when nothing
+    * fits). Idempotent per definition via registerOnce. */
+  def materializeSuggestions(spark: SparkSession, prefix: String,
+      source: DataFrame, dims: Seq[String], sums: Seq[String],
+      budgetRows: Long, maxTiles: Int = 3): Seq[String] =
+    suggestTiles(source, dims, budgetRows, maxTiles).map { t =>
+      val name = s"${prefix}_${t.dims.mkString("_")}"
+      graft.plans.MaterializedViews.registerOnce(spark, name, source,
+        t.dims, sums): Unit
+      name
+    }
 }

@@ -59,19 +59,36 @@ object Json {
     * Spark's hll_sketch_agg is the same family). Per-month sketches are
     * UNIONED into a yearly estimate — the mergeability is the point:
     * partial sketches combine without re-scanning, exactly how a
-    * 1000-executor profile pass aggregates. Sketch bytes are
-    * engine-specific → rows-only; the spec bounds the error. */
+    * 1000-executor profile pass aggregates. The raw estimate is
+    * engine-specific (DuckDB's approx sketch family differs), so the
+    * hashed surface restates it against an exact in-query twin: the
+    * output carries the exact yearly COUNT(DISTINCT) plus a boolean
+    * pinning the sketch estimate within the lgK=12 error envelope
+    * (≈1.63% standard error; 5% is >3σ) — the oracle asserts TRUE. The
+    * estimate VALUE itself stays spec-gated (JsonHllSpec). */
   val q66_hll_sketch_union = Q(
     (s, dir) => {
-      T(s, dir, "orders")
+      val sk = T(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
         .groupBy(col("y"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"),
           count(lit(1)).as("n_months"))
+      val exact = T(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+      sk.join(exact, "y")
+        .select(col("y"), col("n_months"), col("exact_custs"),
+          (abs(col("approx_custs") - col("exact_custs")) <=
+            col("exact_custs") * lit(0.05)).as("sketch_within_5pct"))
         .orderBy("y")
     },
-    None)
+    Some("""
+      SELECT year(o_orderdate) AS y,
+             COUNT(DISTINCT month(o_orderdate)) AS n_months,
+             COUNT(DISTINCT o_custkey) AS exact_custs,
+             TRUE AS sketch_within_5pct
+      FROM orders GROUP BY 1 ORDER BY y"""))
 
   val all: Map[String, Q] = Map(
     "q56_json_path" -> q56_json_path,

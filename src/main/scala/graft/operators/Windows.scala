@@ -49,6 +49,12 @@ object Windows {
       // key induces the same lexicographic preorder while the
       // window sort compares 3 keys instead of 4 and the sort buffer
       // carries one column less (the r11 tiebreak cost, clawed back).
+      // DOMAIN CONTRACT of the pack: it is order-preserving ONLY while
+      // cents ∈ [0, 2^32) and linenumber ∈ [0, 2^31) — the TPC-H dbgen
+      // domain (linenumber 1..7, quantity 1..50). A negative quantity
+      // would borrow into the linenumber limb and a 2^31+ linenumber
+      // would overflow the Long; any source outside that domain must
+      // use the plain 4-column sort key instead of this pack.
       val ln_qty = col("l_linenumber").cast(LongType) * lit(4294967296L) +
         (T.dec2(col("l_quantity")) * lit(100)).cast(LongType)
       val w = Window.partitionBy(col("l_suppkey"))

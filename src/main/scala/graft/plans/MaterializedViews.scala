@@ -103,7 +103,21 @@ object MaterializedViews {
       // been folded in (stream maintenance, ad-hoc refresh): the cached
       // partials stay exact, but union compensation's residual FILE scan
       // could no longer see those rows — so unionTarget refuses such MVs
-      unionSafe: Boolean = true)
+      unionSafe: Boolean = true,
+      // count-only partial columns (__mv_cntn without a sum side): a
+      // COUNT(x) over a non-summable column (e.g. a string) rolls up
+      // from these without register ever computing SUM over it
+      cntnsSeq: Seq[String] = Nil,
+      // materialized tile size: the substitution's cost key — among
+      // MVs that can answer a query, the smallest adequate tile wins
+      // (the reference's lattice tile selection, materialize/Lattice
+      // .java getTile — pick the least-cost materialization)
+      rowCount: Long = Long.MaxValue,
+      // durable home of this tile (persistTile/adoptTiles): partials +
+      // metadata live here across sessions; DML invalidation deletes it
+      durableDir: Option[String] = None) {
+    def cntns: Set[String] = cntnsSeq.toSet
+  }
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -189,7 +203,8 @@ object MaterializedViews {
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
       approxDistincts: Seq[String] = Nil,
-      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
+      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      counts: Seq[String] = Nil): DataFrame =
     maintLock.synchronized {
     val (signature, srcFilters) = signatureOf(source.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
@@ -226,11 +241,12 @@ object MaterializedViews {
         .asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
       foldLiterals(e).sql -> n
     }.toMap
-    val cols = partialAggCols(sums, mins, maxs, approxDistincts, sumExprs)
+    val cols = partialAggCols(sums, mins, maxs, approxDistincts, sumExprs, counts)
     val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
     store(spark, name, signature, keys, sums, mins, maxs, approxDistincts, mv,
       replacedAll = Option(registry.get(name)).toSeq.flatMap(d => d.mvDf +: d.gens),
-      filterConjuncts, baseDf, sumDefs = sumDefs, sumExprCols = sumExprs)
+      filterConjuncts, baseDf, sumDefs = sumDefs, sumExprCols = sumExprs,
+      counts = counts)
   }
 
   /** Register-once (the lattice usage pattern: a defining query runs on
@@ -243,7 +259,8 @@ object MaterializedViews {
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
       approxDistincts: Seq[String] = Nil,
-      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
+      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      counts: Seq[String] = Nil): DataFrame =
     maintLock.synchronized {
       // identity = the FULL definition: scan/join signature, the
       // defining filter conjuncts (a differently-filtered slice of the
@@ -261,9 +278,14 @@ object MaterializedViews {
             d.filterConjuncts.map(_.sql).toSet == qFilters &&
             d.keysSeq == keys && d.sumsSeq == sums && d.minsSeq == mins &&
             d.maxsSeq == maxs && d.approxSeq == approxDistincts &&
-            d.sumDefs == qSumDefs => d.mvDf
+            d.cntnsSeq == counts && d.sumDefs == qSumDefs =>
+          // the registry is JVM-global but extraOptimizations are
+          // per-session: a SECOND session hitting this fast path must
+          // still get the rewrite rule installed (ADVICE r12)
+          ensureRule(spark)
+          d.mvDf
         case _ => register(spark, name, source, keys, sums, mins, maxs,
-          approxDistincts, sumExprs)
+          approxDistincts, sumExprs, counts)
       }
     }
 
@@ -282,7 +304,8 @@ object MaterializedViews {
     * APPROX_COUNT_DISTINCT rollup never rescans the fact. */
   private def partialAggCols(sums: Seq[String], mins: Seq[String],
       maxs: Seq[String], approxes: Seq[String] = Nil,
-      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      sumExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      counts: Seq[String] = Nil)
       : Seq[org.apache.spark.sql.Column] =
     sums.map(c => sum(col(c)).as(s"__mv_sum_$c")) ++
       sumExprs.map { case (n, c) => sum(c).as(s"__mv_sum_$n") } ++
@@ -290,6 +313,9 @@ object MaterializedViews {
       // per-column non-null count, so AVG(x) rolls up as
       // SUM(sum_x)/SUM(cntn_x) even when x has NULLs
       sums.map(c => count(col(c)).as(s"__mv_cntn_$c")) ++
+      // count-ONLY columns (non-summable types, e.g. COUNT(string_col)):
+      // just the non-null count partial, never a SUM over the column
+      counts.map(c => count(col(c)).as(s"__mv_cntn_$c")) ++
       mins.map(c => min(col(c)).as(s"__mv_min_$c")) ++
       maxs.map(c => max(col(c)).as(s"__mv_max_$c")) ++
       approxes.map(c => hll_sketch_agg(col(c)).as(s"__mv_hll_$c")) :+
@@ -304,9 +330,11 @@ object MaterializedViews {
       filterConjuncts: Seq[Expression], baseDf: DataFrame,
       unionSafe: Boolean = true,
       sumDefs: Map[String, String] = Map.empty,
-      sumExprCols: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+      sumExprCols: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      counts: Seq[String] = Nil,
+      durableDir: Option[String] = None): DataFrame = {
     mv.persist()
-    mv.count() // materialize now
+    val n = mv.count() // materialize now; the tile's cost key
 
     // cache-resolved plan: the whole aggregate collapses to an
     // InMemoryRelation leaf, which is what we splice into queries
@@ -317,7 +345,8 @@ object MaterializedViews {
       keys, sums, mins, maxs, approxes, mv, filterConjuncts, baseDf,
       baseDf.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap,
       sumDefs = sumDefs, sumExprCols = sumExprCols,
-      gens = Nil, unionSafe = unionSafe))
+      gens = Nil, unionSafe = unionSafe, cntnsSeq = counts,
+      rowCount = n, durableDir = durableDir))
     // re-registering an IDENTICAL definition resolves to the SAME cache
     // entry (the CacheManager dedups by canonicalized plan) — unpersist
     // of the replaced frame would clear the entry just stored
@@ -325,11 +354,17 @@ object MaterializedViews {
     replacedAll.filterNot(_.queryExecution.analyzed.sameResult(newPlan))
       .foreach(_.unpersist())
 
+    ensureRule(spark)
+    mv
+  }
+
+  /** Install the rewrite rule in THIS session's optimizer (idempotent).
+    * Sessions are independent: every path that hands a session a live
+    * registry entry must run this, including registerOnce's fast path. */
+  private def ensureRule(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MvRewrite
-    mv
-  }
 
   /** Incremental maintenance (ref: materialize/MaterializationService
     * .java — the reference re-populates tiles; here the merge is
@@ -383,13 +418,25 @@ object MaterializedViews {
     // recompute to a different answer. Applies to EVERY deltaInFiles
     // caller (fold barrier AND user-driven refresh/append), not just
     // the barrier's own site.
-    val merged = if (deltaInFiles) merged0.localCheckpoint(true)
+    // a DURABLE tile's merge must also cut lineage: an adopted tile's
+    // cached partials READ the durable data dir, which writeDurable is
+    // about to overwrite — a post-overwrite recompute through that
+    // lineage would chase deleted files. Checkpointed blocks either
+    // exist or fail loudly.
+    val merged = if (deltaInFiles || d.durableDir.isDefined)
+      merged0.localCheckpoint(true)
       else merged0
-    store(spark, d.name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
+    val out = store(spark, d.name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
       d.maxsSeq, d.approxSeq, merged, replacedAll = d.mvDf +: d.gens,
       d.filterConjuncts, d.baseDf,
       unionSafe = d.unionSafe && (extra.isEmpty || deltaInFiles),
-      sumDefs = d.sumDefs, sumExprCols = d.sumExprCols)
+      sumDefs = d.sumDefs, sumExprCols = d.sumExprCols,
+      counts = d.cntnsSeq, durableDir = d.durableDir)
+    // a durable tile's on-disk copy tracks every compaction (the DML
+    // append-fold path lands here), so a later adopt sees fresh partials
+    // under the NEW source fingerprint
+    d.durableDir.foreach(_ => writeDurable(spark, registry.get(d.name)))
+    out
   }
 
   /** O(|delta|) incremental append (the stream-maintenance fast path):
@@ -463,7 +510,7 @@ object MaterializedViews {
       df.filter(org.apache.spark.sql.GraftSqlBridge.column(bound))
     }
     val cols = partialAggCols(d.sumsSeq, d.minsSeq, d.maxsSeq, d.approxSeq,
-      d.sumExprCols)
+      d.sumExprCols, d.cntnsSeq)
     deltaKept.groupBy(d.keysSeq.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
@@ -471,20 +518,43 @@ object MaterializedViews {
     * a commutative monoid (SUM/counts by SUM, MIN/MAX by themselves, HLL
     * sketches by union). */
   private def mergePartialCols(d: MvDef): Seq[org.apache.spark.sql.Column] = {
+    // column ORDER must mirror partialAggCols exactly: the substitution
+    // target unions generations POSITIONALLY (appendIncremental,
+    // unionTarget), so a compacted generation (this layout) and a fresh
+    // delta (partialAggCols layout) must agree column-for-column — with
+    // both sums and derived measures present the cntn blocks would
+    // otherwise cross (same LongType on both sides: silently wrong)
     val sumNames = d.sumsSeq ++ d.sumExprCols.map(_._1)
     sumNames.map(c => sum(col(s"__mv_sum_$c")).as(s"__mv_sum_$c")) ++
-      sumNames.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+      d.sumExprCols.map(_._1)
+        .map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+      d.sumsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+      d.cntnsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
       d.minsSeq.map(c => min(col(s"__mv_min_$c")).as(s"__mv_min_$c")) ++
       d.maxsSeq.map(c => max(col(s"__mv_max_$c")).as(s"__mv_max_$c")) ++
       d.approxSeq.map(c => hll_union_agg(col(s"__mv_hll_$c")).as(s"__mv_hll_$c")) :+
       sum(col("__mv_cnt")).as("__mv_cnt")
   }
 
+  /** Registered tiles cheapest-first: among MVs that can all answer a
+    * query, the smallest adequate tile is tried first — the reference's
+    * cost-based tile choice (materialize/Lattice.java getTile picks the
+    * least-cost covering materialization). Cross-tile subsumption falls
+    * out of the full sweep: a query a COARSE tile cannot answer (e.g.
+    * COUNT(DISTINCT c) with c only a key of a FINER tile) keeps probing
+    * until the finer tile admits it. */
+  private def candidates: Seq[MvDef] =
+    registry.values.toArray.map(_.asInstanceOf[MvDef]).sortBy(_.rowCount).toSeq
+
   // drop/clear hold maintLock like every other registry write: an
   // unsynchronized drop racing a stream micro-batch could be resurrected
   // by the batch's registry.put, with its cache already unpersisted
   def drop(spark: SparkSession, name: String): Unit = maintLock.synchronized {
-    Option(registry.remove(name)).foreach(d => (d.mvDf +: d.gens).foreach(_.unpersist()))
+    Option(registry.remove(name)).foreach { d =>
+      (d.mvDf +: d.gens).foreach(_.unpersist())
+      // a dropped durable tile must not be resurrected by a later adopt
+      d.durableDir.foreach(deleteDir(spark, _))
+    }
   }
   def clear(): Unit = maintLock.synchronized {
     registry.values.forEach(d => (d.mvDf +: d.gens).foreach(_.unpersist()))
@@ -588,6 +658,221 @@ object MaterializedViews {
       .start()
   }
 
+  // ---- durable tiles ---------------------------------------------------
+  // (ref: materialize/MaterializationService.java + MaterializationActor
+  // .java — the reference stores materializations as actual schema tables
+  // keyed and re-resolved centrally, surviving the connection. Here the
+  // durable home is a lattice directory: each tile's partials persist as
+  // parquet next to a metadata row, and a new session re-adopts them —
+  // the scan-once economics survive a driver restart. Validity is keyed
+  // by a fingerprint of the source leaves' file listings, the analog of
+  // the reference's keyed-validity model: a tile whose source changed
+  // while no session watched it is discarded at adopt time, never served
+  // stale.)
+
+  /** Serialized tile definition — one row beside the partials parquet. */
+  private[plans] final case class TileMeta(
+      name: String, keys: Seq[String], sums: Seq[String],
+      cntns: Seq[String], mins: Seq[String], maxs: Seq[String],
+      approxes: Seq[String],
+      leaves: Seq[String],     // each leaf's sorted root paths, \u0001-joined
+      joinPairs: Seq[String],  // "a\u0001b", name-normalized
+      filterSqls: Seq[String], // folded defining conjuncts, re-parseable SQL
+      sumDefKeys: Seq[String], sumDefNames: Seq[String],   // derived measures
+      sumExprNames: Seq[String], sumExprSqls: Seq[String], // their columns
+      unionSafe: Boolean,
+      fingerprint: String)
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit =
+    try { val (fs, p) = hadoopFs(spark, dir); fs.delete(p, true): Unit }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] durable tile cleanup failed for $dir: ${e.getMessage}")
+    }
+
+  /** MD5 over the source leaves' data-file listings (path, length,
+    * mtime) — the tile's validity key. Spark bookkeeping files
+    * (_SUCCESS, dot-files) are excluded; they change benignly. */
+  private def leafFingerprint(spark: SparkSession,
+      leaves: Seq[Seq[String]]): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    leaves.flatten.sorted.foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val nm = f.getPath.getName
+          if (!nm.startsWith("_") && !nm.startsWith("."))
+            entries += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+        }
+        entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+      } else md.update(s"missing:$root".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Hadoop paths reject ':' in components (ddl:name); collapse to a
+    * filesystem-safe slug — the true name travels in the metadata row. */
+  private def pathSlug(name: String): String =
+    name.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Write the tile's current partials + metadata to its durable home. */
+  private def writeDurable(spark: SparkSession, d: MvDef): Unit = {
+    val dir = d.durableDir.getOrElse(
+      throw new IllegalStateException(s"MV ${d.name} has no durable home"))
+    d.mvDf.write.mode("overwrite").parquet(s"$dir/data")
+    val sumDefSeq = d.sumDefs.toSeq.sortBy(_._2)
+    val meta = TileMeta(
+      name = d.name, keys = d.keysSeq, sums = d.sumsSeq, cntns = d.cntnsSeq,
+      mins = d.minsSeq, maxs = d.maxsSeq, approxes = d.approxSeq,
+      leaves = d.signature.leaves.map(_.toSeq.sorted.mkString("\u0001")),
+      joinPairs = d.signature.joinPairs.toSeq.sorted
+        .map { case (a, b) => s"${a}\u0001${b}" },
+      filterSqls = d.filterConjuncts.map(_.sql),
+      sumDefKeys = sumDefSeq.map(_._1), sumDefNames = sumDefSeq.map(_._2),
+      sumExprNames = d.sumExprCols.map(_._1),
+      sumExprSqls = d.sumExprCols.map(c =>
+        org.apache.spark.sql.GraftSqlBridge.expression(c._2).sql),
+      unionSafe = d.unionSafe,
+      fingerprint = leafFingerprint(spark, d.signature.leaves.map(_.toSeq)))
+    val session = spark
+    import session.implicits._
+    Seq(meta).toDS().repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Persist a registered tile's partials under `latticeDir/<name>` so a
+    * later session can re-adopt them (adoptTiles) without re-scanning the
+    * fact. Pending stream generations are compacted first — the durable
+    * copy is always one generation. From here on, every compaction
+    * (including DML append folds) re-persists, and drop/invalidatePath
+    * deletes the durable home, so the on-disk tile is never left stale
+    * behind an in-session invalidation. */
+  def persistTile(spark: SparkSession, name: String, latticeDir: String): String =
+    maintLock.synchronized {
+      val d0 = Option(registry.get(name)).getOrElse(
+        throw new IllegalArgumentException(s"unknown MV: $name"))
+      if (d0.gens.nonEmpty) compactInto(spark, d0, None, deltaInFiles = false): Unit
+      val tileDir = s"$latticeDir/${pathSlug(name)}"
+      registry.put(name, registry.get(name).copy(durableDir = Some(tileDir)))
+      writeDurable(spark, registry.get(name))
+      tileDir
+    }
+
+  /** Re-adopt every valid tile under `latticeDir` into THIS session's
+    * registry + rewrite rule. Cost: one read of each tile's partials
+    * (tile-scale rows) — the fact is never scanned; the defining source
+    * is rebuilt from the recipe for compensation/fold purposes only
+    * (schema resolution, no jobs). A tile whose source fingerprint no
+    * longer matches (the table changed while no session watched — e.g.
+    * DML from another driver) is DISCARDED, the keyed-validity rule.
+    * Returns adopted names. */
+  def adoptTiles(spark: SparkSession, latticeDir: String): Seq[String] =
+    maintLock.synchronized {
+      val (fs, root) = hadoopFs(spark, latticeDir)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).filter(_.isDirectory).toSeq
+        .sortBy(_.getPath.getName)
+        .flatMap(st => adoptOne(spark, st.getPath.toString))
+    }
+
+  private def adoptOne(spark: SparkSession, tileDir: String): Option[String] = try {
+    val session = spark
+    import session.implicits._
+    val meta = spark.read.parquet(s"$tileDir/meta").as[TileMeta].collect()(0)
+    val leaves: Seq[Seq[String]] = meta.leaves.map(_.split('\u0001').toSeq)
+    if (leafFingerprint(spark, leaves) != meta.fingerprint) {
+      System.err.println(
+        s"[graft] durable tile ${meta.name}: source changed since persist; discarding")
+      deleteDir(spark, tileDir)
+      None
+    } else if (registry.containsKey(meta.name)) {
+      // live registration wins (it is at least as fresh); just make sure
+      // THIS session rewrites through it
+      ensureRule(spark)
+      Some(meta.name)
+    } else {
+      val base = rebuildJoin(spark, leaves,
+        meta.joinPairs.map { s => val Array(a, b) = s.split('\u0001'); (a, b) })
+      val source = meta.filterSqls.foldLeft(base)((df, s) => df.filter(expr(s)))
+      val (sig, srcFilters) = signatureOf(source.queryExecution.analyzed)
+        .getOrElse(throw new IllegalStateException(
+          s"rebuilt source for ${meta.name} is not signable"))
+      val filterConjuncts = srcFilters.flatMap(splitAnd).map(foldLiterals)
+      val mv = spark.read.parquet(s"$tileDir/data")
+      store(spark, meta.name, sig, meta.keys, meta.sums, meta.mins,
+        meta.maxs, meta.approxes, mv, replacedAll = Nil, filterConjuncts,
+        base, unionSafe = meta.unionSafe,
+        sumDefs = meta.sumDefKeys.zip(meta.sumDefNames).toMap,
+        sumExprCols = meta.sumExprNames.zip(meta.sumExprSqls.map(expr)),
+        counts = meta.cntns, durableDir = Some(tileDir)): Unit
+      Some(meta.name)
+    }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] durable tile at $tileDir not adopted: ${e.getMessage}")
+      None
+  }
+
+  /** End-of-session analog for ONE tile: drop the in-session
+    * registration and caches but KEEP the durable home — the inverse of
+    * adoptTiles (a clean shutdown never deletes durable tiles; drop()/
+    * invalidatePath do, because they mean the tile is WRONG, not merely
+    * unloaded). */
+  def release(spark: SparkSession, name: String): Unit = maintLock.synchronized {
+    Option(registry.remove(name)).foreach(d =>
+      (d.mvDf +: d.gens).foreach(_.unpersist()))
+  }
+
+  /** Rebuild inner equi-joins of parquet leaves from the serialized
+    * recipe. Greedy: repeatedly join two frames connected by a pending
+    * pair, folding EVERY pair bridging the same two frames into one
+    * condition — inner equi-joins are associative/commutative, so any
+    * tree reproduces the original signature. Leaf reads go through the
+    * same timestamp normalization the loader applies, so rebuilt
+    * attribute types match what was registered. */
+  private def rebuildJoin(spark: SparkSession, leaves: Seq[Seq[String]],
+      pairs: Seq[(String, String)]): DataFrame = {
+    val frames = scala.collection.mutable.ArrayBuffer(
+      leaves.map(paths =>
+        graft.T.normalizeTimestamps(spark.read.parquet(paths: _*))): _*)
+    val pending = scala.collection.mutable.ArrayBuffer(pairs: _*)
+    def frameOf(c: String): Int = frames.indexWhere(_.columns.contains(c))
+    var guard = pairs.size + frames.size + 1
+    while (frames.size > 1) {
+      guard -= 1
+      require(guard >= 0, "join recipe does not connect the leaves")
+      val idx = pending.indexWhere { case (a, b) =>
+        val (fi, fj) = (frameOf(a), frameOf(b))
+        fi >= 0 && fj >= 0 && fi != fj
+      }
+      require(idx >= 0, "join recipe does not connect the leaves")
+      val (a0, b0) = pending(idx)
+      val (fi, fj) = (frameOf(a0), frameOf(b0))
+      val bridging = pending.filter { case (a, b) =>
+        Set(frameOf(a), frameOf(b)) == Set(fi, fj)
+      }
+      val cond = bridging.map { case (a, b) => col(a) === col(b) }
+        .reduce(_ && _)
+      val joined = frames(fi).join(frames(fj), cond, "inner")
+      val (hi, lo) = (fi max fj, fi min fj)
+      frames.remove(hi); frames.remove(lo)
+      frames += joined
+      bridging.foreach(p => pending -= p)
+    }
+    require(pending.isEmpty,
+      "cyclic join recipe cannot be rebuilt losslessly")
+    frames.head
+  }
+
   /** The substitution rule (runs in the user-provided optimizer batch). */
   object MvRewrite extends Rule[LogicalPlan] {
 
@@ -601,6 +886,22 @@ object MaterializedViews {
           (child match {
             case expand: logical.Expand =>
               expandRewrite(groupings, aggExprs, expand)
+            // a predicate on a GROUPING output (grouping-id, or a
+            // per-set key copy) pushes between the Aggregate and the
+            // Expand — e.g. `rollup(...).agg(...).filter(gid = 1)`, the
+            // drill-panel shape. Those attributes keep their exprIds
+            // across the tile substitution (the rewrite preserves every
+            // grouping position), so the filter re-applies verbatim
+            // above the rewritten Expand.
+            case logical.Filter(cond, expand: logical.Expand)
+                if cond.references.subsetOf(
+                  org.apache.spark.sql.catalyst.expressions.AttributeSet(
+                    expand.output.filterNot(expand.child.outputSet.contains))) =>
+              expandRewrite(groupings, aggExprs, expand).map {
+                case Aggregate(g2, a2, newExpand, _) =>
+                  Aggregate(g2, a2, logical.Filter(cond, newExpand), None)
+                case other => other
+              }
             case _ =>
               val (g2, a2, child2) = inlineGroupingProject(groupings, aggExprs, child)
               exactRewrite(g2, a2, child2)
@@ -656,7 +957,7 @@ object MaterializedViews {
         aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
       signatureOf(child).flatMap { case (sig, filters) =>
         val conjs = filters.flatMap(splitAnd)
-        registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
+        candidates.iterator.flatMap { mv =>
           if (mv.signature != sig) None
           // rollup-ability first: it is the cheap check, and
           // unionTarget runs a full analyzer pass building the
@@ -717,8 +1018,7 @@ object MaterializedViews {
           : Option[(Signature, LogicalPlan, Seq[Expression], List[(LogicalPlan, Expression)])] = {
         val (p, fs) = peel(p0, above)
         val direct = signatureOf(p).collect {
-          case (sig, starFs) if registry.values.toArray.iterator
-              .map(_.asInstanceOf[MvDef]).exists(_.signature == sig) =>
+          case (sig, starFs) if candidates.exists(_.signature == sig) =>
             (sig, p, fs ++ starFs, dims)
         }
         direct.orElse(p match {
@@ -733,7 +1033,7 @@ object MaterializedViews {
       // signature (all carried partials are exact, any works)
       findStar(child, Nil, Nil).filter(_._4.nonEmpty).flatMap {
         case (sig, star, collected, dims) =>
-          registry.values.toArray.iterator.map(_.asInstanceOf[MvDef])
+          candidates.iterator
             .filter(_.signature == sig)
             .flatMap(mv => buildJoinComp(mv, star, collected, dims,
               groupings, aggExprs))
@@ -862,7 +1162,7 @@ object MaterializedViews {
         val conjs = filters.flatMap(splitAnd)
         val groupingAttrSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(
           groupings.flatMap(_.references))
-        registry.values.toArray.iterator.map(_.asInstanceOf[MvDef]).flatMap { mv =>
+        candidates.iterator.flatMap { mv =>
           if (!aggArgRefs.subsetOf(childOut)) None
           else
           if (mv.signature != sig) None
@@ -1151,7 +1451,7 @@ object MaterializedViews {
         case a: AttributeReference => baseOut(a.name)
       }
       val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq, mv.approxSeq,
-        mv.sumExprCols)
+        mv.sumExprCols, mv.cntnsSeq)
       val resid = mv.baseDf
         .filter(org.apache.spark.sql.GraftSqlBridge.column(bound))
         .groupBy(mv.keysSeq.map(col): _*)
@@ -1247,8 +1547,10 @@ object MaterializedViews {
         case Count(Seq(Literal(_, _))) if mv.hasCount =>
           Some(Sum(tout("__mv_cnt")).toAggregateExpression())
         // COUNT(x): the per-column non-null partial counts (carried for
-        // the AVG rollup) sum to exactly COUNT(x)
-        case Count(Seq(a: AttributeReference)) if mv.sums.contains(a.name) =>
+        // the AVG rollup, or registered count-only for non-summable
+        // types) sum to exactly COUNT(x)
+        case Count(Seq(a: AttributeReference))
+            if mv.sums.contains(a.name) || mv.cntns.contains(a.name) =>
           Some(Sum(tout(s"__mv_cntn_${a.name}")).toAggregateExpression())
         case avg: Average => avg.child match {
           // AVG(x) = SUM(partial sums) / SUM(partial non-null counts)

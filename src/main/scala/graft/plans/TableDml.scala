@@ -104,8 +104,18 @@ object TableDml {
       appendLog(fs, path, s"$v,${System.currentTimeMillis()}")
       if (!fs.rename(new Path(tmp), new Path(path)))
         throw new java.io.IOException(s"DML commit failed: rename $tmp -> $path")
-    } finally MaterializedViews.invalidatePath(spark, path): Unit
+    } finally barrier(spark, path)
   }
+
+  /** The MV write-barrier, guarded: a barrier failure (e.g. an unpersist
+    * hiccup) must never REPLACE the commit exception a surrounding
+    * finally is propagating — log it and let the original error win. */
+  private def barrier(spark: SparkSession, path: String): Unit =
+    try MaterializedViews.invalidatePath(spark, path): Unit
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] MV invalidation barrier failed for $path: ${e.getMessage}")
+    }
 
   // ---- time travel over the DML write history -------------------------
   // (ref: rel/core/Snapshot.java:51-80 FOR SYSTEM_TIME AS OF; the
@@ -204,7 +214,7 @@ object TableDml {
     // the MV barrier fires on the TABLE root: an MV's leaf path is the
     // root of the partitioned layout, and any rewritten partition sits
     // under it (prefix containment in invalidatePath)
-    finally if (affected.nonEmpty) MaterializedViews.invalidatePath(spark, path): Unit
+    finally if (affected.nonEmpty) barrier(spark, path)
     (updated, affected.length)
   }
 

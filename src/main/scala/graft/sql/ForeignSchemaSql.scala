@@ -89,9 +89,19 @@ object ForeignSchemaSql {
       case dropRe(ifExists, name0) =>
         val name = bare(name0)
         val isForeign = isForeignSchema(spark, name)
-        if (!isForeign && ifExists == null)
+        if (!isForeign && ifExists == null) {
+          // distinguish the refusal (the DB exists but is not foreign —
+          // e.g. a plain database, or one created before the DBPROPERTIES
+          // marker existed; re-stamp via CREATE FOREIGN SCHEMA to migrate)
+          // from a genuinely missing name
+          if (spark.catalog.databaseExists(name))
+            throw new IllegalArgumentException(
+              s"Schema '${name.toUpperCase(java.util.Locale.ROOT)}' exists " +
+                "but is not a foreign schema (DROP FOREIGN SCHEMA only drops " +
+                "schemas created by CREATE FOREIGN SCHEMA)")
           throw new IllegalArgumentException(
             s"Schema '${name.toUpperCase(java.util.Locale.ROOT)}' not found")
+        }
         if (isForeign) {
           created.remove(name.toLowerCase(java.util.Locale.ROOT))
           spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE"): Unit

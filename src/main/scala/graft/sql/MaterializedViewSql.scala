@@ -149,6 +149,7 @@ object MaterializedViewSql {
         val sums = Seq.newBuilder[String]
         val mins = Seq.newBuilder[String]
         val maxs = Seq.newBuilder[String]
+        val cnts = Seq.newBuilder[String]
         val ok = aggExprs.forall {
           case a: AttributeReference => keys.contains(a.name)
           case Alias(a: AttributeReference, _) => keys.contains(a.name)
@@ -159,9 +160,15 @@ object MaterializedViewSql {
               case Min(a: AttributeReference) => mins += a.name; true
               case Max(a: AttributeReference) => maxs += a.name; true
               case Count(Seq(Literal(_, _))) => true
-              // COUNT(x)/AVG(x) roll up from the sum-side partials
-              // (__mv_cntn_x rides every sums entry)
-              case Count(Seq(a: AttributeReference)) => sums += a.name; true
+              // COUNT(x)/AVG(x) roll up from the cntn partials; only a
+              // NUMERIC counted column rides the sums list (register
+              // would compute SUM over it — an ANSI error on a string);
+              // non-numeric counted columns carry a count-ONLY partial
+              case Count(Seq(a: AttributeReference)) =>
+                if (a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+                  sums += a.name
+                else cnts += a.name
+                true
               case avg: Average => avg.child match {
                 case a: AttributeReference => sums += a.name; true
                 case _ => false
@@ -172,9 +179,11 @@ object MaterializedViewSql {
         }
         if (ok) {
           val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, child)
+          val sumCols = sums.result().distinct
           graft.plans.MaterializedViews.registerOnce(spark, s"ddl:$name", src,
-            keys, sums.result().distinct, mins.result().distinct,
-            maxs.result().distinct): Unit
+            keys, sumCols, mins.result().distinct,
+            maxs.result().distinct,
+            counts = cnts.result().distinct.filterNot(sumCols.contains)): Unit
         }
       case _ => ()
     }

@@ -25,6 +25,22 @@ object IvfAnn {
   private def dist2(a: String, b: String) =
     graft.functions.GraftFunctions.squared_distance(col(a), col(b))
 
+  /** Nearest-centroid assignment as an AGGREGATE, not a window:
+    * min_by over the (d2, cid) struct gets map-side partial aggregation
+    * — each partition reduces its corpus×k candidate rows locally before
+    * ONE shuffle of |corpus| argmin rows — where the former
+    * row_number() over (partition by vec_id order by d2, cid) sorted
+    * the full candidate set. Tie order is identical: struct comparison
+    * is lexicographic, so equal distances break to the lower cid. */
+  private[graft] def assignCells(emb: DataFrame, cdf: DataFrame): DataFrame =
+    emb.crossJoin(cdf)
+      .withColumn("d2", dist2("embedding", "centroid"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("embedding")),
+        struct(col("d2"), col("cid"))).as("__m"))
+      .select(col("vec_id"), col("__m.cid").as("cid"),
+        col("__m.embedding").as("embedding"))
+
   /** Train k centroids (returns driver-side matrix; k·dim doubles).
     * The Lloyd's loop is DRIVER-COORDINATED by design: each iteration
     * moves only k seed rows + k per-cell sums (k·dim doubles) through
@@ -45,11 +61,7 @@ object IvfAnn {
       val cdf = broadcast(spark.createDataFrame(
         centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "centroid"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      val assigned = emb.crossJoin(cdf)
-        .withColumn("d2", dist2("embedding", "centroid"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val assigned = assignCells(emb, cdf)
       val sums = assigned.groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
           array((0 until centroids(0).length).map(i =>
@@ -75,14 +87,14 @@ object IvfAnn {
         centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
         .toDF("cid", "centroid"))
 
-      // index: every vector assigned to its nearest cell (one shuffle)
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      val indexed = emb.crossJoin(cdf)
-        .withColumn("d2", dist2("embedding", "centroid"))
-        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      // index: every vector assigned to its nearest cell — a min_by
+      // aggregate (map-side partials, no window sort over corpus×k rows)
+      val indexed = assignCells(emb, cdf)
         .select(col("cid"), col("vec_id"), col("embedding"))
 
-      // queries probe their nProbe nearest cells
+      // queries probe their nProbe nearest cells: a top-N per query, so
+      // this one stays a window — over the QUERY set only (broadcast-
+      // small by construction), never the corpus
       val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
       val probes = emb.filter(col("vec_id") < 20).crossJoin(cdf)
         .withColumn("d2", dist2("embedding", "centroid"))

@@ -195,4 +195,39 @@ class DmlLatticeSpec extends SparkSpec {
       }
     } finally MaterializedViews.drop(spark, "tile0")
   }
+
+  test("closed advisor loop: profile → recommend → materialize → rewrite, budget-gated") {
+    val li = T(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_linenumber", "l_quantity")
+    try {
+      // budget admits the full 3-dim tile (≤ 42 combos): one pass
+      // profiles, suggestions materialize, and the workload rollup is
+      // answered from a SUGGESTED tile with zero fact scans
+      val names = graft.catalog.Lattice.materializeSuggestions(spark,
+        "loop_tile", li,
+        dims = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        sums = Seq("l_quantity"), budgetRows = 100)
+      assert(names.nonEmpty)
+      assert(names.forall(MaterializedViews.isRegistered))
+      val q = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"),
+        s"workload rollup must hit a suggested tile:\n$plan")
+      assert(plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, "fact must not be rescanned")
+
+      // an impossible budget materializes NOTHING — the loop never
+      // builds a tile that would out-cost the scans it saves
+      MaterializedViews.clear()
+      val none = graft.catalog.Lattice.materializeSuggestions(spark,
+        "loop_none", li,
+        dims = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        sums = Seq("l_quantity"), budgetRows = 1)
+      assert(none.isEmpty)
+      val q2 = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    } finally MaterializedViews.clear()
+  }
 }

@@ -11,11 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class FrozenSurfaceSpec extends AnyFunSuite {
 
-  test("no_oracle set is exactly the five frozen approximates") {
+  test("no_oracle set is exactly the four frozen approximates") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val frozen = Set(
       "q18_approx_distinct",  // HLL builtin internals — error-bounded spec
-      "q66_hll_sketch_union", // sketch union — exact twin q144
+      // q66 lifted in r13: exact in-query twin + sketch tolerance column
       "d12_knn_ivf",          // IVF recall gate — relational twin d38
       "d23_pq_ann",           // PQ recall/compression gates
       "d24_bpe_tokenize")     // float-order-dependent training — twin d40
@@ -25,10 +25,10 @@ class FrozenSurfaceSpec extends AnyFunSuite {
   }
 
   test("oracle coverage only ratchets up") {
-    assert(SparkEntry.oracleSql.size >= 306,
-      s"oracleSql shrank to ${SparkEntry.oracleSql.size} (floor 306)")
-    assert(SparkEntry.queries.size >= 311,
-      s"queries shrank to ${SparkEntry.queries.size} (floor 311)")
+    assert(SparkEntry.oracleSql.size >= 310,
+      s"oracleSql shrank to ${SparkEntry.oracleSql.size} (floor 310)")
+    assert(SparkEntry.queries.size >= 314,
+      s"queries shrank to ${SparkEntry.queries.size} (floor 314)")
   }
 
   test("every TPC-DS shape row ds01-ds96 exists and carries an oracle") {

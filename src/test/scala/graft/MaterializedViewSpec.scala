@@ -919,6 +919,155 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("cross-tile subsumption: a query the coarse tile cannot answer rolls up the finer one") {
+    MaterializedViews.register(spark, "mv_coarse", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    MaterializedViews.register(spark, "mv_fine", source,
+      keys = Seq("o_orderstatus", "o_orderpriority"), sums = Seq("o_totalprice"))
+    try {
+      // COUNT(DISTINCT priority) needs priority as a tile KEY: the
+      // coarse tile can't answer, the finer one can — the sweep must
+      // keep probing past the failed candidate (SubstitutionVisitor
+      // unification across ALL registered materializations)
+      val q = source.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_orderpriority")).as("p"),
+          sum("o_totalprice").as("t"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"),
+        s"finer tile must answer:\n$plan")
+      assert(plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"fact must not be rescanned:\n$plan")
+      // the substituted relation must be the FINE tile (it carries the
+      // priority key column; the coarse tile does not)
+      val cached = plan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cached.exists(_.output.exists(_.name == "o_orderpriority")),
+        s"expected the finer tile's cache:\n$plan")
+      val got = q.orderBy("o_orderstatus").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      MaterializedViews.clear()
+      val exp = source.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_orderpriority")).as("p"))
+        .orderBy("o_orderstatus").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp)
+    } finally MaterializedViews.clear()
+  }
+
+  test("cost-based tile choice: when several tiles can answer, the smallest adequate one wins") {
+    MaterializedViews.register(spark, "mv_fine2", source,
+      keys = Seq("o_orderstatus", "o_orderpriority"), sums = Seq("o_totalprice"))
+    MaterializedViews.register(spark, "mv_coarse2", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+    try {
+      // BOTH tiles can answer a by-status SUM; the coarse one has fewer
+      // rows and must be picked regardless of registration order — the
+      // reference's least-cost tile selection (materialize/Lattice.java)
+      val q = source.groupBy("o_orderstatus").agg(sum("o_totalprice").as("t"))
+      val cached = q.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cached.nonEmpty, "tile must answer")
+      assert(!cached.exists(_.output.exists(_.name == "o_orderpriority")),
+        "the SMALLER (coarse) tile must win the cost choice")
+    } finally MaterializedViews.clear()
+  }
+
+  test("count-only partials: COUNT over a non-numeric column rolls up without a SUM partial") {
+    MaterializedViews.register(spark, "mv_cnts", source,
+      keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"),
+      counts = Seq("o_orderpriority"))
+    try {
+      val q = source.groupBy("o_orderstatus")
+        .agg(count(col("o_orderpriority")).as("cp"),
+          sum("o_totalprice").as("t"))
+        .orderBy("o_orderstatus")
+      assert(q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "COUNT(string col) must roll up from the count-only partial")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      MaterializedViews.clear()
+      val exp = source.groupBy("o_orderstatus")
+        .agg(count(col("o_orderpriority")).as("cp"))
+        .orderBy("o_orderstatus").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp)
+    } finally MaterializedViews.clear()
+  }
+
+  test("stream-fed tile serves ROLLUP between micro-batches; compaction bounds the union depth") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    MaterializedViews.register(spark, "mv_live_gs", source,
+      keys = Seq("o_orderstatus", "o_orderpriority"), sums = Seq("o_totalprice"))
+    try {
+      val baseCnt = source.count()
+      val mem = MemoryStream[(String, String, Double)]
+      val delta = mem.toDS().toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+      val q = MaterializedViews.maintainFromStream(spark, "mv_live_gs", delta,
+        compactEvery = 3)
+      try {
+        def rollupTotal(): Long = {
+          val r = source.rollup(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+          // the grouping-set query must ride the tile, not the fact
+          val plan = r.queryExecution.optimizedPlan
+          assert(plan.toString.contains("InMemoryRelation"),
+            s"ROLLUP must ride the stream-fed tile:\n$plan")
+          assert(plan.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+          }.isEmpty, "fact must not be rescanned")
+          r.filter(col("gid") === 1).collect()(0).getLong(1) // grand total
+        }
+        assert(rollupTotal() == baseCnt)
+        // five micro-batches at compactEvery=3: generations must never
+        // exceed the bound, and every ROLLUP answers fresh in between
+        (1 to 5).foreach { i =>
+          mem.addData(Seq(("O", "1-URGENT", i * 1.0)))
+          q.processAllAvailable()
+          assert(rollupTotal() == baseCnt + i, s"after batch $i")
+          assert(MaterializedViews.generations("mv_live_gs") <= 3,
+            "compaction must bound the generation count")
+        }
+      } finally q.stop()
+    } finally MaterializedViews.clear()
+  }
+
+  test("mixed sums + derived measures survive compaction THEN append (partial-layout parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mvmix").toString + "/t"
+    Seq((1L, "a", 10.0, 2.0), (2L, "b", 20.0, 4.0))
+      .toDF("id", "tag", "amt", "disc").write.parquet(dir)
+    def src = spark.read.parquet(dir)
+    def mk(rows: (Long, String, Double, Double)*) =
+      rows.toDF("id", "tag", "amt", "disc")
+    try {
+      MaterializedViews.register(spark, "mv_mixed", src,
+        keys = Seq("tag"), sums = Seq("amt"),
+        sumExprs = Seq("rev" -> (col("amt") * col("disc"))))
+      // refresh → the COMPACTED column layout (mergePartialCols)…
+      MaterializedViews.refreshIncremental(spark, "mv_mixed", mk((3L, "a", 30.0, 1.0)))
+      // …then a generation APPEND (partialAggCols layout): the target
+      // unions the two layouts POSITIONALLY — with both plain sums and
+      // derived measures present, the cntn blocks must line up
+      MaterializedViews.appendIncremental(spark, "mv_mixed", mk((4L, "b", 40.0, 0.5)))
+      val q = src.groupBy("tag")
+        .agg(count(col("amt")).as("ca"), avg(col("amt")).as("aa"),
+          sum(col("amt") * col("disc")).as("r"),
+          count(col("amt") * col("disc")).as("cr"))
+        .orderBy("tag")
+      assert(q.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+      val got = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq
+      // tile is FRESHER than the files (deltas not in files): expected
+      // values computed over base + both deltas
+      assert(got == Seq(("a", 2L, 20.0, 50.0, 2L), ("b", 2L, 30.0, 100.0, 2L)),
+        s"got $got")
+    } finally MaterializedViews.clear()
+  }
+
   test("registerOnce keeps a live same-signature MV and replaces a different one") {
     val a = MaterializedViews.registerOnce(spark, "mv_once", source,
       keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))

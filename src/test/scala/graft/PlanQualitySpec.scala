@@ -465,6 +465,50 @@ class PlanQualitySpec extends SparkSpec
     } finally graft.plans.MaterializedViews.drop(spark, "q154_mv")
   }
 
+  test("q156: cross-tile subsumption — the FINER tile answers, fact never rescanned") {
+    try {
+      val q = run("q156_mv_cross_tile")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"COUNT(DISTINCT key-of-finer-tile) must ride a tile:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+      val cached = lp.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cached.exists(_.output.exists(_.name == "o_orderpriority")),
+        s"the FINER tile (priority key) must be the one substituted:\n$lp")
+    } finally {
+      graft.plans.MaterializedViews.drop(spark, "q156_mv_coarse")
+      graft.plans.MaterializedViews.drop(spark, "q156_mv_fine")
+    }
+  }
+
+  test("q157: durable tile — the re-adopted partials answer, fact never rescanned") {
+    try {
+      val q = run("q157_mv_durable_tile")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the reloaded tile must answer the rollup:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+    } finally graft.plans.MaterializedViews.drop(spark, "q157_mv")
+  }
+
+  test("q158: advisor loop — the workload rollup rides a SUGGESTED tile") {
+    try {
+      val q = run("q158_mv_advisor_loop")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the suggested tile must answer the rollup:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"orders must not be rescanned:\n$lp")
+    } finally graft.plans.MaterializedViews.clear()
+  }
+
   test("q155: ROLLUP(year(key), status) rides the day tile — zero fact scans") {
     try {
       val q = run("q155_mv_time_grouping_sets")
