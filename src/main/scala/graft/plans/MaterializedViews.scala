@@ -243,10 +243,15 @@ object MaterializedViews {
     }.toMap
     val cols = partialAggCols(sums, mins, maxs, approxDistincts, sumExprs, counts)
     val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
-    store(spark, name, signature, keys, sums, mins, maxs, approxDistincts, mv,
+    val out = store(spark, name, signature, keys, sums, mins, maxs, approxDistincts, mv,
       replacedAll = Option(registry.get(name)).toSeq.flatMap(d => d.mvDf +: d.gens),
       filterConjuncts, baseDf, sumDefs = sumDefs, sumExprCols = sumExprs,
       counts = counts)
+    // conf-driven lattice home: tiles registered through a session with
+    // spark.graft.lattice.dir set persist durably without explicit
+    // persistTile calls (the reference stores EVERY materialization)
+    confLatticeDir(spark).foreach(dir => persistTile(spark, name, dir): Unit)
+    out
   }
 
   /** Register-once (the lattice usage pattern: a defining query runs on
@@ -721,14 +726,39 @@ object MaterializedViews {
   }
 
   /** Hadoop paths reject ':' in components (ddl:name); collapse to a
-    * filesystem-safe slug — the true name travels in the metadata row. */
-  private def pathSlug(name: String): String =
-    name.replaceAll("[^A-Za-z0-9._-]", "_")
+    * filesystem-safe slug. A sanitized name gets a short hash suffix so
+    * distinct names (ddl:x vs ddl_x) can never share a durable home —
+    * the true name travels in the metadata row either way. */
+  private def pathSlug(name: String): String = {
+    val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (safe == name) name
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(name.getBytes("UTF-8"))
+      safe + "-" + md.take(4).map("%02x".format(_)).mkString
+    }
+  }
 
-  /** Write the tile's current partials + metadata to its durable home. */
+  /** Write the tile's current partials + metadata to its durable home —
+    * staged into a dot-prefixed sibling then swapped in (TableDml's
+    * commit pattern), so a concurrent adopter never reads a
+    * half-written directory: it sees the old tile, or briefly none
+    * (skipped with a warning), never a torn one. Dot-prefixed staging
+    * dirs are invisible to adoptTiles. */
   private def writeDurable(spark: SparkSession, d: MvDef): Unit = {
     val dir = d.durableDir.getOrElse(
       throw new IllegalStateException(s"MV ${d.name} has no durable home"))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val staged = new org.apache.hadoop.fs.Path(
+      p.getParent, "." + p.getName + ".staging")
+    writeDurableInto(spark, d, staged.toString)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    if (!fs.rename(staged, p))
+      throw new java.io.IOException(s"durable tile commit failed: $staged -> $p")
+  }
+
+  private def writeDurableInto(spark: SparkSession, d: MvDef, dir: String): Unit = {
     d.mvDf.write.mode("overwrite").parquet(s"$dir/data")
     val sumDefSeq = d.sumDefs.toSeq.sortBy(_._2)
     val meta = TileMeta(
@@ -748,6 +778,29 @@ object MaterializedViews {
     import session.implicits._
     Seq(meta).toDS().repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  /** Conf-driven durable lattice home (the zero-API MaterializationService
+    * mode): with `spark.graft.lattice.dir` set on a session, every tile
+    * registered THROUGH that session persists durably under the dir, and
+    * the SQL front door (GraftSql.sql) adopts the dir's tiles once per
+    * session before the first statement — so a dashboard driver restarts
+    * into its warmed lattice with no orchestration code. */
+  val LatticeDirConf = "spark.graft.lattice.dir"
+
+  private val autoAdopted = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  private def confLatticeDir(spark: SparkSession): Option[String] =
+    Option(spark.conf.get(LatticeDirConf, null)).filter(_.nonEmpty)
+
+  /** Adopt the session's configured lattice dir, once per session (no-op
+    * without the conf). Called by the SQL front door; programmatic users
+    * call adoptTiles directly. */
+  def autoAdopt(spark: SparkSession): Unit =
+    confLatticeDir(spark).foreach { dir =>
+      if (autoAdopted.add(spark)) adoptTiles(spark, dir): Unit
+    }
 
   /** Persist a registered tile's partials under `latticeDir/<name>` so a
     * later session can re-adopt them (adoptTiles) without re-scanning the
@@ -780,6 +833,7 @@ object MaterializedViews {
       val (fs, root) = hadoopFs(spark, latticeDir)
       if (!fs.exists(root)) Nil
       else fs.listStatus(root).filter(_.isDirectory).toSeq
+        .filterNot(_.getPath.getName.startsWith(".")) // staging dirs
         .sortBy(_.getPath.getName)
         .flatMap(st => adoptOne(spark, st.getPath.toString))
     }

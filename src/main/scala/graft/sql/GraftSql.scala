@@ -22,6 +22,9 @@ object GraftSql {
 
   def sql(spark: SparkSession, rawText: String): DataFrame = {
     GraftFunctions.registerAll(spark)
+    // conf-driven lattice home: adopt the session's durable tiles once,
+    // BEFORE the first statement plans (no-op without the conf)
+    graft.plans.MaterializedViews.autoAdopt(spark)
     // Comments go first (string-aware): every downstream rewrite is a
     // token scan, and a keyword inside `-- ...` or `/* ... */` must not
     // fire it (the reference's lexer discards comments before the

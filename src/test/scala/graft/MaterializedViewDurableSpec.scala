@@ -159,6 +159,60 @@ class MaterializedViewDurableSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("conf-driven lattice home: DDL tiles persist durably and auto-adopt via the SQL front door") {
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      // session 1: CREATE MATERIALIZED VIEW with the lattice conf set —
+      // the rollup tile persists under the configured dir with NO
+      // explicit persistTile call
+      val s1 = spark.newSession()
+      s1.conf.set(MaterializedViews.LatticeDirConf, lat)
+      s1.read.parquet(fact).createOrReplaceTempView("tdur")
+      graft.sql.GraftSql.sql(s1,
+        "CREATE MATERIALIZED VIEW dur_ddl AS SELECT tag, SUM(amt) AS s FROM tdur GROUP BY tag")
+      val fs = new org.apache.hadoop.fs.Path(lat)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(lat)).nonEmpty,
+        "DDL tile must persist under the configured lattice dir")
+
+      // restart analog, then session 2 with the same conf: the FIRST
+      // SQL statement auto-adopts and is answered from the tile
+      MaterializedViews.release(s1, "ddl:dur_ddl")
+      graft.sql.MaterializedViewSql.clearRegistry()
+      val s2 = spark.newSession()
+      s2.conf.set(MaterializedViews.LatticeDirConf, lat)
+      s2.read.parquet(fact).createOrReplaceTempView("tdur2")
+      val q = graft.sql.GraftSql.sql(s2,
+        "SELECT tag, SUM(amt) AS s FROM tdur2 GROUP BY tag ORDER BY tag")
+      assert(noFactScan(q),
+        s"auto-adopted tile must answer the rollup:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("a", 40.0), ("b", 70.0), ("c", 40.0)))
+    } finally {
+      MaterializedViews.clear()
+      graft.sql.MaterializedViewSql.clearRegistry()
+    }
+  }
+
+  test("sanitized tile names get a hash suffix: ddl:x and ddl_x never share a durable home") {
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      MaterializedViews.register(spark, "ddl:x", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      MaterializedViews.register(spark, "ddl_x", spark.read.parquet(fact),
+        keys = Seq("tag", "pri"), sums = Seq("amt"))
+      val d1 = MaterializedViews.persistTile(spark, "ddl:x", lat)
+      val d2 = MaterializedViews.persistTile(spark, "ddl_x", lat)
+      assert(d1 != d2, s"slug collision: $d1 == $d2")
+      MaterializedViews.release(spark, "ddl:x")
+      MaterializedViews.release(spark, "ddl_x")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat).toSet == Set("ddl:x", "ddl_x"))
+    } finally MaterializedViews.clear()
+  }
+
   test("fingerprint mismatch discards the tile: out-of-band writes are never served stale") {
     import spark.implicits._
     val fact = tmp("mvdur") + "/t"; writeFact(fact)
