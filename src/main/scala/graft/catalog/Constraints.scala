@@ -1,0 +1,61 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+
+/** Declared referential constraints (ref: schema/Statistic.java
+  * `getReferentialConstraints` + plan/RelOptReferentialConstraint — the
+  * reference's planner trusts catalog-declared FK→PK pairs to prove a
+  * join LOSSLESS, enabling join elimination and materialized-view
+  * unification across differing join sets, rel/rules/materialize/
+  * MaterializedViewJoinRule's constraint-based compensation).
+  *
+  * Declaring `factPath.factCol → dimPath.dimKey` asserts, as the
+  * caller's catalog contract (exactly like the reference's — constraints
+  * are metadata, never re-verified per query):
+  *   - dimKey is UNIQUE in the dim table (a key),
+  *   - factCol is non-NULL in the fact table,
+  *   - every factCol value appears in dimKey (referential integrity).
+  * Under those three, fact ⋈ dim on factCol = dimKey has EXACTLY one
+  * row per fact row — so an aggregate over fact columns is identical on
+  * the fact and on the star, which is what lets a fact-only rollup be
+  * answered from a star tile (MaterializedViews.fkTileRewrite).
+  *
+  * At 100 TB this is the missing half of the lattice play: ONE wide
+  * star tile (fact ⋈ all dimensions, pre-aggregated) answers not just
+  * star queries but every fact-only rollup too — without constraints,
+  * each join subset would need its own materialization. */
+object Constraints {
+
+  final case class ForeignKey(
+      factPath: String, factCol: String, dimPath: String, dimKey: String)
+
+  private val fks = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[ForeignKey]()
+
+  private def qualify(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+  }
+
+  /** Declare factPath.factCol → dimPath.dimKey (idempotent). */
+  def declareForeignKey(spark: SparkSession, factPath: String, factCol: String,
+      dimPath: String, dimKey: String): Unit = {
+    fks.add(ForeignKey(qualify(spark, factPath), factCol,
+      qualify(spark, dimPath), dimKey)): Unit
+  }
+
+  def clear(): Unit = fks.clear()
+
+  /** Does a declared FK prove the join pair `(a, b)` (name-normalized,
+    * as in an MV signature) lossless, with its DIM side among
+    * `dimLeaves` (the tile's extra leaves)? Column names are unique
+    * across an MV source (duplicate names are rejected at register), so
+    * name matching identifies the tables unambiguously. */
+  def coversPair(pair: (String, String), dimLeaves: Seq[Set[String]]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    fks.asScala.exists { fk =>
+      Set(pair._1, pair._2) == Set(fk.factCol, fk.dimKey) &&
+        dimLeaves.exists(_.contains(fk.dimPath))
+    }
+  }
+}

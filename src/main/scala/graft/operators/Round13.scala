@@ -110,8 +110,42 @@ object Round13 {
       FROM orders GROUP BY o_orderstatus, o_orderpriority
       ORDER BY o_orderstatus, o_orderpriority"""))
 
+  /** Constraint-based tile answering (ref: rel/rules/materialize/
+    * MaterializedViewJoinRule + plan/RelOptReferentialConstraint +
+    * schema/Statistic.java getReferentialConstraints): the tile
+    * pre-aggregates the orders⋈customer STAR; the query rolls up ORDERS
+    * ALONE. A declared foreign key o_custkey → c_custkey proves the
+    * tile's extra join lossless (unique key, non-null FK, referential
+    * integrity — the TPC-H contract), so every fact row matched exactly
+    * one customer and the star's partials ARE the fact's partials: the
+    * fact-only rollup answers from the tile with zero scans (plan-gated
+    * in MvConstraintSpec + PlanQualitySpec). At 100 TB this halves the
+    * lattice bill: ONE wide star tile serves every join-subset rollup —
+    * without constraints each subset needs its own materialization. */
+  val q159_mv_fk_tile = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+      val customer = T(s, dir, "customer")
+      val star = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      MaterializedViews.registerOnce(s, "q159_mv", star,
+        keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+      graft.catalog.Constraints.declareForeignKey(s,
+        s"$dir/orders.parquet", "o_custkey", s"$dir/customer.parquet", "c_custkey")
+      orders.groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Map[String, Q] = Map(
     "q156_mv_cross_tile" -> q156_mv_cross_tile,
     "q157_mv_durable_tile" -> q157_mv_durable_tile,
-    "q158_mv_advisor_loop" -> q158_mv_advisor_loop)
+    "q158_mv_advisor_loop" -> q158_mv_advisor_loop,
+    "q159_mv_fk_tile" -> q159_mv_fk_tile)
 }

@@ -1024,7 +1024,61 @@ object MaterializedViews {
               .map(child => Aggregate(g, a, child, None))
           }
         }.nextOption()
+          .orElse(fkTileRewrite(groupings, aggExprs, sig, conjs))
       }
+
+    /** Multiset containment: `b` removed from `a` leaf-by-leaf; Some =
+      * the leftover leaves of `a`, None = `b` has a leaf `a` lacks. */
+    private def bagDiff(a: Seq[Set[String]], b: Seq[Set[String]])
+        : Option[Seq[Set[String]]] = {
+      val rem = scala.collection.mutable.ArrayBuffer(a: _*)
+      val ok = b.forall { l =>
+        val i = rem.indexOf(l); if (i >= 0) { rem.remove(i); true } else false
+      }
+      if (ok) Some(rem.toSeq) else None
+    }
+
+    /** Constraint-based tile answering (ref: rel/rules/materialize/
+      * MaterializedViewJoinRule compensation over
+      * RelOptReferentialConstraint; Statistic.getReferentialConstraints):
+      * a query over a SUBSET of a tile's star — most importantly the
+      * fact table alone — is answered from the tile when every join the
+      * tile has and the query lacks is proven LOSSLESS by a declared
+      * foreign key (`catalog/Constraints`): FK→unique-key inner joins
+      * add exactly one match per fact row, so every fact-side aggregate
+      * and grouping is identical on the fact and on the star. The usual
+      * compensation applies on the shared part: a tile carrying its own
+      * dim-side filter is never implied by a fact-only query and stays
+      * blocked. Union compensation is deliberately NOT offered on this
+      * path — the residual would re-scan the star, not the fact; a
+      * second tile is the right tool for a wider range.
+      *
+      * At 100 TB: ONE wide star tile answers every join-subset rollup —
+      * without constraints each subset would need its own
+      * materialization (or re-pay the fact scan). */
+    private def fkTileRewrite(groupings: Seq[Expression],
+        aggExprs: Seq[NamedExpression], sig: Signature,
+        conjs: Seq[Expression]): Option[LogicalPlan] =
+      candidates.iterator.flatMap { mv =>
+        if (!fkCovers(mv, sig)) None
+        else rollupExprs(mv, groupings, aggExprs).flatMap { case (g, a) =>
+          compensation(mv, conjs, sig)
+            .map(c => Aggregate(g, a, targetWithFilters(mv, c), None))
+        }
+      }.nextOption()
+
+    /** Is every join `mv` has beyond `sig` proven lossless by a declared
+      * foreign key? (False when the signatures are identical — the exact
+      * path owns that case.) */
+    private def fkCovers(mv: MvDef, sig: Signature): Boolean =
+      mv.signature != sig &&
+        sig.joinPairs.subsetOf(mv.signature.joinPairs) &&
+        bagDiff(mv.signature.leaves, sig.leaves).exists { extraLeaves =>
+          val extraPairs = mv.signature.joinPairs -- sig.joinPairs
+          extraLeaves.nonEmpty && extraPairs.nonEmpty &&
+            extraPairs.forall(p =>
+              graft.catalog.Constraints.coversPair(p, extraLeaves))
+        }
 
     /** JOIN compensation (ref: rel/rules/materialize/
       * MaterializedViewRules.java join variants + plan/
@@ -1219,7 +1273,10 @@ object MaterializedViews {
         candidates.iterator.flatMap { mv =>
           if (!aggArgRefs.subsetOf(childOut)) None
           else
-          if (mv.signature != sig) None
+          // the tile answers its own signature, or a join-SUBSET of its
+          // star when declared foreign keys prove the extra joins
+          // lossless (fkCovers — the fact-only grouping-sets panel)
+          if (mv.signature != sig && !fkCovers(mv, sig)) None
           else {
             // tile columns the rewritten plan reads, routed through
             // Expand: one passthrough attribute per partial/key name,
@@ -1300,7 +1357,10 @@ object MaterializedViews {
               case (Some(aggs), Some(rows)) =>
                 compensation(mv, conjs, sig)
                   .map(c => targetWithFilters(mv, c))
-                  .orElse(unionTarget(mv, conjs, sig))
+                  // union compensation stays exact-signature only: an
+                  // FK-matched tile's residual would re-scan the star
+                  .orElse(if (mv.signature == sig)
+                    unionTarget(mv, conjs, sig) else None)
                   .map { target =>
                     val passSeq = passed.toSeq
                     val newOutput = passSeq.map(_._2) ++ groupPos.map(_._1)

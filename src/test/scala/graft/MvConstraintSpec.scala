@@ -1,0 +1,117 @@
+package graft
+
+import graft.catalog.Constraints
+import graft.plans.MaterializedViews
+import org.apache.spark.sql.functions._
+
+/** Constraint-based tile answering (RelOptReferentialConstraint parity):
+  * a DECLARED foreign key proves the tile's extra joins lossless, so a
+  * fact-only rollup is answered from a star tile — and without the
+  * declaration, or with a wrong-column declaration, nothing rewrites. */
+class MvConstraintSpec extends SparkSpec {
+
+  private def factPath = s"$sfDir/orders.parquet"
+  private def dimPath = s"$sfDir/customer.parquet"
+
+  private def star = {
+    val orders = T(spark, sfDir, "orders")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+    val customer = T(spark, sfDir, "customer")
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+  }
+
+  private def factRollup = T(spark, sfDir, "orders")
+    .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+    .groupBy("o_orderstatus")
+    .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"))
+    .orderBy("o_orderstatus")
+
+  private def hasTile(q: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = q.queryExecution.optimizedPlan
+    plan.toString.contains("InMemoryRelation") &&
+      plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty
+  }
+
+  test("declared FK: a fact-only rollup is answered from the star tile, zero scans") {
+    MaterializedViews.register(spark, "fk_star", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      // no declaration yet: the join-subset query must NOT ride the tile
+      assert(!hasTile(factRollup),
+        "without a declared constraint the star tile must not answer a fact-only query")
+
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      val q = factRollup
+      assert(hasTile(q),
+        s"FK-declared star tile must answer the fact-only rollup:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      MaterializedViews.clear()
+      val exp = factRollup.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      assert(got == exp, s"tile answer must equal the direct fact rollup")
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
+  test("a WRONG-column declaration does not admit the tile") {
+    MaterializedViews.register(spark, "fk_star2", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_orderkey", dimPath, "c_custkey")
+      assert(!hasTile(factRollup),
+        "an FK on a different column pair must not prove the join lossless")
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
+  test("a tile with its own dim-side filter stays blocked for fact-only queries") {
+    MaterializedViews.register(spark, "fk_star3",
+      star.filter(col("c_nationkey") >= 10),
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      assert(!hasTile(factRollup),
+        "a dim-filtered tile is missing fact rows and must never answer the full fact")
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
+  test("grouping sets over the fact alone ride the FK-declared star tile") {
+    MaterializedViews.register(spark, "fk_star5", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      def q = T(spark, sfDir, "orders")
+        .rollup(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy("gid", "o_orderstatus")
+      assert(hasTile(q),
+        s"the fact-only ROLLUP must ride the star tile:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSeq
+      MaterializedViews.clear()
+      val exp = q.collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == exp)
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
+  test("fact-side compensation still applies on the FK path") {
+    MaterializedViews.register(spark, "fk_star4", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      // a key-only fact filter re-applies on the tile
+      val q = T(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasTile(q),
+        s"key-only filter must compensate on the tile:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      MaterializedViews.clear()
+      val exp = T(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp)
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+}

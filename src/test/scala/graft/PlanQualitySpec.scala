@@ -509,6 +509,21 @@ class PlanQualitySpec extends SparkSpec
     } finally graft.plans.MaterializedViews.clear()
   }
 
+  test("q159: FK-declared star tile answers the fact-only rollup — zero scans") {
+    try {
+      val q = run("q159_mv_fk_tile")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"the star tile must answer the fact-only rollup:\n$lp")
+      assert(lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty, s"neither orders nor customer may be rescanned:\n$lp")
+    } finally {
+      graft.plans.MaterializedViews.drop(spark, "q159_mv")
+      graft.catalog.Constraints.clear()
+    }
+  }
+
   test("q155: ROLLUP(year(key), status) rides the day tile — zero fact scans") {
     try {
       val q = run("q155_mv_time_grouping_sets")
