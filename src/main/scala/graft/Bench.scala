@@ -28,6 +28,11 @@ object Bench {
     // corpus, so the recorded number documents the engine's
     // amortized-lattice latency rather than a comparison.
     "q148_mv_filtered_rollup", "q150_mv_join_rollup",
+    // round 13: the FK-constraint tile hit — a fact-only rollup answered
+    // from the orders⋈customer star tile (declared foreign key proves
+    // the extra join lossless). Like q148/q150, no baseline twin; the
+    // row documents the amortized-lattice latency of the new path.
+    "q159_mv_fk_tile",
     "d01_dedup_exact", "d03_minhash_lsh", "d09_knn_bruteforce")
 
   def main(args: Array[String]): Unit = {

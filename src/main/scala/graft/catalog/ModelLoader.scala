@@ -22,10 +22,26 @@ final case class TableDef(
 
 final case class ViewDef(name: String, sql: String)
 
+/** A lattice tile declared in the model (ref: model/JsonLattice.java
+  * tiles + model/JsonMaterialization.java — the reference's model
+  * declares materializations that MaterializationService registers at
+  * connect time, so the first query already rewrites). */
+final case class TileDef(
+    name: String, table: String, keys: Seq[String],
+    sums: Seq[String] = Nil, mins: Seq[String] = Nil, maxs: Seq[String] = Nil)
+
+/** A referential constraint declared in the model (ref:
+  * schema/Statistic.java getReferentialConstraints — the reference's
+  * tables carry FK metadata the planner trusts). */
+final case class FkDef(
+    factTable: String, factCol: String, dimTable: String, dimKey: String)
+
 final case class Model(
     name: String,
     tables: Seq[TableDef],
-    views: Seq[ViewDef] = Seq.empty)
+    views: Seq[ViewDef] = Seq.empty,
+    tiles: Seq[TileDef] = Seq.empty,
+    foreignKeys: Seq[FkDef] = Seq.empty)
 
 object ModelLoader {
 
@@ -58,6 +74,25 @@ object ModelLoader {
       t.name -> df
     }.toMap
     model.views.foreach(v => spark.sql(v.sql).createOrReplaceTempView(v.name))
+    // declared constraints feed the planner before any tile registers
+    // (a tile registration may immediately benefit from them)
+    val paths = model.tables.map(t => t.name -> t.path).toMap
+    model.foreignKeys.foreach { fk =>
+      Constraints.declareForeignKey(spark,
+        paths.getOrElse(fk.factTable, throw new IllegalArgumentException(
+          s"fk: unknown table '${fk.factTable}'")), fk.factCol,
+        paths.getOrElse(fk.dimTable, throw new IllegalArgumentException(
+          s"fk: unknown table '${fk.dimTable}'")), fk.dimKey)
+    }
+    // model-declared tiles materialize once per definition (the
+    // reference's connect-time materialization registration): the first
+    // matching rollup after load already answers from the tile
+    model.tiles.foreach { t =>
+      val src = tables.getOrElse(t.table, throw new IllegalArgumentException(
+        s"tile '${t.name}': unknown table '${t.table}'"))
+      graft.plans.MaterializedViews.registerOnce(spark, s"model:${t.name}",
+        src, t.keys, t.sums, t.mins, t.maxs): Unit
+    }
     tables
   }
 
@@ -67,6 +102,8 @@ object ModelLoader {
     *   lineitem = parquet:/data/lineitem.parquet
     *   rates    = csv:/data/rates.csv
     *   v_top    = view:SELECT ... FROM lineitem ...
+    *   day_tile = tile:orders|keys=o_orderstatus;o_orderdate|sums=o_totalprice
+    *   fk1      = fk:orders.o_custkey->customer.c_custkey
     * }}} */
   def parse(name: String, text: String): Model = {
     val lines = text.linesIterator.map(_.trim)
@@ -76,10 +113,31 @@ object ModelLoader {
       val Array(fmt, rest) = v.split(":", 2)
       (k, fmt, rest)
     }
+    def tile(k: String, spec: String): TileDef = {
+      val parts = spec.split("\\|").map(_.trim)
+      val table = parts.head
+      val opts = parts.tail.map { p =>
+        val Array(a, b) = p.split("=", 2); a -> b.split(";").map(_.trim).toSeq
+      }.toMap
+      require(opts.contains("keys"), s"tile '$k' needs keys=...")
+      TileDef(k, table, opts("keys"), opts.getOrElse("sums", Nil),
+        opts.getOrElse("mins", Nil), opts.getOrElse("maxs", Nil))
+    }
+    def fk(spec: String): FkDef = {
+      val Array(f, d) = spec.split("->", 2).map(_.trim)
+      val Array(ft, fc) = f.split("\\.", 2)
+      val Array(dt, dk) = d.split("\\.", 2)
+      FkDef(ft, fc, dt, dk)
+    }
     Model(
       name,
-      tables = entries.collect { case (k, fmt, p) if fmt != "view" => TableDef(k, fmt, p) },
-      views = entries.collect { case (k, "view", sql) => ViewDef(k, sql) })
+      tables = entries.collect {
+        case (k, fmt, p) if !Set("view", "tile", "fk").contains(fmt) =>
+          TableDef(k, fmt, p)
+      },
+      views = entries.collect { case (k, "view", sql) => ViewDef(k, sql) },
+      tiles = entries.collect { case (k, "tile", spec) => tile(k, spec) },
+      foreignKeys = entries.collect { case (_, "fk", spec) => fk(spec) })
   }
 
   def loadFile(spark: SparkSession, path: String): Map[String, DataFrame] = {

@@ -35,6 +35,43 @@ class CatalogSourcesSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM p_top").count() == 3)
   }
 
+  test("model-declared tiles and foreign keys feed the planner at load time") {
+    // the reference's JSON model declares lattices/materializations that
+    // register at connect time (model/JsonLattice.java,
+    // JsonMaterialization.java) and tables carry referential constraints
+    // (Statistic.getReferentialConstraints) — here the properties model
+    // does both: the first rollup after load already rides the tile, and
+    // the declared FK lets the orders⋈customer star tile answer an
+    // orders-only rollup
+    val p = java.nio.file.Paths.get(tmp, "model_lattice.properties")
+    java.nio.file.Files.writeString(p, s"""
+      |l_orders   = parquet:$sfDir/orders.parquet
+      |l_customer = parquet:$sfDir/customer.parquet
+      |star_tile  = tile:l_orders|keys=o_orderstatus;o_orderpriority
+      |fk1        = fk:l_orders.o_custkey->l_customer.c_custkey
+      |""".stripMargin)
+    try {
+      ModelLoader.loadFile(spark, p.toString)
+      assert(graft.plans.MaterializedViews.isRegistered("model:star_tile"))
+      val q = spark.table("l_orders").groupBy("o_orderstatus")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"model tile must answer the first rollup:\n$lp")
+      // the FK declaration is live in the constraint registry
+      assert(graft.catalog.Constraints.coversPair(
+        ("c_custkey", "o_custkey"),
+        Seq(Set(new org.apache.hadoop.fs.Path(s"$sfDir/customer.parquet")
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .makeQualified(new org.apache.hadoop.fs.Path(s"$sfDir/customer.parquet"))
+          .toString))))
+    } finally {
+      graft.plans.MaterializedViews.clear()
+      graft.catalog.Constraints.clear()
+    }
+  }
+
   test("csv sink + source roundtrip preserves data") {
     val src = T(spark, sfDir, "nation")
     src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
