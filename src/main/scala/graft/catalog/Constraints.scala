@@ -47,15 +47,22 @@ object Constraints {
   def clear(): Unit = fks.clear()
 
   /** Does a declared FK prove the join pair `(a, b)` (name-normalized,
-    * as in an MV signature) lossless, with its DIM side among
-    * `dimLeaves` (the tile's extra leaves)? Column names are unique
-    * across an MV source (duplicate names are rejected at register), so
-    * name matching identifies the tables unambiguously. */
-  def coversPair(pair: (String, String), dimLeaves: Seq[Set[String]]): Boolean = {
+    * as in an MV signature) lossless? BOTH declared tables must be
+    * present: the DIM side among `dimLeaves` (the tile's extra leaves —
+    * the side whose join must add exactly one match per row), and the
+    * FACT side among `allLeaves` (every leaf of the tile — the fact
+    * itself, or an inner dim of a snowflake chain). Without the
+    * fact-side check, a constraint declared for table A would falsely
+    * cover a same-NAMED column pair in a tile over a different table.
+    * Within one tile, names are unambiguous (duplicate output names are
+    * rejected at register). */
+  def coversPair(pair: (String, String), dimLeaves: Seq[Set[String]],
+      allLeaves: Seq[Set[String]]): Boolean = {
     import scala.jdk.CollectionConverters._
     fks.asScala.exists { fk =>
       Set(pair._1, pair._2) == Set(fk.factCol, fk.dimKey) &&
-        dimLeaves.exists(_.contains(fk.dimPath))
+        dimLeaves.exists(_.contains(fk.dimPath)) &&
+        allLeaves.exists(_.contains(fk.factPath))
     }
   }
 }

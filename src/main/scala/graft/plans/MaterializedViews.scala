@@ -1076,8 +1076,8 @@ object MaterializedViews {
         bagDiff(mv.signature.leaves, sig.leaves).exists { extraLeaves =>
           val extraPairs = mv.signature.joinPairs -- sig.joinPairs
           extraLeaves.nonEmpty && extraPairs.nonEmpty &&
-            extraPairs.forall(p =>
-              graft.catalog.Constraints.coversPair(p, extraLeaves))
+            extraPairs.forall(p => graft.catalog.Constraints.coversPair(
+              p, extraLeaves, mv.signature.leaves))
         }
 
     /** JOIN compensation (ref: rel/rules/materialize/

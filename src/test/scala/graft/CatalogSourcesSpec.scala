@@ -60,12 +60,15 @@ class CatalogSourcesSpec extends SparkSpec {
       assert(lp.toString.contains("InMemoryRelation"),
         s"model tile must answer the first rollup:\n$lp")
       // the FK declaration is live in the constraint registry
+      def qualified(path: String) =
+        new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .makeQualified(new org.apache.hadoop.fs.Path(path)).toString
       assert(graft.catalog.Constraints.coversPair(
         ("c_custkey", "o_custkey"),
-        Seq(Set(new org.apache.hadoop.fs.Path(s"$sfDir/customer.parquet")
-          .getFileSystem(spark.sessionState.newHadoopConf())
-          .makeQualified(new org.apache.hadoop.fs.Path(s"$sfDir/customer.parquet"))
-          .toString))))
+        Seq(Set(qualified(s"$sfDir/customer.parquet"))),
+        Seq(Set(qualified(s"$sfDir/customer.parquet")),
+          Set(qualified(s"$sfDir/orders.parquet")))))
     } finally {
       graft.plans.MaterializedViews.clear()
       graft.catalog.Constraints.clear()

@@ -65,6 +65,19 @@ class MvConstraintSpec extends SparkSpec {
     } finally { MaterializedViews.clear(); Constraints.clear() }
   }
 
+  test("a constraint declared for a DIFFERENT table never covers a same-named pair") {
+    MaterializedViews.register(spark, "fk_star6", star,
+      keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+    try {
+      // same COLUMN names, but the declared fact table is lineitem —
+      // not a leaf of this tile: name matching alone must not admit it
+      Constraints.declareForeignKey(spark, s"$sfDir/lineitem.parquet",
+        "o_custkey", dimPath, "c_custkey")
+      assert(!hasTile(factRollup),
+        "a foreign key declared for another table must not cover this tile's join")
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
   test("a tile with its own dim-side filter stays blocked for fact-only queries") {
     MaterializedViews.register(spark, "fk_star3",
       star.filter(col("c_nationkey") >= 10),
