@@ -44,9 +44,11 @@ object Stats {
 
   /** APPROX_COUNT_DISTINCT (HLL, ref: SqlStdOperatorTable.java:1120;
     * profile/ProfilerImpl.java:577 uses the same sketch family). Spark's
-    * builtin sketch internals differ across engines → rows-only here;
-    * q144_hll_relational is the value-checked twin (same sketch math,
-    * deterministic, bit-exact against the DuckDB oracle). */
+    * builtin sketch ESTIMATE differs from DuckDB's, so the hashed
+    * surface (r13, the q66 pattern) carries the exact in-query twin plus
+    * a boolean pinning the estimate inside the default-rsd (5%) error
+    * envelope at 3σ — the oracle asserts TRUE. The estimate VALUE stays
+    * spec-gated; q144_hll_relational is the bit-exact sketch-math twin. */
   val q18_approx_distinct = Q(
     (s, dir) => {
       T(s, dir, "lineitem")
@@ -54,9 +56,15 @@ object Stats {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.15)).as("approx_within_15pct"))
         .orderBy("l_returnflag")
     },
-    None)
+    Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS approx_within_15pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** PERCENTILE_CONT / PERCENTILE_DISC with WITHIN GROUP ordering
     * (ref: SqlStdOperatorTable.java:2507-2523). Linear interpolation is

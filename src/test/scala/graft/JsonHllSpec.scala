@@ -22,6 +22,13 @@ class JsonHllSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("q18: the builtin approx-distinct estimate sits inside its error envelope") {
+    val rows = run("q18_approx_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"flag ${r.getString(0)}: estimate outside the 15% envelope"))
+  }
+
   test("parameterized queries — the RexDynamicParam surface") {
     T.registerViews(spark, sfDir)
     val byPos = spark.sql(

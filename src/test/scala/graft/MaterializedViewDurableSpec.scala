@@ -159,6 +159,43 @@ class MaterializedViewDurableSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("HLL sketch and derived-measure partials survive the durable round trip") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/t"
+    Seq((1L, "a", 10.0, 2.0), (2L, "a", 20.0, 3.0), (3L, "b", 30.0, 4.0),
+      (4L, "a", 10.0, 5.0))
+      .toDF("id", "tag", "amt", "w").write.parquet(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      def src = spark.read.parquet(fact)
+      MaterializedViews.register(spark, "dur_rich", src,
+        keys = Seq("tag"), sums = Seq("amt"),
+        approxDistincts = Seq("id"),
+        sumExprs = Seq("wamt" -> (col("amt") * col("w"))))
+      MaterializedViews.persistTile(spark, "dur_rich", lat)
+      MaterializedViews.release(spark, "dur_rich")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_rich"))
+
+      // derived measure: SUM(amt*w) from the reloaded expression partial
+      val q = s2.read.parquet(fact).groupBy("tag")
+        .agg(sum(col("amt") * col("w")).as("s"),
+          count(col("amt") * col("w")).as("c"))
+        .orderBy("tag")
+      assert(noFactScan(q),
+        s"derived measure must ride the reloaded tile:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+        Seq(("a", 130.0, 3L), ("b", 120.0, 1L)))
+
+      // HLL partial: approx_count_distinct rolls up from the reloaded sketch
+      val a = s2.read.parquet(fact)
+        .agg(approx_count_distinct(col("id")).as("d"))
+      assert(noFactScan(a),
+        s"approx distinct must ride the reloaded sketch:\n${a.queryExecution.optimizedPlan}")
+      assert(a.collect()(0).getLong(0) == 4L)
+    } finally MaterializedViews.clear()
+  }
+
   test("conf-driven lattice home: DDL tiles persist durably and auto-adopt via the SQL front door") {
     val fact = tmp("mvdur") + "/t"; writeFact(fact)
     val lat = tmp("mvdur_lat")
