@@ -585,28 +585,31 @@ object MaterializedViews {
       hit
     }
 
-  /** Does any single-leaf MV read `path`? (TableDml.insertInto persists
-    * the append rows before writing when this is true, so the fold sees
-    * the same snapshot that was written.) */
+  /** Does any MV read `path`? (TableDml.insertInto persists the append
+    * rows before writing when this is true, so the fold sees the same
+    * snapshot that was written.) */
   def watchesPath(spark: SparkSession, path: String): Boolean =
-    touchedBy(spark, path).exists(_.signature.leaves.size == 1)
+    touchedBy(spark, path).nonEmpty
 
   /** APPEND write-barrier (TableDml.insertInto): an append is exactly
-    * refreshIncremental's delta contract, so a SINGLE-LEAF MV over the
-    * appended path folds the new rows in algebraically and stays live —
-    * the nightly-load path never re-registers. A JOIN MV cannot fold a
-    * one-sided append (the delta's join partners are unknown) and drops
-    * like any other write. The appended rows ARE in the files, so the
-    * MV stays union-compensation-safe: the base relation's file indexes
-    * are refreshed so a residual scan sees the new files. A fold that
-    * fails for any reason downgrades to DROP (the barrier's guarantee
-    * is no-stale-MV, never at the cost of failing a committed write).
-    * Returns (folded, dropped) names. */
+    * refreshIncremental's delta contract, so an MV over the appended
+    * path folds the new rows in algebraically and stays live — the
+    * nightly-load path never re-registers. A JOIN MV folds too (r13):
+    * inner joins distribute over union on either input, so the star's
+    * delta is the appended rows joined against the OTHER leaves' current
+    * files — Δ(A ⋈ B) = ΔA ⋈ B when only A changed (starDelta; at
+    * 100 TB a fact append joins the broadcast-small dims, a dim append
+    * pays one fact pass — both beat rebuilding the tile). The appended
+    * rows ARE in the files, so the MV stays union-compensation-safe:
+    * the base relation's file indexes are refreshed so a residual scan
+    * sees the new files. A fold that fails for any reason — including a
+    * path matching MORE than one leaf (self-join: the delta would need
+    * both sides simultaneously) — downgrades to DROP (the barrier's
+    * guarantee is no-stale-MV, never at the cost of failing a committed
+    * write). Returns (folded, dropped) names. */
   def foldAppendOrInvalidate(spark: SparkSession, path: String,
       rows: DataFrame): (Seq[String], Seq[String]) = maintLock.synchronized {
-    val (foldable, joins) = touchedBy(spark, path).partition(_.signature.leaves.size == 1)
-    joins.foreach(d => drop(spark, d.name))
-    val outcomes = foldable.map { d =>
+    val outcomes = touchedBy(spark, path).map { d =>
       try {
         d.baseDf.queryExecution.analyzed.foreach {
           case lr: LogicalRelation => lr.relation match {
@@ -615,7 +618,10 @@ object MaterializedViews {
           }
           case _ => ()
         }
-        compactInto(spark, d, Some(deltaPartials(spark, d, rows)),
+        val delta =
+          if (d.signature.leaves.size == 1) rows
+          else starDelta(spark, d, path, rows)
+        compactInto(spark, d, Some(deltaPartials(spark, d, delta)),
           deltaInFiles = true)
         (d.name, true)
       } catch {
@@ -627,7 +633,32 @@ object MaterializedViews {
       }
     }
     (outcomes.collect { case (n, true) => n },
-      joins.map(_.name) ++ outcomes.collect { case (n, false) => n })
+      outcomes.collect { case (n, false) => n })
+  }
+
+  /** The star's delta for a one-sided append: the appended rows stand in
+    * for their leaf, every other leaf reads its CURRENT files (unchanged
+    * since registration — only `path` was written), and the join recipe
+    * re-applies. Exact because inner joins distribute over union on
+    * either input. Throws when the path matches zero or several leaves
+    * (the caller downgrades to DROP). */
+  private def starDelta(spark: SparkSession, d: MvDef, path: String,
+      rows: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val qualified =
+      p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+    def touches(leaf: String): Boolean =
+      leaf == qualified || leaf.startsWith(qualified + "/") ||
+        qualified.startsWith(leaf + "/")
+    val hits = d.signature.leaves.zipWithIndex
+      .collect { case (l, i) if l.exists(touches) => i }
+    require(hits.size == 1,
+      s"append touches ${hits.size} leaves of MV ${d.name}; delta needs exactly one")
+    val frames = d.signature.leaves.zipWithIndex.map { case (l, i) =>
+      if (i == hits.head) rows
+      else graft.T.normalizeTimestamps(spark.read.parquet(l.toSeq.sorted: _*))
+    }
+    joinFrames(frames, d.signature.joinPairs.toSeq)
   }
 
   private def touchedBy(spark: SparkSession, path: String): Seq[MvDef] = {
@@ -894,10 +925,16 @@ object MaterializedViews {
     * same timestamp normalization the loader applies, so rebuilt
     * attribute types match what was registered. */
   private def rebuildJoin(spark: SparkSession, leaves: Seq[Seq[String]],
+      pairs: Seq[(String, String)]): DataFrame =
+    joinFrames(leaves.map(paths =>
+      graft.T.normalizeTimestamps(spark.read.parquet(paths: _*))), pairs)
+
+  /** Fold `frames0` into one inner-join tree along `pairs` (the greedy
+    * merge rebuildJoin documents); also reused by starDelta with an
+    * append delta standing in for one leaf. */
+  private def joinFrames(frames0: Seq[DataFrame],
       pairs: Seq[(String, String)]): DataFrame = {
-    val frames = scala.collection.mutable.ArrayBuffer(
-      leaves.map(paths =>
-        graft.T.normalizeTimestamps(spark.read.parquet(paths: _*))): _*)
+    val frames = scala.collection.mutable.ArrayBuffer(frames0: _*)
     val pending = scala.collection.mutable.ArrayBuffer(pairs: _*)
     def frameOf(c: String): Int = frames.indexWhere(_.columns.contains(c))
     var guard = pairs.size + frames.size + 1

@@ -22,12 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object TableDml {
 
-  /** INSERT INTO path VALUES rows. Single-leaf MVs over the path fold
-    * the appended rows in algebraically and stay live (the append IS
-    * refreshIncremental's delta contract); join MVs cannot fold a
-    * one-sided append and are invalidated like every other write. When
-    * a fold will run, `rows` is persisted BEFORE the write so the fold
-    * aggregates the same snapshot that landed in the files (a
+  /** INSERT INTO path VALUES rows. MVs over the path fold the appended
+    * rows in algebraically and stay live (the append IS
+    * refreshIncremental's delta contract) — including JOIN MVs, whose
+    * delta is the appended rows joined against the unchanged leaves
+    * (MaterializedViews.starDelta; inner joins distribute over union).
+    * When a fold will run, `rows` is persisted BEFORE the write so the
+    * fold aggregates the same snapshot that landed in the files (a
     * non-deterministic source plan would otherwise fold a different
     * delta than it wrote). */
   def insertInto(spark: SparkSession, path: String, rows: DataFrame): Unit = {

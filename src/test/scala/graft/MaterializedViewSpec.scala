@@ -739,7 +739,33 @@ class MaterializedViewSpec extends SparkSpec {
       val after = q2.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
       assert(after == Map("a" -> 240.0, "c" -> 5.0), s"got $after")
 
-      // a JOIN MV cannot fold a one-sided append: it drops
+      // r13: a JOIN MV with DISTINCT key names FOLDS a one-sided append —
+      // the star delta is the appended rows joined against the unchanged
+      // dim files (Δ(A⋈B) = ΔA⋈B)
+      val dim = java.nio.file.Files.createTempDirectory("mvdml").toString + "/d"
+      Seq((1L, 7.0), (5L, 9.0), (6L, 11.0)).toDF("did", "w").write.parquet(dim)
+      val joined2 = spark.read.parquet(dir)
+        .join(spark.read.parquet(dim), col("id") === col("did"))
+      MaterializedViews.register(spark, "mv_dml_join2", joined2,
+        keys = Seq("tag"), sums = Seq("w"))
+      val preJoin = joined2.groupBy("tag").agg(sum("w").as("sw"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      graft.plans.TableDml.insertInto(spark, dir,
+        Seq((5L, "d", 1.0)).toDF("id", "tag", "amt"))
+      assert(MaterializedViews.isRegistered("mv_dml_join2"),
+        "join MV must FOLD a one-sided append (star delta)")
+      assert(MaterializedViews.isRegistered("mv_dml"),
+        "the single-leaf MV folds the same append")
+      val qj = spark.read.parquet(dir)
+        .join(spark.read.parquet(dim), col("id") === col("did"))
+        .groupBy("tag").agg(sum("w").as("sw"))
+      assert(hasMv(qj), "folded join MV must still substitute")
+      val afterJoin = qj.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(afterJoin == preJoin + ("d" -> 9.0), s"got $afterJoin vs pre $preJoin")
+
+      // a USING-style join (both key columns named `id`) has an
+      // ambiguous delta recipe: the fold refuses and it DROPS — the
+      // barrier's no-stale guarantee, never wrong results
       val other2 = java.nio.file.Files.createTempDirectory("mvdml").toString + "/v"
       Seq((1L, 7.0)).toDF("id", "w").write.parquet(other2)
       val joined = spark.read.parquet(dir)
@@ -747,11 +773,9 @@ class MaterializedViewSpec extends SparkSpec {
       MaterializedViews.register(spark, "mv_dml_join", joined,
         keys = Seq("tag"), sums = Seq("w"))
       graft.plans.TableDml.insertInto(spark, dir,
-        Seq((5L, "d", 1.0)).toDF("id", "tag", "amt"))
+        Seq((6L, "e", 1.0)).toDF("id", "tag", "amt"))
       assert(!MaterializedViews.isRegistered("mv_dml_join"),
-        "join MV must drop on a one-sided append")
-      assert(MaterializedViews.isRegistered("mv_dml"),
-        "the single-leaf MV folds the same append")
+        "same-named join keys cannot rebuild a delta recipe: must drop")
     } finally MaterializedViews.clear()
   }
 
