@@ -46,6 +46,25 @@ object Constraints {
 
   def clear(): Unit = fks.clear()
 
+  /** Declare an ALREADY-QUALIFIED constraint verbatim — the durable-tile
+    * adoption path (MaterializedViews.adoptOne): TileMeta serializes the
+    * qualified paths `declareForeignKey` produced, so re-declaring them
+    * must not re-qualify against a possibly different working FS. */
+  private[graft] def declareQualified(fk: ForeignKey): Unit = fks.add(fk): Unit
+
+  /** Declared constraints BOTH of whose sides are leaves of the given
+    * tile — the set worth persisting beside it (ref: constraints live ON
+    * the table metadata, schema/Statistic.java getReferentialConstraints,
+    * so they travel with whatever catalog stores the materialization).
+    * Deterministic order, so TileMeta round-trips stably. */
+  private[graft] def forLeaves(leaves: Seq[Set[String]]): Seq[ForeignKey] = {
+    import scala.jdk.CollectionConverters._
+    fks.asScala.toSeq
+      .filter(fk => leaves.exists(_.contains(fk.factPath)) &&
+        leaves.exists(_.contains(fk.dimPath)))
+      .sortBy(fk => (fk.factPath, fk.factCol, fk.dimPath, fk.dimKey))
+  }
+
   /** Does a declared FK prove the join pair `(a, b)` (name-normalized,
     * as in an MV signature) lossless? BOTH declared tables must be
     * present: the DIM side among `dimLeaves` (the tile's extra leaves —

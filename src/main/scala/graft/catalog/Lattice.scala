@@ -60,7 +60,14 @@ object Lattice {
       source: DataFrame, dims: Seq[String], sums: Seq[String],
       budgetRows: Long, maxTiles: Int = 3): Seq[String] =
     suggestTiles(source, dims, budgetRows, maxTiles).map { t =>
-      val name = s"${prefix}_${t.dims.mkString("_")}"
+      // dimension names may themselves contain '_', so a plain join can
+      // collide across distinct dim sets (["a_b"] vs ["a","b"]) and
+      // registerOnce would silently replace one suggested tile with
+      // another (ADVICE r13) — a short hash of the dim LIST disambiguates
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.dims.mkString("\u0001").getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      val name = s"${prefix}_${t.dims.mkString("_")}_$h"
       graft.plans.MaterializedViews.registerOnce(spark, name, source,
         t.dims, sums): Unit
       name

@@ -115,7 +115,12 @@ object MaterializedViews {
       rowCount: Long = Long.MaxValue,
       // durable home of this tile (persistTile/adoptTiles): partials +
       // metadata live here across sessions; DML invalidation deletes it
-      durableDir: Option[String] = None) {
+      durableDir: Option[String] = None,
+      // number of gen-N increments currently on disk under durableDir
+      // (stream write-through): compaction's full swap resets to 0; a
+      // new gen appends at this index so adopted-but-uncompacted gens
+      // on disk are never overwritten
+      durableGens: Int = 0) {
     def cntns: Set[String] = cntnsSeq.toSet
   }
 
@@ -243,14 +248,28 @@ object MaterializedViews {
     }.toMap
     val cols = partialAggCols(sums, mins, maxs, approxDistincts, sumExprs, counts)
     val mv = source.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    // a re-registration under an existing name CARRIES the prior durable
+    // home forward (ADVICE r13): silently detaching it would leave a
+    // stale old-definition tile on disk that a later session re-adopts
+    val prior = Option(registry.get(name))
+    val carried = prior.flatMap(_.durableDir)
+    // a fresh registration recomputes partials from the CURRENT files —
+    // any queued deferred fold would re-add rows those files already
+    // carry; cancel it
+    bumpEpoch(name)
     val out = store(spark, name, signature, keys, sums, mins, maxs, approxDistincts, mv,
-      replacedAll = Option(registry.get(name)).toSeq.flatMap(d => d.mvDf +: d.gens),
+      replacedAll = prior.toSeq.flatMap(d => d.mvDf +: d.gens),
       filterConjuncts, baseDf, sumDefs = sumDefs, sumExprCols = sumExprs,
-      counts = counts)
+      counts = counts, durableDir = carried)
     // conf-driven lattice home: tiles registered through a session with
     // spark.graft.lattice.dir set persist durably without explicit
-    // persistTile calls (the reference stores EVERY materialization)
-    confLatticeDir(spark).foreach(dir => persistTile(spark, name, dir): Unit)
+    // persistTile calls (the reference stores EVERY materialization).
+    // Without the conf, a carried durable home is re-persisted with the
+    // NEW definition so the disk never trails the registry.
+    confLatticeDir(spark) match {
+      case Some(dir) => persistTile(spark, name, dir): Unit
+      case None => carried.foreach(_ => writeDurable(spark, registry.get(name)))
+    }
     out
   }
 
@@ -338,29 +357,42 @@ object MaterializedViews {
       sumExprCols: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       counts: Seq[String] = Nil,
       durableDir: Option[String] = None): DataFrame = {
-    mv.persist()
-    val n = mv.count() // materialize now; the tile's cost key
+    // cut the tile's lineage to its file sources BEFORE caching: a later
+    // DataFrameWriter append to any source path recaches (Spark's
+    // InsertIntoHadoopFsRelationCommand → refreshByPath) every cache
+    // entry reading it — a cached tile whose plan still reads the files
+    // would silently REBUILD from the post-append live listing, and
+    // every algebraic fold on top would then double-count the delta
+    // (caught by DmlLatticeSpec's queued-folds case). A checkpointed
+    // plan is a LogicalRDD leaf: the recache has no file lineage to
+    // rebuild through, so the stored partials are immutable by
+    // construction — matching the reference's stored-materialization
+    // model (materialize/MaterializationService.java), where a
+    // materialization is a TABLE, not a live view of its sources.
+    val snapped = mv.localCheckpoint(true)
+    snapped.persist()
+    val n = snapped.count() // materialize now; the tile's cost key
 
     // cache-resolved plan: the whole aggregate collapses to an
     // InMemoryRelation leaf, which is what we splice into queries
-    val target = mv.queryExecution.withCachedData
+    val target = snapped.queryExecution.withCachedData
     registry.put(name, MvDef(name, signature, keys.toSet, sums.toSet,
       mins.toSet, maxs.toSet, approxes.toSet, hasCount = true, target,
       target.output.map(a => a.name -> a).toMap,
-      keys, sums, mins, maxs, approxes, mv, filterConjuncts, baseDf,
+      keys, sums, mins, maxs, approxes, snapped, filterConjuncts, baseDf,
       baseDf.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap,
       sumDefs = sumDefs, sumExprCols = sumExprCols,
       gens = Nil, unionSafe = unionSafe, cntnsSeq = counts,
       rowCount = n, durableDir = durableDir))
-    // re-registering an IDENTICAL definition resolves to the SAME cache
-    // entry (the CacheManager dedups by canonicalized plan) — unpersist
-    // of the replaced frame would clear the entry just stored
-    val newPlan = mv.queryExecution.analyzed
+    // every store caches a fresh checkpoint, so the replaced generations
+    // can always unpersist (the sameResult guard is kept for the
+    // degenerate case of the same frame instance being re-stored)
+    val newPlan = snapped.queryExecution.analyzed
     replacedAll.filterNot(_.queryExecution.analyzed.sameResult(newPlan))
       .foreach(_.unpersist())
 
     ensureRule(spark)
-    mv
+    snapped
   }
 
   /** Install the rewrite rule in THIS session's optimizer (idempotent).
@@ -413,24 +445,12 @@ object MaterializedViews {
     val merged0 = (Seq(d.mvDf) ++ d.gens ++ extra).reduce(_ unionByName _)
       .groupBy(d.keysSeq.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
-    // an in-files delta cuts the merged generation's LINEAGE (tile-scale
-    // rows): its logical plan unions the old cached partials — whose own
-    // lineage re-reads a file index that now (or later, via a shared
-    // FileIndex) lists the appended files — with the delta partials. A
-    // cache-eviction recompute through that lineage would scan the
-    // appended files AND re-add the delta (double count). Checkpointed
-    // blocks either exist or fail loudly; they can never silently
-    // recompute to a different answer. Applies to EVERY deltaInFiles
-    // caller (fold barrier AND user-driven refresh/append), not just
-    // the barrier's own site.
-    // a DURABLE tile's merge must also cut lineage: an adopted tile's
-    // cached partials READ the durable data dir, which writeDurable is
-    // about to overwrite — a post-overwrite recompute through that
-    // lineage would chase deleted files. Checkpointed blocks either
-    // exist or fail loudly.
-    val merged = if (deltaInFiles || d.durableDir.isDefined)
-      merged0.localCheckpoint(true)
-      else merged0
+    // store() checkpoints every generation (lineage-cut, see there), so
+    // the merged frame needs no extra snapshot here: the old partials it
+    // unions are already LogicalRDD leaves no recache can rebuild, and
+    // the durable overwrite below can never invalidate what the new
+    // generation reads
+    val merged = merged0
     val out = store(spark, d.name, d.signature, d.keysSeq, d.sumsSeq, d.minsSeq,
       d.maxsSeq, d.approxSeq, merged, replacedAll = d.mvDf +: d.gens,
       d.filterConjuncts, d.baseDf,
@@ -439,8 +459,14 @@ object MaterializedViews {
       counts = d.cntnsSeq, durableDir = d.durableDir)
     // a durable tile's on-disk copy tracks every compaction (the DML
     // append-fold path lands here), so a later adopt sees fresh partials
-    // under the NEW source fingerprint
-    d.durableDir.foreach(_ => writeDurable(spark, registry.get(d.name)))
+    // under the NEW source fingerprint. With MORE deferred folds queued
+    // behind this one, the write is skipped — the LAST fold writes a
+    // copy whose fingerprint matches the files it reflects; an earlier
+    // write would pair a live (post-later-append) fingerprint with
+    // partials that lack that append, and a crash in between would let
+    // an adopter serve it stale
+    if (pendingMaintenance(d.name) <= 1)
+      d.durableDir.foreach(_ => writeDurable(spark, registry.get(d.name)))
     out
   }
 
@@ -462,14 +488,27 @@ object MaterializedViews {
       val deltaAgg = deltaPartials(spark, d, delta)
       if (d.gens.size + 2 > compactEvery) compactInto(spark, d, Some(deltaAgg), deltaInFiles)
       else {
-        deltaAgg.persist()
-        deltaAgg.count() // materialize the generation now
-        val dTarget = deltaAgg.queryExecution.withCachedData
+        // generations get the same lineage cut as store(): a cached
+        // partial whose plan still reads source files would be rebuilt
+        // from the live listing by a later write's recache
+        val gen = deltaAgg.localCheckpoint(true)
+        gen.persist()
+        gen.count() // materialize the generation now
+        val dTarget = gen.queryExecution.withCachedData
         val newTarget = logical.Union(Seq(d.target, dTarget),
           byName = false, allowMissingCol = false)
-        registry.put(name, d.copy(target = newTarget, gens = d.gens :+ deltaAgg,
-          unionSafe = d.unionSafe && deltaInFiles))
-        deltaAgg
+        val updated = d.copy(target = newTarget, gens = d.gens :+ gen,
+          unionSafe = d.unionSafe && deltaInFiles,
+          durableGens = if (d.durableDir.isDefined) d.durableGens + 1 else 0)
+        registry.put(name, updated)
+        // durable write-through: the on-disk copy tracks every batch,
+        // not just compactions — a crash loses nothing (the gen merges
+        // back at adopt time exactly as the cached generation would).
+        // `updated` so the rewritten metadata carries the POST-append
+        // unionSafe; the new gen lands at the pre-append index.
+        d.durableDir.foreach(_ =>
+          writeDurableGen(spark, updated, d.durableGens, gen))
+        gen
       }
     }
 
@@ -522,24 +561,87 @@ object MaterializedViews {
   /** Merge columns folding two generations of partials: every partial is
     * a commutative monoid (SUM/counts by SUM, MIN/MAX by themselves, HLL
     * sketches by union). */
-  private def mergePartialCols(d: MvDef): Seq[org.apache.spark.sql.Column] = {
+  private def mergePartialCols(d: MvDef): Seq[org.apache.spark.sql.Column] =
+    mergePartialColsFor(d.sumsSeq, d.sumExprCols.map(_._1), d.cntnsSeq,
+      d.minsSeq, d.maxsSeq, d.approxSeq, n => d.mvDf.schema(n).dataType)
+
+  /** Layout-parametric variant: adoptOne merges on-disk gen increments
+    * before any MvDef exists for the tile. `typeOf` is the tile's STORED
+    * partial layout: a decimal SUM partial re-widens on every merge
+    * (sum(decimal(p,s)) → p+10), so without the cast-back each
+    * fold/compaction would silently mutate the durable layout and a
+    * later positional Union (generations, union compensation) would
+    * splice mismatched types mid-optimizer. */
+  private def mergePartialColsFor(sums: Seq[String], sumExprNames: Seq[String],
+      cntns: Seq[String], mins: Seq[String], maxs: Seq[String],
+      approxes: Seq[String],
+      typeOf: String => org.apache.spark.sql.types.DataType)
+      : Seq[org.apache.spark.sql.Column] = {
     // column ORDER must mirror partialAggCols exactly: the substitution
     // target unions generations POSITIONALLY (appendIncremental,
     // unionTarget), so a compacted generation (this layout) and a fresh
     // delta (partialAggCols layout) must agree column-for-column — with
     // both sums and derived measures present the cntn blocks would
     // otherwise cross (same LongType on both sides: silently wrong)
-    val sumNames = d.sumsSeq ++ d.sumExprCols.map(_._1)
-    sumNames.map(c => sum(col(s"__mv_sum_$c")).as(s"__mv_sum_$c")) ++
-      d.sumExprCols.map(_._1)
-        .map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
-      d.sumsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
-      d.cntnsSeq.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
-      d.minsSeq.map(c => min(col(s"__mv_min_$c")).as(s"__mv_min_$c")) ++
-      d.maxsSeq.map(c => max(col(s"__mv_max_$c")).as(s"__mv_max_$c")) ++
-      d.approxSeq.map(c => hll_union_agg(col(s"__mv_hll_$c")).as(s"__mv_hll_$c")) :+
+    val sumNames = sums ++ sumExprNames
+    sumNames.map { c =>
+      val n = s"__mv_sum_$c"
+      sum(col(n)).cast(typeOf(n)).as(n)
+    } ++
+      sumExprNames.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+      sums.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+      cntns.map(c => sum(col(s"__mv_cntn_$c")).as(s"__mv_cntn_$c")) ++
+      mins.map(c => min(col(s"__mv_min_$c")).as(s"__mv_min_$c")) ++
+      maxs.map(c => max(col(s"__mv_max_$c")).as(s"__mv_max_$c")) ++
+      approxes.map(c => hll_union_agg(col(s"__mv_hll_$c")).as(s"__mv_hll_$c")) :+
       sum(col("__mv_cnt")).as("__mv_cnt")
   }
+
+  // ---- deferred join-tile append folds ---------------------------------
+  // A one-sided append to a JOIN tile needs the OTHER leaves to compute
+  // its star delta (Δ(A⋈B) = ΔA⋈B) — for a dimension append that is a
+  // full fact pass, which must not stall the DML thread (the r13 scale
+  // flag). The barrier builds the delta PLAN synchronously (schema-only:
+  // the other leaves pinned to a file-list snapshot), marks the tile
+  // pending — the rewrite skips pending tiles, never serving one that
+  // has not absorbed a committed append — and a single maintenance
+  // thread runs the fold jobs FIFO. The snapshot is what keeps QUEUED
+  // folds exact: fold_i must join the other leaves as of barrier_i;
+  // reading live roots at execution time would double-count ΔA⋈ΔB once
+  // a later append lands on another leaf.
+
+  /** In-flight deferred folds per tile name. */
+  private val pendingFolds = new ConcurrentHashMap[String, Integer]()
+
+  /** Monotone per-name epoch: bumped by every operation after which a
+    * queued fold's delta no longer applies — re-register (fresh partials
+    * already include the appended files), drop, release, clear. A
+    * deferred task applies only at its enqueue-time epoch. */
+  private val foldEpochs = new ConcurrentHashMap[String, java.lang.Long]()
+  private def epochOf(name: String): Long =
+    Option(foldEpochs.get(name)).map(_.toLong).getOrElse(0L)
+  private def bumpEpoch(name: String): Unit =
+    foldEpochs.merge(name, 1L, (a, b) => a + b): Unit
+
+  private val foldExecutor = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-mv-maintenance"); t.setDaemon(true); t
+    })
+
+  /** Block until every deferred fold enqueued so far has completed (the
+    * executor is FIFO, so an empty barrier task suffices). Determinism
+    * hook for tests and for callers that need read-your-append on a join
+    * tile. */
+  def awaitMaintenance(): Unit =
+    foldExecutor.submit(new Runnable { def run(): Unit = () }).get(): Unit
+
+  /** Deferred folds currently outstanding for `name` (0 = tile serves). */
+  def pendingMaintenance(name: String): Int =
+    Option(pendingFolds.get(name)).map(_.toInt).getOrElse(0)
+
+  /** Test instrumentation: runs at the start of every deferred fold
+    * task, before any lock is taken. */
+  private[graft] var foldTaskHook: () => Unit = () => ()
 
   /** Registered tiles cheapest-first: among MVs that can all answer a
     * query, the smallest adequate tile is tried first — the reference's
@@ -547,14 +649,19 @@ object MaterializedViews {
     * least-cost covering materialization). Cross-tile subsumption falls
     * out of the full sweep: a query a COARSE tile cannot answer (e.g.
     * COUNT(DISTINCT c) with c only a key of a FINER tile) keeps probing
-    * until the finer tile admits it. */
+    * until the finer tile admits it. Tiles with an in-flight deferred
+    * fold are SKIPPED — a committed append they have not absorbed yet
+    * must never be missing from an answer. */
   private def candidates: Seq[MvDef] =
-    registry.values.toArray.map(_.asInstanceOf[MvDef]).sortBy(_.rowCount).toSeq
+    registry.values.toArray.map(_.asInstanceOf[MvDef])
+      .filter(d => pendingMaintenance(d.name) == 0)
+      .sortBy(_.rowCount).toSeq
 
   // drop/clear hold maintLock like every other registry write: an
   // unsynchronized drop racing a stream micro-batch could be resurrected
   // by the batch's registry.put, with its cache already unpersisted
   def drop(spark: SparkSession, name: String): Unit = maintLock.synchronized {
+    bumpEpoch(name)
     Option(registry.remove(name)).foreach { d =>
       (d.mvDf +: d.gens).foreach(_.unpersist())
       // a dropped durable tile must not be resurrected by a later adopt
@@ -562,7 +669,10 @@ object MaterializedViews {
     }
   }
   def clear(): Unit = maintLock.synchronized {
-    registry.values.forEach(d => (d.mvDf +: d.gens).foreach(_.unpersist()))
+    registry.values.forEach { d =>
+      bumpEpoch(d.name)
+      (d.mvDf +: d.gens).foreach(_.unpersist())
+    }
     registry.clear()
   }
 
@@ -607,8 +717,13 @@ object MaterializedViews {
     * both sides simultaneously) — downgrades to DROP (the barrier's
     * guarantee is no-stale-MV, never at the cost of failing a committed
     * write). Returns (folded, dropped) names. */
+  /** `releaseRows`: the caller hands ownership of a PERSISTED delta to
+    * the barrier — unpersisted once every fold that reads it (including
+    * deferred ones, which outlive this call) has completed. */
   def foldAppendOrInvalidate(spark: SparkSession, path: String,
-      rows: DataFrame): (Seq[String], Seq[String]) = maintLock.synchronized {
+      rows: DataFrame, releaseRows: Boolean = false): (Seq[String], Seq[String]) =
+    maintLock.synchronized {
+    var deferredAny = false
     val outcomes = touchedBy(spark, path).map { d =>
       try {
         d.baseDf.queryExecution.analyzed.foreach {
@@ -618,12 +733,35 @@ object MaterializedViews {
           }
           case _ => ()
         }
-        val delta =
-          if (d.signature.leaves.size == 1) rows
-          else starDelta(spark, d, path, rows)
-        compactInto(spark, d, Some(deltaPartials(spark, d, delta)),
-          deltaInFiles = true)
-        (d.name, true)
+        if (d.signature.leaves.size == 1) {
+          compactInto(spark, d, Some(deltaPartials(spark, d, rows)),
+            deltaInFiles = true)
+          (d.name, true)
+        } else starDeltaSnapshot(spark, d, path, rows) match {
+          case Some(delta) =>
+            // JOIN tile: the fold's aggregation (a fact pass for a dim
+            // append) runs on the maintenance thread, not the DML thread
+            // (the r13 scale flag). The delta PLAN is built here — schema
+            // work only, and ambiguous recipes still fail synchronously
+            // into the DROP arm below. Until the fold lands the tile is
+            // pending and the rewrite skips it.
+            val deltaAgg = deltaPartials(spark, d, delta)
+            pendingFolds.merge(d.name, 1, (a, b) => a + b): Unit
+            deferredAny = true
+            val epoch = epochOf(d.name)
+            foldExecutor.submit(new Runnable {
+              def run(): Unit = runDeferredFold(spark, d.name, epoch, deltaAgg)
+            }): Unit
+            (d.name, true)
+          case None =>
+            // a leaf that cannot be pinned to a flat file-list snapshot
+            // (partitioned layout) folds synchronously on the live roots
+            // — correctness over write latency
+            compactInto(spark, d,
+              Some(deltaPartials(spark, d, starDelta(spark, d, path, rows))),
+              deltaInFiles = true)
+            (d.name, true)
+        }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
@@ -632,9 +770,89 @@ object MaterializedViews {
           (d.name, false)
       }
     }
+    if (releaseRows) {
+      if (deferredAny) foldExecutor.submit(new Runnable {
+        def run(): Unit = { rows.unpersist(): Unit }
+      }): Unit
+      else rows.unpersist(): Unit
+    }
     (outcomes.collect { case (n, true) => n },
       outcomes.collect { case (n, false) => n })
   }
+
+  /** Execute one deferred fold at its enqueue-time epoch; a bumped epoch
+    * (re-register/drop/release since the barrier) skips — the delta no
+    * longer applies to what the registry holds. Failures drop the tile,
+    * the barrier's no-stale guarantee. */
+  private def runDeferredFold(spark: SparkSession, name: String, epoch: Long,
+      deltaAgg: DataFrame): Unit = {
+    foldTaskHook()
+    maintLock.synchronized {
+      try {
+        if (epochOf(name) == epoch) Option(registry.get(name)).foreach { d =>
+          try compactInto(spark, d, Some(deltaAgg), deltaInFiles = true): Unit
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft] MV $name: deferred append fold " +
+                s"failed (${e.getMessage}); dropping")
+              drop(spark, name)
+          }
+        }
+      } finally pendingFolds.compute(name,
+        (_, v) => if (v == null || v <= 1) null else v - 1): Unit
+    }
+  }
+
+  /** The star delta with every OTHER leaf pinned to an explicit file
+    * list captured NOW (metadata-only), or None when a leaf has no flat
+    * listing (partitioned layout — the caller folds synchronously).
+    * Throws when the appended path does not identify exactly one leaf
+    * (self-join ambiguity — the caller downgrades to DROP). */
+  private def starDeltaSnapshot(spark: SparkSession, d: MvDef, path: String,
+      rows: DataFrame): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val qualified =
+      p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+    def touches(leaf: String): Boolean =
+      leaf == qualified || leaf.startsWith(qualified + "/") ||
+        qualified.startsWith(leaf + "/")
+    val hits = d.signature.leaves.zipWithIndex
+      .collect { case (l, i) if l.exists(touches) => i }
+    require(hits.size == 1,
+      s"append touches ${hits.size} leaves of MV ${d.name}; delta needs exactly one")
+    val others = d.signature.leaves.zipWithIndex.map { case (l, i) =>
+      if (i == hits.head) Some(Seq.empty[String]) else listLeafFiles(spark, l)
+    }
+    if (others.exists(_.isEmpty)) None
+    else {
+      val frames = d.signature.leaves.indices.map { i =>
+        if (i == hits.head) rows
+        else graft.T.normalizeTimestamps(spark.read.parquet(others(i).get: _*))
+      }
+      Some(joinFrames(frames, d.signature.joinPairs.toSeq))
+    }
+  }
+
+  /** Flat data-file listing of a leaf's roots, or None when any root
+    * carries subdirectories (partition columns would be lost reading by
+    * file) or no data files. */
+  private def listLeafFiles(spark: SparkSession, roots: Set[String])
+      : Option[Seq[String]] = try {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    var flat = true
+    roots.toSeq.sorted.foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).foreach { st =>
+        val nm = st.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) {
+          if (st.isDirectory) flat = false else files += st.getPath.toString
+        }
+      }
+    }
+    if (flat && files.nonEmpty) Some(files.toSeq) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The star's delta for a one-sided append: the appended rows stand in
     * for their leaf, every other leaf reads its CURRENT files (unchanged
@@ -717,7 +935,22 @@ object MaterializedViews {
       sumDefKeys: Seq[String], sumDefNames: Seq[String],   // derived measures
       sumExprNames: Seq[String], sumExprSqls: Seq[String], // their columns
       unionSafe: Boolean,
-      fingerprint: String)
+      fingerprint: String,
+      // the defining source's OUTPUT schema (name + DataType.json, in
+      // source column order): adoptOne re-applies it on the rebuilt
+      // base, so a same-name cast projection the registered source
+      // carried (e.g. a money column normalized to DECIMAL) survives
+      // adoption — without it, post-adopt folds would compute partials
+      // at the raw file types and silently widen the durable layout
+      // (ADVICE r13 medium)
+      srcCols: Seq[String], srcTypeJsons: Seq[String],
+      // declared foreign keys whose BOTH sides are tile leaves, as
+      // 4-field -joined rows: re-declared at adopt time so a
+      // zero-API restarted driver regains fact-only FK-tile subsumption
+      // (ref: constraints live on table metadata, schema/Statistic.java
+      // getReferentialConstraints — they belong wherever the catalog
+      // stores the materialization)
+      fks: Seq[String])
 
   private def hadoopFs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -770,29 +1003,61 @@ object MaterializedViews {
     }
   }
 
+  /** Test instrumentation: runs between the staged durable write (the
+    * fingerprint is computed inside it) and the commit swap — the window
+    * an out-of-band source write races. Production value is a no-op. */
+  private[graft] var durableCommitHook: () => Unit = () => ()
+
   /** Write the tile's current partials + metadata to its durable home —
     * staged into a dot-prefixed sibling then swapped in (TableDml's
     * commit pattern), so a concurrent adopter never reads a
     * half-written directory: it sees the old tile, or briefly none
     * (skipped with a warning), never a torn one. Dot-prefixed staging
-    * dirs are invisible to adoptTiles. */
+    * dirs are invisible to adoptTiles.
+    *
+    * The swap also resolves the store/adopt race (ADVICE r12/r13): a
+    * source write landing between the fingerprint computation and the
+    * commit would leave a tile claiming validity for files it never
+    * folded. After the swap the fingerprint is recomputed; on mismatch
+    * the tile SELF-INVALIDATES (registration dropped, durable home
+    * deleted) — the same never-serve-stale rule the DML barrier applies. */
   private def writeDurable(spark: SparkSession, d: MvDef): Unit = {
     val dir = d.durableDir.getOrElse(
       throw new IllegalStateException(s"MV ${d.name} has no durable home"))
     val p = new org.apache.hadoop.fs.Path(dir)
     val staged = new org.apache.hadoop.fs.Path(
       p.getParent, "." + p.getName + ".staging")
-    writeDurableInto(spark, d, staged.toString)
+    val fp = writeDurableInto(spark, d, staged.toString)
+    durableCommitHook()
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
     if (!fs.rename(staged, p))
       throw new java.io.IOException(s"durable tile commit failed: $staged -> $p")
+    // the full swap removed any gen-N increments; the registry entry
+    // tracks the on-disk generation count for the write-through path
+    registry.computeIfPresent(d.name, (_, cur) =>
+      if (cur.durableDir.contains(dir)) cur.copy(durableGens = 0) else cur): Unit
+    if (leafFingerprint(spark, d.signature.leaves.map(_.toSeq)) != fp) {
+      System.err.println(s"[graft] durable tile ${d.name}: source changed " +
+        "during persist; self-invalidating")
+      drop(spark, d.name)
+    }
   }
 
-  private def writeDurableInto(spark: SparkSession, d: MvDef, dir: String): Unit = {
+  /** Stage the partials + metadata under `dir`; returns the fingerprint
+    * recorded in the metadata row (computed from the live source
+    * listings at write time). */
+  private def writeDurableInto(spark: SparkSession, d: MvDef, dir: String): String = {
     d.mvDf.write.mode("overwrite").parquet(s"$dir/data")
+    val meta = tileMetaOf(spark, d)
+    writeMeta(spark, meta, dir)
+    meta.fingerprint
+  }
+
+  private def tileMetaOf(spark: SparkSession, d: MvDef): TileMeta = {
     val sumDefSeq = d.sumDefs.toSeq.sortBy(_._2)
-    val meta = TileMeta(
+    val srcFields = d.baseDf.queryExecution.analyzed.output
+    TileMeta(
       name = d.name, keys = d.keysSeq, sums = d.sumsSeq, cntns = d.cntnsSeq,
       mins = d.minsSeq, maxs = d.maxsSeq, approxes = d.approxSeq,
       leaves = d.signature.leaves.map(_.toSeq.sorted.mkString("\u0001")),
@@ -801,13 +1066,58 @@ object MaterializedViews {
       filterSqls = d.filterConjuncts.map(_.sql),
       sumDefKeys = sumDefSeq.map(_._1), sumDefNames = sumDefSeq.map(_._2),
       sumExprNames = d.sumExprCols.map(_._1),
-      sumExprSqls = d.sumExprCols.map(c =>
-        org.apache.spark.sql.GraftSqlBridge.expression(c._2).sql),
+      // resolve each derived-measure Column against the source before
+      // taking SQL: an UNRESOLVED Column's .sql is not re-parseable
+      // (Spark 4 renders the ColumnNode wrapper), while the analyzed
+      // expression's .sql is plain name-based SQL that expr() round-trips
+      sumExprSqls = d.sumExprCols.map { case (n, c) =>
+        foldLiterals(d.baseDf.select(c.as(n)).queryExecution.analyzed
+          .asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child).sql
+      },
       unionSafe = d.unionSafe,
-      fingerprint = leafFingerprint(spark, d.signature.leaves.map(_.toSeq)))
+      fingerprint = leafFingerprint(spark, d.signature.leaves.map(_.toSeq)),
+      srcCols = srcFields.map(_.name),
+      srcTypeJsons = srcFields.map(_.dataType.json),
+      fks = graft.catalog.Constraints.forLeaves(d.signature.leaves).map(fk =>
+        Seq(fk.factPath, fk.factCol, fk.dimPath, fk.dimKey).mkString("\u0001")))
+  }
+
+  private def writeMeta(spark: SparkSession, meta: TileMeta, dir: String): Unit = {
     val session = spark
     import session.implicits._
     Seq(meta).toDS().repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Stream-generation write-through (the r13 durability-window fix):
+    * persist one appendIncremental generation as `gen-<idx>` beside the
+    * tile's base partials, so the durable copy is as fresh as the last
+    * micro-batch — the crash window that previously spanned
+    * compactEvery−1 cache-only batches closes. Metadata is rewritten
+    * FIRST (unionSafe may flip, and an in-files delta moves the
+    * fingerprint): a crash between the two writes leaves a conservative
+    * state — the adopter sees tighter metadata without the newest gen,
+    * never a gen the metadata does not account for. The gen itself
+    * stages + renames, so adoptTiles never reads a torn increment. */
+  private def writeDurableGen(spark: SparkSession, d: MvDef, idx: Int,
+      gen: DataFrame): Unit = {
+    val dir = d.durableDir.getOrElse(
+      throw new IllegalStateException(s"MV ${d.name} has no durable home"))
+    val meta = tileMetaOf(spark, d)
+    writeMeta(spark, meta, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/gen-$idx")
+    val staged = new org.apache.hadoop.fs.Path(
+      p.getParent, "." + p.getName + ".staging")
+    gen.write.mode("overwrite").parquet(staged.toString)
+    durableCommitHook()
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    if (!fs.rename(staged, p))
+      throw new java.io.IOException(s"durable gen commit failed: $staged -> $p")
+    if (leafFingerprint(spark, d.signature.leaves.map(_.toSeq)) != meta.fingerprint) {
+      System.err.println(s"[graft] durable tile ${d.name}: source changed " +
+        "during gen persist; self-invalidating")
+      drop(spark, d.name)
+    }
   }
 
   /** Conf-driven durable lattice home (the zero-API MaterializationService
@@ -885,20 +1195,84 @@ object MaterializedViews {
       ensureRule(spark)
       Some(meta.name)
     } else {
-      val base = rebuildJoin(spark, leaves,
+      // re-apply the recorded source schema on the rebuilt base (ADVICE
+      // r13): a same-name cast projection the registered source carried
+      // must survive adoption, or post-adopt folds/union compensation
+      // would run at the raw file types — silently widening the durable
+      // partial layout or splicing a type-mismatched positional Union
+      val base0 = rebuildJoin(spark, leaves,
         meta.joinPairs.map { s => val Array(a, b) = s.split('\u0001'); (a, b) })
+      val srcTypes = meta.srcCols.zip(
+        meta.srcTypeJsons.map(org.apache.spark.sql.types.DataType.fromJson))
+      val have = base0.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = srcTypes.collect { case (n, _) if !have.contains(n) => n }
+      require(missing.isEmpty,
+        s"rebuilt source is missing recorded columns ${missing.mkString(", ")}")
+      val base = base0.select(srcTypes.map { case (n, t) =>
+        if (have(n) == t) col(n) else col(n).cast(t).as(n)
+      }.toIndexedSeq: _*)
       val source = meta.filterSqls.foldLeft(base)((df, s) => df.filter(expr(s)))
       val (sig, srcFilters) = signatureOf(source.queryExecution.analyzed)
         .getOrElse(throw new IllegalStateException(
           s"rebuilt source for ${meta.name} is not signable"))
       val filterConjuncts = srcFilters.flatMap(splitAnd).map(foldLiterals)
-      val mv = spark.read.parquet(s"$tileDir/data")
+      val sumExprCols = meta.sumExprNames.zip(meta.sumExprSqls.map(expr))
+
+      // verify the rebuilt source reproduces the stored partial layout
+      // exactly (names + types): a drift here would corrupt the first
+      // post-adopt fold — discard instead (the tile can never adopt)
+      def shape(st: org.apache.spark.sql.types.StructType) =
+        st.fields.map(f => (f.name, f.dataType)).toSeq
+      val expectCols = partialAggCols(meta.sums, meta.mins, meta.maxs,
+        meta.approxes, sumExprCols, meta.cntns)
+      val expected = source.groupBy(meta.keys.map(col): _*)
+        .agg(expectCols.head, expectCols.tail: _*).schema
+      val data = spark.read.parquet(s"$tileDir/data")
+      if (shape(expected) != shape(data.schema)) {
+        System.err.println(s"[graft] durable tile ${meta.name}: rebuilt " +
+          s"partial layout ${shape(expected)} does not match stored " +
+          s"${shape(data.schema)}; discarding")
+        deleteDir(spark, tileDir)
+        return None
+      }
+
+      // durable gen increments (stream write-through): merge them with
+      // the base partials — identical to how the cached generations
+      // would merge (tile-scale work, the fact is never scanned)
+      val (fs, _) = hadoopFs(spark, tileDir)
+      val genDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tileDir))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+        .sortBy(_.getPath.getName.stripPrefix("gen-").toInt).toSeq
+      val mv =
+        if (genDirs.isEmpty) data
+        else {
+          val merge = mergePartialColsFor(meta.sums, meta.sumExprNames,
+            meta.cntns, meta.mins, meta.maxs, meta.approxes,
+            n => data.schema(n).dataType)
+          (data +: genDirs.map(g => spark.read.parquet(g.getPath.toString)))
+            .reduce(_ unionByName _)
+            .groupBy(meta.keys.map(col): _*).agg(merge.head, merge.tail: _*)
+        }
+
+      // re-declare the constraints persisted with the tile, so a
+      // zero-API restarted driver regains fact-only FK subsumption
+      // (fkTileRewrite) without a model file
+      meta.fks.foreach { row =>
+        val Array(fp, fc, dp, dk) = row.split('\u0001')
+        graft.catalog.Constraints.declareQualified(
+          graft.catalog.Constraints.ForeignKey(fp, fc, dp, dk))
+      }
+
       store(spark, meta.name, sig, meta.keys, meta.sums, meta.mins,
         meta.maxs, meta.approxes, mv, replacedAll = Nil, filterConjuncts,
         base, unionSafe = meta.unionSafe,
         sumDefs = meta.sumDefKeys.zip(meta.sumDefNames).toMap,
-        sumExprCols = meta.sumExprNames.zip(meta.sumExprSqls.map(expr)),
+        sumExprCols = sumExprCols,
         counts = meta.cntns, durableDir = Some(tileDir)): Unit
+      // on-disk gen dirs must not be overwritten by the next append
+      if (genDirs.nonEmpty)
+        registry.computeIfPresent(meta.name, (_, cur) =>
+          cur.copy(durableGens = genDirs.size)): Unit
       Some(meta.name)
     }
   } catch {
@@ -913,6 +1287,10 @@ object MaterializedViews {
     * invalidatePath do, because they mean the tile is WRONG, not merely
     * unloaded). */
   def release(spark: SparkSession, name: String): Unit = maintLock.synchronized {
+    // a queued deferred fold must not apply to a future re-adoption of
+    // this name: the durable copy it would fold into predates the append,
+    // and the adopt-time fingerprint check already discards it
+    bumpEpoch(name)
     Option(registry.remove(name)).foreach(d =>
       (d.mvDf +: d.gens).foreach(_.unpersist()))
   }
@@ -1100,7 +1478,12 @@ object MaterializedViews {
         if (!fkCovers(mv, sig)) None
         else rollupExprs(mv, groupings, aggExprs).flatMap { case (g, a) =>
           compensation(mv, conjs, sig)
-            .map(c => Aggregate(g, a, targetWithFilters(mv, c), None))
+            .map(c => targetWithFilters(mv, c))
+            // a strictly wider fact-side range unions the tile with a
+            // FACT-ONLY residual slice (never the dims) — sound when the
+            // whole partial layout is fact-computable (fkUnionTarget)
+            .orElse(fkUnionTarget(mv, conjs, sig))
+            .map(child => Aggregate(g, a, child, None))
         }
       }.nextOption()
 
@@ -1561,7 +1944,15 @@ object MaterializedViews {
       * widened ranges would be a disjunction that defeats pushdown,
       * which is when a user materializes a second tile instead. */
     private def unionTarget(mv: MvDef, conjsAll: Seq[Expression],
-        sig: Signature): Option[LogicalPlan] = {
+        sig: Signature): Option[LogicalPlan] =
+      residualSlicePred(mv, conjsAll, sig)
+        .flatMap(residual => unionWithResidual(mv, mv.baseDf, residual))
+
+    /** The residual slice's predicate (q ∧ ¬m ∧ shared) when the query's
+      * range is strictly wider than the MV's on exactly one conjunct —
+      * the admissibility half of union compensation; None otherwise. */
+    private def residualSlicePred(mv: MvDef, conjsAll: Seq[Expression],
+        sig: Signature): Option[Expression] = {
       // an MV fed deltas that are NOT in the source files (stream
       // maintenance, ad-hoc refresh) answers covered slices from its
       // exact cached partials, but a residual FILE scan would miss those
@@ -1585,13 +1976,20 @@ object MaterializedViews {
       // the MV's slice must sit strictly INSIDE the query's range
       if (!rangeImplies(mR, qR) || canonSql(m) == canonSql(q)) return None
       val negM = negate(m).getOrElse(return None)
+      Some((Seq(q, negM) ++ shared).reduce(And))
+    }
 
-      // residual slice, partial-aggregated at the MV's keys. Rebind the
-      // predicate to the base relation's attributes by name; analysis
-      // only (ofRows + analyzed) — no optimizer re-entry.
-      val baseOut = mv.baseDf.queryExecution.analyzed.output
+    /** Union the MV's cached partials with `residual` partial-aggregated
+      * over `base` — the assembly half of union compensation. `base` is
+      * the MV's own unfiltered source (exact-signature path), or the
+      * query-shaped FACT subset (FK path, where the lossless joins make
+      * fact-only partials equal the star's). */
+    private def unionWithResidual(mv: MvDef, base: DataFrame,
+        residual: Expression): Option[LogicalPlan] = {
+      // rebind the predicate to the base relation's attributes by name;
+      // analysis only (no optimizer re-entry)
+      val baseOut = base.queryExecution.analyzed.output
         .map(a => a.name -> (a: Expression)).toMap
-      val residual = (Seq(q, negM) ++ shared).reduce(And)
       val refs = residual.references.map(_.name).toSet
       if (!refs.forall(baseOut.contains)) return None
       // a conjunct Catalyst pushed below the loader's normalization
@@ -1603,7 +2001,7 @@ object MaterializedViews {
       }
       val cols = partialAggCols(mv.sumsSeq, mv.minsSeq, mv.maxsSeq, mv.approxSeq,
         mv.sumExprCols, mv.cntnsSeq)
-      val resid = mv.baseDf
+      val resid = base
         .filter(org.apache.spark.sql.GraftSqlBridge.column(bound))
         .groupBy(mv.keysSeq.map(col): _*)
         .agg(cols.head, cols.tail: _*)
@@ -1615,6 +2013,47 @@ object MaterializedViews {
       Some(logical.Union(Seq(mv.target, resid.queryExecution.optimizedPlan),
         byName = false, allowMissingCol = false))
     }
+
+    /** FK union compensation (ref: rel/rules/materialize/
+      * MaterializedViewAggregateRule.java union rewriting, composed with
+      * the constraint-based join compensation): a FACT-SIDE query whose
+      * range is strictly wider than the star tile's unions the tile's
+      * cached partials with a partial aggregate over the FACT-ONLY
+      * residual slice — the dims are never scanned. Sound exactly when
+      * the tile's whole partial LAYOUT (keys, partial arguments, derived
+      * measures, the residual predicate) is computable from the query's
+      * own fact relation: the declared-FK joins add exactly one match
+      * per fact row, so the star's partials over the residual slice
+      * EQUAL the fact-only partials. A layout touching any dim column
+      * fails analysis below and refuses (a second tile is the right tool
+      * there).
+      *
+      * At 100 TB: the nightly dashboard widening its window by a day
+      * scans one day of the FACT — not the star, not the dims. */
+    private def fkUnionTarget(mv: MvDef, conjsAll: Seq[Expression],
+        sig: Signature): Option[LogicalPlan] =
+      residualSlicePred(mv, conjsAll, sig).flatMap { residual =>
+        try {
+          val spark = org.apache.spark.sql.SparkSession.active
+          // the query's own relation shape (the fact, or a join subset
+          // of the star), at the REGISTERED source types — a same-name
+          // cast the tile's source carried re-applies so the residual
+          // partials union positionally at identical types
+          val raw = rebuildJoin(spark, sig.leaves.map(_.toSeq),
+            sig.joinPairs.toSeq)
+          val base = raw.select(raw.columns.map { c =>
+            mv.srcTypes.get(c) match {
+              case Some(t) if t != raw.schema(c).dataType => col(c).cast(t).as(c)
+              case _ => col(c)
+            }
+          }.toIndexedSeq: _*)
+          unionWithResidual(mv, base, residual)
+        } catch {
+          // any column of the tile's layout missing from the fact side
+          // surfaces as an analysis error — the rewrite just declines
+          case scala.util.control.NonFatal(_) => None
+        }
+      }
 
     /** Rewrite ONE aggregate function into its partial-merge form over
       * the MV's carried columns, or None when the MV cannot answer it.

@@ -34,10 +34,13 @@ object TableDml {
   def insertInto(spark: SparkSession, path: String, rows: DataFrame): Unit = {
     val watched = MaterializedViews.watchesPath(spark, path)
     val r = if (watched) rows.persist() else rows
-    try {
-      r.write.mode("append").parquet(path)
-      MaterializedViews.foldAppendOrInvalidate(spark, path, r): Unit
-    } finally if (watched) { r.unpersist(); () }
+    try r.write.mode("append").parquet(path)
+    catch { case e: Throwable => if (watched) r.unpersist(); throw e }
+    // ownership of the persisted delta passes to the barrier: a JOIN
+    // tile's fold runs on the maintenance thread and may outlive this
+    // call (MaterializedViews.awaitMaintenance for read-your-append)
+    MaterializedViews.foldAppendOrInvalidate(spark, path, r,
+      releaseRows = watched): Unit
   }
 
   /** UPDATE path SET assignments WHERE cond; returns updated-row count. */

@@ -230,4 +230,140 @@ class DmlLatticeSpec extends SparkSpec {
       assert(!q2.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
     } finally MaterializedViews.clear()
   }
+
+  // ---- deferred join-tile append folds (r14) ----------------------------
+
+  private def noScan(q: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = q.queryExecution.optimizedPlan
+    plan.toString.contains("InMemoryRelation") &&
+      plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.isEmpty
+  }
+
+  test("a dim append returns from the barrier without the fact pass; the fold lands async") {
+    val fact = java.nio.file.Files.createTempDirectory("dmlf").toString + "/f"
+    val dim = java.nio.file.Files.createTempDirectory("dmlf").toString + "/d"
+    Seq((1L, 10, 5.0), (2L, 20, 7.0), (3L, 10, 9.0))
+      .toDF("id", "k", "v").write.parquet(fact)
+    Seq((10, "x"), (20, "y")).toDF("dk", "name").write.parquet(dim)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "defer_t", star,
+        keys = Seq("name"), sums = Seq("v"))
+      // hold the maintenance thread at the gate: everything that happens
+      // before gate release provably ran WITHOUT the fold's fact pass
+      MaterializedViews.foldTaskHook = () => {
+        MaterializedViews.foldTaskHook = () => ()
+        gate.await()
+      }
+      TableDml.insertInto(spark, dim, Seq((30, "z")).toDF("dk", "name"))
+      // the barrier returned; the fold is queued, not run — the fact
+      // pass never happened on the DML thread
+      assert(MaterializedViews.pendingMaintenance("defer_t") == 1,
+        "dim-append fold must be deferred off the DML thread")
+      assert(MaterializedViews.isRegistered("defer_t"),
+        "a deferred fold keeps the tile registered (pending, not dropped)")
+      // a rollup issued WHILE pending must not ride the stale tile —
+      // it falls back to the scan and stays correct
+      def rollup = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+        .groupBy("name").agg(sum("v").as("t")).orderBy("name")
+      val pendingQ = rollup
+      assert(!noScan(pendingQ),
+        s"pending tile must be skipped by the rewrite:\n${pendingQ.queryExecution.optimizedPlan}")
+      assert(pendingQ.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("x", 14.0), ("y", 7.0)))
+
+      gate.countDown()
+      MaterializedViews.awaitMaintenance()
+      assert(MaterializedViews.pendingMaintenance("defer_t") == 0)
+      val q = rollup
+      assert(noScan(q),
+        s"folded tile must serve again:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("x", 14.0), ("y", 7.0)))
+    } finally {
+      gate.countDown()
+      MaterializedViews.foldTaskHook = () => ()
+      MaterializedViews.clear()
+    }
+  }
+
+  test("queued folds on BOTH sides of a join tile stay exact: no double-counted cross delta") {
+    val fact = java.nio.file.Files.createTempDirectory("dmlf").toString + "/f"
+    val dim = java.nio.file.Files.createTempDirectory("dmlf").toString + "/d"
+    Seq((1L, 10, 5.0), (2L, 20, 7.0)).toDF("id", "k", "v").write.parquet(fact)
+    Seq((10, "x"), (20, "y")).toDF("dk", "name").write.parquet(dim)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "defer_x", star,
+        keys = Seq("name"), sums = Seq("v"))
+      MaterializedViews.foldTaskHook = () => {
+        MaterializedViews.foldTaskHook = () => ()
+        gate.await()
+      }
+      // two appends land while fold #1 is still queued — and they JOIN
+      // each other (k=30 ⋈ dk=30): fold #1 reading live dim files would
+      // see the later dim row and double-count Δfact⋈Δdim
+      TableDml.insertInto(spark, fact, Seq((3L, 30, 11.0)).toDF("id", "k", "v"))
+      TableDml.insertInto(spark, dim, Seq((30, "z")).toDF("dk", "name"))
+      assert(MaterializedViews.pendingMaintenance("defer_x") == 2)
+      gate.countDown()
+      MaterializedViews.awaitMaintenance()
+      assert(MaterializedViews.isRegistered("defer_x"),
+        "both queued folds must land, not drop")
+      val q = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+        .groupBy("name").agg(sum("v").as("t")).orderBy("name")
+      assert(noScan(q), s"tile must serve:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("x", 5.0), ("y", 7.0), ("z", 11.0)),
+        "snapshot folds must count the cross delta exactly once")
+    } finally {
+      gate.countDown()
+      MaterializedViews.foldTaskHook = () => ()
+      MaterializedViews.clear()
+    }
+  }
+
+  test("a destructive write racing a queued fold wins: the fold never resurrects the tile") {
+    val fact = java.nio.file.Files.createTempDirectory("dmlf").toString + "/f"
+    val dim = java.nio.file.Files.createTempDirectory("dmlf").toString + "/d"
+    Seq((1L, 10, 5.0), (2L, 20, 7.0)).toDF("id", "k", "v").write.parquet(fact)
+    Seq((10, "x"), (20, "y")).toDF("dk", "name").write.parquet(dim)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "defer_d", star,
+        keys = Seq("name"), sums = Seq("v"))
+      MaterializedViews.foldTaskHook = () => {
+        MaterializedViews.foldTaskHook = () => ()
+        gate.await()
+      }
+      TableDml.insertInto(spark, dim, Seq((30, "z")).toDF("dk", "name"))
+      assert(MaterializedViews.pendingMaintenance("defer_d") == 1)
+      // an UPDATE on the fact drops the tile while the fold is queued
+      TableDml.update(spark, fact, col("id") === 1L, Map("v" -> lit(50.0)))
+      assert(!MaterializedViews.isRegistered("defer_d"))
+      gate.countDown()
+      MaterializedViews.awaitMaintenance()
+      assert(!MaterializedViews.isRegistered("defer_d"),
+        "the cancelled fold must not resurrect a dropped tile")
+      val q = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+        .groupBy("name").agg(sum("v").as("t")).orderBy("name")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("x", 50.0), ("y", 7.0)))
+    } finally {
+      gate.countDown()
+      MaterializedViews.foldTaskHook = () => ()
+      MaterializedViews.clear()
+    }
+  }
 }

@@ -250,6 +250,250 @@ class MaterializedViewDurableSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("declared constraints persist with the tile: a restarted driver regains FK subsumption") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/f"
+    val dim = tmp("mvdur") + "/d"
+    Seq((1L, 10, 5.0), (2L, 20, 7.0), (3L, 10, 9.0))
+      .toDF("id", "k", "v").write.parquet(fact)
+    Seq((10, "x"), (20, "y")).toDF("dk", "name").write.parquet(dim)
+    val lat = tmp("mvdur_lat")
+    try {
+      graft.catalog.Constraints.declareForeignKey(spark, fact, "k", dim, "dk")
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "dur_fk", star,
+        keys = Seq("id", "name"), sums = Seq("v"))
+      MaterializedViews.persistTile(spark, "dur_fk", lat)
+
+      // restart analog: registration, caches AND the in-memory constraint
+      // registry are gone — the FK must come back from the tile metadata
+      MaterializedViews.release(spark, "dur_fk")
+      graft.catalog.Constraints.clear()
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_fk"))
+
+      // fact-only rollup: only the re-declared FK proves the tile's
+      // extra join lossless
+      val q = s2.read.parquet(fact).groupBy("id").agg(sum("v").as("t")).orderBy("id")
+      assert(noFactScan(q),
+        s"re-declared FK must admit the fact-only rollup:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)))
+    } finally { MaterializedViews.clear(); graft.catalog.Constraints.clear() }
+  }
+
+  test("a tile persisted WITHOUT a declared FK never admits a fact-only rollup post-adopt") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/f"
+    val dim = tmp("mvdur") + "/d"
+    Seq((1L, 10, 5.0), (2L, 20, 7.0)).toDF("id", "k", "v").write.parquet(fact)
+    Seq((10, "x"), (20, "y")).toDF("dk", "name").write.parquet(dim)
+    val lat = tmp("mvdur_lat")
+    try {
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "dur_nofk", star,
+        keys = Seq("id", "name"), sums = Seq("v"))
+      MaterializedViews.persistTile(spark, "dur_nofk", lat)
+      MaterializedViews.release(spark, "dur_nofk")
+      graft.catalog.Constraints.clear()
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_nofk"))
+      val q = s2.read.parquet(fact).groupBy("id").agg(sum("v").as("t"))
+      assert(!noFactScan(q),
+        "no persisted constraint: the star tile must not answer a fact-only query")
+    } finally { MaterializedViews.clear(); graft.catalog.Constraints.clear() }
+  }
+
+  test("a cast-projected source survives adoption: folds and union compensation stay typed") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      // the registered source normalizes amt to DECIMAL(12,2) under the
+      // rollup (the q157/MvConstraintSpec shape) and carries a range
+      // filter, so both post-adopt maintenance paths exercise the
+      // recorded schema: the partial layout is decimal, not double
+      def src = spark.read.parquet(fact)
+        .withColumn("amt", col("amt").cast("decimal(12,2)"))
+      MaterializedViews.register(spark, "dur_cast",
+        src.filter(col("id") <= 4L), keys = Seq("tag"), sums = Seq("amt"))
+      val tileDir = MaterializedViews.persistTile(spark, "dur_cast", lat)
+      val before = spark.read.parquet(s"$tileDir/data").schema("__mv_sum_amt").dataType
+      assert(before == org.apache.spark.sql.types.DecimalType(22, 2),
+        s"registered partial layout must be decimal, got $before")
+      MaterializedViews.release(spark, "dur_cast")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_cast"))
+
+      // union compensation post-adopt: a strictly wider range splices a
+      // positional Union of the cached decimal partials with a residual
+      // slice — only sound if the rebuilt base re-applied the cast
+      val w = s2.read.parquet(fact)
+        .withColumn("amt", col("amt").cast("decimal(12,2)"))
+        .filter(col("id") <= 5L)
+        .groupBy("tag").agg(sum("amt").as("t")).orderBy("tag")
+      assert(w.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        s"wider range must union-compensate on the adopted tile:\n${w.queryExecution.optimizedPlan}")
+      assert(w.collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue)).toSeq ==
+        Seq(("a", 40.0), ("b", 70.0), ("c", 40.0)))
+
+      // append fold post-adopt: the delta partial-aggregates at the
+      // RECORDED decimal type — the durable layout must not widen
+      graft.plans.TableDml.insertInto(s2, fact,
+        Seq((4L, "c", "LO", 2.5)).toDF("id", "tag", "pri", "amt"))
+      assert(MaterializedViews.isRegistered("dur_cast"), "append must fold, not drop")
+      val after = s2.read.parquet(s"$tileDir/data").schema("__mv_sum_amt").dataType
+      assert(after == org.apache.spark.sql.types.DecimalType(22, 2),
+        s"fold must preserve the durable partial layout, got $after")
+      val q = s2.read.parquet(fact)
+        .withColumn("amt", col("amt").cast("decimal(12,2)"))
+        .filter(col("id") <= 4L)
+        .groupBy("tag").agg(sum("amt").as("t")).orderBy("tag")
+      assert(noFactScan(q))
+      assert(q.collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue)).toSeq ==
+        Seq(("a", 40.0), ("b", 20.0), ("c", 42.5)))
+    } finally MaterializedViews.clear()
+  }
+
+  test("stream generations write through: an uncompacted tile adopts fresh to the last batch") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      MaterializedViews.register(spark, "dur_gen", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      val tileDir = MaterializedViews.persistTile(spark, "dur_gen", lat)
+      // three micro-batches, NO compaction (compactEvery=8): each lands
+      // as a durable gen-N increment beside the base partials
+      (1 to 3).foreach { i =>
+        MaterializedViews.appendIncremental(spark, "dur_gen",
+          Seq((10L + i, "g", i * 1.0)).toDF("id", "tag", "amt"))
+      }
+      assert(MaterializedViews.generations("dur_gen") == 4)
+      val fs = new org.apache.hadoop.fs.Path(tileDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (0 to 2).foreach(i => assert(
+        fs.exists(new org.apache.hadoop.fs.Path(s"$tileDir/gen-$i")),
+        s"gen-$i must be durable before any compaction"))
+
+      // crash analog: cached generations gone, only the durable home left
+      MaterializedViews.release(spark, "dur_gen")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_gen"))
+      val q = s2.read.parquet(fact).groupBy("tag")
+        .agg(sum("amt").as("t")).orderBy("tag")
+      assert(noFactScan(q),
+        s"adopted tile must answer with zero fact scans:\n${q.queryExecution.optimizedPlan}")
+      // the appended batches are NOT in the files — the tile's answer
+      // includes them (as fresh as the last batch), the raw scan's does not
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("a", 40.0), ("b", 70.0), ("c", 40.0), ("g", 6.0)))
+
+      // a compaction in the adopted session collapses the durable gens
+      MaterializedViews.refreshIncremental(s2, "dur_gen",
+        Seq((20L, "g", 10.0)).toDF("id", "tag", "amt"))
+      (0 to 2).foreach(i => assert(
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$tileDir/gen-$i")),
+        s"compaction's full swap must remove gen-$i"))
+      val q2 = s2.read.parquet(fact).groupBy("tag").agg(sum("amt").as("t"))
+      assert(q2.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        .apply("g") == 16.0)
+    } finally MaterializedViews.clear()
+  }
+
+  test("a source write racing the durable commit self-invalidates the tile") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      MaterializedViews.register(spark, "dur_race", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      // an out-of-band append lands BETWEEN the staged write (fingerprint
+      // already computed) and the commit swap — the exact adopt/store
+      // race: without the post-swap recheck the tile would claim
+      // validity for files it never folded
+      MaterializedViews.durableCommitHook = () => {
+        MaterializedViews.durableCommitHook = () => ()
+        Seq((9L, "z", "LO", 90.0)).toDF("id", "tag", "pri", "amt")
+          .write.mode("append").parquet(fact)
+      }
+      val tileDir = MaterializedViews.persistTile(spark, "dur_race", lat)
+      assert(!MaterializedViews.isRegistered("dur_race"),
+        "racing source write must self-invalidate the registration")
+      val fs = new org.apache.hadoop.fs.Path(tileDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(tileDir)),
+        "racing source write must delete the durable home")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat).isEmpty)
+      // queries recompute from the live files, racing row included
+      val q = s2.read.parquet(fact).groupBy("tag").agg(sum("amt").as("t"))
+      assert(q.collect().map(_.getDouble(1)).sum == 240.0)
+    } finally {
+      MaterializedViews.durableCommitHook = () => ()
+      MaterializedViews.clear()
+    }
+  }
+
+  test("re-registering a name carries its durable home: the disk never trails the registry") {
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      MaterializedViews.register(spark, "dur_rereg", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      val tileDir = MaterializedViews.persistTile(spark, "dur_rereg", lat)
+      // re-register the SAME name with a DIFFERENT definition and no
+      // lattice conf: the durable home must follow the new definition
+      // (ADVICE r13 — dropping it would strand a stale old-definition
+      // tile for a later session to adopt)
+      MaterializedViews.register(spark, "dur_rereg", spark.read.parquet(fact),
+        keys = Seq("pri"), sums = Seq("amt"))
+      MaterializedViews.release(spark, "dur_rereg")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_rereg"))
+      val q = s2.read.parquet(fact).groupBy("pri")
+        .agg(sum("amt").as("t")).orderBy("pri")
+      assert(noFactScan(q),
+        s"adopted tile must carry the re-registered definition:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("HI", 50.0), ("LO", 100.0)))
+      // and drop() still owns the carried home
+      MaterializedViews.drop(s2, "dur_rereg")
+      val fs = new org.apache.hadoop.fs.Path(tileDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(tileDir)))
+    } finally MaterializedViews.clear()
+  }
+
+  test("advisor suggestions persist durably: a restarted driver adopts the SUGGESTED tile") {
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      // session 1 with the lattice conf: the closed advisor loop
+      // (profile → suggest → materialize under budget) persists every
+      // suggested tile with zero orchestration code
+      val s1 = spark.newSession()
+      s1.conf.set(MaterializedViews.LatticeDirConf, lat)
+      val names = graft.catalog.Lattice.materializeSuggestions(s1, "adv",
+        s1.read.parquet(fact), dims = Seq("tag", "pri"), sums = Seq("amt"),
+        budgetRows = 100L, maxTiles = 1)
+      assert(names.size == 1)
+      names.foreach(MaterializedViews.release(s1, _))
+
+      // restart analog: a fresh session adopts the suggested tile and
+      // the workload rollup rides it
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == names)
+      val q = s2.read.parquet(fact).groupBy("tag", "pri")
+        .agg(sum("amt").as("t"), count(lit(1)).as("n"))
+      assert(noFactScan(q),
+        s"workload rollup must hit the adopted suggested tile:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.getDouble(2)).sum == 150.0)
+    } finally MaterializedViews.clear()
+  }
+
   test("fingerprint mismatch discards the tile: out-of-band writes are never served stale") {
     import spark.implicits._
     val fact = tmp("mvdur") + "/t"; writeFact(fact)

@@ -752,6 +752,9 @@ class MaterializedViewSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
       graft.plans.TableDml.insertInto(spark, dir,
         Seq((5L, "d", 1.0)).toDF("id", "tag", "amt"))
+      // join-tile folds run on the maintenance thread (r14); the write
+      // barrier itself returns without the fact pass
+      MaterializedViews.awaitMaintenance()
       assert(MaterializedViews.isRegistered("mv_dml_join2"),
         "join MV must FOLD a one-sided append (star delta)")
       assert(MaterializedViews.isRegistered("mv_dml"),
