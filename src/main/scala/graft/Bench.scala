@@ -33,6 +33,10 @@ object Bench {
     // the extra join lossless). Like q148/q150, no baseline twin; the
     // row documents the amortized-lattice latency of the new path.
     "q159_mv_fk_tile",
+    // round 14: FK union compensation — a wider fact-only range answered
+    // as tile cache ∪ fact-slice residual (the dims never scanned).
+    // Like the other MV rows, no baseline twin.
+    "q160_mv_fk_union",
     "d01_dedup_exact", "d03_minhash_lsh", "d09_knn_bruteforce")
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.plans.MaterializedViews
+
+/** Round-14 pack: FK-subsumption beyond equality compensation (the
+  * fact-only union residual) and the advisor → durable-lattice
+  * composition, each end-to-end under the driver's DuckDB oracle.
+  */
+object Round14 {
+
+  /** FK union compensation (ref: rel/rules/materialize/
+    * MaterializedViewAggregateRule.java union rewriting composed with
+    * RelOptReferentialConstraint join compensation): the tile
+    * pre-aggregates the orders⋈customer STAR over the hot window
+    * (1997-07-01+); the query rolls up ORDERS ALONE over a strictly
+    * WIDER window (1997-01-01+). The declared FK o_custkey → c_custkey
+    * proves the star's join lossless, so the tile's fact-side partials
+    * answer the covered slice, and the residual half-year is a partial
+    * aggregate over the FACT only — the optimizer splices
+    * rollup(cached star partials ∪ fact-slice partials); customer is
+    * never scanned, orders only for the residual months (plan-gated in
+    * MvConstraintSpec). At 100 TB this composes the round-13 lattice
+    * halves: ONE star tile over the hot window serves join-subset
+    * rollups AND occasional wider lookbacks at fact-slice cost. */
+  val q160_mv_fk_union = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+      val customer = T(s, dir, "customer")
+      val star = orders.filter(col("o_orderdate") >= "1997-07-01")
+        .join(customer, col("o_custkey") === col("c_custkey"))
+      MaterializedViews.registerOnce(s, "q160_mv", star,
+        keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+      graft.catalog.Constraints.declareForeignKey(s,
+        s"$dir/orders.parquet", "o_custkey", s"$dir/customer.parquet", "c_custkey")
+      orders.filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Advisor → durable lattice composition (ref: materialize/
+    * TileSuggester.java feeding Lattice.java, stored through
+    * MaterializationService.java): ONE profiling pass recommends tiles
+    * within the row budget, the suggestions materialize AND persist
+    * under a lattice directory, the in-session registrations are
+    * released (the restart analog), and adoptTiles re-loads the
+    * SUGGESTED tile — the workload rollup below answers from the
+    * re-adopted suggestion with zero fact scans (plan-gated in
+    * MaterializedViewDurableSpec). At 100 TB this closes the loop the
+    * reference runs as a service: recommend once, pay the fact pass
+    * once, and every driver restart inherits the warmed lattice. */
+  val q161_mv_advisor_durable = Q(
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+      val lat = java.nio.file.Files.createTempDirectory("graft_lattice").toString
+      val names = graft.catalog.Lattice.materializeSuggestions(s, "q161_tile",
+        orders, dims = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("o_totalprice"), budgetRows = 1000L, maxTiles = 1)
+      names.foreach(n => MaterializedViews.persistTile(s, n, lat): Unit)
+      names.foreach(n => MaterializedViews.release(s, n))
+      MaterializedViews.adoptTiles(s, lat): Unit
+      orders.groupBy("o_orderpriority")
+        .agg(sum("o_totalprice").cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Map[String, Q] = Map(
+    "q160_mv_fk_union" -> q160_mv_fk_union,
+    "q161_mv_advisor_durable" -> q161_mv_advisor_durable)
+}

@@ -127,4 +127,72 @@ class MvConstraintSpec extends SparkSpec {
       assert(got == exp)
     } finally { MaterializedViews.clear(); Constraints.clear() }
   }
+
+  // ---- FK union compensation (r14) --------------------------------------
+
+  test("a wider fact-side range unions the star tile with a FACT-ONLY residual slice") {
+    val orders = T(spark, sfDir, "orders")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+    val hot = orders.filter(col("o_orderdate") >= "1997-07-01")
+      .join(T(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+    MaterializedViews.register(spark, "fk_union", hot,
+      keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      def q = T(spark, sfDir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+        .filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"),
+        s"covered slice must come from the tile cache:\n$plan")
+      val scans = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 1, s"exactly the fact residual may scan:\n$plan")
+      val scanned = scans.head.relation
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.map(_.toString).mkString
+      assert(scanned.contains("orders"), s"residual must scan the FACT, got $scanned")
+      assert(!scanned.contains("customer"), "the dims are NEVER scanned on this path")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      MaterializedViews.clear()
+      val exp = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      assert(got == exp, "union answer must equal the direct fact rollup")
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
+  test("a tile whose layout needs a DIM column refuses the fact-only union residual") {
+    val orders = T(spark, sfDir, "orders")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+    val hot = orders.filter(col("o_orderdate") >= "1997-07-01")
+      .join(T(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+    // c_nationkey is a KEY of the tile: the residual's partials cannot be
+    // computed from the fact alone, so the rewrite must decline — the
+    // query falls back to the scan and stays correct
+    MaterializedViews.register(spark, "fk_union_dim", hot,
+      keys = Seq("o_orderstatus", "o_orderdate", "c_nationkey"),
+      sums = Seq("o_totalprice"))
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      def q = T(spark, sfDir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+        .filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      assert(!hasTile(q),
+        "a dim-keyed tile must not union a fact-only residual")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      MaterializedViews.clear()
+      val exp = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      assert(got == exp)
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
 }
