@@ -821,37 +821,54 @@ object MaterializedViews {
     require(hits.size == 1,
       s"append touches ${hits.size} leaves of MV ${d.name}; delta needs exactly one")
     val others = d.signature.leaves.zipWithIndex.map { case (l, i) =>
-      if (i == hits.head) Some(Seq.empty[String]) else listLeafFiles(spark, l)
+      if (i == hits.head) Some((Seq.empty[String], None: Option[String]))
+      else listLeafFiles(spark, l)
     }
     if (others.exists(_.isEmpty)) None
     else {
       val frames = d.signature.leaves.indices.map { i =>
         if (i == hits.head) rows
-        else graft.T.normalizeTimestamps(spark.read.parquet(others(i).get: _*))
+        else {
+          val (files, basePath) = others(i).get
+          val reader = basePath.foldLeft(spark.read)(
+            (r, bp) => r.option("basePath", bp))
+          graft.T.normalizeTimestamps(reader.parquet(files: _*))
+        }
       }
       Some(joinFrames(frames, d.signature.joinPairs.toSeq))
     }
   }
 
-  /** Flat data-file listing of a leaf's roots, or None when any root
-    * carries subdirectories (partition columns would be lost reading by
-    * file) or no data files. */
+  /** Pinned snapshot of a leaf: its data files listed NOW, plus the
+    * basePath that re-derives partition columns when the layout is
+    * partitioned (reading explicit files under a basePath keeps the
+    * directory-encoded columns — a fact partitioned by day folds off
+    * the DML thread like a flat one). None when the leaf has no data
+    * files, or is partitioned across SEVERAL roots (no single base to
+    * name — the caller folds synchronously). */
   private def listLeafFiles(spark: SparkSession, roots: Set[String])
-      : Option[Seq[String]] = try {
+      : Option[(Seq[String], Option[String])] = try {
     val conf = spark.sessionState.newHadoopConf()
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    var flat = true
-    roots.toSeq.sorted.foreach { root =>
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(conf)
+    var nested = false
+    def walk(p: org.apache.hadoop.fs.Path,
+        fs: org.apache.hadoop.fs.FileSystem, top: Boolean): Unit =
       fs.listStatus(p).foreach { st =>
         val nm = st.getPath.getName
         if (!nm.startsWith("_") && !nm.startsWith(".")) {
-          if (st.isDirectory) flat = false else files += st.getPath.toString
+          if (st.isDirectory) { nested = true; walk(st.getPath, fs, top = false) }
+          else files += st.getPath.toString
         }
       }
+    val sortedRoots = roots.toSeq.sorted
+    sortedRoots.foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      walk(p, p.getFileSystem(conf), top = true)
     }
-    if (flat && files.nonEmpty) Some(files.toSeq) else None
+    if (files.isEmpty) None
+    else if (!nested) Some((files.toSeq, None))
+    else if (sortedRoots.size == 1) Some((files.toSeq, Some(sortedRoots.head)))
+    else None
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The star's delta for a one-sided append: the appended rows stand in
@@ -1243,14 +1260,23 @@ object MaterializedViews {
       val genDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tileDir))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
         .sortBy(_.getPath.getName.stripPrefix("gen-").toInt).toSeq
+      val genFrames = genDirs.map(g => spark.read.parquet(g.getPath.toString))
+      genFrames.zip(genDirs).foreach { case (g, dir2) =>
+        if (shape(g.schema) != shape(data.schema)) {
+          System.err.println(s"[graft] durable tile ${meta.name}: gen " +
+            s"${dir2.getPath.getName} layout ${shape(g.schema)} does not " +
+            s"match base ${shape(data.schema)}; discarding tile")
+          deleteDir(spark, tileDir)
+          return None
+        }
+      }
       val mv =
-        if (genDirs.isEmpty) data
+        if (genFrames.isEmpty) data
         else {
           val merge = mergePartialColsFor(meta.sums, meta.sumExprNames,
             meta.cntns, meta.mins, meta.maxs, meta.approxes,
             n => data.schema(n).dataType)
-          (data +: genDirs.map(g => spark.read.parquet(g.getPath.toString)))
-            .reduce(_ unionByName _)
+          (data +: genFrames).reduce(_ unionByName _)
             .groupBy(meta.keys.map(col): _*).agg(merge.head, merge.tail: _*)
         }
 
@@ -1270,9 +1296,9 @@ object MaterializedViews {
         sumExprCols = sumExprCols,
         counts = meta.cntns, durableDir = Some(tileDir)): Unit
       // on-disk gen dirs must not be overwritten by the next append
-      if (genDirs.nonEmpty)
+      if (genFrames.nonEmpty)
         registry.computeIfPresent(meta.name, (_, cur) =>
-          cur.copy(durableGens = genDirs.size)): Unit
+          cur.copy(durableGens = genFrames.size)): Unit
       Some(meta.name)
     }
   } catch {

@@ -366,4 +366,42 @@ class DmlLatticeSpec extends SparkSpec {
       MaterializedViews.clear()
     }
   }
+
+  test("a PARTITIONED fact still folds off-thread: basePath snapshots keep partition columns") {
+    val fact = java.nio.file.Files.createTempDirectory("dmlp").toString + "/f"
+    val dim = java.nio.file.Files.createTempDirectory("dmlp").toString + "/d"
+    Seq((1L, 10, 1, 5.0), (2L, 20, 1, 7.0), (3L, 30, 2, 11.0))
+      .toDF("id", "k", "p", "v").write.partitionBy("p").parquet(fact)
+    Seq((10, "x"), (20, "y")).toDF("dk", "name").write.parquet(dim)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "defer_p", star,
+        keys = Seq("name"), sums = Seq("v"))
+      MaterializedViews.foldTaskHook = () => {
+        MaterializedViews.foldTaskHook = () => ()
+        gate.await()
+      }
+      TableDml.insertInto(spark, dim, Seq((30, "z")).toDF("dk", "name"))
+      // the r13 stall case was precisely this shape: a dim append whose
+      // star delta needs a PARTITIONED fact pass — it must defer, not
+      // fall back to the synchronous fold
+      assert(MaterializedViews.pendingMaintenance("defer_p") == 1,
+        "partitioned-fact fold must defer via the basePath snapshot")
+      gate.countDown()
+      MaterializedViews.awaitMaintenance()
+      assert(MaterializedViews.isRegistered("defer_p"), "fold must land, not drop")
+      val q = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+        .groupBy("name").agg(sum("v").as("t")).orderBy("name")
+      assert(noScan(q), s"tile must serve:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("x", 5.0), ("y", 7.0), ("z", 11.0)))
+    } finally {
+      gate.countDown()
+      MaterializedViews.foldTaskHook = () => ()
+      MaterializedViews.clear()
+    }
+  }
 }

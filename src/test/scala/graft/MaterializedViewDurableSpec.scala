@@ -520,4 +520,28 @@ class MaterializedViewDurableSpec extends SparkSpec {
       assert(q.collect().map(_.getDouble(1)).sum == 220.0)
     } finally MaterializedViews.clear()
   }
+
+  test("a tampered gen increment discards the tile at adopt: layouts are verified") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      MaterializedViews.register(spark, "dur_badgen", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      val tileDir = MaterializedViews.persistTile(spark, "dur_badgen", lat)
+      MaterializedViews.appendIncremental(spark, "dur_badgen",
+        Seq((11L, "g", 1.0)).toDF("id", "tag", "amt")): Unit
+      MaterializedViews.release(spark, "dur_badgen")
+      // an out-of-band writer corrupts the increment with a different
+      // layout: adoption must refuse the whole tile, never merge junk
+      Seq(("oops", 1)).toDF("a", "b")
+        .write.mode("overwrite").parquet(s"$tileDir/gen-0")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat).isEmpty,
+        "mismatched gen layout must discard the tile")
+      val fs = new org.apache.hadoop.fs.Path(tileDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(tileDir)))
+    } finally MaterializedViews.clear()
+  }
 }
