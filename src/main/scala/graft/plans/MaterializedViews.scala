@@ -307,6 +307,11 @@ object MaterializedViews {
           // per-session: a SECOND session hitting this fast path must
           // still get the rewrite rule installed (ADVICE r12)
           ensureRule(spark)
+          // a conf'd lattice home must hold on EVERY registration path:
+          // a tile that predates the conf (registered homeless, then
+          // re-requested through a configured session) gains its home
+          if (d.durableDir.isEmpty)
+            confLatticeDir(spark).foreach(dir => persistTile(spark, name, dir): Unit)
           d.mvDf
         case _ => register(spark, name, source, keys, sums, mins, maxs,
           approxDistincts, sumExprs, counts)
@@ -1803,10 +1808,15 @@ object MaterializedViews {
               case (Some(aggs), Some(rows)) =>
                 compensation(mv, conjs, sig)
                   .map(c => targetWithFilters(mv, c))
-                  // union compensation stays exact-signature only: an
-                  // FK-matched tile's residual would re-scan the star
+                  // exact-signature tiles union their own residual; an
+                  // FK-matched tile unions a FACT-ONLY residual slice
+                  // (fkUnionTarget — never the star). Sound under
+                  // Expand for the same reason the covered path is: the
+                  // union contributes one more generation of partials,
+                  // and the per-set merge treats generations alike.
                   .orElse(if (mv.signature == sig)
-                    unionTarget(mv, conjs, sig) else None)
+                    unionTarget(mv, conjs, sig)
+                  else fkUnionTarget(mv, conjs, sig))
                   .map { target =>
                     val passSeq = passed.toSeq
                     val newOutput = passSeq.map(_._2) ++ groupPos.map(_._1)

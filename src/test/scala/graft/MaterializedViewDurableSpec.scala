@@ -544,4 +544,27 @@ class MaterializedViewDurableSpec extends SparkSpec {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(tileDir)))
     } finally MaterializedViews.clear()
   }
+
+  test("registerOnce's fast path gives a homeless tile the conf'd lattice home") {
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      // registered with NO lattice conf: the tile has no durable home
+      MaterializedViews.register(spark, "dur_fastpath", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      // the same definition re-requested through a CONFIGURED session
+      // hits the fast path — which must still persist the tile
+      val s1 = spark.newSession()
+      s1.conf.set(MaterializedViews.LatticeDirConf, lat)
+      MaterializedViews.registerOnce(s1, "dur_fastpath", s1.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt")): Unit
+      MaterializedViews.release(s1, "dur_fastpath")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_fastpath"),
+        "the fast path must persist a homeless tile under the conf'd home")
+      val q = s2.read.parquet(fact).groupBy("tag").agg(sum("amt").as("t"))
+      assert(noFactScan(q))
+      assert(q.collect().map(_.getDouble(1)).sum == 150.0)
+    } finally MaterializedViews.clear()
+  }
 }

@@ -195,4 +195,40 @@ class MvConstraintSpec extends SparkSpec {
       assert(got == exp)
     } finally { MaterializedViews.clear(); Constraints.clear() }
   }
+
+  test("grouping sets over a WIDER fact range union the FK tile with the fact residual") {
+    val orders = T(spark, sfDir, "orders")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+    val hot = orders.filter(col("o_orderdate") >= "1997-07-01")
+      .join(T(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+    MaterializedViews.register(spark, "fk_union_gs", hot,
+      keys = Seq("o_orderstatus", "o_orderdate"), sums = Seq("o_totalprice"))
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      def q = T(spark, sfDir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+        .filter(col("o_orderdate") >= "1997-01-01")
+        .rollup(col("o_orderstatus"))
+        .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "o_orderstatus")
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("InMemoryRelation"),
+        s"covered slice must come from the tile cache:\n$plan")
+      val scans = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 1, s"exactly the fact residual may scan:\n$plan")
+      assert(!scans.head.relation
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.map(_.toString).mkString.contains("customer"),
+        "the dims are NEVER scanned on this path")
+      val got = q.collect()
+        .map(r => (r.get(0), r.getDecimal(1).doubleValue, r.getLong(2), r.getLong(3))).toSeq
+      MaterializedViews.clear()
+      val exp = q.collect()
+        .map(r => (r.get(0), r.getDecimal(1).doubleValue, r.getLong(2), r.getLong(3))).toSeq
+      assert(got == exp, "union rollup panels must equal the direct scan")
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
 }
