@@ -826,7 +826,7 @@ object MaterializedViews {
     require(hits.size == 1,
       s"append touches ${hits.size} leaves of MV ${d.name}; delta needs exactly one")
     val others = d.signature.leaves.zipWithIndex.map { case (l, i) =>
-      if (i == hits.head) Some((Seq.empty[String], None: Option[String]))
+      if (i == hits.head) Some(Seq.empty[(Seq[String], Option[String])])
       else listLeafFiles(spark, l)
     }
     if (others.exists(_.isEmpty)) None
@@ -834,46 +834,56 @@ object MaterializedViews {
       val frames = d.signature.leaves.indices.map { i =>
         if (i == hits.head) rows
         else {
-          val (files, basePath) = others(i).get
-          val reader = basePath.foldLeft(spark.read)(
-            (r, bp) => r.option("basePath", bp))
-          graft.T.normalizeTimestamps(reader.parquet(files: _*))
+          // one pinned frame per (files, basePath) group, unioned by
+          // name: a FLAT multi-root leaf is one group; a PARTITIONED
+          // root reads its own files under itself as basePath, so the
+          // directory-encoded columns re-derive per root exactly as the
+          // original joint read resolved them relative to each root
+          others(i).get
+            .map { case (files, basePath) =>
+              val reader = basePath.foldLeft(spark.read)(
+                (r, bp) => r.option("basePath", bp))
+              graft.T.normalizeTimestamps(reader.parquet(files: _*))
+            }
+            .reduce(_ unionByName _)
         }
       }
       Some(joinFrames(frames, d.signature.joinPairs.toSeq))
     }
   }
 
-  /** Pinned snapshot of a leaf: its data files listed NOW, plus the
-    * basePath that re-derives partition columns when the layout is
-    * partitioned (reading explicit files under a basePath keeps the
-    * directory-encoded columns — a fact partitioned by day folds off
-    * the DML thread like a flat one). None when the leaf has no data
-    * files, or is partitioned across SEVERAL roots (no single base to
-    * name — the caller folds synchronously). */
+  /** Pinned snapshot of a leaf as (files, basePath) read groups, listed
+    * NOW: flat roots pool into one group; a partitioned root becomes its
+    * own group read under itself as basePath, so partition columns
+    * re-derive from the pinned file paths — a fact partitioned by day
+    * folds off the DML thread like a flat one. None when the leaf has
+    * no data files at all. */
   private def listLeafFiles(spark: SparkSession, roots: Set[String])
-      : Option[(Seq[String], Option[String])] = try {
+      : Option[Seq[(Seq[String], Option[String])]] = try {
     val conf = spark.sessionState.newHadoopConf()
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    var nested = false
-    def walk(p: org.apache.hadoop.fs.Path,
-        fs: org.apache.hadoop.fs.FileSystem, top: Boolean): Unit =
-      fs.listStatus(p).foreach { st =>
-        val nm = st.getPath.getName
-        if (!nm.startsWith("_") && !nm.startsWith(".")) {
-          if (st.isDirectory) { nested = true; walk(st.getPath, fs, top = false) }
-          else files += st.getPath.toString
+    val flat = scala.collection.mutable.ArrayBuffer.empty[String]
+    val grouped = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Option[String])]
+    roots.toSeq.sorted.foreach { root =>
+      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      var nested = false
+      def walk(p: org.apache.hadoop.fs.Path,
+          fs: org.apache.hadoop.fs.FileSystem): Unit =
+        fs.listStatus(p).foreach { st =>
+          val nm = st.getPath.getName
+          if (!nm.startsWith("_") && !nm.startsWith(".")) {
+            if (st.isDirectory) { nested = true; walk(st.getPath, fs) }
+            else files += st.getPath.toString
+          }
         }
-      }
-    val sortedRoots = roots.toSeq.sorted
-    sortedRoots.foreach { root =>
       val p = new org.apache.hadoop.fs.Path(root)
-      walk(p, p.getFileSystem(conf), top = true)
+      walk(p, p.getFileSystem(conf))
+      if (files.nonEmpty) {
+        if (nested) grouped += ((files.toSeq, Some(root)))
+        else flat ++= files
+      }
     }
-    if (files.isEmpty) None
-    else if (!nested) Some((files.toSeq, None))
-    else if (sortedRoots.size == 1) Some((files.toSeq, Some(sortedRoots.head)))
-    else None
+    if (flat.nonEmpty) grouped += ((flat.toSeq, None))
+    if (grouped.isEmpty) None else Some(grouped.toSeq)
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The star's delta for a one-sided append: the appended rows stand in
