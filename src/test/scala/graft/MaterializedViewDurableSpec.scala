@@ -567,4 +567,76 @@ class MaterializedViewDurableSpec extends SparkSpec {
       assert(q.collect().map(_.getDouble(1)).sum == 150.0)
     } finally MaterializedViews.clear()
   }
+
+  test("a deferred join-tile fold writes through to the durable home") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/f"
+    val dim = tmp("mvdur") + "/d"
+    Seq((1L, 10, 5.0), (2L, 20, 7.0), (3L, 30, 11.0))
+      .toDF("id", "k", "v").write.parquet(fact)
+    Seq((10, "x"), (20, "y")).toDF("dk", "name").write.parquet(dim)
+    val lat = tmp("mvdur_lat")
+    try {
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "dur_defer", star,
+        keys = Seq("name"), sums = Seq("v"))
+      MaterializedViews.persistTile(spark, "dur_defer", lat)
+      // the dim append's fold runs on the maintenance thread; its
+      // compaction must still re-persist the durable copy with the
+      // post-append fingerprint
+      graft.plans.TableDml.insertInto(spark, dim,
+        Seq((30, "z")).toDF("dk", "name"))
+      MaterializedViews.awaitMaintenance()
+      assert(MaterializedViews.isRegistered("dur_defer"))
+
+      MaterializedViews.release(spark, "dur_defer")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_defer"),
+        "the deferred fold must leave a valid durable copy behind")
+      val q = s2.read.parquet(fact)
+        .join(s2.read.parquet(dim), col("k") === col("dk"))
+        .groupBy("name").agg(sum("v").as("t")).orderBy("name")
+      assert(noFactScan(q),
+        s"adopted tile must answer post-fold:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("x", 5.0), ("y", 7.0), ("z", 11.0)))
+    } finally MaterializedViews.clear()
+  }
+
+  test("a stream-maintained durable tile adopts fresh to the last micro-batch") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      MaterializedViews.register(spark, "dur_stream", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      MaterializedViews.persistTile(spark, "dur_stream", lat)
+      // drive the tile from an actual stream: two micro-batches, no
+      // compaction (compactEvery=8) — each lands as a durable gen
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Double)]
+      val source = mem.toDS().toDF("id", "tag", "amt")
+      val query = MaterializedViews.maintainFromStream(spark, "dur_stream", source)
+      try {
+        mem.addData((11L, "s", 1.0))
+        query.processAllAvailable()
+        mem.addData((12L, "s", 2.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      assert(MaterializedViews.generations("dur_stream") == 3)
+
+      // crash analog: only the durable home survives; the adopted tile
+      // carries both batches (as fresh as the last one)
+      MaterializedViews.release(spark, "dur_stream")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_stream"))
+      val q = s2.read.parquet(fact).groupBy("tag")
+        .agg(sum("amt").as("t")).orderBy("tag")
+      assert(noFactScan(q))
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        .apply("s") == 3.0, "both stream batches must survive the restart")
+    } finally MaterializedViews.clear()
+  }
 }
