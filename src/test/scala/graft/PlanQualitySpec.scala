@@ -401,6 +401,37 @@ class PlanQualitySpec extends SparkSpec
     } finally graft.plans.MaterializedViews.drop(spark, "q149_mv")
   }
 
+  test("q160: FK union — tile cache + ONE pruned pushed-down fact residual, dims never scanned") {
+    try {
+      val q = run("q160_mv_fk_union")
+      val lp = q.queryExecution.optimizedPlan
+      assert(lp.toString.contains("InMemoryRelation"),
+        s"covered slice must come from the star tile cache:\n$lp")
+      assert(lp.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.nonEmpty, s"expected the FK partial-coverage union:\n$lp")
+      val scans = lp.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 1, s"exactly the fact residual may scan:\n$lp")
+      val loc = scans.head.relation
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.map(_.toString).mkString
+      assert(loc.contains("orders") && !loc.contains("customer"),
+        s"the residual must scan the FACT, never the dims: $loc")
+      // the residual's range must reach the parquet scan, and its
+      // ReadSchema must be pruned to keys + aggregated columns — a
+      // residual reading o_custkey (the join key the FK made redundant)
+      // or every column would be wrong at 100 TB
+      val pp = q.queryExecution.executedPlan.toString
+      assert(pp.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+        s"residual range must push to the scan:\n$pp")
+      val read = pp.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!read.contains("o_custkey") && !read.contains("o_orderpriority"),
+        s"residual ReadSchema must be pruned: $read")
+    } finally graft.plans.MaterializedViews.drop(spark, "q160_mv")
+  }
+
   test("q150: join compensation — cached MV rollup ⋈ dimension, fact never rescanned") {
     try {
       val q = run("q150_mv_join_rollup")
