@@ -89,11 +89,17 @@ object MaterializedViewSql {
           // qualified reads resolve through the catalog
           df.write.saveAsTable(name)
         } else {
-          df.persist()
-          df.count() // materialize now, like the reference's populator
-          df.createOrReplaceTempView(name)
+          // a materialized view is a SNAPSHOT at creation (the
+          // reference POPULATES a table, server/ddl): cut lineage so a
+          // later write to the source neither silently refreshes the
+          // named view (Spark's write-path recache rebuilds cached
+          // plans that still read the files) nor strands its cache on
+          // deleted files after a copy-on-write swap
+          df.localCheckpoint(true).createOrReplaceTempView(name)
         }
         registered.add(lc(name))
+        // tile registration signs the ORIGINAL plan (the checkpoint is
+        // a LogicalRDD leaf and cannot be signed)
         maybeRegisterTile(spark, lc(name), df)
       }
       Some(spark.emptyDataFrame)
