@@ -502,17 +502,20 @@ object MaterializedViews {
         val dTarget = gen.queryExecution.withCachedData
         val newTarget = logical.Union(Seq(d.target, dTarget),
           byName = false, allowMissingCol = false)
-        val updated = d.copy(target = newTarget, gens = d.gens :+ gen,
-          unionSafe = d.unionSafe && deltaInFiles,
-          durableGens = if (d.durableDir.isDefined) d.durableGens + 1 else 0)
-        registry.put(name, updated)
         // durable write-through: the on-disk copy tracks every batch,
         // not just compactions — a crash loses nothing (the gen merges
         // back at adopt time exactly as the cached generation would).
+        // With a deferred FOLD queued the write defers to the fold's
+        // compaction instead (its metadata would otherwise pair a live
+        // fingerprint with partials lacking the queued append).
+        val writeThrough = d.durableDir.isDefined && pendingMaintenance(name) == 0
+        val updated = d.copy(target = newTarget, gens = d.gens :+ gen,
+          unionSafe = d.unionSafe && deltaInFiles,
+          durableGens = if (writeThrough) d.durableGens + 1 else d.durableGens)
+        registry.put(name, updated)
         // `updated` so the rewritten metadata carries the POST-append
         // unionSafe; the new gen lands at the pre-append index.
-        d.durableDir.foreach(_ =>
-          writeDurableGen(spark, updated, d.durableGens, gen))
+        if (writeThrough) writeDurableGen(spark, updated, d.durableGens, gen)
         gen
       }
     }
@@ -1189,7 +1192,13 @@ object MaterializedViews {
       if (d0.gens.nonEmpty) compactInto(spark, d0, None, deltaInFiles = false): Unit
       val tileDir = s"$latticeDir/${pathSlug(name)}"
       registry.put(name, registry.get(name).copy(durableDir = Some(tileDir)))
-      writeDurable(spark, registry.get(name))
+      // with a deferred fold QUEUED, the write belongs to the fold's
+      // final compaction: persisting NOW would pair the live
+      // (post-append) fingerprint with partials that lack the append —
+      // one crash away from adopting stale data as valid. The home is
+      // set; the last queued fold writes it.
+      if (pendingMaintenance(name) == 0)
+        writeDurable(spark, registry.get(name))
       tileDir
     }
 

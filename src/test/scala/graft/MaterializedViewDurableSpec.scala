@@ -639,4 +639,50 @@ class MaterializedViewDurableSpec extends SparkSpec {
         .apply("s") == 3.0, "both stream batches must survive the restart")
     } finally MaterializedViews.clear()
   }
+
+  test("persistTile while a fold is queued defers the write to the fold") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/f"
+    val dim = tmp("mvdur") + "/d"
+    Seq((1L, 10, 5.0), (2L, 30, 11.0)).toDF("id", "k", "v").write.parquet(fact)
+    Seq((10, "x")).toDF("dk", "name").write.parquet(dim)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val lat = tmp("mvdur_lat")
+    try {
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "dur_pend", star,
+        keys = Seq("name"), sums = Seq("v"))
+      MaterializedViews.foldTaskHook = () => {
+        MaterializedViews.foldTaskHook = () => ()
+        gate.await()
+      }
+      graft.plans.TableDml.insertInto(spark, dim, Seq((30, "z")).toDF("dk", "name"))
+      assert(MaterializedViews.pendingMaintenance("dur_pend") == 1)
+      // persisting NOW would write pre-append partials under the
+      // post-append fingerprint — the write must defer to the fold
+      val tileDir = MaterializedViews.persistTile(spark, "dur_pend", lat)
+      val fs = new org.apache.hadoop.fs.Path(tileDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(tileDir)),
+        "no durable copy may land while the fold is queued")
+      gate.countDown()
+      MaterializedViews.awaitMaintenance()
+      assert(fs.exists(new org.apache.hadoop.fs.Path(tileDir)),
+        "the fold's compaction must write the deferred durable copy")
+      MaterializedViews.release(spark, "dur_pend")
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_pend"))
+      val q = s2.read.parquet(fact)
+        .join(s2.read.parquet(dim), col("k") === col("dk"))
+        .groupBy("name").agg(sum("v").as("t")).orderBy("name")
+      assert(noFactScan(q))
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("x", 5.0), ("z", 11.0)))
+    } finally {
+      gate.countDown()
+      MaterializedViews.foldTaskHook = () => ()
+      MaterializedViews.clear()
+    }
+  }
 }
