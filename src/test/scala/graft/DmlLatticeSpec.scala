@@ -404,4 +404,35 @@ class DmlLatticeSpec extends SparkSpec {
       MaterializedViews.clear()
     }
   }
+
+  test("correlated dimensions: the pair-aware profile admits the tile the product rejects") {
+    import spark.implicits._
+    // quarter is DETERMINED by month: card(month)=24, card(quarter)=8,
+    // card(month, quarter)=24 — the independence product says 192
+    val dir = java.nio.file.Files.createTempDirectory("fd").toString + "/t"
+    (0 until 5000).map { i =>
+      val m = i % 24; (i.toLong, m, m / 3, i.toDouble)
+    }.toDF("id", "month", "quarter", "v").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    try {
+      // budget sits BETWEEN the true joint size (24) and the product
+      // (192): only a correlation-aware estimate admits the 2-dim tile
+      val tiles = Lattice.suggestTiles(df, Seq("month", "quarter"),
+        budgetRows = 60, maxTiles = 2)
+      assert(tiles.exists(_.dims.toSet == Set("month", "quarter")),
+        s"the determined pair must fit the budget: $tiles")
+      assert(tiles.head.estRows <= 30,
+        s"pair estimate must track the joint cardinality, got ${tiles.head.estRows}")
+
+      // the full loop: the admitted suggestion materializes and the
+      // workload rollup rides it — and the REAL tile indeed fit
+      val names = Lattice.materializeSuggestions(spark, "fd_tile", df,
+        dims = Seq("month", "quarter"), sums = Seq("v"), budgetRows = 60)
+      assert(names.nonEmpty)
+      val q = df.groupBy("month", "quarter").agg(sum("v").as("t"))
+      assert(noScan(q),
+        s"rollup must ride the FD-admitted tile:\n${q.queryExecution.optimizedPlan}")
+      assert(q.count() == 24)
+    } finally MaterializedViews.clear()
+  }
 }
