@@ -82,7 +82,46 @@ object Round14 {
              COUNT(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Functional-dependency profiling (ref: profile/ProfilerImpl.java —
+    * the reference's profiler mines FDs from HLL sketch lattices; here
+    * ONE pass sketches every dimension pair and each ordered pair gets
+    * a determinant→dependent verdict). The oracle recomputes the same
+    * verdicts with EXACT distinct counts, so the hash compare proves
+    * the sketch-driven classification matches ground truth:
+    * o_orderdate → year(o_orderdate) holds, the other five ordered
+    * pairs over (date, year, status) do not. At 100 TB this is the
+    * pass a pipeline runs before choosing lattice tiles or partition
+    * keys — hierarchy columns reveal themselves without a groupBy per
+    * candidate. */
+  val q162_profile_fds = Q(
+    (s, dir) => {
+      val t = T(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .select(col("o_orderdate").as("d"), col("yr"),
+          col("o_orderstatus").as("st"))
+      graft.catalog.Lattice.functionalDependencies(t, Seq("d", "yr", "st"))
+        .orderBy("determinant", "dependent")
+    },
+    Some("""
+      WITH t AS (SELECT o_orderdate AS d, year(o_orderdate) AS yr,
+                        o_orderstatus AS st FROM orders),
+      c AS (SELECT COUNT(DISTINCT d) AS cd, COUNT(DISTINCT yr) AS cy,
+                   COUNT(DISTINCT st) AS cs,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT d, yr FROM t)) AS cdy,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT d, st FROM t)) AS cds,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT yr, st FROM t)) AS cys
+            FROM t)
+      SELECT * FROM (
+        SELECT 'd' AS determinant, 'st' AS dependent, cds <= 1.1*cd AS fd FROM c
+        UNION ALL SELECT 'd', 'yr', cdy <= 1.1*cd FROM c
+        UNION ALL SELECT 'st', 'd', cds <= 1.1*cs FROM c
+        UNION ALL SELECT 'st', 'yr', cys <= 1.1*cs FROM c
+        UNION ALL SELECT 'yr', 'd', cdy <= 1.1*cy FROM c
+        UNION ALL SELECT 'yr', 'st', cys <= 1.1*cy FROM c)
+      ORDER BY determinant, dependent"""))
+
   val all: Map[String, Q] = Map(
     "q160_mv_fk_union" -> q160_mv_fk_union,
-    "q161_mv_advisor_durable" -> q161_mv_advisor_durable)
+    "q161_mv_advisor_durable" -> q161_mv_advisor_durable,
+    "q162_profile_fds" -> q162_profile_fds)
 }

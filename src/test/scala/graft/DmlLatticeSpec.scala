@@ -435,4 +435,18 @@ class DmlLatticeSpec extends SparkSpec {
       assert(q.count() == 24)
     } finally MaterializedViews.clear()
   }
+
+  test("FD discovery: the pair sketches classify determined pairs both ways") {
+    import spark.implicits._
+    val df = (0 until 3000).map { i =>
+      val m = i % 24; (m, m / 3, i % 7)
+    }.toDF("month", "quarter", "noise")
+    val fds = Lattice.functionalDependencies(df, Seq("month", "quarter", "noise"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(fds(("month", "quarter")), "month determines quarter")
+    assert(!fds(("quarter", "month")), "quarter does not determine month")
+    assert(!fds(("month", "noise")) && !fds(("noise", "month")) &&
+      !fds(("quarter", "noise")) && !fds(("noise", "quarter")),
+      s"independent columns must not classify as FDs: $fds")
+  }
 }
