@@ -46,6 +46,36 @@ object Constraints {
 
   def clear(): Unit = fks.clear()
 
+  /** Per-condition verdicts of a foreign-key verification. */
+  final case class FkCheck(uniqueKey: Boolean, noNulls: Boolean,
+      contained: Boolean) {
+    def valid: Boolean = uniqueKey && noNulls && contained
+  }
+
+  /** Check the three conditions `declareForeignKey` ASSERTS — dimKey
+    * unique, factCol non-null, every factCol value present in dimKey —
+    * with real (exact) queries, and declare the constraint only when
+    * all hold. The reference trusts declared metadata outright
+    * (schema/Statistic.java getReferentialConstraints is never
+    * re-verified); at 100 TB a one-off verification — one aggregate on
+    * the dim, one null count on the fact, one anti-join — is cheap
+    * insurance before the rewrite starts serving every fact-only
+    * rollup from a star tile on the strength of the claim. */
+  def verifyAndDeclare(spark: SparkSession, factPath: String, factCol: String,
+      dimPath: String, dimKey: String): FkCheck = {
+    import org.apache.spark.sql.functions._
+    val fact = graft.T.normalizeTimestamps(spark.read.parquet(factPath))
+    val dim = graft.T.normalizeTimestamps(spark.read.parquet(dimPath))
+    val uniqueKey = dim.groupBy(col(dimKey))
+      .count().filter(col("count") > 1).isEmpty
+    val noNulls = fact.filter(col(factCol).isNull).isEmpty
+    val contained = fact.select(col(factCol))
+      .join(dim, col(factCol) === col(dimKey), "left_anti").isEmpty
+    val check = FkCheck(uniqueKey, noNulls, contained)
+    if (check.valid) declareForeignKey(spark, factPath, factCol, dimPath, dimKey)
+    check
+  }
+
   /** Declare an ALREADY-QUALIFIED constraint verbatim — the durable-tile
     * adoption path (MaterializedViews.adoptOne): TileMeta serializes the
     * qualified paths `declareForeignKey` produced, so re-declaring them

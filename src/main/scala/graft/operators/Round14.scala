@@ -120,8 +120,51 @@ object Round14 {
         UNION ALL SELECT 'yr', 'st', cys <= 1.1*cy FROM c)
       ORDER BY determinant, dependent"""))
 
+  /** Verified constraint declaration (the checked counterpart of the
+    * reference's trusted metadata, schema/Statistic.java): the engine
+    * PROVES the three FK conditions with exact queries before
+    * declaring. orders.o_custkey → customer.c_custkey passes all three
+    * (the TPC-H contract); orders.o_orderkey → lineitem.l_orderkey
+    * fails uniqueness (an order has several line items) and is refused
+    * — the rewrite never gains an unsound lossless-join proof. */
+  val q163_fk_verify = Q(
+    (s, dir) => {
+      val good = graft.catalog.Constraints.verifyAndDeclare(s,
+        s"$dir/orders.parquet", "o_custkey", s"$dir/customer.parquet", "c_custkey")
+      val bad = graft.catalog.Constraints.verifyAndDeclare(s,
+        s"$dir/orders.parquet", "o_orderkey", s"$dir/lineitem.parquet", "l_orderkey")
+      val session = s
+      import session.implicits._
+      Seq(
+        ("o_custkey", "c_custkey", good.uniqueKey, good.noNulls,
+          good.contained, good.valid),
+        ("o_orderkey", "l_orderkey", bad.uniqueKey, bad.noNulls,
+          bad.contained, bad.valid))
+        .toDF("fact_col", "dim_key", "unique_key", "no_nulls", "contained", "valid")
+        .orderBy("fact_col")
+    },
+    Some("""
+      SELECT fact_col, dim_key, unique_key, no_nulls, contained,
+             (unique_key AND no_nulls AND contained) AS valid
+      FROM (
+        SELECT 'o_custkey' AS fact_col, 'c_custkey' AS dim_key,
+          (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+             GROUP BY 1 HAVING COUNT(*) > 1)) = 0 AS unique_key,
+          (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) = 0 AS no_nulls,
+          (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0 AS contained
+        UNION ALL
+        SELECT 'o_orderkey', 'l_orderkey',
+          (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
+             GROUP BY 1 HAVING COUNT(*) > 1)) = 0,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) = 0,
+          (SELECT COUNT(*) FROM orders o LEFT JOIN lineitem l
+             ON o.o_orderkey = l.l_orderkey WHERE l.l_orderkey IS NULL) = 0
+      ) t ORDER BY fact_col"""))
+
   val all: Map[String, Q] = Map(
     "q160_mv_fk_union" -> q160_mv_fk_union,
     "q161_mv_advisor_durable" -> q161_mv_advisor_durable,
-    "q162_profile_fds" -> q162_profile_fds)
+    "q162_profile_fds" -> q162_profile_fds,
+    "q163_fk_verify" -> q163_fk_verify)
 }

@@ -231,4 +231,33 @@ class MvConstraintSpec extends SparkSpec {
       assert(got == exp, "union rollup panels must equal the direct scan")
     } finally { MaterializedViews.clear(); Constraints.clear() }
   }
+
+  test("verifyAndDeclare refuses an invalid claim: no unsound lossless proof enters the registry") {
+    try {
+      // l_orderkey is NOT unique in lineitem: the verification must
+      // fail and the constraint must NOT cover the pair
+      val bad = Constraints.verifyAndDeclare(spark,
+        s"$sfDir/orders.parquet", "o_orderkey",
+        s"$sfDir/lineitem.parquet", "l_orderkey")
+      assert(!bad.uniqueKey && !bad.valid)
+      MaterializedViews.register(spark, "fk_verify",
+        T(spark, sfDir, "orders")
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+          .join(T(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey")),
+        keys = Seq("o_orderstatus"), sums = Seq("o_totalprice"))
+      assert(!hasTile(factRollup),
+        "a refused FK must never admit the tile for fact-only queries")
+
+      // the valid claim passes and declares: the tile now answers
+      val good = Constraints.verifyAndDeclare(spark,
+        factPath, "o_custkey", dimPath, "c_custkey")
+      assert(good.valid)
+      MaterializedViews.clear()
+      MaterializedViews.register(spark, "fk_verify2", star,
+        keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+      assert(hasTile(factRollup),
+        "the verified FK must admit the star tile")
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
 }
