@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(session =>
       graft.plans.LowerAsofJoin(session.asInstanceOf[org.apache.spark.sql.SparkSession]))
     e.injectOptimizerRule(_ => graft.plans.MaterializedViews.MvRewrite)
+    e.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
     e.injectCheckRule { session =>
       // piggyback session start to register the function surface once
       graft.functions.GraftFunctions.registerAll(

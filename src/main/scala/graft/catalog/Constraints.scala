@@ -42,6 +42,8 @@ object Constraints {
       dimPath: String, dimKey: String): Unit = {
     fks.add(ForeignKey(qualify(spark, factPath), factCol,
       qualify(spark, dimPath), dimKey)): Unit
+    // constraint-driven rewrites activate with the first declaration
+    graft.plans.FkJoinElimination.ensure(spark)
   }
 
   def clear(): Unit = fks.clear()

@@ -162,7 +162,37 @@ object Round14 {
              ON o.o_orderkey = l.l_orderkey WHERE l.l_orderkey IS NULL) = 0
       ) t ORDER BY fact_col"""))
 
+  /** Constraint-based join elimination (ref: rel/rules/
+    * ProjectJoinRemoveRule.java over Statistic.java's referential
+    * constraints): the query joins the whole star out of habit but
+    * reads only fact columns — the declared FK proves each fact row
+    * matched exactly one customer, so the optimizer deletes the join
+    * and the dim scan outright (plan-gated in MvConstraintSpec). The
+    * oracle runs the JOIN as written: identical values prove the
+    * elimination lossless. At 100 TB this is generated-BI insurance —
+    * the broadcast the query never needed costs zero instead of a dim
+    * scan + build. */
+  val q164_fk_join_elim = Q(
+    (s, dir) => {
+      graft.catalog.Constraints.declareForeignKey(s,
+        s"$dir/orders.parquet", "o_custkey", s"$dir/customer.parquet", "c_custkey")
+      val orders = T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+      orders.join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Map[String, Q] = Map(
+    "q164_fk_join_elim" -> q164_fk_join_elim,
     "q160_mv_fk_union" -> q160_mv_fk_union,
     "q161_mv_advisor_durable" -> q161_mv_advisor_durable,
     "q162_profile_fds" -> q162_profile_fds,

@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Constraint-based join elimination (ref: rel/rules/
+  * ProjectJoinRemoveRule.java — the reference removes a join when only
+  * one side's columns are used and the other side joins on a unique
+  * key; losslessness comes from the declared referential constraints,
+  * schema/Statistic.java getReferentialConstraints).
+  *
+  * A node that reads only FACT-side columns above
+  * `fact ⋈_{fc = dk} dim` drops the join entirely when a declared
+  * foreign key `fact.fc → dim.dk` proves it lossless: dk unique and fc
+  * non-null + contained mean EXACTLY one dim match per fact row, so
+  * multiplicity and every fact column are preserved. The dim side must
+  * be an UNFILTERED scan (a dim filter could drop matched rows) and the
+  * condition a single covered equi pair (a second conjunct could
+  * filter the unique match away).
+  *
+  * At 100 TB this deletes the broadcast/shuffle the query never needed:
+  * generated BI SQL habitually joins the whole star and then reads two
+  * fact columns — with declared constraints the dim scans and the join
+  * vanish instead of merely broadcasting. Fixed-point safe: the rewrite
+  * output contains no join to re-fire on. */
+object FkJoinElimination extends Rule[LogicalPlan] {
+
+  /** Install into THIS session's optimizer (idempotent); called by the
+    * first constraint declaration — the rule only acts when declared
+    * FKs exist, so earlier installation would be a no-op anyway. */
+  private[graft] def ensure(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(exprs, j: Join) =>
+      eliminate(exprs.flatMap(_.references), j)
+        .map(keep => Project(exprs, keep)).getOrElse(p)
+    case a @ Aggregate(groupings, aggExprs, j: Join, hint) =>
+      eliminate((groupings ++ aggExprs).flatMap(_.references), j)
+        .map(keep => Aggregate(groupings, aggExprs, keep, hint)).getOrElse(a)
+  }
+
+  private def eliminate(refs0: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      j: Join): Option[LogicalPlan] = {
+    if (j.joinType != Inner || j.condition.isEmpty) return None
+    val refs = AttributeSet(refs0)
+    def attempt(keep: LogicalPlan, drop: LogicalPlan): Option[LogicalPlan] =
+      for {
+        _ <- Some(()).filter(_ => refs.subsetOf(keep.outputSet))
+        pair <- singleEquiPair(j.condition.get)
+        // the dim side must contribute nothing but the unique-key
+        // match: bare unfiltered file scans (pruning projects and
+        // same-name normalization casts allowed). Catalyst infers
+        // isnotnull on the JOIN KEY below every inner join — vacuous
+        // here, since a null-keyed dim row can never match
+        (dropLeaves, dropFilters) <- leavesOf(drop)
+        if dropFilters.forall {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => a.name == pair._1 || a.name == pair._2
+          case _ => false
+        }
+        (keepLeaves, _) <- leavesOf(keep)
+        // direction matters: the declared FACT must be on the KEPT
+        // side, the declared DIM among the dropped leaves
+        if graft.catalog.Constraints.coversPair(pair, dropLeaves, keepLeaves)
+      } yield keep
+    attempt(j.left, j.right).orElse(attempt(j.right, j.left))
+  }
+
+  /** The condition as ONE attr=attr pair (name-normalized); None for
+    * conjunctions — a second conjunct could filter the unique match
+    * away, losing the fact row. */
+  private def singleEquiPair(cond: Expression): Option[(String, String)] = cond match {
+    case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      Some(if (a.name <= b.name) (a.name, b.name) else (b.name, a.name))
+    case _ => None
+  }
+
+  /** Leaf root-path sets + filter conjuncts of a projects/filters-over-
+    * inner-equi-joins-of-file-scans subtree (the MV signature's shape
+    * rules); None for anything else. */
+  private def leavesOf(p: LogicalPlan): Option[(Seq[Set[String]], Seq[Expression])] = p match {
+    case Project(ps, ch) if ps.forall {
+      case _: AttributeReference => true
+      case Alias(Cast(a: AttributeReference, _, _, _), n) => a.name == n
+      case _ => false
+    } => leavesOf(ch)
+    case logical.Filter(cond, ch) =>
+      leavesOf(ch).map { case (ls, fs) => (ls, cond +: fs) }
+    case a: logical.SubqueryAlias => leavesOf(a.child)
+    case v: logical.View => leavesOf(v.child)
+    case h: logical.ResolvedHint => leavesOf(h.child)
+    case jn: Join if jn.joinType == Inner && jn.condition.exists(isEquiOnly) =>
+      for {
+        (l, lf) <- leavesOf(jn.left)
+        (r, rf) <- leavesOf(jn.right)
+      } yield (l ++ r, lf ++ rf)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some((Seq(fs.location.rootPaths.map(_.toString).toSet), Seq.empty))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def isEquiOnly(cond: Expression): Boolean = cond match {
+    case And(l, r) => isEquiOnly(l) && isEquiOnly(r)
+    case EqualTo(_: AttributeReference, _: AttributeReference) => true
+    case _ => false
+  }
+}

@@ -1312,6 +1312,7 @@ object MaterializedViews {
         graft.catalog.Constraints.declareQualified(
           graft.catalog.Constraints.ForeignKey(fp, fc, dp, dk))
       }
+      if (meta.fks.nonEmpty) FkJoinElimination.ensure(spark)
 
       store(spark, meta.name, sig, meta.keys, meta.sums, meta.mins,
         meta.maxs, meta.approxes, mv, replacedAll = Nil, filterConjuncts,

@@ -260,4 +260,64 @@ class MvConstraintSpec extends SparkSpec {
         "the verified FK must admit the star tile")
     } finally { MaterializedViews.clear(); Constraints.clear() }
   }
+
+  // ---- FK join elimination (r14; ref: rel/rules/ProjectJoinRemoveRule) --
+
+  test("a declared FK eliminates a join whose dim side is never read") {
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      def q = T(spark, sfDir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+        .join(T(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+        s"the lossless join must be eliminated:\n$plan")
+      val scans = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.size == 1 && scans.head.relation
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.map(_.toString).mkString.contains("orders"),
+        s"only the fact may scan:\n$plan")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      Constraints.clear()
+      val exp = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      assert(got == exp, "elimination must not change values")
+    } finally Constraints.clear()
+  }
+
+  test("join elimination declines when it must: dim column read, dim filtered, wrong direction, no FK") {
+    def joined = T(spark, sfDir, "orders")
+      .join(T(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+    def hasJoin(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    try {
+      // no declaration: nothing may fire
+      val q0 = joined.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasJoin(q0), "no FK declared: the join must stay")
+
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      // a dim column in the output keeps the join
+      val q1 = joined.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      assert(hasJoin(q1), "dim output column: the join must stay")
+      // a FILTERED dim could drop matched fact rows — never lossless
+      val q2 = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer").filter(col("c_nationkey") >= 10),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasJoin(q2), "filtered dim: the join must stay")
+      // dropping the FACT side is never lossless (fact multiplicity
+      // weights the dim rows): a dim-only projection keeps the join
+      val q3 = joined.groupBy("c_nationkey")
+        .agg(sum("c_acctbal").as("t"))
+      assert(hasJoin(q3), "fact side is not droppable")
+    } finally Constraints.clear()
+  }
 }
