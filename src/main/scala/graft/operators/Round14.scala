@@ -191,7 +191,42 @@ object Round14 {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Unique-key discovery (ref: profile/ProfilerImpl.java unique-key
+    * output + schema/Statistic.java getKeys): one sketch pass classifies
+    * singles and pairs as keys of orders. The oracle recomputes the
+    * verdicts with exact distinct counts — o_orderkey (and any pair
+    * containing it) is a key; status/priority and their pair are not.
+    * est_distinct itself is approximate, so only the CLASSIFICATION is
+    * surfaced (the driver hash stays deterministic). */
+  val q165_profile_keys = Q(
+    (s, dir) => {
+      val t = T(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pri"))
+      graft.catalog.Lattice.uniqueKeyCandidates(t, Seq("k", "st", "pri"))
+        .select(col("columns"), col("unique_key"))
+        .orderBy("columns")
+    },
+    Some("""
+      WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                        o_orderpriority AS pri FROM orders),
+      c AS (SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS ck,
+                   COUNT(DISTINCT st) AS cs, COUNT(DISTINCT pri) AS cp,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT k, st FROM t)) AS cks,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT k, pri FROM t)) AS ckp,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT st, pri FROM t)) AS csp
+            FROM t)
+      SELECT columns, unique_key FROM (
+        SELECT 'k' AS columns, 1.1*ck >= n AS unique_key FROM c
+        UNION ALL SELECT 'st', 1.1*cs >= n FROM c
+        UNION ALL SELECT 'pri', 1.1*cp >= n FROM c
+        UNION ALL SELECT 'k,st', 1.1*cks >= n FROM c
+        UNION ALL SELECT 'k,pri', 1.1*ckp >= n FROM c
+        UNION ALL SELECT 'st,pri', 1.1*csp >= n FROM c)
+      ORDER BY columns"""))
+
   val all: Map[String, Q] = Map(
+    "q165_profile_keys" -> q165_profile_keys,
     "q164_fk_join_elim" -> q164_fk_join_elim,
     "q160_mv_fk_union" -> q160_mv_fk_union,
     "q161_mv_advisor_durable" -> q161_mv_advisor_durable,

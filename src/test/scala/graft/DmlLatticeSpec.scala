@@ -449,4 +449,19 @@ class DmlLatticeSpec extends SparkSpec {
       !fds(("quarter", "noise")) && !fds(("noise", "quarter")),
       s"independent columns must not classify as FDs: $fds")
   }
+
+  test("unique-key discovery: singles and pairs classify against the row count") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, i % 40, i % 50))
+      .toDF("id", "a", "b")
+    val keys = Lattice.uniqueKeyCandidates(df, Seq("id", "a", "b"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(keys("id"), "id is a key")
+    assert(!keys("a") && !keys("b"), "low-cardinality columns are not")
+    assert(keys.exists { case (c, v) => c.contains(",") &&
+      c.split(",").contains("id") && v },
+      s"pairs containing the key are keys: $keys")
+    // (a, b) has lcm(40, 50) = 200 combinations over 2000 rows: not a key
+    assert(!keys.getOrElse("a,b", true), s"correlated small pair is not a key: $keys")
+  }
 }
