@@ -61,6 +61,14 @@ object FkJoinElimination extends Rule[LogicalPlan] {
         // isnotnull on the JOIN KEY below every inner join — vacuous
         // here, since a null-keyed dim row can never match
         (dropLeaves, dropFilters) <- leavesOf(drop)
+        // the dropped side must be ONE leaf: a joined dim SUBTREE
+        // (customer ⋈ nation) can change multiplicity through its own
+        // inner join even when the outer pair is FK-covered — each
+        // fact row's unique customer may match 0 or several nation
+        // rows. (A snowflake chain whose EVERY internal pair is
+        // FK-covered would be sound; until that is proven here, the
+        // single-leaf rule is the conservative truth.)
+        if dropLeaves.size == 1
         if dropFilters.forall {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
             a: AttributeReference) => a.name == pair._1 || a.name == pair._2

@@ -318,6 +318,15 @@ class MvConstraintSpec extends SparkSpec {
       val q3 = joined.groupBy("c_nationkey")
         .agg(sum("c_acctbal").as("t"))
       assert(hasJoin(q3), "fact side is not droppable")
+      // a joined dim SUBTREE may change multiplicity through its own
+      // inner join even when the outer pair is covered: never dropped
+      val q4 = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer")
+            .join(T(spark, sfDir, "nation"),
+              col("c_nationkey") === col("n_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasJoin(q4), "a multi-leaf dim subtree must never be dropped")
     } finally Constraints.clear()
   }
 }
