@@ -97,6 +97,47 @@ object Constraints {
       .sortBy(fk => (fk.factPath, fk.factCol, fk.dimPath, fk.dimKey))
   }
 
+  /** Is joining `extras` onto `base` along `pairs` provably LOSSLESS —
+    * exactly one added match per existing row? The extras must form a
+    * TREE of declared FK edges DIRECTED AWAY from the base: each pair
+    * traverses from its FK's FACT side (an already-reached leaf) to its
+    * DIM side (a new extra leaf), consuming both. Anything that cannot
+    * traverse refuses the whole extension:
+    *   - FAN-OUT — the pair's FK fact side is the FAR leaf (several
+    *     fact-like rows per reached row: customer⋈nation⋈SUPPLIER
+    *     multiplies customers by their nation's suppliers);
+    *   - a SECOND pair between reached leaves (a composite-key join is
+    *     not proven by two single-column FKs — the two unique matches
+    *     need not be the same row, so the conjunction can drop rows);
+    *   - a pair with no declared FK at all.
+    * Per-pair coverage without the direction/tree argument admitted the
+    * fan-out case — the r14 audit's fix. */
+  private[graft] def losslessExtension(base: Seq[Set[String]],
+      extras: Seq[Set[String]], pairs: Set[(String, String)]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val all = fks.asScala.toSeq
+    val reached = scala.collection.mutable.ArrayBuffer(base: _*)
+    val unreached = scala.collection.mutable.ArrayBuffer(extras: _*)
+    val pending = scala.collection.mutable.Set(pairs.toSeq: _*)
+    var progress = true
+    while (progress && pending.nonEmpty) {
+      progress = false
+      pending.find { p =>
+        all.exists { fk =>
+          Set(p._1, p._2) == Set(fk.factCol, fk.dimKey) &&
+            reached.exists(_.contains(fk.factPath)) && {
+              val i = unreached.indexWhere(_.contains(fk.dimPath))
+              if (i >= 0) { reached += unreached.remove(i); true } else false
+            }
+        }
+      } match {
+        case Some(p) => pending -= p; progress = true
+        case None => ()
+      }
+    }
+    pending.isEmpty && unreached.isEmpty
+  }
+
   /** Does a declared FK prove the join pair `(a, b)` (name-normalized,
     * as in an MV signature) lossless? BOTH declared tables must be
     * present: the DIM side among `dimLeaves` (the tile's extra leaves —

@@ -1546,9 +1546,13 @@ object MaterializedViews {
         sig.joinPairs.subsetOf(mv.signature.joinPairs) &&
         bagDiff(mv.signature.leaves, sig.leaves).exists { extraLeaves =>
           val extraPairs = mv.signature.joinPairs -- sig.joinPairs
+          // the extras must be a TREE of FK edges directed away from
+          // the query's own leaves (Constraints.losslessExtension) —
+          // per-pair coverage admitted fan-out extensions (a second
+          // fact-like table hanging off a shared dim multiplies rows)
           extraLeaves.nonEmpty && extraPairs.nonEmpty &&
-            extraPairs.forall(p => graft.catalog.Constraints.coversPair(
-              p, extraLeaves, mv.signature.leaves))
+            graft.catalog.Constraints.losslessExtension(
+              sig.leaves, extraLeaves, extraPairs)
         }
 
     /** JOIN compensation (ref: rel/rules/materialize/

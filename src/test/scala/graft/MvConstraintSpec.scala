@@ -329,4 +329,63 @@ class MvConstraintSpec extends SparkSpec {
       assert(hasJoin(q4), "a multi-leaf dim subtree must never be dropped")
     } finally Constraints.clear()
   }
+
+  test("FAN-OUT extension never covers: a second fact-like table off a shared dim multiplies rows") {
+    val customer = T(spark, sfDir, "customer")
+    val nation = T(spark, sfDir, "nation")
+    val supplier = T(spark, sfDir, "supplier")
+    try {
+      // BOTH constraints are TRUE (nation keys are unique, both FK
+      // columns contained) — yet the tile is customer × its nation's
+      // SUPPLIERS: a customer-only rollup from it would over-count.
+      Constraints.declareForeignKey(spark, s"$sfDir/customer.parquet",
+        "c_nationkey", s"$sfDir/nation.parquet", "n_nationkey")
+      Constraints.declareForeignKey(spark, s"$sfDir/supplier.parquet",
+        "s_nationkey", s"$sfDir/nation.parquet", "n_nationkey")
+      val fanout = customer
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(supplier, col("s_nationkey") === col("n_nationkey"))
+      MaterializedViews.register(spark, "fk_fanout", fanout,
+        keys = Seq("c_mktsegment", "n_name", "s_nationkey"), sums = Nil)
+      def q = T(spark, sfDir, "customer")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+      assert(!hasTile(q),
+        s"a fan-out tile must never answer the base-only rollup:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      MaterializedViews.clear()
+      val exp = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp)
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
+  test("a directed snowflake CHAIN still covers: fact → dim → dim-of-dim") {
+    val orders = T(spark, sfDir, "orders")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+    val customer = T(spark, sfDir, "customer")
+    val nation = T(spark, sfDir, "nation")
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      Constraints.declareForeignKey(spark, dimPath, "c_nationkey",
+        s"$sfDir/nation.parquet", "n_nationkey")
+      val snow = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+      MaterializedViews.register(spark, "fk_chain", snow,
+        keys = Seq("o_orderstatus", "n_name"), sums = Seq("o_totalprice"))
+      def q = T(spark, sfDir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+        .groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      assert(hasTile(q),
+        s"an FK chain directed away from the fact must cover:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      MaterializedViews.clear()
+      val exp = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      assert(got == exp)
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
 }
