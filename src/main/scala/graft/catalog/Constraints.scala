@@ -97,6 +97,18 @@ object Constraints {
       .sortBy(fk => (fk.factPath, fk.factCol, fk.dimPath, fk.dimKey))
   }
 
+  /** Is there a declared FK `factPaths.factCol → dimPaths.dimKey` for
+    * EXACTLY these tables? Unlike name-based coverage, the caller has
+    * resolved each column to its producing leaf — join elimination uses
+    * this so a same-named column on another leaf can never borrow the
+    * constraint. */
+  private[graft] def proves(factCol: String, factPaths: Set[String],
+      dimKey: String, dimPaths: Set[String]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    fks.asScala.exists(fk => fk.factCol == factCol && fk.dimKey == dimKey &&
+      factPaths.contains(fk.factPath) && dimPaths.contains(fk.dimPath))
+  }
+
   /** Is joining `extras` onto `base` along `pairs` provably LOSSLESS —
     * exactly one added match per existing row? The extras must form a
     * TREE of declared FK edges DIRECTED AWAY from the base: each pair

@@ -54,7 +54,14 @@ object FkJoinElimination extends Rule[LogicalPlan] {
     def attempt(keep: LogicalPlan, drop: LogicalPlan): Option[LogicalPlan] =
       for {
         _ <- Some(()).filter(_ => refs.subsetOf(keep.outputSet))
-        pair <- singleEquiPair(j.condition.get)
+        (a, b) <- singleEquiPair(j.condition.get)
+        // resolve the condition's own attributes to their sides
+        (keepAttr, dropAttr) <- (drop.outputSet.contains(a),
+            drop.outputSet.contains(b)) match {
+          case (true, false) if keep.outputSet.contains(b) => Some((b, a))
+          case (false, true) if keep.outputSet.contains(a) => Some((a, b))
+          case _ => None
+        }
         // the dim side must contribute nothing but the unique-key
         // match: bare unfiltered file scans (pruning projects and
         // same-name normalization casts allowed). Catalyst infers
@@ -71,23 +78,56 @@ object FkJoinElimination extends Rule[LogicalPlan] {
         if dropLeaves.size == 1
         if dropFilters.forall {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            a: AttributeReference) => a.name == pair._1 || a.name == pair._2
+            at: AttributeReference) =>
+            at.name == keepAttr.name || at.name == dropAttr.name
           case _ => false
         }
-        (keepLeaves, _) <- leavesOf(keep)
-        // direction matters: the declared FACT must be on the KEPT
-        // side, the declared DIM among the dropped leaves
-        if graft.catalog.Constraints.coversPair(pair, dropLeaves, keepLeaves)
+        // bind the FK to the ATTRIBUTES' OWN producing leaves, not to
+        // names: a same-named column on another kept leaf must never
+        // borrow the constraint
+        factLeaf <- producingLeaf(keep, keepAttr)
+        if graft.catalog.Constraints.proves(
+          keepAttr.name, factLeaf, dropAttr.name, dropLeaves.head)
       } yield keep
     attempt(j.left, j.right).orElse(attempt(j.right, j.left))
   }
 
-  /** The condition as ONE attr=attr pair (name-normalized); None for
-    * conjunctions — a second conjunct could filter the unique match
-    * away, losing the fact row. */
-  private def singleEquiPair(cond: Expression): Option[(String, String)] = cond match {
-    case EqualTo(a: AttributeReference, b: AttributeReference) =>
-      Some(if (a.name <= b.name) (a.name, b.name) else (b.name, a.name))
+  /** The condition as ONE attr=attr equality; None for conjunctions —
+    * a second conjunct could filter the unique match away, losing the
+    * fact row. */
+  private def singleEquiPair(cond: Expression)
+      : Option[(AttributeReference, AttributeReference)] = cond match {
+    case EqualTo(a: AttributeReference, b: AttributeReference) => Some((a, b))
+    case _ => None
+  }
+
+  /** Root paths of the scan leaf that PRODUCES `attr` (peeling the
+    * same-name normalization cast the loader interposes), or None when
+    * the attribute is computed rather than scanned. */
+  private def producingLeaf(p: LogicalPlan,
+      attr: AttributeReference): Option[Set[String]] = p match {
+    case Project(ps, ch) =>
+      ps.collectFirst {
+        case al @ Alias(Cast(src: AttributeReference, _, _, _), n)
+            if al.exprId == attr.exprId && src.name == n => src
+      } match {
+        case Some(src) => producingLeaf(ch, src)
+        case None if ch.outputSet.contains(attr) => producingLeaf(ch, attr)
+        case None => None
+      }
+    case logical.Filter(_, ch) => producingLeaf(ch, attr)
+    case a: logical.SubqueryAlias => producingLeaf(a.child, attr)
+    case v: logical.View => producingLeaf(v.child, attr)
+    case h: logical.ResolvedHint => producingLeaf(h.child, attr)
+    case jn: Join =>
+      if (jn.left.outputSet.contains(attr)) producingLeaf(jn.left, attr)
+      else if (jn.right.outputSet.contains(attr)) producingLeaf(jn.right, attr)
+      else None
+    case lr: LogicalRelation if lr.outputSet.contains(attr) => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
     case _ => None
   }
 
