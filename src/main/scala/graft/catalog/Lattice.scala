@@ -128,6 +128,42 @@ object Lattice {
     rows.toDF("columns", "est_distinct", "unique_key")
   }
 
+  /** Close the profile → constraint loop (ref: profile/ProfilerImpl.java
+    * feeding schema/Statistic.java `getKeys` /
+    * `getReferentialConstraints`, the metadata Lattice.java and the
+    * join-removal rules then trust): ONE sketch pass over the dim
+    * classifies each candidate key column as unique-or-not; the
+    * survivors get the exact three-condition verification
+    * (Constraints.verifyAndDeclare) and, when valid, are DECLARED — so
+    * an UNDECLARED schema gains FK star tiles
+    * (MaterializedViews.fkTileRewrite) and join elimination
+    * (FkJoinElimination) from one profiling call, no manual catalog
+    * work. The sketch is the 100-TB gate: a non-unique key (ratio ≥ 2
+    * in practice, far from the ~1.6% HLL error) is rejected for the
+    * cost of one HLL instead of an exact groupBy + anti-join.
+    * Returns one row per candidate:
+    * (fact_col, dim_key, sketch_unique, declared). */
+  def profileAndDeclare(spark: SparkSession, factPath: String,
+      dimPath: String, candidates: Seq[(String, String)],
+      slack: Double = 1.1): DataFrame = {
+    require(candidates.nonEmpty, "1+ (factCol, dimKey) candidates")
+    val dim = graft.T.normalizeTimestamps(spark.read.parquet(dimPath))
+    val keys = candidates.map(_._2).distinct
+    val aggs = keys.map(c => approx_count_distinct(col(c)).as(c))
+    val row = dim.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val n = row.getLong(0)
+    val est = keys.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    val rows = candidates.map { case (fc, dk) =>
+      val sketchUnique = est(dk).toDouble * slack >= n
+      val declared = sketchUnique &&
+        Constraints.verifyAndDeclare(spark, factPath, fc, dimPath, dk).valid
+      (fc, dk, sketchUnique, declared)
+    }
+    val session = spark
+    import session.implicits._
+    rows.toDF("fact_col", "dim_key", "sketch_unique", "declared")
+  }
+
   /** Materialize a suggested tile as a substitutable MV. */
   def materialize(spark: SparkSession, name: String, source: DataFrame,
       tile: TileSuggestion, sums: Seq[String]): DataFrame =

@@ -374,7 +374,13 @@ object MaterializedViews {
     // construction — matching the reference's stored-materialization
     // model (materialize/MaterializationService.java), where a
     // materialization is a TABLE, not a live view of its sources.
-    val snapped = mv.localCheckpoint(true)
+    // DISK_ONLY checkpoint blocks: the in-memory copy of the partials
+    // is the InMemoryRelation cache built right below — holding the
+    // checkpoint RDD in memory too would keep every tile resident TWICE
+    // (ADVICE r14); the disk blocks exist only to rebuild evicted cache
+    // partitions and to cut lineage
+    val snapped = mv.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     snapped.persist()
     val n = snapped.count() // materialize now; the tile's cost key
 
@@ -445,7 +451,9 @@ object MaterializedViews {
     * optional fresh delta into ONE generation (a single bounded-by-
     * |MV|+deltas aggregation), replacing every previous cache entry. */
   private def compactInto(spark: SparkSession, d: MvDef,
-      extra: Option[DataFrame], deltaInFiles: Boolean): DataFrame = {
+      extra: Option[DataFrame], deltaInFiles: Boolean,
+      asFold: Boolean = false,
+      snapshotEntries: Option[Seq[String]] = None): DataFrame = {
     val mergeCols = mergePartialCols(d)
     val merged0 = (Seq(d.mvDf) ++ d.gens ++ extra).reduce(_ unionByName _)
       .groupBy(d.keysSeq.map(col): _*)
@@ -463,15 +471,20 @@ object MaterializedViews {
       sumDefs = d.sumDefs, sumExprCols = d.sumExprCols,
       counts = d.cntnsSeq, durableDir = d.durableDir)
     // a durable tile's on-disk copy tracks every compaction (the DML
-    // append-fold path lands here), so a later adopt sees fresh partials
-    // under the NEW source fingerprint. With MORE deferred folds queued
-    // behind this one, the write is skipped — the LAST fold writes a
-    // copy whose fingerprint matches the files it reflects; an earlier
-    // write would pair a live (post-later-append) fingerprint with
-    // partials that lack that append, and a crash in between would let
-    // an adopter serve it stale
-    if (pendingMaintenance(d.name) <= 1)
-      d.durableDir.foreach(_ => writeDurable(spark, registry.get(d.name)))
+    // append-fold path lands here), so a later adopt sees fresh partials.
+    // A DEFERRED fold writes with the barrier-time leaf entries its delta
+    // reflects (never the live listing — later queued appends would pair
+    // a post-append fingerprint with partials lacking the append, one
+    // crash from an adopter serving them stale); a later adopt of an
+    // intermediate-fold copy catches the remaining appends up from the
+    // entry diff (adoptOne). A NON-fold caller (refresh, stream
+    // compaction, persistTile, sync fallback) writes only when NO fold
+    // is queued — inferring last-fold-ness from the counter alone was
+    // the r14 hazard (ADVICE): with one fold still queued, its live
+    // fingerprint would cover partials missing that fold's delta.
+    if (asFold || pendingMaintenance(d.name) == 0)
+      d.durableDir.foreach(_ =>
+        writeDurable(spark, registry.get(d.name), snapshotEntries))
     out
   }
 
@@ -496,7 +509,8 @@ object MaterializedViews {
         // generations get the same lineage cut as store(): a cached
         // partial whose plan still reads source files would be rebuilt
         // from the live listing by a later write's recache
-        val gen = deltaAgg.localCheckpoint(true)
+        val gen = deltaAgg.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
         gen.persist()
         gen.count() // materialize the generation now
         val dTarget = gen.queryExecution.withCachedData
@@ -515,7 +529,8 @@ object MaterializedViews {
         registry.put(name, updated)
         // `updated` so the rewritten metadata carries the POST-append
         // unionSafe; the new gen lands at the pre-append index.
-        if (writeThrough) writeDurableGen(spark, updated, d.durableGens, gen)
+        if (writeThrough)
+          writeDurableGen(spark, updated, d.durableGens, gen, deltaInFiles)
         gen
       }
     }
@@ -754,11 +769,18 @@ object MaterializedViews {
             // into the DROP arm below. Until the fold lands the tile is
             // pending and the rewrite skips it.
             val deltaAgg = deltaPartials(spark, d, delta)
+            // the durable copy this fold will write must claim exactly
+            // the files its partials reflect: the listing NOW (the
+            // append is committed, the barrier holds the lock) — by
+            // execution time a later queued append may already be live
+            val entriesNow = d.durableDir.map(_ =>
+              leafEntries(spark, d.signature.leaves.map(_.toSeq)))
             pendingFolds.merge(d.name, 1, (a, b) => a + b): Unit
             deferredAny = true
             val epoch = epochOf(d.name)
             foldExecutor.submit(new Runnable {
-              def run(): Unit = runDeferredFold(spark, d.name, epoch, deltaAgg)
+              def run(): Unit =
+                runDeferredFold(spark, d.name, epoch, deltaAgg, entriesNow)
             }): Unit
             (d.name, true)
           case None =>
@@ -793,12 +815,13 @@ object MaterializedViews {
     * longer applies to what the registry holds. Failures drop the tile,
     * the barrier's no-stale guarantee. */
   private def runDeferredFold(spark: SparkSession, name: String, epoch: Long,
-      deltaAgg: DataFrame): Unit = {
+      deltaAgg: DataFrame, snapshotEntries: Option[Seq[String]]): Unit = {
     foldTaskHook()
     maintLock.synchronized {
       try {
         if (epochOf(name) == epoch) Option(registry.get(name)).foreach { d =>
-          try compactInto(spark, d, Some(deltaAgg), deltaInFiles = true): Unit
+          try compactInto(spark, d, Some(deltaAgg), deltaInFiles = true,
+            asFold = true, snapshotEntries = snapshotEntries): Unit
           catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[graft] MV $name: deferred append fold " +
@@ -985,7 +1008,12 @@ object MaterializedViews {
       // (ref: constraints live on table metadata, schema/Statistic.java
       // getReferentialConstraints — they belong wherever the catalog
       // stores the materialization)
-      fks: Seq[String])
+      fks: Seq[String],
+      // the exact `path|length|mtime` listing the fingerprint hashes —
+      // adoptOne diffs it against the live listing, so a copy written
+      // before a crash can be caught UP (append-only diff folds in)
+      // instead of discarded
+      leafEntries: Seq[String])
 
   private def hadoopFs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -999,13 +1027,15 @@ object MaterializedViews {
         System.err.println(s"[graft] durable tile cleanup failed for $dir: ${e.getMessage}")
     }
 
-  /** MD5 over the source leaves' data-file listings (path, length,
-    * mtime) — the tile's validity key. Spark bookkeeping files
-    * (_SUCCESS, dot-files) are excluded; they change benignly. */
-  private def leafFingerprint(spark: SparkSession,
-      leaves: Seq[Seq[String]]): String = {
+  /** The source leaves' data-file listings as `path|length|mtime`
+    * entries, root-sorted then entry-sorted within each root — the
+    * tile's validity evidence (the fingerprint hashes this list, and
+    * adoptOne diffs it to catch appended files up). Spark bookkeeping
+    * files (_SUCCESS, dot-files) are excluded; they change benignly. */
+  private def leafEntries(spark: SparkSession,
+      leaves: Seq[Seq[String]]): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     leaves.flatten.sorted.foreach { root =>
       val p = new org.apache.hadoop.fs.Path(root)
       val fs = p.getFileSystem(conf)
@@ -1018,11 +1048,22 @@ object MaterializedViews {
           if (!nm.startsWith("_") && !nm.startsWith("."))
             entries += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
         }
-        entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
-      } else md.update(s"missing:$root".getBytes("UTF-8"))
+        out ++= entries.sorted
+      } else out += s"missing:$root"
     }
+    out.toSeq
+  }
+
+  /** MD5 over the leaf entries — the tile's validity key. */
+  private def fingerprintOf(entries: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.foreach(e => md.update(e.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
+
+  private def leafFingerprint(spark: SparkSession,
+      leaves: Seq[Seq[String]]): String =
+    fingerprintOf(leafEntries(spark, leaves))
 
   /** Hadoop paths reject ':' in components (ddl:name); collapse to a
     * filesystem-safe slug. A sanitized name gets a short hash suffix so
@@ -1056,13 +1097,14 @@ object MaterializedViews {
     * folded. After the swap the fingerprint is recomputed; on mismatch
     * the tile SELF-INVALIDATES (registration dropped, durable home
     * deleted) — the same never-serve-stale rule the DML barrier applies. */
-  private def writeDurable(spark: SparkSession, d: MvDef): Unit = {
+  private def writeDurable(spark: SparkSession, d: MvDef,
+      snapshotEntries: Option[Seq[String]] = None): Unit = {
     val dir = d.durableDir.getOrElse(
       throw new IllegalStateException(s"MV ${d.name} has no durable home"))
     val p = new org.apache.hadoop.fs.Path(dir)
     val staged = new org.apache.hadoop.fs.Path(
       p.getParent, "." + p.getName + ".staging")
-    val fp = writeDurableInto(spark, d, staged.toString)
+    val fp = writeDurableInto(spark, d, staged.toString, snapshotEntries)
     durableCommitHook()
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
@@ -1072,7 +1114,13 @@ object MaterializedViews {
     // tracks the on-disk generation count for the write-through path
     registry.computeIfPresent(d.name, (_, cur) =>
       if (cur.durableDir.contains(dir)) cur.copy(durableGens = 0) else cur): Unit
-    if (leafFingerprint(spark, d.signature.leaves.map(_.toSeq)) != fp) {
+    // with SNAPSHOT entries the recorded listing is authoritative for
+    // what the partials reflect — divergence from the live listing is
+    // expected (later queued appends) and adoptOne reconciles it from
+    // the entry diff; only a LIVE-listing write self-checks for the
+    // out-of-band race
+    if (snapshotEntries.isEmpty &&
+        leafFingerprint(spark, d.signature.leaves.map(_.toSeq)) != fp) {
       System.err.println(s"[graft] durable tile ${d.name}: source changed " +
         "during persist; self-invalidating")
       drop(spark, d.name)
@@ -1080,17 +1128,23 @@ object MaterializedViews {
   }
 
   /** Stage the partials + metadata under `dir`; returns the fingerprint
-    * recorded in the metadata row (computed from the live source
-    * listings at write time). */
-  private def writeDurableInto(spark: SparkSession, d: MvDef, dir: String): String = {
+    * recorded in the metadata row (from the snapshot entries when given,
+    * else the live source listings at write time). */
+  private def writeDurableInto(spark: SparkSession, d: MvDef, dir: String,
+      snapshotEntries: Option[Seq[String]] = None): String = {
     d.mvDf.write.mode("overwrite").parquet(s"$dir/data")
-    val meta = tileMetaOf(spark, d)
+    val meta = tileMetaOf(spark, d, snapshotEntries)
     writeMeta(spark, meta, dir)
     meta.fingerprint
   }
 
-  private def tileMetaOf(spark: SparkSession, d: MvDef): TileMeta = {
+  private def tileMetaOf(spark: SparkSession, d: MvDef,
+      entriesOverride: Option[Seq[String]] = None): TileMeta = {
     val sumDefSeq = d.sumDefs.toSeq.sortBy(_._2)
+    // a deferred fold passes the barrier-time listing its partials
+    // actually reflect; everything else records the live listing
+    val entries = entriesOverride.getOrElse(
+      leafEntries(spark, d.signature.leaves.map(_.toSeq)))
     val srcFields = d.baseDf.queryExecution.analyzed.output
     TileMeta(
       name = d.name, keys = d.keysSeq, sums = d.sumsSeq, cntns = d.cntnsSeq,
@@ -1110,35 +1164,56 @@ object MaterializedViews {
           .asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child).sql
       },
       unionSafe = d.unionSafe,
-      fingerprint = leafFingerprint(spark, d.signature.leaves.map(_.toSeq)),
+      fingerprint = fingerprintOf(entries),
       srcCols = srcFields.map(_.name),
       srcTypeJsons = srcFields.map(_.dataType.json),
+      // column LISTS \u0002-joined within each \u0001 field — a
+      // single-column key round-trips byte-identically with the
+      // pre-composite format
       fks = graft.catalog.Constraints.forLeaves(d.signature.leaves).map(fk =>
-        Seq(fk.factPath, fk.factCol, fk.dimPath, fk.dimKey).mkString("\u0001")))
+        Seq(fk.factPath, fk.factCols.mkString("\u0002"), fk.dimPath,
+          fk.dimKeys.mkString("\u0002")).mkString("\u0001")),
+      leafEntries = entries)
   }
 
+  /** Stage-and-rename the metadata row (ADVICE r14): an in-place
+    * overwrite would let a concurrent cross-process adopter read a
+    * missing or torn `meta`; after the rename it sees the old row or
+    * the new one, never neither. */
   private def writeMeta(spark: SparkSession, meta: TileMeta, dir: String): Unit = {
     val session = spark
     import session.implicits._
-    Seq(meta).toDS().repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val staged = new org.apache.hadoop.fs.Path(p.getParent, ".meta.staging")
+    Seq(meta).toDS().repartition(1).write.mode("overwrite").parquet(staged.toString)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    if (!fs.rename(staged, p))
+      throw new java.io.IOException(s"meta commit failed: $staged -> $p")
   }
 
   /** Stream-generation write-through (the r13 durability-window fix):
     * persist one appendIncremental generation as `gen-<idx>` beside the
     * tile's base partials, so the durable copy is as fresh as the last
     * micro-batch — the crash window that previously spanned
-    * compactEvery−1 cache-only batches closes. Metadata is rewritten
-    * FIRST (unionSafe may flip, and an in-files delta moves the
-    * fingerprint): a crash between the two writes leaves a conservative
-    * state — the adopter sees tighter metadata without the newest gen,
-    * never a gen the metadata does not account for. The gen itself
-    * stages + renames, so adoptTiles never reads a torn increment. */
+    * compactEvery−1 cache-only batches closes. Write order is chosen so
+    * a crash between the two writes always leaves a CONSERVATIVE state
+    * (ADVICE r14): a stream delta (not in the source files) writes
+    * metadata first — the adopter sees tighter metadata (unionSafe may
+    * flip) without the newest gen, never a gen the metadata does not
+    * account for; an IN-FILES delta moves the fingerprint, so the gen
+    * commits first — the adopter then sees old metadata whose
+    * fingerprint mismatches the appended files and reconciles from the
+    * entry diff (or discards), never a post-append fingerprint
+    * validating partials that lack the delta. Both writes stage +
+    * rename, so adoptTiles never reads a torn increment or a missing
+    * meta. */
   private def writeDurableGen(spark: SparkSession, d: MvDef, idx: Int,
-      gen: DataFrame): Unit = {
+      gen: DataFrame, deltaInFiles: Boolean): Unit = {
     val dir = d.durableDir.getOrElse(
       throw new IllegalStateException(s"MV ${d.name} has no durable home"))
     val meta = tileMetaOf(spark, d)
-    writeMeta(spark, meta, dir)
+    if (!deltaInFiles) writeMeta(spark, meta, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/gen-$idx")
     val staged = new org.apache.hadoop.fs.Path(
       p.getParent, "." + p.getName + ".staging")
@@ -1148,6 +1223,7 @@ object MaterializedViews {
     if (fs.exists(p)) fs.delete(p, true)
     if (!fs.rename(staged, p))
       throw new java.io.IOException(s"durable gen commit failed: $staged -> $p")
+    if (deltaInFiles) writeMeta(spark, meta, dir)
     if (leafFingerprint(spark, d.signature.leaves.map(_.toSeq)) != meta.fingerprint) {
       System.err.println(s"[graft] durable tile ${d.name}: source changed " +
         "during gen persist; self-invalidating")
@@ -1225,7 +1301,20 @@ object MaterializedViews {
     import session.implicits._
     val meta = spark.read.parquet(s"$tileDir/meta").as[TileMeta].collect()(0)
     val leaves: Seq[Seq[String]] = meta.leaves.map(_.split('\u0001').toSeq)
-    if (leafFingerprint(spark, leaves) != meta.fingerprint) {
+    // a changed source is reconciled, not reflexively discarded: when
+    // the recorded entry list is a strict append-only prefix of the
+    // live listing (files only ADDED, flat, one leaf), the new files
+    // are exactly a fold delta — the crash-between-queued-folds state
+    // recovers the persisted partials and catches the appends up
+    // instead of re-paying the fact scan (ref: the reference
+    // re-populates materializations, MaterializationService.java; here
+    // re-population is the algebraic delta fold)
+    val liveEntries = leafEntries(spark, leaves)
+    val changed = fingerprintOf(liveEntries) != meta.fingerprint
+    val catchUp =
+      if (!changed) None
+      else appendOnlyDiff(leaves, meta.leafEntries, liveEntries)
+    if (changed && catchUp.isEmpty) {
       System.err.println(
         s"[graft] durable tile ${meta.name}: source changed since persist; discarding")
       deleteDir(spark, tileDir)
@@ -1310,10 +1399,16 @@ object MaterializedViews {
       meta.fks.foreach { row =>
         val Array(fp, fc, dp, dk) = row.split('\u0001')
         graft.catalog.Constraints.declareQualified(
-          graft.catalog.Constraints.ForeignKey(fp, fc, dp, dk))
+          graft.catalog.Constraints.ForeignKey(
+            fp, fc.split('\u0002').toSeq, dp, dk.split('\u0002').toSeq))
       }
       if (meta.fks.nonEmpty) FkJoinElimination.ensure(spark)
 
+      // with a catch-up pending, the tile must not serve until the
+      // delta lands: the guard is counted BEFORE the store makes the
+      // registration visible to the lock-free rewrite path
+      if (catchUp.isDefined)
+        pendingFolds.merge(meta.name, 1, (a, b) => a + b): Unit
       store(spark, meta.name, sig, meta.keys, meta.sums, meta.mins,
         meta.maxs, meta.approxes, mv, replacedAll = Nil, filterConjuncts,
         base, unionSafe = meta.unionSafe,
@@ -1324,6 +1419,9 @@ object MaterializedViews {
       if (genFrames.nonEmpty)
         registry.computeIfPresent(meta.name, (_, cur) =>
           cur.copy(durableGens = genFrames.size)): Unit
+      catchUp.foreach { case (root, files) =>
+        adoptCatchUp(spark, meta.name, root, files, liveEntries)
+      }
       Some(meta.name)
     }
   } catch {
@@ -1340,10 +1438,90 @@ object MaterializedViews {
   def release(spark: SparkSession, name: String): Unit = maintLock.synchronized {
     // a queued deferred fold must not apply to a future re-adoption of
     // this name: the durable copy it would fold into predates the append,
-    // and the adopt-time fingerprint check already discards it
+    // and adopt-time reconciliation already handles the gap itself
+    // (append-only entry diff → catch-up fold; anything else → discard)
     bumpEpoch(name)
     Option(registry.remove(name)).foreach(d =>
       (d.mvDf +: d.gens).foreach(_.unpersist()))
+  }
+
+  /** The live listing as an APPEND-ONLY extension of the recorded one:
+    * Some((anchor root, new data files)) when every recorded entry is
+    * still present byte-identically and every new file sits FLAT under
+    * a root of ONE leaf (a single-leaf tile may gain files under any of
+    * its roots). None for anything else — deletes, rewrites, nested
+    * (partitioned) additions, or appends spanning several join leaves
+    * reconcile by discard, never by a guessed fold. */
+  private def appendOnlyDiff(leaves: Seq[Seq[String]], recorded: Seq[String],
+      live: Seq[String]): Option[(String, Seq[String])] = {
+    if (recorded.isEmpty) return None
+    if ((recorded ++ live).exists(_.startsWith("missing:"))) return None
+    val rec = recorded.toSet
+    if (!rec.subsetOf(live.toSet)) return None
+    val fresh = live.filterNot(rec)
+    if (fresh.isEmpty) return None
+    val files = fresh.map { e =>
+      val i2 = e.lastIndexOf('|'); val i1 = e.lastIndexOf('|', i2 - 1)
+      if (i1 <= 0) return None
+      e.substring(0, i1)
+    }
+    def rootOf(f: String): Option[(Int, String)] = (for {
+      (roots, i) <- leaves.zipWithIndex.iterator
+      r <- roots.iterator
+      if f.startsWith(r + "/") && !f.stripPrefix(r + "/").contains('/')
+    } yield (i, r)).nextOption()
+    val owners = files.map(rootOf)
+    if (owners.exists(_.isEmpty)) return None
+    val leafIdxs = owners.flatten.map(_._1).distinct
+    if (leaves.size > 1 && leafIdxs.size != 1) return None
+    Some((owners.flatten.head._2, files))
+  }
+
+  /** Fold the appended files into the just-adopted tile — THIS tile
+    * only (the DML barrier's multi-tile fan-out would double-count the
+    * delta into sibling tiles adopted with a fresher copy). The
+    * adoption guard taken before store() is released here; the
+    * single-leaf sync fold ran under it (so its durable write was
+    * skipped) and re-persists with the live listing once caught up,
+    * while a deferred join fold persists itself with the listing
+    * captured now. Failures drop the tile — never-serve-stale. */
+  private def adoptCatchUp(spark: SparkSession, name: String, root: String,
+      files: Seq[String], liveEntries: Seq[String]): Unit = {
+    try {
+      val d = Option(registry.get(name)).getOrElse(return)
+      System.err.println(s"[graft] durable tile $name: ${files.size} " +
+        "appended file(s) since persist; catching up")
+      val rows = graft.T.normalizeTimestamps(spark.read.parquet(files: _*))
+      if (d.signature.leaves.size == 1)
+        compactInto(spark, d, Some(deltaPartials(spark, d, rows)),
+          deltaInFiles = true): Unit
+      else starDeltaSnapshot(spark, d, root, rows) match {
+        case Some(delta) =>
+          val deltaAgg = deltaPartials(spark, d, delta)
+          val entriesNow = d.durableDir.map(_ => liveEntries)
+          pendingFolds.merge(name, 1, (a, b) => a + b): Unit
+          val epoch = epochOf(name)
+          foldExecutor.submit(new Runnable {
+            def run(): Unit =
+              runDeferredFold(spark, name, epoch, deltaAgg, entriesNow)
+          }): Unit
+        case None =>
+          compactInto(spark, d,
+            Some(deltaPartials(spark, d, starDelta(spark, d, root, rows))),
+            deltaInFiles = true): Unit
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] durable tile $name: catch-up fold failed (${e.getMessage}); dropping")
+        drop(spark, name)
+    } finally pendingFolds.compute(name,
+      (_, v) => if (v == null || v <= 1) null else v - 1): Unit
+    // the sync fold ran with the adoption guard counted, so compactInto
+    // skipped the durable write: persist the caught-up tile now
+    if (pendingMaintenance(name) == 0)
+      Option(registry.get(name)).filter(_.durableDir.isDefined)
+        .foreach(writeDurable(spark, _))
   }
 
   /** Rebuild inner equi-joins of parquet leaves from the serialized

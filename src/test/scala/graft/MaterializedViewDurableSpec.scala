@@ -494,30 +494,132 @@ class MaterializedViewDurableSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
-  test("fingerprint mismatch discards the tile: out-of-band writes are never served stale") {
+  test("out-of-band APPEND reconciles at adopt: the tile catches the new files up") {
     import spark.implicits._
     val fact = tmp("mvdur") + "/t"; writeFact(fact)
     val lat = tmp("mvdur_lat")
     try {
       MaterializedViews.register(spark, "dur_fp", spark.read.parquet(fact),
         keys = Seq("tag"), sums = Seq("amt"))
-      val tileDir = MaterializedViews.persistTile(spark, "dur_fp", lat)
+      MaterializedViews.persistTile(spark, "dur_fp", lat)
       MaterializedViews.release(spark, "dur_fp")
-      // the table changes while NO session watches it (another driver,
-      // a manual write): the keyed-validity check must refuse the tile
+      // the table gains files while NO session watches it (another
+      // driver's append): the recorded entry list is an append-only
+      // prefix of the live one, so adoption folds the delta in instead
+      // of discarding — fresher than the persisted copy, never stale
       Seq((7L, "z", "LO", 70.0)).toDF("id", "tag", "pri", "amt")
         .write.mode("append").parquet(fact)
 
       val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, lat) == Seq("dur_fp"),
+        "append-only change must catch up, not discard")
+      MaterializedViews.awaitMaintenance()
+      val q = s2.read.parquet(fact).groupBy("tag").agg(sum("amt").as("t"))
+      assert(noFactScan(q),
+        s"the caught-up tile must answer with zero fact scans:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.getDouble(1)).sum == 220.0,
+        "the caught-up tile must include the out-of-band append")
+    } finally MaterializedViews.clear()
+  }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t): Unit
+      else {
+        java.nio.file.Files.createDirectories(t.getParent): Unit
+        java.nio.file.Files.copy(p, t): Unit
+      }
+    }
+  }
+
+  test("crash between queued folds recovers: adopt catches the missing fold up from the entry diff") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/f"; val dim = tmp("mvdur") + "/d"
+    Seq((1L, "k1", 10.0), (2L, "k2", 20.0), (3L, "k1", 30.0))
+      .toDF("id", "k", "amt").write.parquet(fact)
+    Seq(("k1", "east"), ("k2", "west")).toDF("dk", "region").write.parquet(dim)
+    val lat = tmp("mvdur_lat"); val crashImage = tmp("mvdur_crash")
+    val fold2Gate = new java.util.concurrent.CountDownLatch(1)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val star = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("k") === col("dk"))
+      MaterializedViews.register(spark, "dur_crash", star,
+        keys = Seq("region"), sums = Seq("amt"))
+      val tileDir = MaterializedViews.persistTile(spark, "dur_crash", lat)
+      // fold 1 runs free; fold 2 blocks — the crash stand-in
+      MaterializedViews.foldTaskHook =
+        () => if (seen.incrementAndGet() >= 2) fold2Gate.await()
+      // two dim appends, each committed to files then barriered: two
+      // deferred folds queue, each carrying ITS barrier-time entries
+      val d1 = Seq(("k1", "north")).toDF("dk", "region")
+      d1.write.mode("append").parquet(dim)
+      MaterializedViews.foldAppendOrInvalidate(spark, dim, d1): Unit
+      val d2 = Seq(("k2", "south")).toDF("dk", "region")
+      d2.write.mode("append").parquet(dim)
+      MaterializedViews.foldAppendOrInvalidate(spark, dim, d2): Unit
+      val deadline = System.currentTimeMillis + 30000
+      while (MaterializedViews.pendingMaintenance("dur_crash") > 1 &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(MaterializedViews.pendingMaintenance("dur_crash") == 1,
+        "fold 1 must have landed while fold 2 is blocked")
+      // the durable state at the crash point: fold 1's copy, written
+      // with fold 1's snapshot entries (a live fingerprint here would
+      // have validated partials missing fold 2's delta — the r14 hole)
+      copyDir(tileDir, s"$crashImage/dur_crash")
+      fold2Gate.countDown()
+      MaterializedViews.awaitMaintenance()
+      MaterializedViews.clear()
+
+      // restart from the crash image: the recorded entries lack exactly
+      // fold 2's appended dim file — adoption folds it in, not discards
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, crashImage) == Seq("dur_crash"),
+        "the first fold's copy must adopt and catch up, not discard")
+      MaterializedViews.awaitMaintenance()
+      def q = s2.read.parquet(fact)
+        .join(s2.read.parquet(dim), col("k") === col("dk"))
+        .groupBy("region").agg(sum("amt").as("t")).orderBy("region")
+      assert(noFactScan(q),
+        s"the caught-up tile must answer with zero scans:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("east", 40.0), ("north", 40.0), ("south", 20.0), ("west", 20.0)),
+        "the adopted answer must include BOTH folds' deltas")
+    } finally {
+      fold2Gate.countDown()
+      MaterializedViews.foldTaskHook = () => ()
+      MaterializedViews.clear()
+    }
+  }
+
+  test("fingerprint mismatch discards the tile: destructive rewrites are never served stale") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat")
+    try {
+      MaterializedViews.register(spark, "dur_fp2", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      val tileDir = MaterializedViews.persistTile(spark, "dur_fp2", lat)
+      MaterializedViews.release(spark, "dur_fp2")
+      // the table is REWRITTEN while no session watches it: recorded
+      // entries are gone from the live listing — no sound fold exists,
+      // the keyed-validity check must refuse the tile
+      Seq((8L, "q", "HI", 80.0)).toDF("id", "tag", "pri", "amt")
+        .write.mode("overwrite").parquet(fact)
+
+      val s2 = spark.newSession()
       assert(MaterializedViews.adoptTiles(s2, lat).isEmpty,
-        "changed source must discard the durable tile")
+        "a rewritten source must discard the durable tile")
       val fs = new org.apache.hadoop.fs.Path(tileDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       assert(!fs.exists(new org.apache.hadoop.fs.Path(tileDir)),
         "a discarded tile is deleted, not retried forever")
       // and the query recomputes from the live files
       val q = s2.read.parquet(fact).groupBy("tag").agg(sum("amt").as("t"))
-      assert(q.collect().map(_.getDouble(1)).sum == 220.0)
+      assert(q.collect().map(_.getDouble(1)).sum == 80.0)
     } finally MaterializedViews.clear()
   }
 

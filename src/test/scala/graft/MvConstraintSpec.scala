@@ -359,6 +359,326 @@ class MvConstraintSpec extends SparkSpec {
     } finally { MaterializedViews.clear(); Constraints.clear() }
   }
 
+  // ---- r15: composite keys, outer-join elimination, snowflake drops ----
+
+  private def hasJoin(q: org.apache.spark.sql.DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty
+
+  private def scanPaths(q: org.apache.spark.sql.DataFrame): Seq[String] =
+    q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString).mkString
+    }
+
+  /** A composite-keyed dim: one row per DISTINCT (l_orderkey,
+    * l_linenumber) — unique by construction. */
+  private def withCompositeDim(f: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compdim").toString
+    T(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min("l_linestatus").as("d_status"))
+      .select(col("l_orderkey").as("d_orderkey"),
+        col("l_linenumber").as("d_linenumber"), col("d_status"))
+      .write.mode("overwrite").parquet(tmp)
+    try f(tmp)
+    finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
+  test("a COMPOSITE two-column FK eliminates the composite-key join") {
+    withCompositeDim { tmp =>
+      Constraints.declareForeignKey(spark, s"$sfDir/lineitem.parquet",
+        Seq("l_orderkey", "l_linenumber"), tmp, Seq("d_orderkey", "d_linenumber"))
+      def q = T(spark, sfDir, "lineitem")
+        .join(spark.read.parquet(tmp),
+          col("l_orderkey") === col("d_orderkey") &&
+            col("l_linenumber") === col("d_linenumber"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+      assert(!hasJoin(q),
+        s"the composite-covered join must be eliminated:\n${q.queryExecution.optimizedPlan}")
+      assert(scanPaths(q).forall(_.contains("lineitem")), "only the fact may scan")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      Constraints.clear()
+      val exp = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp, "composite elimination must not change values")
+    }
+  }
+
+  test("two SINGLE-column FKs never prove a composite join; a PARTIAL composite match never fires") {
+    withCompositeDim { tmp =>
+      // two single-column declarations over the same leaves: the two
+      // unique matches need not be the same dim row — must refuse
+      Constraints.declareForeignKey(spark, s"$sfDir/lineitem.parquet",
+        "l_orderkey", tmp, "d_orderkey")
+      Constraints.declareForeignKey(spark, s"$sfDir/lineitem.parquet",
+        "l_linenumber", tmp, "d_linenumber")
+      def q = T(spark, sfDir, "lineitem")
+        .join(spark.read.parquet(tmp),
+          col("l_orderkey") === col("d_orderkey") &&
+            col("l_linenumber") === col("d_linenumber"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(hasJoin(q),
+        "two single-column FKs must NOT combine into a composite proof")
+
+      Constraints.clear()
+      // composite FK declared, but the query joins only HALF the key:
+      // d_orderkey repeats across line numbers — the join multiplies
+      Constraints.declareForeignKey(spark, s"$sfDir/lineitem.parquet",
+        Seq("l_orderkey", "l_linenumber"), tmp, Seq("d_orderkey", "d_linenumber"))
+      def qPartial = T(spark, sfDir, "lineitem")
+        .join(spark.read.parquet(tmp),
+          col("l_orderkey") === col("d_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(hasJoin(qPartial),
+        "a partial composite match must NOT fire the constraint")
+    }
+  }
+
+  test("a COMPOSITE FK star tile answers the fact-only rollup; two singles do not") {
+    withCompositeDim { tmp =>
+      val star = T(spark, sfDir, "lineitem")
+        .withColumn("l_extendedprice", col("l_extendedprice").cast("decimal(12,2)"))
+        .join(spark.read.parquet(tmp),
+          col("l_orderkey") === col("d_orderkey") &&
+            col("l_linenumber") === col("d_linenumber"))
+      MaterializedViews.register(spark, "comp_star", star,
+        keys = Seq("l_returnflag", "d_status"), sums = Seq("l_extendedprice"))
+      def factQ = T(spark, sfDir, "lineitem")
+        .withColumn("l_extendedprice", col("l_extendedprice").cast("decimal(12,2)"))
+        .groupBy("l_returnflag")
+        .agg(sum("l_extendedprice").as("t"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+
+      // two single-column declarations: the tile must NOT answer
+      Constraints.declareForeignKey(spark, s"$sfDir/lineitem.parquet",
+        "l_orderkey", tmp, "d_orderkey")
+      Constraints.declareForeignKey(spark, s"$sfDir/lineitem.parquet",
+        "l_linenumber", tmp, "d_linenumber")
+      assert(!hasTile(factQ),
+        "two single-column FKs must not admit the composite star tile")
+
+      Constraints.clear()
+      Constraints.declareForeignKey(spark, s"$sfDir/lineitem.parquet",
+        Seq("l_orderkey", "l_linenumber"), tmp, Seq("d_orderkey", "d_linenumber"))
+      val q = factQ
+      assert(hasTile(q),
+        s"the composite FK must admit the star tile:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      MaterializedViews.clear()
+      val exp = factQ.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      assert(got == exp, "composite tile answer must equal the direct rollup")
+    }
+  }
+
+  test("composite verifyAndDeclare: joint uniqueness holds where single columns fail") {
+    withCompositeDim { tmp =>
+      val good = Constraints.verifyAndDeclare(spark, s"$sfDir/lineitem.parquet",
+        Seq("l_orderkey", "l_linenumber"), tmp, Seq("d_orderkey", "d_linenumber"))
+      assert(good.valid, s"the derived composite key must verify: $good")
+      // d_orderkey alone repeats across line numbers: refused
+      val bad = Constraints.verifyAndDeclare(spark, s"$sfDir/lineitem.parquet",
+        Seq("l_orderkey"), tmp, Seq("d_orderkey"))
+      assert(!bad.uniqueKey && !bad.valid,
+        "a non-unique single column of the composite key must refuse")
+    }
+  }
+
+  test("LEFT join to a declared unique key eliminates with no integrity conditions") {
+    try {
+      Constraints.declareUniqueKey(spark, dimPath, Seq("c_custkey"))
+      def q = T(spark, sfDir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+        .join(T(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+      assert(!hasJoin(q),
+        s"LEFT join to a unique key with no dim column read must vanish:\n${q.queryExecution.optimizedPlan}")
+      assert(scanPaths(q).forall(_.contains("orders")), "only the fact may scan")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      Constraints.clear()
+      val exp = q.collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2))).toSeq
+      assert(got == exp, "LEFT-join elimination must not change values")
+    } finally Constraints.clear()
+  }
+
+  test("LEFT-join elimination declines without a covering unique key") {
+    try {
+      // no declaration at all: the join stays
+      def qNone = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasJoin(qNone), "no unique key declared: the join must stay")
+
+      // a unique key on a DIFFERENT column than the join pins: stays
+      Constraints.declareUniqueKey(spark, dimPath, Seq("c_custkey"))
+      def qWrong = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_nationkey"), "left")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasJoin(qWrong), "the pinned column is not the declared key: stays")
+
+      // a dim column in the output keeps the join
+      def qRead = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(hasJoin(qRead), "dim output column: the join must stay")
+    } finally Constraints.clear()
+  }
+
+  test("a declared FK's dim side counts as a unique key for LEFT-join elimination") {
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      def q = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasJoin(q),
+        s"the FK's dim key is unique by declaration — LEFT join must vanish:\n${q.queryExecution.optimizedPlan}")
+    } finally Constraints.clear()
+  }
+
+  test("LEFT join to a COMPOSITE unique key eliminates; a half-pinned key keeps the join") {
+    withCompositeDim { tmp =>
+      Constraints.declareUniqueKey(spark, tmp, Seq("d_orderkey", "d_linenumber"))
+      def q = T(spark, sfDir, "lineitem")
+        .join(spark.read.parquet(tmp),
+          col("l_orderkey") === col("d_orderkey") &&
+            col("l_linenumber") === col("d_linenumber"), "left")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+      assert(!hasJoin(q),
+        s"a fully pinned composite unique key must eliminate:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // pinning only HALF the key proves nothing about multiplicity
+      def qHalf = T(spark, sfDir, "lineitem")
+        .join(spark.read.parquet(tmp),
+          col("l_orderkey") === col("d_orderkey"), "left")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(hasJoin(qHalf), "half the composite key pinned: the join must stay")
+      Constraints.clear()
+      val exp = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp, "composite LEFT elimination must not change values")
+    }
+  }
+
+  test("RIGHT join mirrors: unique key on the LEFT side eliminates") {
+    try {
+      Constraints.declareUniqueKey(spark, dimPath, Seq("c_custkey"))
+      def q = T(spark, sfDir, "customer")
+        .join(T(spark, sfDir, "orders"),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      assert(!hasJoin(q),
+        s"RIGHT join dropping the unique-keyed left side must vanish:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      Constraints.clear()
+      val exp = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp)
+    } finally Constraints.clear()
+  }
+
+  test("right-deep snowflake: the whole FK-covered dim subtree drops in one step") {
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      Constraints.declareForeignKey(spark, dimPath, "c_nationkey",
+        s"$sfDir/nation.parquet", "n_nationkey")
+      def q = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer")
+            .join(T(spark, sfDir, "nation"),
+              col("c_nationkey") === col("n_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      assert(!hasJoin(q),
+        s"both FK edges declared: the right-deep subtree must vanish:\n${q.queryExecution.optimizedPlan}")
+      assert(scanPaths(q).forall(_.contains("orders")), "only the fact may scan")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      Constraints.clear()
+      val exp = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp, "snowflake elimination must not change values")
+    } finally Constraints.clear()
+  }
+
+  test("right-deep snowflake declines when the INNER pair has no FK") {
+    try {
+      // only the outer edge declared: customer ⋈ nation is unproven —
+      // an unmatched customer would silently drop fact rows
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", dimPath, "c_custkey")
+      def q = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer")
+            .join(T(spark, sfDir, "nation"),
+              col("c_nationkey") === col("n_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(hasJoin(q), "a missing inner FK must keep the whole subtree")
+    } finally Constraints.clear()
+  }
+
+  test("dim-side IsNotNull binds by exprId: a same-named nullable dim column declines") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_namedim").toString
+    // a dim keyed dk = distinct custkeys, carrying its OWN nullable
+    // column that borrows the fact key's NAME
+    T(spark, sfDir, "orders").select(col("o_custkey").as("dk")).distinct()
+      .withColumn("o_custkey", when(col("dk") % 2 === 0, col("dk")))
+      .write.mode("overwrite").parquet(tmp)
+    try {
+      Constraints.declareForeignKey(spark, factPath, "o_custkey", tmp, "dk")
+      val o = T(spark, sfDir, "orders")
+      val d = spark.read.parquet(tmp).filter(col("o_custkey").isNotNull)
+      def q = o.join(d, o("o_custkey") === d("dk"))
+        .groupBy(o("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      // the user-written IS NOT NULL on the dim's same-named column
+      // genuinely drops rows: elimination MUST decline
+      assert(hasJoin(q),
+        s"a real dim filter on a same-named column must keep the join:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      Constraints.clear()
+      val exp = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exp, "declined plans must match the direct join")
+    } finally Constraints.clear()
+  }
+
+  test("profileAndDeclare closes the loop: one call, then tiles answer and joins eliminate") {
+    try {
+      // fresh session state: nothing declared, nothing registered
+      Constraints.clear(); MaterializedViews.clear()
+      val verdicts = graft.catalog.Lattice.profileAndDeclare(spark,
+        factPath, dimPath,
+        Seq(("o_custkey", "c_custkey"), ("o_custkey", "c_nationkey")))
+        .collect().map(r => (r.getString(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+      assert(verdicts.contains(("c_custkey", true, true)),
+        s"c_custkey must profile unique and declare: $verdicts")
+      assert(verdicts.contains(("c_nationkey", false, false)),
+        s"c_nationkey must be rejected by the sketch: $verdicts")
+
+      // the declaration from profiling alone admits the star tile…
+      MaterializedViews.register(spark, "prof_star", star,
+        keys = Seq("o_orderstatus", "c_nationkey"), sums = Seq("o_totalprice"))
+      assert(hasTile(factRollup),
+        "a profiled-then-declared FK must admit the star tile")
+      // …and fires join elimination (q164's shape)
+      def q = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasJoin(q),
+        "a profiled-then-declared FK must fire join elimination")
+    } finally { MaterializedViews.clear(); Constraints.clear() }
+  }
+
   test("a directed snowflake CHAIN still covers: fact → dim → dim-of-dim") {
     val orders = T(spark, sfDir, "orders")
       .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
