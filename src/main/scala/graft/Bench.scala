@@ -59,6 +59,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Cooldown (round 15): the bench habitually runs right after a test
+    // suite or verify sweep, and the machine's post-run churn (page-cache
+    // writeback, reclaim) inflates EVERY run in the window uniformly —
+    // a smear the max/min spread guard cannot see (r14's committed d03
+    // was 1.27x its own cooled value with spread 1.33). One fixed pause
+    // before any timing puts the recorded artifact in the steady state.
+    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "60000").toLong)
+
     // Session warmup (round 11): the FIRST query of the session used to
     // absorb the whole JVM's warmup inside its timed window — q01's
     // median ran 1.26-2.9x its own min while the min matched baseline,

@@ -32,16 +32,25 @@ final case class TileDef(
 
 /** A referential constraint declared in the model (ref:
   * schema/Statistic.java getReferentialConstraints — the reference's
-  * tables carry FK metadata the planner trusts). */
+  * tables carry FK metadata the planner trusts; column pairs are a
+  * LIST, rel/RelReferentialConstraint.java:45, so composite keys are
+  * declarable). Positional pairs factCols(i) → dimKeys(i). */
 final case class FkDef(
-    factTable: String, factCol: String, dimTable: String, dimKey: String)
+    factTable: String, factCols: Seq[String],
+    dimTable: String, dimKeys: Seq[String])
+
+/** A unique key declared in the model (ref: schema/Statistic.java
+  * getKeys): `cols` are jointly unique in `table` — fuel for the
+  * outer-join and aggregate removal rules. */
+final case class UkDef(table: String, cols: Seq[String])
 
 final case class Model(
     name: String,
     tables: Seq[TableDef],
     views: Seq[ViewDef] = Seq.empty,
     tiles: Seq[TileDef] = Seq.empty,
-    foreignKeys: Seq[FkDef] = Seq.empty)
+    foreignKeys: Seq[FkDef] = Seq.empty,
+    uniqueKeys: Seq[UkDef] = Seq.empty)
 
 object ModelLoader {
 
@@ -80,9 +89,14 @@ object ModelLoader {
     model.foreignKeys.foreach { fk =>
       Constraints.declareForeignKey(spark,
         paths.getOrElse(fk.factTable, throw new IllegalArgumentException(
-          s"fk: unknown table '${fk.factTable}'")), fk.factCol,
+          s"fk: unknown table '${fk.factTable}'")), fk.factCols,
         paths.getOrElse(fk.dimTable, throw new IllegalArgumentException(
-          s"fk: unknown table '${fk.dimTable}'")), fk.dimKey)
+          s"fk: unknown table '${fk.dimTable}'")), fk.dimKeys)
+    }
+    model.uniqueKeys.foreach { uk =>
+      Constraints.declareUniqueKey(spark,
+        paths.getOrElse(uk.table, throw new IllegalArgumentException(
+          s"uk: unknown table '${uk.table}'")), uk.cols)
     }
     // model-declared tiles materialize once per definition (the
     // reference's connect-time materialization registration): the first
@@ -104,7 +118,10 @@ object ModelLoader {
     *   v_top    = view:SELECT ... FROM lineitem ...
     *   day_tile = tile:orders|keys=o_orderstatus;o_orderdate|sums=o_totalprice
     *   fk1      = fk:orders.o_custkey->customer.c_custkey
-    * }}} */
+    *   fk2      = fk:lineitem.l_orderkey;l_linenumber->dim.d_orderkey;d_linenumber
+    *   uk1      = uk:customer.c_custkey
+    * }}}
+    * Composite keys separate columns with ';' (positional pairs). */
   def parse(name: String, text: String): Model = {
     val lines = text.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
@@ -127,17 +144,23 @@ object ModelLoader {
       val Array(f, d) = spec.split("->", 2).map(_.trim)
       val Array(ft, fc) = f.split("\\.", 2)
       val Array(dt, dk) = d.split("\\.", 2)
-      FkDef(ft, fc, dt, dk)
+      FkDef(ft, fc.split(";").map(_.trim).toSeq,
+        dt, dk.split(";").map(_.trim).toSeq)
+    }
+    def uk(spec: String): UkDef = {
+      val Array(t, cs) = spec.split("\\.", 2)
+      UkDef(t.trim, cs.split(";").map(_.trim).toSeq)
     }
     Model(
       name,
       tables = entries.collect {
-        case (k, fmt, p) if !Set("view", "tile", "fk").contains(fmt) =>
+        case (k, fmt, p) if !Set("view", "tile", "fk", "uk").contains(fmt) =>
           TableDef(k, fmt, p)
       },
       views = entries.collect { case (k, "view", sql) => ViewDef(k, sql) },
       tiles = entries.collect { case (k, "tile", spec) => tile(k, spec) },
-      foreignKeys = entries.collect { case (_, "fk", spec) => fk(spec) })
+      foreignKeys = entries.collect { case (_, "fk", spec) => fk(spec) },
+      uniqueKeys = entries.collect { case (_, "uk", spec) => uk(spec) })
   }
 
   def loadFile(spark: SparkSession, path: String): Map[String, DataFrame] = {

@@ -218,7 +218,30 @@ object Round15 {
         FROM c, chk)
       ORDER BY dim_key"""))
 
+  /** Aggregate removal over a declared unique key (ref:
+    * rel/rules/AggregateRemoveRule.java over schema/Statistic.java
+    * getKeys): `SELECT DISTINCT pk, col` groups rows that are already
+    * unique, so the Aggregate — and with it a full hash shuffle of the
+    * table — collapses to a Project (plan-gated in MvConstraintSpec,
+    * with non-key, post-join, renamed-column, and real-aggregate
+    * negatives). The oracle runs the DISTINCT as written; identical
+    * values prove the removal lossless. At 100 TB the generated-SQL
+    * habit of SELECT DISTINCT pk, … costs a scan instead of a
+    * repartition of every row. */
+  val q171_distinct_elim = Q(
+    (s, dir) => {
+      graft.catalog.Constraints.declareUniqueKey(s,
+        s"$dir/orders.parquet", Seq("o_orderkey"))
+      T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus").distinct()
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT DISTINCT o_orderkey, o_orderstatus FROM orders
+      ORDER BY o_orderkey"""))
+
   val all: Map[String, Q] = Map(
+    "q171_distinct_elim" -> q171_distinct_elim,
     "q166_fk_composite_tile" -> q166_fk_composite_tile,
     "q167_fk_composite_elim" -> q167_fk_composite_elim,
     "q168_left_join_elim" -> q168_left_join_elim,

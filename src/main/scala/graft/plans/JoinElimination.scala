@@ -53,12 +53,17 @@ import graft.catalog.Constraints.ResolvedPair
 object FkJoinElimination extends Rule[LogicalPlan] {
 
   /** Install into THIS session's optimizer (idempotent); called by the
-    * first constraint declaration — the rule only acts when declared
-    * constraints exist, so earlier installation would be a no-op. */
-  private[graft] def ensure(spark: SparkSession): Unit =
+    * first constraint declaration — the rules only act when declared
+    * constraints exist, so earlier installation would be a no-op.
+    * Installs the whole constraint-rule family. */
+  private[graft] def ensure(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
+    if (!spark.experimental.extraOptimizations.contains(UniqueKeyAggregateRemove))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ UniqueKeyAggregateRemove
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(exprs, j: Join) =>
@@ -242,7 +247,7 @@ object FkJoinElimination extends Rule[LogicalPlan] {
   /** Root paths of the scan leaf that PRODUCES `attr` (peeling the
     * same-name normalization cast the loader interposes), or None when
     * the attribute is computed rather than scanned. */
-  private def producingLeaf(p: LogicalPlan,
+  private[plans] def producingLeaf(p: LogicalPlan,
       attr: AttributeReference): Option[Set[String]] = p match {
     case Project(ps, ch) =>
       ps.collectFirst {
@@ -262,6 +267,80 @@ object FkJoinElimination extends Rule[LogicalPlan] {
       else if (jn.right.outputSet.contains(attr)) producingLeaf(jn.right, attr)
       else None
     case lr: LogicalRelation if lr.outputSet.contains(attr) => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+    case _ => None
+  }
+}
+
+/** Aggregate removal over a declared unique key (ref:
+  * rel/rules/AggregateRemoveRule.java — the reference deletes an
+  * Aggregate whose grouping keys are known unique, because every group
+  * holds exactly one row; uniqueness comes from the same catalog
+  * metadata the join-removal rules trust, schema/Statistic.java
+  * `getKeys`).
+  *
+  * `SELECT DISTINCT unique_key, … FROM t` and
+  * `GROUP BY unique_key` with only identity-on-singleton aggregates
+  * (MIN/MAX) collapse to a Project: the grouping attributes resolve —
+  * by exprId, through their producing scan — to ONE leaf whose
+  * declared unique key they cover, and the plan below is a
+  * projects/filters chain (row-count can only shrink, so uniqueness
+  * survives). A rename can never borrow the key: an aliased attribute
+  * does not resolve to the leaf.
+  *
+  * At 100 TB this deletes a full hash shuffle of the table — the
+  * generated-SQL habit of `SELECT DISTINCT pk, cols` costs a scan
+  * instead of a repartition of every row. */
+object UniqueKeyAggregateRemove extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
+  import org.apache.spark.sql.catalyst.expressions.NamedExpression
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupings, aggExprs, child, _)
+        if groupings.nonEmpty &&
+          groupings.forall(_.isInstanceOf[AttributeReference]) =>
+      val gAttrs = groupings.map(_.asInstanceOf[AttributeReference])
+      val rewritten = aggExprs.map(identityOnSingleton)
+      val applies = rewritten.forall(_.isDefined) &&
+        singleLeafBelow(child).exists { leaf =>
+          val pinned = gAttrs.flatMap(a =>
+            FkJoinElimination.producingLeaf(child, a)
+              .filter(_ == leaf).map(_ => a.name)).toSet
+          graft.catalog.Constraints.uniqueKeyOn(leaf, pinned)
+        }
+      if (applies) logical.Project(rewritten.flatten, child) else agg
+  }
+
+  /** The aggregate expression rewritten for singleton groups: MIN/MAX
+    * (no FILTER) are identity on one row and unwrap to their child;
+    * anything still carrying an aggregate function afterwards refuses.
+    * Names and exprIds are preserved, so the node above resolves
+    * unchanged. */
+  private def identityOnSingleton(ne: NamedExpression): Option[NamedExpression] = {
+    val unwrapped = ne.transform {
+      case AggregateExpression(Min(c), _, _, None, _) => c
+      case AggregateExpression(Max(c), _, _, None, _) => c
+    }
+    val clean = unwrapped.collectFirst {
+      case a: AggregateExpression => a
+    }.isEmpty
+    if (clean) Some(unwrapped.asInstanceOf[NamedExpression]) else None
+  }
+
+  /** The single scan leaf under a projects/filters chain (row count
+    * can only shrink below an Aggregate on this shape, so a declared
+    * unique key stays unique); None for joins, generators, set ops —
+    * anything that can multiply rows. */
+  private def singleLeafBelow(p: LogicalPlan): Option[Set[String]] = p match {
+    case Project(_, ch) => singleLeafBelow(ch)
+    case logical.Filter(_, ch) => singleLeafBelow(ch)
+    case a: logical.SubqueryAlias => singleLeafBelow(a.child)
+    case v: logical.View => singleLeafBelow(v.child)
+    case h: logical.ResolvedHint => singleLeafBelow(h.child)
+    case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
         Some(fs.location.rootPaths.map(_.toString).toSet)
       case _ => None

@@ -75,6 +75,37 @@ class CatalogSourcesSpec extends SparkSpec {
     }
   }
 
+  test("model-declared UNIQUE keys and composite FKs parse and feed the rules") {
+    // ';'-separated columns declare composite constraints in the
+    // properties model (RelReferentialConstraint.java's List<IntPair>);
+    // `uk:` rows feed the outer-join / aggregate removal rules
+    val p = java.nio.file.Paths.get(tmp, "model_uk.properties")
+    java.nio.file.Files.writeString(p, s"""
+      |u_orders   = parquet:$sfDir/orders.parquet
+      |u_customer = parquet:$sfDir/customer.parquet
+      |uk1        = uk:u_customer.c_custkey
+      |fk2        = fk:u_orders.o_custkey;o_orderkey->u_customer.c_custkey;c_nationkey
+      |""".stripMargin)
+    try {
+      ModelLoader.loadFile(spark, p.toString)
+      import org.apache.spark.sql.functions._
+      // the model-declared unique key eliminates a LEFT join
+      val q = spark.table("u_orders")
+        .join(spark.table("u_customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty,
+        s"model-declared unique key must eliminate the LEFT join:\n${q.queryExecution.optimizedPlan}")
+      // the composite FK parsed as ONE two-pair edge (a single-pair
+      // probe must not see it: composite edges never cover lone pairs)
+      assert(!graft.catalog.Constraints.coversPair(
+        ("c_custkey", "o_custkey"),
+        Seq(Set.empty[String]), Seq(Set.empty[String])))
+    } finally graft.catalog.Constraints.clear()
+  }
+
   test("csv sink + source roundtrip preserves data") {
     val src = T(spark, sfDir, "nation")
     src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")

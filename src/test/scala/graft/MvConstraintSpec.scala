@@ -652,6 +652,66 @@ class MvConstraintSpec extends SparkSpec {
     } finally Constraints.clear()
   }
 
+  private def hasAggregate(q: org.apache.spark.sql.DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+
+  test("DISTINCT over a declared unique key drops the Aggregate (and its shuffle)") {
+    try {
+      Constraints.declareUniqueKey(spark, factPath, Seq("o_orderkey"))
+      def q = T(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus").distinct()
+        .orderBy("o_orderkey")
+      assert(!hasAggregate(q),
+        s"DISTINCT including the unique key must collapse to a Project:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      Constraints.clear()
+      val exp = q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == exp, "aggregate removal must not change values")
+    } finally Constraints.clear()
+  }
+
+  test("GROUP BY the unique key with MIN/MAX collapses: singleton groups are identity") {
+    try {
+      Constraints.declareUniqueKey(spark, factPath, Seq("o_orderkey"))
+      def q = T(spark, sfDir, "orders")
+        .groupBy("o_orderkey")
+        .agg(min("o_totalprice").as("mn"), max("o_orderpriority").as("mx"))
+        .orderBy("o_orderkey")
+      assert(!hasAggregate(q),
+        s"MIN/MAX over singleton groups must collapse:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      Constraints.clear()
+      val exp = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(got == exp, "singleton-group identity must not change values")
+    } finally Constraints.clear()
+  }
+
+  test("aggregate removal declines when it must: non-key, post-join, rename, real aggregate") {
+    try {
+      Constraints.declareUniqueKey(spark, factPath, Seq("o_orderkey"))
+      // grouping on NON-key columns genuinely dedups: keep
+      val q1 = T(spark, sfDir, "orders")
+        .select("o_orderstatus", "o_orderpriority").distinct()
+      assert(hasAggregate(q1), "non-key DISTINCT must keep the Aggregate")
+      // below a JOIN the chain is not a single leaf: keep (conservative)
+      val q2 = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_mktsegment").distinct()
+      assert(hasAggregate(q2), "post-join DISTINCT must keep the Aggregate")
+      // a RENAMED column borrowing the key's name must not resolve
+      val q3 = T(spark, sfDir, "orders")
+        .select(col("o_custkey").as("o_orderkey"), col("o_orderstatus"))
+        .distinct()
+      assert(hasAggregate(q3), "an alias borrowing the key name must keep the Aggregate")
+      // SUM is not identity on a singleton's TYPE contract: keep
+      val q4 = T(spark, sfDir, "orders")
+        .groupBy("o_orderkey").agg(sum("o_totalprice").as("t"))
+      assert(hasAggregate(q4), "SUM must keep the Aggregate")
+    } finally Constraints.clear()
+  }
+
   test("profileAndDeclare closes the loop: one call, then tiles answer and joins eliminate") {
     try {
       // fresh session state: nothing declared, nothing registered
