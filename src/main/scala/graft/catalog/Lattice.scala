@@ -164,6 +164,41 @@ object Lattice {
     rows.toDF("fact_col", "dim_key", "sketch_unique", "declared")
   }
 
+  /** The unique-key side of the closed profile → constraint loop
+    * (ref: profile/ProfilerImpl.java unique-key output feeding
+    * schema/Statistic.java `getKeys`): ONE sketch pass classifies each
+    * single column and column pair of `dims` as key-or-not; the
+    * sketch-unique survivors get ONE exact groupBy verification each
+    * and, when real, are DECLARED — so outer-join elimination and
+    * unique-key aggregate removal fire on an undeclared schema from
+    * one profiling call. Non-keys (repetition ≥ 2×, far from the
+    * ~1.6% HLL error) are rejected for the cost of a sketch. Returns
+    * one row per candidate: (columns, sketch_unique, declared). */
+  def profileAndDeclareKeys(spark: SparkSession, path: String,
+      dims: Seq[String], slack: Double = 1.1): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 12, "1..12 columns")
+    val t = graft.T.normalizeTimestamps(spark.read.parquet(path))
+    val pairs = dims.combinations(2).map(_.toSeq).toSeq
+    val aggs = dims.map(c => approx_count_distinct(col(c)).as(c)) ++
+      pairs.zipWithIndex.map { case (Seq(a, b), i) =>
+        approx_count_distinct(struct(col(a), col(b))).as(s"__p$i") }
+    val row = t.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val n = row.getLong(0)
+    val cands: Seq[(Seq[String], Long)] =
+      dims.zipWithIndex.map { case (c, i) => (Seq(c), row.getLong(i + 1)) } ++
+        pairs.zipWithIndex.map { case (pr, i) =>
+          (pr, row.getLong(1 + dims.size + i)) }
+    val rows = cands.map { case (cols, est) =>
+      val sketchUnique = est.toDouble * slack >= n
+      val declared = sketchUnique &&
+        Constraints.verifyAndDeclareUniqueKey(spark, path, cols)
+      (cols.mkString(","), sketchUnique, declared)
+    }
+    val session = spark
+    import session.implicits._
+    rows.toDF("columns", "sketch_unique", "declared")
+  }
+
   /** Materialize a suggested tile as a substitutable MV. */
   def materialize(spark: SparkSession, name: String, source: DataFrame,
       tile: TileSuggestion, sums: Seq[String]): DataFrame =

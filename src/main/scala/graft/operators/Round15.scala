@@ -240,7 +240,44 @@ object Round15 {
       SELECT DISTINCT o_orderkey, o_orderstatus FROM orders
       ORDER BY o_orderkey"""))
 
+  /** The unique-key discovery loop (ref: profile/ProfilerImpl.java
+    * unique-key output feeding schema/Statistic.java getKeys): one
+    * sketch pass classifies singles and pairs of orders, survivors get
+    * exact verification and are DECLARED — the fuel for outer-join
+    * elimination and DISTINCT removal with zero manual declarations
+    * (downstream rewrites plan-gated in MvConstraintSpec). The oracle
+    * recomputes both verdict columns exactly: o_orderkey and every
+    * pair containing it are keys; status/priority and their pair
+    * repeat and are rejected by the sketch alone. */
+  val q172_profile_declare_keys = Q(
+    (s, dir) => {
+      graft.catalog.Lattice.profileAndDeclareKeys(s,
+        s"$dir/orders.parquet",
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("columns")
+    },
+    Some("""
+      WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                        o_orderpriority AS pri FROM orders),
+      c AS (SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS ck,
+                   COUNT(DISTINCT st) AS cs, COUNT(DISTINCT pri) AS cp,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT k, st FROM t)) AS cks,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT k, pri FROM t)) AS ckp,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT st, pri FROM t)) AS csp
+            FROM t)
+      SELECT columns, sketch_unique, sketch_unique AND exact_unique AS declared
+      FROM (
+        SELECT 'o_orderkey' AS columns, 1.1*ck >= n AS sketch_unique,
+               ck = n AS exact_unique FROM c
+        UNION ALL SELECT 'o_orderstatus', 1.1*cs >= n, cs = n FROM c
+        UNION ALL SELECT 'o_orderpriority', 1.1*cp >= n, cp = n FROM c
+        UNION ALL SELECT 'o_orderkey,o_orderstatus', 1.1*cks >= n, cks = n FROM c
+        UNION ALL SELECT 'o_orderkey,o_orderpriority', 1.1*ckp >= n, ckp = n FROM c
+        UNION ALL SELECT 'o_orderstatus,o_orderpriority', 1.1*csp >= n, csp = n FROM c)
+      ORDER BY columns"""))
+
   val all: Map[String, Q] = Map(
+    "q172_profile_declare_keys" -> q172_profile_declare_keys,
     "q171_distinct_elim" -> q171_distinct_elim,
     "q166_fk_composite_tile" -> q166_fk_composite_tile,
     "q167_fk_composite_elim" -> q167_fk_composite_elim,

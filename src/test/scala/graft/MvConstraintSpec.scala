@@ -739,6 +739,31 @@ class MvConstraintSpec extends SparkSpec {
     } finally { MaterializedViews.clear(); Constraints.clear() }
   }
 
+  test("profileAndDeclareKeys closes the key loop: discovery alone fuels the eliminations") {
+    try {
+      Constraints.clear()
+      val verdicts = graft.catalog.Lattice.profileAndDeclareKeys(spark,
+        dimPath, Seq("c_custkey", "c_nationkey"))
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+      assert(verdicts.contains(("c_custkey", true, true)),
+        s"c_custkey must profile and declare as a key: $verdicts")
+      assert(verdicts.contains(("c_nationkey", false, false)),
+        s"c_nationkey must be rejected by the sketch: $verdicts")
+      // the discovered key alone eliminates a LEFT join…
+      def q = T(spark, sfDir, "orders")
+        .join(T(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!hasJoin(q),
+        "a discovered-then-declared key must fire LEFT-join elimination")
+      // …and collapses a DISTINCT over the key
+      def d = T(spark, sfDir, "customer")
+        .select("c_custkey", "c_mktsegment").distinct()
+      assert(!hasAggregate(d),
+        "a discovered-then-declared key must fire DISTINCT removal")
+    } finally Constraints.clear()
+  }
+
   test("a directed snowflake CHAIN still covers: fact → dim → dim-of-dim") {
     val orders = T(spark, sfDir, "orders")
       .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
