@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.LowerAsofJoin(session.asInstanceOf[org.apache.spark.sql.SparkSession]))
     e.injectOptimizerRule(_ => graft.plans.MaterializedViews.MvRewrite)
     e.injectOptimizerRule(_ => graft.plans.FkJoinElimination)
+    e.injectOptimizerRule(_ => graft.plans.SemiJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.EagerAggregation)
+    e.injectOptimizerRule(_ => graft.plans.AggregateUnionTranspose)
     e.injectCheckRule { session =>
       // piggyback session start to register the function surface once
       graft.functions.GraftFunctions.registerAll(

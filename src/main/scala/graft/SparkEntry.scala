@@ -24,7 +24,7 @@ object SparkEntry {
       Library2.all ++ Quantified.all ++
       Round4.all ++ Gaps.all ++ Subqueries2.all ++ Tvf.all ++ Funnel.all ++
       Joins2.all ++ Geo.all ++ Dialect2.all ++ Round11.all ++ Round12.all ++
-      Round13.all ++ Round14.all ++ Round15.all ++
+      Round13.all ++ Round14.all ++ Round15.all ++ Round15b.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
       IvfAnn.all ++ PqAnn.all ++ Bpe.all ++ Pipeline2.all ++ Curation.all ++
       Curation2.all ++ Curation3.all ++ Curation4.all ++ Curation5.all ++

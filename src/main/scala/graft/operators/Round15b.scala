@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.catalog.Statistics
+import graft.plans.{AggPushdown, MaterializedViews}
+
+/** Round-15 pack B: the aggregate-pushdown rule family — rewrites the
+  * reference applies through its Volcano planner and Catalyst never
+  * attempts on its own.
+  *
+  *   - q173: multiplicity-insensitive aggregate over an inner join →
+  *     LEFT SEMI (ref: rel/rules/SemiJoinRule.java)
+  *   - q174: statistics-gated eager aggregation — the partial aggregate
+  *     evaluates below the join (ref:
+  *     rel/rules/AggregateJoinTransposeRule.java)
+  *   - q175: aggregate-union transpose fired by a registered tile
+  *     answering one branch (ref:
+  *     rel/rules/AggregateUnionTransposeRule.java)
+  *
+  * Each runs the REWRITTEN plan; the oracle runs the query as written,
+  * so a hash match proves the rewrite value-preserving end-to-end. */
+object Round15b {
+
+  /** Orders fan out ~4× through lineitem, but MAX and COUNT(DISTINCT)
+    * cannot see the fan-out — the optimizer replaces the join with a
+    * semi probe, so at 100 TB the fact stops shipping one duplicated
+    * row per matching line item (plan-gated in AggPushdownSpec). */
+  val q173_semi_join_agg = Q(
+    (s, dir) => {
+      AggPushdown.ensure(s)
+      T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(max("o_totalprice").as("mx"),
+          countDistinct(col("o_custkey")).as("nc"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, MAX(o_totalprice) AS mx,
+             COUNT(DISTINCT o_custkey) AS nc
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** The profiled NDV of o_custkey proves a ~10× reduction, so the SUM
+    * and COUNT partially evaluate below the customer join, grouped by
+    * the join key — the shuffle ships one row per customer instead of
+    * one per order (plan-gated in AggPushdownSpec; the same profile
+    * pass that feeds the lattice advisor feeds this gate). */
+  val q174_eager_agg = Q(
+    (s, dir) => {
+      Statistics.profileAndDeclare(s, s"$dir/orders.parquet", Seq("o_custkey"))
+      T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum("o_totalprice").cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** An aggregate over UNION ALL transposes below the union exactly
+    * because a registered tile answers the first branch from cache —
+    * the hot branch costs a cache read, only the residual branch is
+    * scanned (plan-gated in AggPushdownSpec, with the no-tile refusal
+    * negative). */
+  val q175_union_tile_transpose = Q(
+    (s, dir) => {
+      AggPushdown.ensure(s)
+      def li = T(s, dir, "lineitem")
+        .withColumn("l_quantity", T.dec2(col("l_quantity")))
+      MaterializedViews.registerOnce(s, "q175_mv", li,
+        keys = Seq("l_returnflag"), sums = Seq("l_quantity"))
+      li.select("l_returnflag", "l_quantity")
+        .union(li.filter(col("l_linestatus") === "F")
+          .select("l_returnflag", "l_quantity"))
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").cast("double").as("q"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(q0) AS DOUBLE) AS q, COUNT(*) AS n
+      FROM (
+        SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS q0
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS q0
+        FROM lineitem WHERE l_linestatus = 'F')
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Map[String, Q] = Map(
+    "q173_semi_join_agg" -> q173_semi_join_agg,
+    "q174_eager_agg" -> q174_eager_agg,
+    "q175_union_tile_transpose" -> q175_union_tile_transpose)
+}

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, EqualTo, ExprId, Expression, IsNotNull, Literal}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -83,6 +83,14 @@ object FkJoinElimination extends Rule[LogicalPlan] {
           .orElse(attemptInner(refs, j.condition.get, j.right, j.left))
       case LeftOuter => attemptOuter(refs, j.condition.get, j.left, j.right)
       case RightOuter => attemptOuter(refs, j.condition.get, j.right, j.left)
+      // a SEMI join under FK coverage is an identity: containment +
+      // non-null fact keys mean every left row has a match, and a semi
+      // join never duplicates — so the existence probe itself vanishes
+      // (the shape SemiJoinRewrite leaves behind; ref: the SemiJoinRule →
+      // constraint-removal composition of rel/rules/SemiJoinRule.java
+      // over declared RelReferentialConstraints). The exactly-one-match
+      // tree proof is stronger than semi needs, and therefore sound.
+      case LeftSemi => attemptInner(refs, j.condition.get, j.left, j.right)
       case _ => None
     }
   }
