@@ -63,15 +63,25 @@ object Bpe {
     merges.foldLeft(word.map(_.toString).toVector :+ "</w>")(applyMerge)
 
   /** Train 40 merges on the corpus, then report per-document token
-    * counts under the learned tokenizer vs raw characters (rows-only:
-    * the iterative training has no SQL oracle; BpeSpec pins the
-    * algebraic properties). */
+    * counts under the learned tokenizer vs raw characters. ORACLE-
+    * CHECKED (lifted in r15): the training loop is fully deterministic
+    * — integer pair counts, lexicographic tie-break — and the oracle
+    * restates all 40 rounds in DuckDB SQL ([[bpeOracle]]): pair counts
+    * as a grouped zip of adjacent symbols, the argmax by the same
+    * (count DESC, a, b) total order, and the merge application as a
+    * per-word RECURSIVE-CTE walk that reproduces the textbook
+    * left-to-right greedy scan exactly (a string-replace restatement
+    * would diverge on same-symbol runs — the d40 deviation — so the
+    * oracle walks token lists instead). Words are restricted to
+    * printable ASCII on BOTH sides: within that alphabet Java's
+    * UTF-16 ordering and DuckDB's byte collation agree, making the
+    * tie-break provably identical. */
   val d24_bpe_tokenize = Q(
     (s, dir) => {
       import s.implicits._
       val wordCounts = T(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
+        .filter(col("w").rlike("^[\\x21-\\x7e]+$"))
         .groupBy("w").count()
         .as[(String, Long)].collect().toMap
       val merges = learn(wordCounts, nMerges = 40)
@@ -81,8 +91,9 @@ object Bpe {
         .as[(Long, Seq[String])]
         .mapPartitions { it =>
           val ms = bMerges.value
+          val printable = java.util.regex.Pattern.compile("[\\x21-\\x7e]+")
           it.map { case (id, ws) =>
-            val words = ws.filter(_.nonEmpty)
+            val words = ws.filter(w => printable.matcher(w).matches)
             val nBpe = words.map(w => tokenize(w, ms).length).sum
             val nChar = words.map(_.length + 1).sum // +1 = </w>
             (id, nBpe.toLong, nChar.toLong)
@@ -91,7 +102,59 @@ object Bpe {
         .toDF("doc_id", "n_tokens_bpe", "n_tokens_char")
         .orderBy("doc_id")
     },
-    None)
+    Some(bpeOracle(40)))
+
+  /** The full training + tokenization loop as ONE DuckDB statement:
+    * `nMerges` unrolled rounds, each a (pair-count, argmax, per-word
+    * recursive token walk) triple over the word-frequency table. The
+    * walk IS applyMerge — consume (a,b) when the next two tokens match,
+    * else emit one token — so the oracle and the Scala tokenizer agree
+    * by construction, including on same-symbol runs. Exhausted corpora
+    * (every word fully merged before round n) fall back to a chr(1)
+    * no-op pair, mirroring the Scala loop's early stop. CTEs are
+    * MATERIALIZED so the plan holds one parquet handle, not one per
+    * round. */
+  private[graft] def bpeOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { k =>
+      val prev = s"s${k - 1}"
+      s"""
+  p$k AS (SELECT a, b, sum(n) AS c FROM (
+           SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b, n FROM $prev)
+         GROUP BY a, b),
+  m$k AS (SELECT
+           coalesce((SELECT a FROM p$k ORDER BY c DESC, a, b LIMIT 1), chr(1)) AS a,
+           coalesce((SELECT b FROM p$k ORDER BY c DESC, a, b LIMIT 1), chr(1)) AS b),
+  r$k(word, done, rest, n) AS (
+    SELECT word, []::VARCHAR[], t, n FROM $prev
+    UNION ALL
+    SELECT r.word,
+      CASE WHEN len(r.rest) >= 2 AND r.rest[1] = m.a AND r.rest[2] = m.b
+           THEN list_append(r.done, m.a || m.b) ELSE list_append(r.done, r.rest[1]) END,
+      CASE WHEN len(r.rest) >= 2 AND r.rest[1] = m.a AND r.rest[2] = m.b
+           THEN r.rest[3:] ELSE r.rest[2:] END,
+      r.n
+    FROM r$k r, m$k m WHERE len(r.rest) > 0),
+  s$k AS MATERIALIZED (SELECT word, done AS t, n FROM r$k WHERE len(rest) = 0),"""
+    }.mkString
+    s"""
+WITH RECURSIVE w AS MATERIALIZED (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE regexp_matches(word, '^[\\x21-\\x7e]+$$')
+  GROUP BY word),
+s0 AS MATERIALIZED (SELECT word, list_append(regexp_extract_all(word, '.'), '</w>') AS t, n FROM w),
+$rounds
+tok AS (SELECT word, len(t) AS nt FROM s$nMerges),
+d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+agg AS (SELECT doc_id, sum(tok.nt) AS nb, sum(len(d.word) + 1) AS nch
+        FROM d JOIN tok ON d.word = tok.word
+        WHERE regexp_matches(d.word, '^[\\x21-\\x7e]+$$')
+        GROUP BY doc_id)
+SELECT doc.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_tokens_bpe,
+       CAST(coalesce(agg.nch, 0) AS BIGINT) AS n_tokens_char
+FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
+ORDER BY doc.doc_id"""
+  }
 
   /** The BPE merge-selection loop as pure relational algebra — the
     * value-checked twin of d24 (whose driver-side loop has no DuckDB

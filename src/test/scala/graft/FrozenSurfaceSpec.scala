@@ -11,14 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class FrozenSurfaceSpec extends AnyFunSuite {
 
-  test("no_oracle set is exactly the three frozen approximates") {
+  test("no_oracle set is exactly the two frozen approximates") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val frozen = Set(
-      // q18 and q66 lifted in r13: exact in-query twins + sketch
-      // tolerance columns (the estimate values stay spec-gated)
+      // q18 and q66 lifted in r13 (exact twins + sketch tolerance);
+      // d24 lifted in r15 — the training loop was integer-deterministic
+      // all along, and a 40-round recursive-CTE oracle restates it
+      // textbook-exactly (Bpe.bpeOracle)
       "d12_knn_ivf",          // IVF recall gate — relational twin d38
-      "d23_pq_ann",           // PQ recall/compression gates
-      "d24_bpe_tokenize")     // float-order-dependent training — twin d40
+      "d23_pq_ann")           // PQ recall/compression gates
     assert(noOracle == frozen,
       s"no_oracle drifted: +${(noOracle -- frozen).toSeq.sorted.mkString(",")} " +
         s"-${(frozen -- noOracle).toSeq.sorted.mkString(",")}")
