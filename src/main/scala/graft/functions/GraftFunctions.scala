@@ -38,6 +38,8 @@ object GraftFunctions {
     "similar_to" -> (args => SimilarTo(args(0), args(1))),
     // native codegen dot product over array<float|double> (embeddings)
     "dot_product" -> (args => DotProduct(args(0), args(1))),
+    // Morton interleave for z-order clustering (codegen shift/mask)
+    "interleave_bits" -> (args => ZOrder.expr(args)),
     "squared_distance" -> (args => SquaredDistance(args(0), args(1))),
     "to_base32" -> (args => ToBase32(args.head)),
     "from_base32" -> (args => FromBase32(args.head)),

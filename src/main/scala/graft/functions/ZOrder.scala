@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Z-order (Morton) clustering — the multi-dimensional file-layout
+  * operator (Delta/Iceberg `OPTIMIZE ZORDER` analog; a lakehouse
+  * counterpart of the reference's physical-layout metadata,
+  * schema/Statistic.java getCollations, which its planner uses to skip
+  * work that the layout already did). Interleaving the bits of two
+  * keys and range-partitioning on the result gives every output file a
+  * NARROW min/max range in BOTH dimensions at once — so a 100 TB scan
+  * filtered on either key (or both) skips most files on footer stats,
+  * where a single-column sort only ever prunes its own column.
+  *
+  * The interleave is a native codegen expression (a tight shift/mask
+  * sequence inside whole-stage codegen), registered in SQL as
+  * `interleave_bits(a, b)`: each input masks to its low 31 bits and
+  * spreads via the 5-step magic-mask doubling, `z = spread(a) |
+  * spread(b) << 1` — 62 bits, always non-negative. */
+object ZOrder {
+
+  /** Spread the low 31 bits of x to even bit positions (standard
+    * magic-mask doubling). */
+  def spread(x0: Long): Long = {
+    var x = x0 & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  /** The SQL builder: integral inputs cast to LONG. */
+  private[functions] def expr(args: Seq[Expression]): Expression =
+    InterleaveBits(Cast(args(0), LongType), Cast(args(1), LongType))
+
+  def interleaveBits(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(InterleaveBits(Cast(expression(a), LongType),
+      Cast(expression(b), LongType)))
+  }
+
+  /** Cluster `df` into `numFiles` z-ordered range partitions on two
+    * key columns, each file sorted by z within — ready to write with
+    * per-file min/max locality in BOTH keys. Each column first scales
+    * to a common 16-bit range from one min/max pass (interleaving RAW
+    * values degenerates to a single-key sort when the ranges differ in
+    * width — the wider key owns every high bit; production z-order
+    * implementations normalize to range ids for the same reason, and a
+    * skewed 100 TB table would swap this linear scaling for the
+    * profiler's quantiles). The helper column drops after the
+    * repartition, which preserves the partitioning (a projection never
+    * reshuffles). */
+  def cluster(df: DataFrame, a: String, b: String, numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{floor, lit, max, min}
+    val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+      min(col(b)).cast("double"), max(col(b)).cast("double")).collect()(0)
+    def scaled(c: String, lo: Double, hi: Double): Column =
+      floor((col(c).cast("double") - lit(lo)) /
+        lit(math.max(hi - lo, 1.0)) * lit(65535.0)).cast("long")
+    df.withColumn("__graft_z", interleaveBits(
+        scaled(a, r.getDouble(0), r.getDouble(1)),
+        scaled(b, r.getDouble(2), r.getDouble(3))))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+  }
+}
+
+/** `interleave_bits(a, b)`: Morton interleave of two integral keys'
+  * low 31 bits — even bits from `a`, odd bits from `b`. Codegen emits
+  * the shift/mask sequence inline, so z-key computation rides
+  * whole-stage codegen during the clustering write. */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "interleave_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"interleave_bits expects BIGINT inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  /** The same 5-step spread, emitted as straight-line Java. */
+  private def spreadJava(in: String, v: String): String =
+    s"""long $v = $in & 0x7FFFFFFFL;
+       |$v = ($v | ($v << 16)) & 0x0000FFFF0000FFFFL;
+       |$v = ($v | ($v << 8)) & 0x00FF00FF00FF00FFL;
+       |$v = ($v | ($v << 4)) & 0x0F0F0F0F0F0F0F0FL;
+       |$v = ($v | ($v << 2)) & 0x3333333333333333L;
+       |$v = ($v | ($v << 1)) & 0x5555555555555555L;""".stripMargin
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (sa, sb) = (ctx.freshName("sa"), ctx.freshName("sb"))
+      s"""${spreadJava(a, sa)}
+         |${spreadJava(b, sb)}
+         |${ev.value} = $sa | ($sb << 1);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterleaveBits =
+    copy(left = newLeft, right = newRight)
+}

@@ -96,8 +96,44 @@ object Round15b {
         FROM lineitem WHERE l_linestatus = 'F')
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Morton z-keys for two-dimensional layout clustering (the
+    * `interleave_bits` codegen expression; ZOrderSpec proves the
+    * LAYOUT consequence — per-file min/max locality in both keys at
+    * once). The oracle restates the 5-step magic-mask spread with
+    * plain shift/mask arithmetic. */
+  val d49_zorder_keys = Q(
+    (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      T(s, dir, "orders").createOrReplaceTempView("orders_v49")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               interleave_bits(o_orderkey, o_custkey) AS z
+        FROM orders_v49 ORDER BY o_orderkey""")
+    },
+    Some("""
+      WITH m AS (SELECT o_orderkey, o_custkey,
+          o_orderkey & 2147483647 AS a, o_custkey & 2147483647 AS b FROM orders),
+      s1 AS (SELECT o_orderkey, o_custkey,
+          (a | (a << 16)) & 281470681808895 AS a,
+          (b | (b << 16)) & 281470681808895 AS b FROM m),
+      s2 AS (SELECT o_orderkey, o_custkey,
+          (a | (a << 8)) & 71777214294589695 AS a,
+          (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+      s3 AS (SELECT o_orderkey, o_custkey,
+          (a | (a << 4)) & 1085102592571150095 AS a,
+          (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+      s4 AS (SELECT o_orderkey, o_custkey,
+          (a | (a << 2)) & 3689348814741910323 AS a,
+          (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+      s5 AS (SELECT o_orderkey, o_custkey,
+          (a | (a << 1)) & 6148914691236517205 AS a,
+          (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+      SELECT o_orderkey, o_custkey, CAST(a | (b << 1) AS BIGINT) AS z
+      FROM s5 ORDER BY o_orderkey"""))
+
   val all: Map[String, Q] = Map(
     "q173_semi_join_agg" -> q173_semi_join_agg,
     "q174_eager_agg" -> q174_eager_agg,
-    "q175_union_tile_transpose" -> q175_union_tile_transpose)
+    "q175_union_tile_transpose" -> q175_union_tile_transpose,
+    "d49_zorder_keys" -> d49_zorder_keys)
 }
