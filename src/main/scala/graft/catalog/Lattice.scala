@@ -153,6 +153,10 @@ object Lattice {
     val row = dim.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
     val n = row.getLong(0)
     val est = keys.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    // the same pass feeds the NDV statistics registry, so the
+    // eager-aggregation gate (AggPushdown) arms alongside the
+    // constraints — one profile, three kinds of metadata
+    Statistics.declare(spark, dimPath, n, est)
     val rows = candidates.map { case (fc, dk) =>
       val sketchUnique = est(dk).toDouble * slack >= n
       val declared = sketchUnique &&
@@ -184,6 +188,10 @@ object Lattice {
         approx_count_distinct(struct(col(a), col(b))).as(s"__p$i") }
     val row = t.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
     val n = row.getLong(0)
+    // single-column NDVs also feed the statistics registry (the
+    // eager-aggregation gate) — same pass, third metadata kind
+    Statistics.declare(spark, path, n,
+      dims.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
     val cands: Seq[(Seq[String], Long)] =
       dims.zipWithIndex.map { case (c, i) => (Seq(c), row.getLong(i + 1)) } ++
         pairs.zipWithIndex.map { case (pr, i) =>

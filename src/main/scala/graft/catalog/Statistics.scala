@@ -30,12 +30,16 @@ object Statistics {
     p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
   }
 
-  /** Declare statistics verbatim (idempotent; last declaration wins —
-    * re-profiling after appends refreshes the numbers). */
+  /** Declare statistics (idempotent). Per-column NDVs MERGE with any
+    * earlier declaration for the same table — separate profiling calls
+    * each see a column subset, and dropping the complement would
+    * un-gate rewrites it had armed; the row count refreshes to the
+    * latest pass. */
   def declare(spark: SparkSession, path: String, rows: Long,
       ndv: Map[String, Long]): Unit = {
     val q = qualify(spark, path)
-    tables.put(q, TableStats(q, rows, ndv)): Unit
+    tables.merge(q, TableStats(q, rows, ndv),
+      (old, fresh) => TableStats(q, fresh.rows, old.ndv ++ fresh.ndv)): Unit
     graft.plans.AggPushdown.ensure(spark)
   }
 
@@ -52,8 +56,7 @@ object Statistics {
       cols.map(c => approx_count_distinct(col(c)).as(c)): _*).collect()(0)
     val stats = TableStats(qualify(spark, path), row.getLong(0),
       cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
-    tables.put(stats.path, stats): Unit
-    graft.plans.AggPushdown.ensure(spark)
+    declare(spark, path, stats.rows, stats.ndv)
     stats
   }
 

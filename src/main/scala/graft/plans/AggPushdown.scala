@@ -94,14 +94,20 @@ object AggPushdown {
     (partial, finalOf)
   }
 
-  /** Shared order-independence guard: would MvRewrite answer this very
-    * aggregate from a registered tile? Then leave it alone — a cache
-    * read beats any join rewrite, and rule install order must not
-    * decide which fires (probed through MvRewrite itself, so guard and
-    * rewrite can never disagree; empty-registry fast path makes this
-    * free on undeclared sessions). */
-  private[plans] def tileWouldAnswer(agg: Aggregate): Boolean =
-    !MaterializedViews.MvRewrite(agg).fastEquals(agg)
+  /** Shared order-independence guards: if MvRewrite would answer this
+    * very aggregate from a tile, or FkJoinElimination would delete the
+    * join under it outright, leave it alone — a cache read or a dead
+    * join beats any pushdown, and rule INSTALL order must not decide
+    * which fires (probed through the rules themselves, so guard and
+    * rewrite can never disagree; both fast-path on empty registries,
+    * making the probes free on undeclared sessions). Without the FK
+    * probe, an eager partial wedged between the aggregate and the join
+    * re-anchors the join keys to an Aggregate output, which the
+    * eliminator's leaf resolution rightly refuses — blocking the
+    * strictly better rewrite forever. */
+  private[plans] def betterRewriteWouldFire(agg: Aggregate): Boolean =
+    !MaterializedViews.MvRewrite(agg).fastEquals(agg) ||
+      !FkJoinElimination(agg).fastEquals(agg)
 
   /** Shared: rewrite the final output list, replacing each original
     * aggregate call with its final combine (matched canonically). */
@@ -127,7 +133,7 @@ object SemiJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(g, a, child, hint)
-        if insensitive(g, a) && !AggPushdown.tileWouldAnswer(agg) =>
+        if insensitive(g, a) && !AggPushdown.betterRewriteWouldFire(agg) =>
       (child match {
         case j: Join => semiOf(AttributeSet((g ++ a).flatMap(_.references)), j)
         case p @ Project(ps, j: Join) if ps.forall(_.deterministic) =>
@@ -138,14 +144,17 @@ object SemiJoinRewrite extends Rule[LogicalPlan] {
   }
 
   /** Every aggregate call blind to duplicates: DISTINCT anything, or a
-    * set-semantics function (MIN/MAX/COLLECT_SET/BOOL_AND/BOOL_OR/
-    * BIT_AND/BIT_OR/HLL++). Plain DISTINCT (no calls) passes trivially. */
+    * set-semantics function (MIN/MAX/BOOL_AND/BOOL_OR/BIT_AND/BIT_OR/
+    * HLL++). Plain DISTINCT (no calls) passes trivially. COLLECT_SET is
+    * set-insensitive too but SURFACES a nondeterministically-ordered
+    * array — a rewrite that changes execution order would change the
+    * rendered value, so it stays excluded. */
   private def insensitive(g: Seq[Expression], a: Seq[NamedExpression]): Boolean =
     (g ++ a).forall(_.deterministic) &&
       a.flatMap(_.collect { case ae: AggregateExpression => ae }).forall { ae =>
         ae.filter.forall(_.deterministic) &&
           (ae.isDistinct || (ae.aggregateFunction match {
-            case _: Min | _: Max | _: CollectSet | _: BoolAnd | _: BoolOr |
+            case _: Min | _: Max | _: BoolAnd | _: BoolOr |
                 _: BitAndAgg | _: BitOrAgg | _: HyperLogLogPlusPlus => true
             case _ => false
           }))
@@ -188,7 +197,7 @@ object EagerAggregation extends Rule[LogicalPlan] {
       .getConfString("spark.graft.eagerAgg.minReduction", "4.0").toDouble
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(g, a, child, hint) if !AggPushdown.tileWouldAnswer(agg) =>
+    case agg @ Aggregate(g, a, child, hint) if !AggPushdown.betterRewriteWouldFire(agg) =>
       (child match {
         case j: Join => push(g, a, j)
         case Project(ps, j: Join) if ps.forall(_.isInstanceOf[AttributeReference]) =>
