@@ -96,6 +96,33 @@ object Round15b {
         FROM lineitem WHERE l_linestatus = 'F')
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Eager aggregation into the PRESERVED side of a LEFT join (ref:
+    * AggregateJoinTransposeRule's outer-join admission): half the
+    * customers are filtered away, so dangling orders null-extend — an
+    * unmatched partial group null-extends exactly once and still
+    * carries its whole partial into the NULL group, which the oracle
+    * reproduces running the outer join as written (plan-gated in
+    * AggPushdownSpec, with the null-extensible-side refusal). */
+  val q176_eager_agg_outer = Q(
+    (s, dir) => {
+      Statistics.profileAndDeclare(s, s"$dir/orders.parquet", Seq("o_custkey"))
+      T(s, dir, "orders")
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+        .join(T(s, dir, "customer").filter(col("c_custkey") % 2 === 0),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(sum("o_totalprice").cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             COUNT(*) AS n
+      FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+        ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** Morton z-keys for two-dimensional layout clustering (the
     * `interleave_bits` codegen expression; ZOrderSpec proves the
     * LAYOUT consequence — per-file min/max locality in both keys at
@@ -135,5 +162,6 @@ object Round15b {
     "q173_semi_join_agg" -> q173_semi_join_agg,
     "q174_eager_agg" -> q174_eager_agg,
     "q175_union_tile_transpose" -> q175_union_tile_transpose,
+    "q176_eager_agg_outer" -> q176_eager_agg_outer,
     "d49_zorder_keys" -> d49_zorder_keys)
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -208,15 +208,23 @@ object EagerAggregation extends Rule[LogicalPlan] {
 
   private def push(g: Seq[Expression], a: Seq[NamedExpression],
       j: Join): Option[(Seq[NamedExpression], Join)] = {
-    if (j.joinType != Inner || j.condition.isEmpty) return None
+    if (j.condition.isEmpty) return None
     // empty grouping: a zero-match join yields zero groups either way
     // only when groups exist; a global COUNT over an empty join must
     // stay 0, which SUM-of-partials would turn into NULL — refuse
     if (g.isEmpty || !g.forall(_.isInstanceOf[AttributeReference])) return None
     if (!(g ++ a).forall(_.deterministic)) return None
     val pairs = equiPairs(j.condition.get).getOrElse(return None)
-    trySide(g, a, j, pairs, factLeft = true)
-      .orElse(trySide(g, a, j, pairs, factLeft = false))
+    // outer joins admit the push only into the PRESERVED side: an
+    // unmatched partial group null-extends exactly once and still
+    // carries its whole partial, so the accounting argument holds
+    // verbatim; the null-extensible side cannot host the partial — it
+    // would have to invent the extension rows (ref:
+    // AggregateJoinTransposeRule's isAggregateSupported join checks)
+    val leftOk = j.joinType == Inner || j.joinType == LeftOuter
+    val rightOk = j.joinType == Inner || j.joinType == RightOuter
+    (if (leftOk) trySide(g, a, j, pairs, factLeft = true) else None)
+      .orElse(if (rightOk) trySide(g, a, j, pairs, factLeft = false) else None)
   }
 
   private def trySide(g: Seq[Expression], a: Seq[NamedExpression], j: Join,
@@ -260,8 +268,8 @@ object EagerAggregation extends Rule[LogicalPlan] {
     val partialAgg = Aggregate(partialKeys,
       (partialKeys: Seq[NamedExpression]) ++ partials, fact)
     val j2 =
-      if (factLeft) Join(partialAgg, other, Inner, j.condition, j.hint)
-      else Join(other, partialAgg, Inner, j.condition, j.hint)
+      if (factLeft) Join(partialAgg, other, j.joinType, j.condition, j.hint)
+      else Join(other, partialAgg, j.joinType, j.condition, j.hint)
     Some((rewriteFinals(a, mapping), j2))
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
@@ -157,6 +157,43 @@ class AggPushdownSpec extends SparkSpec {
       assert(aggCount(q) == 3,
         s"expected a partial above orders, a partial above the customer join, and the final:\n$plan")
       assertSameValues(q)
+    } finally Statistics.clear()
+  }
+
+  test("eager aggregation pushes into the PRESERVED side of a LEFT join") {
+    AggPushdown.ensure(spark)
+    Statistics.profileAndDeclare(spark, s"$sfDir/orders.parquet", Seq("o_custkey"))
+    try {
+      // half the customers filtered away: dangling orders null-extend,
+      // and their partials must land in the NULL group intact
+      def q = orders
+        .withColumn("o_totalprice", T.dec2(col("o_totalprice")))
+        .join(customer.filter(col("c_custkey") % 2 === 0),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(sum("o_totalprice").as("rev"), count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(aggCount(q) == 2, s"expected partial+final:\n$plan")
+      assert(joinTypes(q) == Seq(LeftOuter), s"outer join must survive:\n$plan")
+      assertSameValues(q)
+      val got = q.collect().map(r => (Option(r.getString(0)), r.getLong(2))).toMap
+      assert(got.contains(None) && got(None) > 0, "the NULL group must carry the dangling orders")
+    } finally Statistics.clear()
+  }
+
+  test("eager aggregation refuses the null-extensible side of a LEFT join") {
+    AggPushdown.ensure(spark)
+    Statistics.profileAndDeclare(spark, s"$sfDir/customer.parquet", Seq("c_custkey"))
+    try {
+      // aggregate inputs come from the RIGHT (null-extended) side: a
+      // pushed partial could never produce the extension rows
+      val q = orders
+        .join(customer.withColumn("c_acctbal", T.dec2(col("c_acctbal"))),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(sum("c_acctbal").as("bal"), count(lit(1)).as("n"))
+      assert(aggCount(q) == 1,
+        s"must refuse:\n${q.queryExecution.optimizedPlan}")
     } finally Statistics.clear()
   }
 
