@@ -38,6 +38,59 @@ object ZOrder {
 
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 
+  /** Z-ranges covering the box [aLo..aHi] × [bLo..bHi] in a
+    * `widthBits`-per-dimension grid (ref: rel/rules/SpatialRules.java
+    * FilterHilbertRule — the reference rewrites ST_DWithin over a
+    * curve-indexed column into range sargs; this is the Morton
+    * counterpart). Quadtree descent: a cell fully inside the box emits
+    * its contiguous z-interval (Morton order of an ALIGNED quad cell is
+    * contiguous), a disjoint cell is skipped, a straddling cell splits
+    * until `maxLevel`, where it emits over-covering — the exact
+    * predicate re-applied above makes over-coverage harmless, so
+    * `maxLevel` only trades predicate size against skip precision.
+    * Adjacent intervals merge, keeping the pushed filter small. At
+    * 100 TB these BETWEENs push into parquet footer stats over a
+    * z-laid-out table and skip every file outside the box in BOTH
+    * dimensions at once. */
+  def coveringRanges(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      widthBits: Int = 16, maxLevel: Int = 6): Seq[(Long, Long)] = {
+    require(widthBits >= 1 && widthBits <= 31, "1..31 bits per dimension")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def rec(level: Int, aMin: Long, bMin: Long): Unit = {
+      val size = 1L << (widthBits - level)
+      val (aMax, bMax) = (aMin + size - 1, bMin + size - 1)
+      if (aMax < aLo || aMin > aHi || bMax < bLo || bMin > bHi) return
+      if ((aMin >= aLo && aMax <= aHi && bMin >= bLo && bMax <= bHi) ||
+          level >= maxLevel || size == 1) {
+        out += ((interleave(aMin, bMin), interleave(aMax, bMax))): Unit
+        return
+      }
+      val half = size >> 1
+      rec(level + 1, aMin, bMin)
+      rec(level + 1, aMin + half, bMin)
+      rec(level + 1, aMin, bMin + half)
+      rec(level + 1, aMin + half, bMin + half)
+    }
+    rec(0, 0, 0)
+    val sorted = out.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { r =>
+      if (merged.nonEmpty && merged.last._2 + 1 >= r._1)
+        merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, r._2))
+      else merged += r: Unit
+    }
+    merged.toSeq
+  }
+
+  /** The pushable z predicate for [[coveringRanges]] output: a
+    * disjunction of BETWEENs on the z column. */
+  def rangeFilter(z: Column, ranges: Seq[(Long, Long)]): Column = {
+    import org.apache.spark.sql.functions.lit
+    require(ranges.nonEmpty, "empty covering")
+    ranges.map { case (lo, hi) => z >= lit(lo) && z <= lit(hi) }
+      .reduce(_ || _)
+  }
+
   /** The SQL builder: integral inputs cast to LONG. */
   private[functions] def expr(args: Seq[Expression]): Expression =
     InterleaveBits(Cast(args(0), LongType), Cast(args(1), LongType))

@@ -158,7 +158,37 @@ object Round15b {
       SELECT o_orderkey, o_custkey, CAST(a | (b << 1) AS BIGINT) AS z
       FROM s5 ORDER BY o_orderkey"""))
 
+  /** Z-range pruning (ref: rel/rules/SpatialRules.java FilterHilbertRule
+    * — curve-range sargs compensated by the exact predicate): the
+    * two-dimensional box filter gains a disjunction of z-BETWEENs from
+    * the quadtree covering, and because the covering is complete, the
+    * conjunction returns exactly the box — which is what the oracle
+    * checks, running the plain box filter. The BETWEENs are the part
+    * that pushes into footer stats over a z-laid-out table
+    * (ZOrderSpec proves the file skipping end-to-end). */
+  val d50_zrange_prune = Q(
+    (s, dir) => {
+      import graft.functions.ZOrder
+      val (aLo, aHi, bLo, bHi) = (1000L, 9000L, 200L, 900L)
+      val ranges = ZOrder.coveringRanges(aLo, aHi, bLo, bHi,
+        widthBits = 24, maxLevel = 6)
+      T(s, dir, "orders")
+        .withColumn("z",
+          ZOrder.interleaveBits(col("o_orderkey"), col("o_custkey")))
+        .filter(ZOrder.rangeFilter(col("z"), ranges) &&
+          col("o_orderkey").between(aLo, aHi) &&
+          col("o_custkey").between(bLo, bHi))
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey", "o_custkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderkey BETWEEN 1000 AND 9000
+        AND o_custkey BETWEEN 200 AND 900
+      ORDER BY o_orderkey, o_custkey"""))
+
   val all: Map[String, Q] = Map(
+    "d50_zrange_prune" -> d50_zrange_prune,
     "q173_semi_join_agg" -> q173_semi_join_agg,
     "q174_eager_agg" -> q174_eager_agg,
     "q175_union_tile_transpose" -> q175_union_tile_transpose,

@@ -47,6 +47,72 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("coveringRanges: complete over the whole 8-bit grid, sorted, disjoint") {
+    val (aLo, aHi, bLo, bHi) = (37L, 180L, 9L, 77L)
+    val ranges = ZOrder.coveringRanges(aLo, aHi, bLo, bHi,
+      widthBits = 8, maxLevel = 5)
+    // sorted and disjoint after the merge
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 + 1 < lo2, "merge left adjacents")
+      case _ =>
+    }
+    def covered(z: Long) = ranges.exists(r => z >= r._1 && z <= r._2)
+    for (a <- 0L until 256L; b <- 0L until 256L) {
+      val in = a >= aLo && a <= aHi && b >= bLo && b <= bHi
+      if (in) assert(covered(ZOrder.interleave(a, b)),
+        s"($a,$b) is in the box but outside the covering")
+    }
+    // the covering is also TIGHT enough to prune: most of the grid
+    // stays outside it
+    val covd = (for (a <- 0L until 256L; b <- 0L until 256L
+      if covered(ZOrder.interleave(a, b))) yield 1).size
+    assert(covd < 256 * 256 / 2, s"covering spans $covd of 65536 cells")
+  }
+
+  test("z-range pruning end to end: skipped files provably hold no matches") {
+    val orders = T(spark, sfDir, "orders")
+    val r = orders.agg(
+      min("o_orderkey").cast("double"), max("o_orderkey").cast("double"),
+      min("o_custkey").cast("double"), max("o_custkey").cast("double")).collect()(0)
+    val (loA, hiA, loB, hiB) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def scale(v: Double, lo: Double, hi: Double): Long =
+      math.floor((v - lo) / math.max(hi - lo, 1.0) * 65535.0).toLong
+    def scaledCol(c: String, lo: Double, hi: Double) =
+      floor((col(c).cast("double") - lit(lo)) /
+        lit(math.max(hi - lo, 1.0)) * lit(65535.0)).cast("long")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_zrange").toString
+    orders.withColumn("z", ZOrder.interleaveBits(
+        scaledCol("o_orderkey", loA, hiA), scaledCol("o_custkey", loB, hiB)))
+      .repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(base)
+
+    // query box in ORIGINAL key space; scaling is monotone, so the
+    // scaled box over-covers and the exact predicate compensates
+    val (okLo, okHi, ckLo, ckHi) = (1000L, 2000L, 30L, 60L)
+    val ranges = ZOrder.coveringRanges(
+      scale(okLo.toDouble, loA, hiA), scale(okHi.toDouble, loA, hiA),
+      scale(ckLo.toDouble, loB, hiB), scale(ckHi.toDouble, loB, hiB))
+    val files = new java.io.File(base).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val kept = files.filter { f =>
+      val mm = spark.read.parquet(f)
+        .agg(min("z").cast("long"), max("z").cast("long")).collect()(0)
+      ranges.exists(rg => rg._1 <= mm.getLong(1) && rg._2 >= mm.getLong(0))
+    }
+    assert(kept.size < files.size,
+      s"no file skipped (${files.size} files) — the layout test proves nothing")
+    def boxRows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("o_orderkey").between(okLo, okHi) &&
+          col("o_custkey").between(ckLo, ckHi))
+        .select("o_orderkey", "o_custkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // reading ONLY the kept files returns exactly the full-scan answer
+    assert(boxRows(spark.read.parquet(kept: _*)) ==
+      boxRows(spark.read.parquet(base)))
+  }
+
   test("cluster: every file is narrow in BOTH keys; single-key layout is not") {
     val orders = T(spark, sfDir, "orders")
     val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
