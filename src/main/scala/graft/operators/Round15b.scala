@@ -169,7 +169,9 @@ object Round15b {
   val d50_zrange_prune = Q(
     (s, dir) => {
       import graft.functions.ZOrder
-      val (aLo, aHi, bLo, bHi) = (1000L, 9000L, 200L, 900L)
+      // inside every sf's key range (orders: orderkey 0..1499 at
+      // sf0.001, custkey 0..149) so the smoke gate sees rows at any sf
+      val (aLo, aHi, bLo, bHi) = (200L, 1100L, 20L, 120L)
       val ranges = ZOrder.coveringRanges(aLo, aHi, bLo, bHi,
         widthBits = 24, maxLevel = 6)
       T(s, dir, "orders")
@@ -183,8 +185,8 @@ object Round15b {
     },
     Some("""
       SELECT o_orderkey, o_custkey FROM orders
-      WHERE o_orderkey BETWEEN 1000 AND 9000
-        AND o_custkey BETWEEN 200 AND 900
+      WHERE o_orderkey BETWEEN 200 AND 1100
+        AND o_custkey BETWEEN 20 AND 120
       ORDER BY o_orderkey, o_custkey"""))
 
   val all: Map[String, Q] = Map(

@@ -581,4 +581,25 @@ class PlanQualitySpec extends SparkSpec
       }.isEmpty, s"orders must not be rescanned:\n$lp")
     } finally graft.plans.MaterializedViews.drop(spark, "q152_mv")
   }
+
+  test("q173: semi rewrite — broadcast existence probe builds ONE column") {
+    val p = plan("q173_semi_join_agg")
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the probe side should broadcast")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"lineitem must contribute nothing but the join key:\n$p")
+  }
+
+  test("q174: eager aggregation — the partial groups by the join key BELOW the join") {
+    val p = plan("q174_eager_agg")
+    assert(p.contains("_eager_0"), s"no eager partial in the plan:\n$p")
+    assert(p.contains("HashAggregate(keys=[o_custkey"),
+      s"the partial must key on the fact join key:\n$p")
+  }
+
+  test("q176: outer-join eager aggregation keeps the LEFT join") {
+    val p = plan("q176_eager_agg_outer")
+    assert(p.contains("_eager_0"), s"no eager partial in the plan:\n$p")
+    assert(p.contains("LeftOuter"), s"the outer join must survive the push:\n$p")
+  }
 }
