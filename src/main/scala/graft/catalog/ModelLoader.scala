@@ -44,13 +44,20 @@ final case class FkDef(
   * outer-join and aggregate removal rules. */
 final case class UkDef(table: String, cols: Seq[String])
 
+/** Table statistics declared in the model (ref: schema/Statistic.java
+  * getRowCount + the NDV metadata of RelMdDistinctRowCount — the cost
+  * numbers the reference's planner consults): row count and per-column
+  * distinct counts, fuel for the eager-aggregation gate. */
+final case class StatsDef(table: String, rows: Long, ndv: Map[String, Long])
+
 final case class Model(
     name: String,
     tables: Seq[TableDef],
     views: Seq[ViewDef] = Seq.empty,
     tiles: Seq[TileDef] = Seq.empty,
     foreignKeys: Seq[FkDef] = Seq.empty,
-    uniqueKeys: Seq[UkDef] = Seq.empty)
+    uniqueKeys: Seq[UkDef] = Seq.empty,
+    stats: Seq[StatsDef] = Seq.empty)
 
 object ModelLoader {
 
@@ -98,6 +105,11 @@ object ModelLoader {
         paths.getOrElse(uk.table, throw new IllegalArgumentException(
           s"uk: unknown table '${uk.table}'")), uk.cols)
     }
+    model.stats.foreach { st =>
+      Statistics.declare(spark,
+        paths.getOrElse(st.table, throw new IllegalArgumentException(
+          s"stats: unknown table '${st.table}'")), st.rows, st.ndv)
+    }
     // model-declared tiles materialize once per definition (the
     // reference's connect-time materialization registration): the first
     // matching rollup after load already answers from the tile
@@ -120,6 +132,7 @@ object ModelLoader {
     *   fk1      = fk:orders.o_custkey->customer.c_custkey
     *   fk2      = fk:lineitem.l_orderkey;l_linenumber->dim.d_orderkey;d_linenumber
     *   uk1      = uk:customer.c_custkey
+    *   st1      = stats:orders|rows=15000|ndv=o_custkey:1500;o_orderstatus:3
     * }}}
     * Composite keys separate columns with ';' (positional pairs). */
   def parse(name: String, text: String): Model = {
@@ -151,16 +164,28 @@ object ModelLoader {
       val Array(t, cs) = spec.split("\\.", 2)
       UkDef(t.trim, cs.split(";").map(_.trim).toSeq)
     }
+    def st(k: String, spec: String): StatsDef = {
+      val parts = spec.split("\\|").map(_.trim)
+      val opts = parts.tail.map { p =>
+        val Array(a, b) = p.split("=", 2); a -> b
+      }.toMap
+      require(opts.contains("rows"), s"stats '$k' needs rows=...")
+      StatsDef(parts.head, opts("rows").toLong,
+        opts.get("ndv").map(_.split(";").map { e =>
+          val Array(c, n) = e.split(":", 2); c.trim -> n.trim.toLong
+        }.toMap).getOrElse(Map.empty))
+    }
     Model(
       name,
       tables = entries.collect {
-        case (k, fmt, p) if !Set("view", "tile", "fk", "uk").contains(fmt) =>
+        case (k, fmt, p) if !Set("view", "tile", "fk", "uk", "stats").contains(fmt) =>
           TableDef(k, fmt, p)
       },
       views = entries.collect { case (k, "view", sql) => ViewDef(k, sql) },
       tiles = entries.collect { case (k, "tile", spec) => tile(k, spec) },
       foreignKeys = entries.collect { case (_, "fk", spec) => fk(spec) },
-      uniqueKeys = entries.collect { case (_, "uk", spec) => uk(spec) })
+      uniqueKeys = entries.collect { case (_, "uk", spec) => uk(spec) },
+      stats = entries.collect { case (k, "stats", spec) => st(k, spec) })
   }
 
   def loadFile(spark: SparkSession, path: String): Map[String, DataFrame] = {

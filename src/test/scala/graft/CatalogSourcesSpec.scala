@@ -106,6 +106,32 @@ class CatalogSourcesSpec extends SparkSpec {
     } finally graft.catalog.Constraints.clear()
   }
 
+  test("model-declared statistics arm the eager-aggregation gate") {
+    // `stats:` rows are the model's cost metadata
+    // (schema/Statistic.java getRowCount + NDV): a declared 10x
+    // reduction on the join key pushes the partial below the join with
+    // zero profiling at load time
+    val p = java.nio.file.Paths.get(tmp, "model_stats.properties")
+    java.nio.file.Files.writeString(p, s"""
+      |s_orders   = parquet:$sfDir/orders.parquet
+      |s_customer = parquet:$sfDir/customer.parquet
+      |st1        = stats:s_orders|rows=1500|ndv=o_custkey:150
+      |""".stripMargin)
+    try {
+      ModelLoader.loadFile(spark, p.toString)
+      import org.apache.spark.sql.functions._
+      val q = spark.table("s_orders")
+        .join(spark.table("s_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggs.size == 2,
+        s"model stats must arm the eager push:\n${q.queryExecution.optimizedPlan}")
+    } finally graft.catalog.Statistics.clear()
+  }
+
   test("csv sink + source roundtrip preserves data") {
     val src = T(spark, sfDir, "nation")
     src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
