@@ -93,6 +93,10 @@ object Constraints {
 
   def clear(): Unit = { fks.clear(); uks.clear() }
 
+  /** Fast path for the rules: with nothing declared, no elimination can
+    * fire. */
+  private[graft] def nothingDeclared: Boolean = fks.isEmpty && uks.isEmpty
+
   /** Per-condition verdicts of a foreign-key verification. */
   final case class FkCheck(uniqueKey: Boolean, noNulls: Boolean,
       contained: Boolean) {

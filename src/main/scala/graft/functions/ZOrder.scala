@@ -116,6 +116,8 @@ object ZOrder {
     import org.apache.spark.sql.functions.{floor, lit, max, min}
     val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
       min(col(b)).cast("double"), max(col(b)).cast("double")).collect()(0)
+    // empty input (or an all-null key): nothing to lay out
+    if ((0 to 3).exists(r.isNullAt)) return df
     def scaled(c: String, lo: Double, hi: Double): Column =
       floor((col(c).cast("double") - lit(lo)) /
         lit(math.max(hi - lo, 1.0)) * lit(65535.0)).cast("long")

@@ -109,6 +109,16 @@ object AggPushdown {
     !MaterializedViews.MvRewrite(agg).fastEquals(agg) ||
       !FkJoinElimination(agg).fastEquals(agg)
 
+  /** Cheap structural pre-check, evaluated BEFORE the guard probes:
+    * only an aggregate sitting on a join (or a pruning project over
+    * one) can ever match the join rules, so everything else skips the
+    * probe work entirely. */
+  private[plans] def joinShaped(child: LogicalPlan): Boolean = child match {
+    case _: Join => true
+    case Project(_, _: Join) => true
+    case _ => false
+  }
+
   /** Shared: rewrite the final output list, replacing each original
     * aggregate call with its final combine (matched canonically). */
   private[plans] def rewriteFinals(a: Seq[NamedExpression],
@@ -133,7 +143,8 @@ object SemiJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(g, a, child, hint)
-        if insensitive(g, a) && !AggPushdown.betterRewriteWouldFire(agg) =>
+        if AggPushdown.joinShaped(child) && insensitive(g, a) &&
+          !AggPushdown.betterRewriteWouldFire(agg) =>
       (child match {
         case j: Join => semiOf(AttributeSet((g ++ a).flatMap(_.references)), j)
         case p @ Project(ps, j: Join) if ps.forall(_.deterministic) =>
@@ -197,7 +208,9 @@ object EagerAggregation extends Rule[LogicalPlan] {
       .getConfString("spark.graft.eagerAgg.minReduction", "4.0").toDouble
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(g, a, child, hint) if !AggPushdown.betterRewriteWouldFire(agg) =>
+    case agg @ Aggregate(g, a, child, hint)
+        if AggPushdown.joinShaped(child) &&
+          !AggPushdown.betterRewriteWouldFire(agg) =>
       (child match {
         case j: Join => push(g, a, j)
         case Project(ps, j: Join) if ps.forall(_.isInstanceOf[AttributeReference]) =>

@@ -65,14 +65,19 @@ object FkJoinElimination extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ UniqueKeyAggregateRemove
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(exprs, j: Join) =>
-      eliminate(exprs.flatMap(_.references), j)
-        .map(keep => Project(exprs, keep)).getOrElse(p)
-    case a @ Aggregate(groupings, aggExprs, j: Join, hint) =>
-      eliminate((groupings ++ aggExprs).flatMap(_.references), j)
-        .map(keep => Aggregate(groupings, aggExprs, keep, hint)).getOrElse(a)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // fast path: no declared constraints, nothing can ever eliminate —
+    // the rule (and the pushdown family's guard probing it) costs one
+    // registry check per plan
+    if (Constraints.nothingDeclared) plan
+    else plan.transformUp {
+      case p @ Project(exprs, j: Join) =>
+        eliminate(exprs.flatMap(_.references), j)
+          .map(keep => Project(exprs, keep)).getOrElse(p)
+      case a @ Aggregate(groupings, aggExprs, j: Join, hint) =>
+        eliminate((groupings ++ aggExprs).flatMap(_.references), j)
+          .map(keep => Aggregate(groupings, aggExprs, keep, hint)).getOrElse(a)
+    }
 
   private def eliminate(refs0: Seq[Attribute], j: Join): Option[LogicalPlan] = {
     if (j.condition.isEmpty) return None

@@ -1013,7 +1013,16 @@ object MaterializedViews {
       // adoptOne diffs it against the live listing, so a copy written
       // before a crash can be caught UP (append-only diff folds in)
       // instead of discarded
-      leafEntries: Seq[String])
+      leafEntries: Seq[String],
+      // how many gen-<idx> increments this meta ACCOUNTS for (indices
+      // 0 until gens): adoption drops any on-disk gen at an index ≥
+      // gens — the in-files-delta crash window (gen renamed, meta
+      // write lost) whose rows the append-only catch-up re-derives
+      // from the files; keeping such a gen would double-count the
+      // delta. A LISTED-but-missing gen (meta-first stream order,
+      // crash before the gen rename) stays the documented conservative
+      // loss.
+      gens: Long)
 
   private def hadoopFs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -1083,6 +1092,10 @@ object MaterializedViews {
     * fingerprint is computed inside it) and the commit swap — the window
     * an out-of-band source write races. Production value is a no-op. */
   private[graft] var durableCommitHook: () => Unit = () => ()
+  /** Fires between a committed gen rename and its meta write — the
+    * in-files-delta crash window the gen fingerprint marker exists
+    * for; tests crash here. */
+  private[graft] var durableGenMetaHook: () => Unit = () => ()
 
   /** Write the tile's current partials + metadata to its durable home —
     * staged into a dot-prefixed sibling then swapped in (TableDml's
@@ -1139,7 +1152,8 @@ object MaterializedViews {
   }
 
   private def tileMetaOf(spark: SparkSession, d: MvDef,
-      entriesOverride: Option[Seq[String]] = None): TileMeta = {
+      entriesOverride: Option[Seq[String]] = None,
+      gens: Long = 0L): TileMeta = {
     val sumDefSeq = d.sumDefs.toSeq.sortBy(_._2)
     // a deferred fold passes the barrier-time listing its partials
     // actually reflect; everything else records the live listing
@@ -1173,7 +1187,8 @@ object MaterializedViews {
       fks = graft.catalog.Constraints.forLeaves(d.signature.leaves).map(fk =>
         Seq(fk.factPath, fk.factCols.mkString("\u0002"), fk.dimPath,
           fk.dimKeys.mkString("\u0002")).mkString("\u0001")),
-      leafEntries = entries)
+      leafEntries = entries,
+      gens = gens)
   }
 
   /** Stage-and-rename the metadata row (ADVICE r14): an in-place
@@ -1212,7 +1227,13 @@ object MaterializedViews {
       gen: DataFrame, deltaInFiles: Boolean): Unit = {
     val dir = d.durableDir.getOrElse(
       throw new IllegalStateException(s"MV ${d.name} has no durable home"))
-    val meta = tileMetaOf(spark, d)
+    // the meta records which gen indices it ACCOUNTS for (idx + 1 —
+    // this gen included): a crash between the gen rename and the meta
+    // write leaves a gen at an index the surviving meta's `gens` does
+    // not reach, which adoption recognizes and drops — its rows are
+    // exactly what the append-only catch-up re-derives, so keeping it
+    // would double-count the delta
+    val meta = tileMetaOf(spark, d, gens = idx + 1L)
     if (!deltaInFiles) writeMeta(spark, meta, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/gen-$idx")
     val staged = new org.apache.hadoop.fs.Path(
@@ -1223,6 +1244,7 @@ object MaterializedViews {
     if (fs.exists(p)) fs.delete(p, true)
     if (!fs.rename(staged, p))
       throw new java.io.IOException(s"durable gen commit failed: $staged -> $p")
+    durableGenMetaHook()
     if (deltaInFiles) writeMeta(spark, meta, dir)
     if (leafFingerprint(spark, d.signature.leaves.map(_.toSeq)) != meta.fingerprint) {
       System.err.println(s"[graft] durable tile ${d.name}: source changed " +
@@ -1299,6 +1321,27 @@ object MaterializedViews {
   private def adoptOne(spark: SparkSession, tileDir: String): Option[String] = try {
     val session = spark
     import session.implicits._
+    // a crash between writeMeta's delete and rename leaves a COMPLETE
+    // staged meta (_SUCCESS present) and no live one — finish the
+    // rename instead of failing this adopt forever
+    locally {
+      val (fs0, _) = hadoopFs(spark, tileDir)
+      val metaP = new org.apache.hadoop.fs.Path(s"$tileDir/meta")
+      val staged = new org.apache.hadoop.fs.Path(s"$tileDir/.meta.staging")
+      if (!fs0.exists(metaP) &&
+          fs0.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+        fs0.rename(staged, metaP): Unit
+    }
+    // a meta written by a PRE-leafEntries/gens build cannot support the
+    // append-only reconciliation contract — discard the tile (one
+    // re-materialization) instead of failing every future adopt
+    if (!Seq("leafEntries", "gens").forall(
+        spark.read.parquet(s"$tileDir/meta").columns.contains)) {
+      System.err.println(s"[graft] durable tile at $tileDir predates the " +
+        "entry-list format; discarding for re-materialization")
+      deleteDir(spark, tileDir)
+      return None
+    }
     val meta = spark.read.parquet(s"$tileDir/meta").as[TileMeta].collect()(0)
     val leaves: Seq[Seq[String]] = meta.leaves.map(_.split('\u0001').toSeq)
     // a changed source is reconciled, not reflexively discarded: when
@@ -1370,9 +1413,26 @@ object MaterializedViews {
       // the base partials — identical to how the cached generations
       // would merge (tile-scale work, the fact is never scanned)
       val (fs, _) = hadoopFs(spark, tileDir)
-      val genDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tileDir))
+      val genDirs0 = fs.listStatus(new org.apache.hadoop.fs.Path(tileDir))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
         .sortBy(_.getPath.getName.stripPrefix("gen-").toInt).toSeq
+      // a gen at an index the meta's `gens` does not reach is
+      // UNACCOUNTED — the in-files-delta crash window (gen renamed,
+      // meta write lost): its rows are exactly what the append-only
+      // catch-up below re-derives from the files, so keeping it would
+      // double-count the delta. Drop it. Accounted-but-missing indices
+      // (meta-first stream order, crash before the gen rename) remain
+      // the documented conservative loss.
+      val genDirs = genDirs0.filter { g =>
+        val idx = g.getPath.getName.stripPrefix("gen-").toInt
+        val accounted = idx < meta.gens
+        if (!accounted) {
+          System.err.println(s"[graft] durable tile ${meta.name}: dropping " +
+            s"unaccounted ${g.getPath.getName} (its delta re-derives from files)")
+          fs.delete(g.getPath, true): Unit
+        }
+        accounted
+      }
       val genFrames = genDirs.map(g => spark.read.parquet(g.getPath.toString))
       genFrames.zip(genDirs).foreach { case (g, dir2) =>
         if (shape(g.schema) != shape(data.schema)) {
@@ -1409,16 +1469,27 @@ object MaterializedViews {
       // registration visible to the lock-free rewrite path
       if (catchUp.isDefined)
         pendingFolds.merge(meta.name, 1, (a, b) => a + b): Unit
-      store(spark, meta.name, sig, meta.keys, meta.sums, meta.mins,
-        meta.maxs, meta.approxes, mv, replacedAll = Nil, filterConjuncts,
-        base, unionSafe = meta.unionSafe,
-        sumDefs = meta.sumDefKeys.zip(meta.sumDefNames).toMap,
-        sumExprCols = sumExprCols,
-        counts = meta.cntns, durableDir = Some(tileDir)): Unit
-      // on-disk gen dirs must not be overwritten by the next append
-      if (genFrames.nonEmpty)
-        registry.computeIfPresent(meta.name, (_, cur) =>
-          cur.copy(durableGens = genFrames.size)): Unit
+      try {
+        store(spark, meta.name, sig, meta.keys, meta.sums, meta.mins,
+          meta.maxs, meta.approxes, mv, replacedAll = Nil, filterConjuncts,
+          base, unionSafe = meta.unionSafe,
+          sumDefs = meta.sumDefKeys.zip(meta.sumDefNames).toMap,
+          sumExprCols = sumExprCols,
+          counts = meta.cntns, durableDir = Some(tileDir)): Unit
+        // on-disk gen dirs must not be overwritten by the next append
+        if (meta.gens > 0)
+          registry.computeIfPresent(meta.name, (_, cur) =>
+            cur.copy(durableGens = meta.gens.toInt)): Unit
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // adoptCatchUp's own finally never ran: balance the guard
+          // here, or the name stays excluded from every rewrite and
+          // write-through for the life of the JVM
+          if (catchUp.isDefined)
+            pendingFolds.compute(meta.name,
+              (_, v) => if (v == null || v <= 1) null else v - 1): Unit
+          throw e
+      }
       catchUp.foreach { case (root, files) =>
         adoptCatchUp(spark, meta.name, root, files, liveEntries)
       }

@@ -81,7 +81,11 @@ object Bpe {
       import s.implicits._
       val wordCounts = T(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w").rlike("^[\\x21-\\x7e]+$"))
+        // \A..\z, not ^..$: Java's $ also matches BEFORE a final line
+        // terminator, so a word carrying a trailing newline would train
+        // the tokenizer while the executor-side Pattern.matches and the
+        // oracle's RE2 (both strict) exclude it
+        .filter(col("w").rlike("\\A[\\x21-\\x7e]+\\z"))
         .groupBy("w").count()
         .as[(String, Long)].collect().toMap
       val merges = learn(wordCounts, nMerges = 40)

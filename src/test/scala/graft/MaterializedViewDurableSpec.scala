@@ -595,6 +595,47 @@ class MaterializedViewDurableSpec extends SparkSpec {
     }
   }
 
+  test("in-files gen crash before its meta write: the unaccounted gen drops, the delta never double-counts") {
+    import spark.implicits._
+    val fact = tmp("mvdur") + "/t"; writeFact(fact)
+    val lat = tmp("mvdur_lat"); val crashImage = tmp("mvdur_crashgen")
+    try {
+      MaterializedViews.register(spark, "dur_genwin", spark.read.parquet(fact),
+        keys = Seq("tag"), sums = Seq("amt"))
+      val tileDir = MaterializedViews.persistTile(spark, "dur_genwin", lat)
+      // the delta lands in the source files, then appends incrementally
+      // with write-through; the "crash" captures the tile BETWEEN the
+      // committed gen-0 and its meta write — old meta (gens=0,
+      // pre-append fingerprint) plus a gen already holding the delta
+      val delta = Seq((6L, "a", "LO", 7.0)).toDF("id", "tag", "pri", "amt")
+      delta.write.mode("append").parquet(fact)
+      MaterializedViews.durableGenMetaHook = () => {
+        MaterializedViews.durableGenMetaHook = () => ()
+        copyDir(tileDir, s"$crashImage/dur_genwin")
+      }
+      MaterializedViews.appendIncremental(spark, "dur_genwin", delta,
+        deltaInFiles = true): Unit
+      MaterializedViews.clear()
+
+      // adoption of the crash image must DROP the unaccounted gen and
+      // re-derive the delta from the files exactly once — keeping both
+      // would serve a=54 instead of 47
+      val s2 = spark.newSession()
+      assert(MaterializedViews.adoptTiles(s2, crashImage) == Seq("dur_genwin"))
+      MaterializedViews.awaitMaintenance()
+      def q = s2.read.parquet(fact).groupBy("tag")
+        .agg(sum("amt").as("t")).orderBy("tag")
+      assert(noFactScan(q),
+        s"the caught-up tile must answer with zero scans:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("a", 47.0), ("b", 70.0), ("c", 40.0)),
+        "the crash-window delta must count exactly once")
+    } finally {
+      MaterializedViews.durableGenMetaHook = () => ()
+      MaterializedViews.clear()
+    }
+  }
+
   test("fingerprint mismatch discards the tile: destructive rewrites are never served stale") {
     import spark.implicits._
     val fact = tmp("mvdur") + "/t"; writeFact(fact)
