@@ -123,6 +123,57 @@ object Round15b {
         ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** SCD Type-2 apply-changes — the versioned-dimension maintenance
+    * op every warehouse pipeline runs (the functional counterpart of
+    * TableDml's MERGE + FOR SYSTEM_TIME surface; ref: the reference's
+    * temporal-table machinery, SqlSnapshot / LogicalSnapshot): current
+    * rows whose key appears in the change feed CLOSE (valid_to = the
+    * change date), the feed INSERTS the new version (open-ended), and
+    * untouched rows pass through. One change per key here (min order
+    * date per customer past a cutoff) keeps it deterministic. Scale:
+    * one hash join dim ⋈ changes on the key plus a union — no windows,
+    * no skew beyond the key itself. */
+  val q177_scd2_apply = Q(
+    (s, dir) => {
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit("1990-01-01").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+      val changes = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("chg_date"))
+      val closed = dim.join(changes, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("valid_from"),
+          col("chg_date").as("valid_to"))
+      val fresh = changes.select(col("o_custkey").as("c_custkey"),
+        lit("MOVED").as("c_mktsegment"), col("chg_date").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val untouched = dim.join(changes,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      untouched.unionByName(closed).unionByName(fresh)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""
+      WITH dim AS (SELECT c_custkey, c_mktsegment,
+                          CAST('1990-01-01' AS TIMESTAMP) AS valid_from,
+                          CAST(NULL AS TIMESTAMP) AS valid_to
+                   FROM customer),
+      changes AS (SELECT o_custkey, MIN(o_orderdate) AS chg_date
+                  FROM orders WHERE o_orderdate >= CAST('1997-06-01' AS TIMESTAMP)
+                  GROUP BY o_custkey)
+      SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM (
+        SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+        FROM dim d LEFT JOIN changes c ON d.c_custkey = c.o_custkey
+        WHERE c.o_custkey IS NULL
+        UNION ALL
+        SELECT d.c_custkey, d.c_mktsegment, d.valid_from, c.chg_date
+        FROM dim d JOIN changes c ON d.c_custkey = c.o_custkey
+        UNION ALL
+        SELECT c.o_custkey, 'MOVED', c.chg_date, CAST(NULL AS TIMESTAMP)
+        FROM changes c)
+      ORDER BY c_custkey, valid_from"""))
+
   /** Morton z-keys for two-dimensional layout clustering (the
     * `interleave_bits` codegen expression; ZOrderSpec proves the
     * LAYOUT consequence — per-file min/max locality in both keys at
@@ -195,5 +246,6 @@ object Round15b {
     "q174_eager_agg" -> q174_eager_agg,
     "q175_union_tile_transpose" -> q175_union_tile_transpose,
     "q176_eager_agg_outer" -> q176_eager_agg_outer,
+    "q177_scd2_apply" -> q177_scd2_apply,
     "d49_zorder_keys" -> d49_zorder_keys)
 }
