@@ -28,7 +28,7 @@ object SparkEntry {
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
       IvfAnn.all ++ PqAnn.all ++ Bpe.all ++ Pipeline2.all ++ Curation.all ++
       Curation2.all ++ Curation3.all ++ Curation4.all ++ Curation5.all ++
-      SemDedup.all ++ Packing.all ++ Retrieval.all
+      SemDedup.all ++ Packing.all ++ Retrieval.all ++ Drift.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -174,6 +174,53 @@ object Round15b {
         FROM changes c)
       ORDER BY c_custkey, valid_from"""))
 
+  /** Declarative data-quality expectations (catalog/Expectations.scala
+    * — the DLT/dbt-test shape): five rules over orders — null, range,
+    * set membership, key uniqueness, referential containment — in ONE
+    * row-local aggregation pass plus one grouped count and one
+    * anti-join probe; the oracle recomputes each count independently.
+    * The range rule is deliberately tight enough to FAIL (real
+    * violations in the report), the others pass. */
+  val q178_expectations = Q(
+    (s, dir) => {
+      import graft.catalog.Expectations._
+      report(T(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0, 100000),
+        InSet("o_orderstatus", Seq("F", "O", "P")),
+        Unique(Seq("o_orderkey")),
+        RefIn("o_custkey", T(s, dir, "customer"), "c_custkey")))
+        .orderBy("rule")
+    },
+    Some("""
+      WITH t AS (SELECT count(*) AS total FROM orders)
+      SELECT rule, CAST(violations AS BIGINT) AS violations, total,
+             violations = 0 AS pass FROM (
+        SELECT 'not_null(o_custkey)' AS rule,
+               (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+               total FROM t
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0.0,100000.0)',
+               (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+                  AND (o_totalprice < 0 OR o_totalprice > 100000)), total FROM t
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('F', 'O', 'P')), total FROM t
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               (SELECT COALESCE(SUM(c), 0) FROM (
+                  SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+                  HAVING count(*) > 1)), total FROM t
+        UNION ALL
+        SELECT 'ref_in(o_custkey)',
+               (SELECT count(*) FROM orders o LEFT JOIN
+                  (SELECT DISTINCT c_custkey FROM customer) c
+                  ON o.o_custkey = c.c_custkey
+                  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+               total FROM t)
+      ORDER BY rule"""))
+
   /** Morton z-keys for two-dimensional layout clustering (the
     * `interleave_bits` codegen expression; ZOrderSpec proves the
     * LAYOUT consequence — per-file min/max locality in both keys at
@@ -247,5 +294,6 @@ object Round15b {
     "q175_union_tile_transpose" -> q175_union_tile_transpose,
     "q176_eager_agg_outer" -> q176_eager_agg_outer,
     "q177_scd2_apply" -> q177_scd2_apply,
+    "q178_expectations" -> q178_expectations,
     "d49_zorder_keys" -> d49_zorder_keys)
 }
