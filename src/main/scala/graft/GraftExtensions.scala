@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.SemiJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.EagerAggregation)
     e.injectOptimizerRule(_ => graft.plans.AggregateUnionTranspose)
+    e.injectOptimizerRule(_ => graft.plans.OrJoinToUnion)
     e.injectCheckRule { session =>
       // piggyback session start to register the function surface once
       graft.functions.GraftFunctions.registerAll(

@@ -287,8 +287,36 @@ object Round15b {
         AND o_custkey BETWEEN 20 AND 120
       ORDER BY o_orderkey, o_custkey"""))
 
+  /** OR-of-equi join → UNION ALL of hash joins (ref:
+    * rel/rules/JoinExpandOrToUnionRule.java): without the rule Spark
+    * nested-loops this condition — O(|lineitem|·|part|) at any scale;
+    * with it, two hash joins and a dedup conjunct (plan-gated in
+    * AggPushdownSpec with the hashable-conjunct and
+    * non-equi-disjunct negatives). The oracle runs the OR join as
+    * written. */
+  val q179_or_join_union = Q(
+    (s, dir) => {
+      graft.plans.OrJoinToUnion.ensure(s)
+      T(s, dir, "lineitem")
+        .withColumn("l_quantity", T.dec2(col("l_quantity")))
+        .join(T(s, dir, "part"),
+          col("l_partkey") === col("p_partkey") ||
+            col("l_suppkey") === col("p_partkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("double").as("q"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS q
+      FROM lineitem JOIN part
+        ON l_partkey = p_partkey OR l_suppkey = p_partkey
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Map[String, Q] = Map(
     "d50_zrange_prune" -> d50_zrange_prune,
+    "q179_or_join_union" -> q179_or_join_union,
     "q173_semi_join_agg" -> q173_semi_join_agg,
     "q174_eager_agg" -> q174_eager_agg,
     "q175_union_tile_transpose" -> q175_union_tile_transpose,

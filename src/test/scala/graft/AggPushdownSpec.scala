@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 
 import graft.catalog.{Constraints, Statistics}
-import graft.plans.{AggPushdown, AggregateUnionTranspose, EagerAggregation, MaterializedViews, SemiJoinRewrite}
+import graft.plans.{AggPushdown, AggregateUnionTranspose, EagerAggregation, MaterializedViews, OrJoinToUnion, SemiJoinRewrite}
 
 /** The aggregate-pushdown rule family (SemiJoinRule /
   * AggregateJoinTransposeRule / AggregateUnionTransposeRule parity):
@@ -22,7 +22,8 @@ class AggPushdownSpec extends SparkSpec {
   private def nation = T(spark, sfDir, "nation")
 
   private val family: Seq[Rule[LogicalPlan]] =
-    Seq(SemiJoinRewrite, EagerAggregation, AggregateUnionTranspose)
+    Seq(SemiJoinRewrite, EagerAggregation, AggregateUnionTranspose,
+      OrJoinToUnion)
 
   /** Ground truth: the same frame evaluated with the family removed
     * from the session optimizer (extraOptimizations is re-read per
@@ -206,6 +207,47 @@ class AggPushdownSpec extends SparkSpec {
       assert(joinTypes(q) == Seq(LeftSemi) && aggCount(q) == 1,
         s"semi is the strictly better plan:\n${q.queryExecution.optimizedPlan}")
     } finally Statistics.clear()
+  }
+
+  // ---- OrJoinToUnion ------------------------------------------------------
+
+  private def part = T(spark, sfDir, "part")
+
+  test("OR-of-equi join expands to a union of two hash joins") {
+    OrJoinToUnion.ensure(spark)
+    def q = lineitem.join(part,
+        col("l_partkey") === col("p_partkey") ||
+          col("l_suppkey") === col("p_partkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.nonEmpty &&
+      lp.collect { case j: Join => j }.size == 2,
+      s"expected a union of two joins:\n$lp")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      s"the whole point is avoiding the quadratic join:\n$physical")
+    assertSameValues(q)
+  }
+
+  test("a hashable conjunct beside the OR: no expansion (the OR is a cheap filter)") {
+    OrJoinToUnion.ensure(spark)
+    val q = lineitem.join(part,
+        col("l_partkey") === col("p_partkey") &&
+          (col("l_suppkey") === col("p_size") || col("l_linenumber") === col("p_size")))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.optimizedPlan.collect { case j: Join => j }.size == 1,
+      "top level is AND; Spark hash-joins on the equi conjunct already")
+  }
+
+  test("a disjunct with no equi pair: no expansion (its branch could not hash)") {
+    OrJoinToUnion.ensure(spark)
+    val q = lineitem.join(part,
+        col("l_partkey") === col("p_partkey") ||
+          col("l_suppkey") < col("p_size"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.optimizedPlan.collect { case j: Join => j }.size == 1,
+      "the non-equi disjunct cannot hash; expansion must refuse")
   }
 
   // ---- AggregateUnionTranspose ------------------------------------------
