@@ -18,6 +18,14 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Dev-only stage-level profiling (guide §1/§7): set
+      // SPARK_GRAFT_EVENTLOG_DIR to capture the event log and read per
+      // stage submit/complete times + task metrics out of the JSON.
+      .config("spark.eventLog.enabled",
+        sys.env.contains("SPARK_GRAFT_EVENTLOG_DIR").toString)
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp"))
+      .config("spark.eventLog.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -28,11 +36,26 @@ object BenchOne {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Mirror graft.Bench's methodology (r15) so numbers here are
+    // comparable to the artifact of record: fixed cooldown, two untimed
+    // session-warmup passes over the heaviest headline queries, then per
+    // query a warmup + median of 5 with the 1.35-spread retry guard.
+    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "20000").toLong)
+    for (n <- Bench.headline.take(2); _ <- 1 to 2)
+      try once(n) catch { case _: Throwable => () }
+
     val names = if (args.nonEmpty) args.toSeq else Bench.headline
     names.foreach { name =>
       once(name)
-      val times = (1 to 3).map(_ => once(name)).sorted
-      println(f"$name%-28s median=${times(1)}%.3f  all=${times.map(t => f"$t%.3f").mkString(",")}")
+      var best = (1 to 5).map(_ => once(name)).sorted
+      var attempts = 1
+      while (best.last / best.head > 1.35 && attempts < 4) {
+        Thread.sleep(8000)
+        val retry = (1 to 5).map(_ => once(name)).sorted
+        if (retry(retry.size / 2) < best(best.size / 2)) best = retry
+        attempts += 1
+      }
+      println(f"$name%-28s median=${best(best.size / 2)}%.3f  min=${best.head}%.3f  all=${best.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

@@ -38,6 +38,12 @@ object ExplainDump {
         catch { case e: Throwable =>
           System.err.println(s"[explain] $name failed: ${e.getMessage}"); null }
       if (df != null) {
+        // Execute THIS QueryExecution before printing so the AQE plan is
+        // final (isFinalPlan=true): runtime exchange/stage reuse, AQE
+        // join downgrades and coalesced reads only appear post-execution.
+        try df.queryExecution.toRdd.foreach(_ => ())
+        catch { case e: Throwable =>
+          System.err.println(s"[explain] $name execute failed: ${e.getMessage}") }
         val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         val pw = new PrintWriter(new File(outDir, s"${name}_$tag.txt"))
         try pw.write(txt) finally pw.close()

@@ -29,12 +29,26 @@ object T {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Process-level parquet schema cache, keyed by file path. Schema
+    * inference on a bare-path `read.parquet` launches a footer-read JOB
+    * on every call (measured ~25–35 ms each — a multi-table query paid
+    * ~0.1 s of pure metadata re-reads per run); passing the schema
+    * explicitly skips it. This caches METADATA only (what a catalog
+    * does), never data or results — every query still computes from the
+    * parquet bytes. The source tables are immutable driver inputs, so a
+    * path's schema cannot change within a process lifetime. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def apply(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
     // a raw long (DuckDB truncates ns→µs, so we do the same to stay
     // oracle-identical).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df0 = s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    val df0 = s.read.schema(schema).parquet(path)
     // timestamp[us] without isAdjustedToUTC infers as TIMESTAMP_NTZ in
     // Spark 4; the session TZ is pinned to UTC everywhere (Bench/Verify/
     // specs), so casting back to TIMESTAMP is wall-clock identity and
@@ -42,6 +56,66 @@ object T {
     // values) on the instant-typed column they were written against.
     normalizeTimestamps(df0)
   }
+
+  /** Rows-per-core floor below which [[spread]] is a no-op: when a scan
+    * already carries this little work per task, a redistribution costs
+    * more than the serial compute it would parallelize. */
+  private val SpreadMinRows = 4096L
+
+  /** Parallelize CPU-heavy work over an UNSPLITTABLE scan (guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"): the driver's tables are single-row-group parquet
+    * files, and a parquet row group is read by exactly one task, so a
+    * scan feeding per-row-expensive work (decimal aggregation, N
+    * broadcast-join probes) serializes onto one core no matter how many
+    * cores the session has. When the layout cannot fill half the
+    * session's cores, redistribute right after the read; filters and
+    * column pruning still push THROUGH the repartition to the scan
+    * (PushDownPredicates handles RepartitionByExpression), so
+    * PushedFilters/ReadSchema are unchanged. On a healthy layout
+    * (row groups ≥ cores/2 — any production table) this is the identity
+    * and the plan is untouched. Hash-distributes on a stated key rather
+    * than round-robin: round-robin pays a defensive local sort per task
+    * (SPARK-23207) and is retry-fragile. */
+  def spread(s: SparkSession, dir: String, name: String, key: String): DataFrame = {
+    val df = apply(s, dir, name)
+    val cores = s.sparkContext.defaultParallelism
+    if (scanTasks(s, dir, name) < cores / 2 &&
+        approxRows(dir, name) >= SpreadMinRows * cores)
+      df.repartition(cores, col(key))
+    else df
+  }
+
+  /** Row groups summed over the table's parquet files = the number of
+    * tasks that can do real scan work (cached: metadata only). */
+  private val rgCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def footerStats(dir: String, name: String): (Long, Long) =
+    rgCache.computeIfAbsent(s"$dir/$name.parquet", { p =>
+      try {
+        val f = new java.io.File(p)
+        val files: Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
+          else Seq(f)
+        var groups = 0L; var rows = 0L
+        files.foreach { file =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try { groups += r.getRowGroups.size(); rows += r.getRecordCount }
+          finally r.close()
+        }
+        (groups, rows)
+      } catch { case _: Throwable => (Long.MaxValue, 0L) }
+    })
+
+  private def scanTasks(s: SparkSession, dir: String, name: String): Long =
+    footerStats(dir, name)._1
+
+  private def approxRows(dir: String, name: String): Long =
+    footerStats(dir, name)._2
 
   /** Normalize however the generator wrote time columns onto plain
     * TIMESTAMP: TIMESTAMP_NTZ casts over (identity under the pinned UTC

@@ -19,7 +19,14 @@ object Relational {
     * Scale: partial agg on 6 groups → tiny shuffle regardless of input. */
   val q01_pricing_summary = Q(
     (s, dir) => {
-      val li = T(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+      // spread (r15): the 4 decimal sums are the stage cost; on the
+      // driver's single-row-group files the scan+partial-agg serialized
+      // onto one core (measured ~520 ms of a ~750 ms query).
+      // High-cardinality l_orderkey as the distribution key — the group
+      // keys have only 6 values (§2.5: never hash-partition on a
+      // key with fewer distinct values than partitions).
+      val li = T.spread(s, dir, "lineitem", "l_orderkey")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           T.dsum(col("l_quantity")).as("sum_qty"),
@@ -72,7 +79,10 @@ object Relational {
     (s, dir) => {
       val cust = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = T(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
-      val li = T(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
+      // spread on the join key (r15): the probe side's join+agg work was
+      // serialized onto the single row-group's one scan task.
+      val li = T.spread(s, dir, "lineitem", "l_orderkey")
+        .filter(col("l_shipdate") > lit("1998-03-15"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -126,7 +136,9 @@ object Relational {
       val supp = T(s, dir, "supplier")
       val ord = T(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
-      val li = T(s, dir, "lineitem")
+      // spread on the first join key (r15): five broadcast probes ran on
+      // the single-row-group scan's one task (measured ~520 ms stage).
+      val li = T.spread(s, dir, "lineitem", "l_orderkey")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(supp,

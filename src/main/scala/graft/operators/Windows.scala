@@ -60,12 +60,24 @@ object Windows {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("ln_qty"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ONE exchange instead of two (r15, guide §2.4): range-partition by
+      // l_suppkey FIRST — RangePartitioning clusters equal keys, so it
+      // satisfies the window's ClusteredDistribution and no second
+      // hash exchange is inserted; the final ORDER BY (suppkey, orderkey,
+      // linenumber) then only needs a partition-local sort, because the
+      // partitions are already suppkey ranges (global order = range order
+      // + local sort). This also stops the old plan's range-sampling pass
+      // from recomputing the entire Sort+Window subtree a second time
+      // (ShuffleExchangeExec with RangePartitioning executes its child
+      // once to sample boundaries): sampling now runs against the bare
+      // scan. Result rows and their total order are unchanged.
       T(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate"), ln_qty.as("ln_qty"), T.dec2(col("l_quantity")).as("q"))
+        .repartitionByRange(col("l_suppkey"))
         .withColumn("running_qty", sum(col("q")).over(w).cast(DoubleType))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
-        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_suppkey", "l_orderkey", "l_linenumber")
     },
     Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -52,7 +52,13 @@ object Dedup {
     val bytes =
       try java.nio.file.Files.size(java.nio.file.Paths.get(dir, "documents.parquet"))
       catch { case _: Exception => Long.MaxValue }
-    math.max(2, math.min(s.sparkContext.defaultParallelism, (bytes / (4L << 20)).toInt))
+    // 1 MiB of text per task (r15, was 4 MiB): shingling + the 64-slot
+    // signature are CPU-bound at ~hundreds of ns/byte, so a 4 MiB/task
+    // floor serialized the whole minhash pass onto 2 cores at sf0.1
+    // (measured: the d03 signature stage ran 2 tasks). At large inputs
+    // the min() caps at defaultParallelism exactly as before — the
+    // constant only decides how soon the full parallelism engages.
+    math.max(2, math.min(s.sparkContext.defaultParallelism, (bytes / (1L << 20)).toInt))
   }
 
   private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -260,7 +266,11 @@ object Dedup {
       // to candidate docs (size-aware — AQE broadcasts the pair set
       // while it is tiny, shuffles if near-dup density ever grows it),
       // THEN shingle just those docs
-      val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      // no .distinct() on the probe ids (r15): LEFT SEMI keeps a doc on
+      // ≥1 build-side match regardless of duplicates, so deduplicating
+      // here only added a full exchange + aggregate stage for the same
+      // result. The build side stays ≤ 2·|cand| ids — still tiny.
+      val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       val sets = Dedup.shingleOf(s,
         T(s, dir, "documents").join(candDocs, Seq("doc_id"), "left_semi"))
       cand
