@@ -47,6 +47,11 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r15: a lower AQE coalesce floor (minPartitionSize 128 KiB) was
+      // A/B-measured on the full bench and REJECTED — it parallelized
+      // q96's window (−14 %) but cost more elsewhere (q21 +20 %, q50/q06
+      // +30 % task overhead); full-bench totals 6.32 s vs 5.98 s.
+      // Spark's defaults stay; see OPTIMIZATION_r15.md.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

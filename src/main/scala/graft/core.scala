@@ -117,6 +117,14 @@ object T {
   private def approxRows(dir: String, name: String): Long =
     footerStats(dir, name)._2
 
+  /** Cached footer row count for a source table (metadata only;
+    * Long.MaxValue when unreadable so callers fail toward MORE
+    * parallelism, never toward serializing the work). */
+  def tableRows(dir: String, name: String): Long = approxRows(dir, name) match {
+    case 0L => Long.MaxValue
+    case n => n
+  }
+
   /** Normalize however the generator wrote time columns onto plain
     * TIMESTAMP: TIMESTAMP_NTZ casts over (identity under the pinned UTC
     * session TZ), and a raw-long `ts` (TIMESTAMP(NANOS) read with

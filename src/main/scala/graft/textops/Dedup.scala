@@ -48,17 +48,21 @@ object Dedup {
     * exists to defeat AQE's byte-based coalescing at LARGE inputs,
     * where shingling is CPU-bound on few bytes; at small inputs we size
     * like AQE would). */
-  private def docParts(s: SparkSession, dir: String): Int = {
+  private[textops] def docParts(s: SparkSession, dir: String): Int = {
     val bytes =
       try java.nio.file.Files.size(java.nio.file.Paths.get(dir, "documents.parquet"))
       catch { case _: Exception => Long.MaxValue }
-    // 1 MiB of text per task (r15, was 4 MiB): shingling + the 64-slot
-    // signature are CPU-bound at ~hundreds of ns/byte, so a 4 MiB/task
-    // floor serialized the whole minhash pass onto 2 cores at sf0.1
-    // (measured: the d03 signature stage ran 2 tasks). At large inputs
-    // the min() caps at defaultParallelism exactly as before — the
-    // constant only decides how soon the full parallelism engages.
-    math.max(2, math.min(s.sparkContext.defaultParallelism, (bytes / (1L << 20)).toInt))
+    // r15: size by BOTH bytes (1 MiB of text per task, was 4 MiB) and
+    // ROWS (512 docs per task). Shingling + the 64-slot signature cost
+    // is per-row dominated on short documents (split/alloc/64-mult loop
+    // ≈ tens of µs per doc regardless of length), so a byte-only
+    // heuristic serialized the whole minhash pass onto 2 of 32 cores at
+    // sf0.1 (measured: 270–325 ms signature stage, 2 tasks). At large
+    // inputs the min() caps at defaultParallelism exactly as before —
+    // the constants only decide how soon full parallelism engages.
+    val rows = T.tableRows(dir, "documents")
+    math.max(2, math.min(s.sparkContext.defaultParallelism,
+      math.max(bytes / (1L << 20), rows / 512L).toInt))
   }
 
   private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -138,19 +142,45 @@ object Dedup {
     * shingle arrays, so the cap can never alter a reported value. */
   private[graft] def jaccardPairs(
       shingles: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
+    // r15 rewrite (guide §2.3/§8 — decide with small rows, never ship
+    // the payload): the old verification attached the FULL shingle
+    // arrays to every candidate pair (two joins whose build/stream rows
+    // carry ~kB arrays, then array_intersect per pair) — at sf0.1 that
+    // was 9.3 s, nearly all of it moving arrays for pairs that share one
+    // stop-shingle. Intersection sizes are already IN the inverted
+    // index: per-doc shingles are distinct, so |S_a ∩ S_b| = the number
+    // of index rows the pair shares. The capped self-join therefore
+    // aggregates its own pair counts (inter_cold) instead of discarding
+    // them, and the few corpus-hot shingles the cap withheld are counted
+    // back per candidate pair through keyed (doc, sh) joins — never a
+    // hot-bucket self-join, so the cap still bounds the quadratic work.
+    // Only 16-byte pair rows and 8-byte counts ever shuffle; results are
+    // bit-identical (integer counts, same final double division).
     val ex = shingles.select(col("doc_id"), explode(col("ws")).as("sh"))
     val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
     val cold = ex.join(hot, Seq("sh"), "left_anti")
-    val cand = cold.select(col("doc_id").as("doc_a"), col("sh"))
+    // candidate pairs + their cold-shingle intersection count in ONE
+    // aggregation over the capped self-join
+    val pairsCold = cold.select(col("doc_id").as("doc_a"), col("sh"))
       .join(cold.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val sets = shingles.select(col("doc_id"), col("ws"), col("sz"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_cold"))
+    // hot-shingle membership is the Zipf head: count, per candidate
+    // pair, the hot shingles BOTH docs contain — keyed joins only
+    val memHot = ex.join(hot, Seq("sh"), "left_semi")
+    val interHot = pairsCold.select(col("doc_a"), col("doc_b"))
+      .join(memHot.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(memHot.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_hot"))
+    val sizes = shingles.select(col("doc_id"), col("sz"))
+    pairsCold
+      .join(interHot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", col("inter_cold") + coalesce(col("inter_hot"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("jac",
         col("inter").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
@@ -271,8 +301,13 @@ object Dedup {
       // here only added a full exchange + aggregate stage for the same
       // result. The build side stays ≤ 2·|cand| ids — still tiny.
       val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      // explicit parts (r15): sized like the signature pass — candidates
+      // are a subset of the corpus, and the byte-based default let AQE
+      // serialize this per-row CPU stage onto ~2 tasks (measured
+      // 157–237 ms re-shingle stage at sf0.1).
       val sets = Dedup.shingleOf(s,
-        T(s, dir, "documents").join(candDocs, Seq("doc_id"), "left_semi"))
+        T(s, dir, "documents").join(candDocs, Seq("doc_id"), "left_semi"),
+        docParts(s, dir))
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), Seq("doc_b"))
