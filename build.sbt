@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNDECORATED: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which made the bench
+// contract's one-line JSON unparseable to the driver (BENCH_r12..r15 all
+// carry parsed:null). StdoutOutput hands the child's stdout straight
+// through, so `sbt "runMain graft.Bench"` emits the bare JSON line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,7 +37,12 @@ object Bench {
     // as tile cache ∪ fact-slice residual (the dims never scanned).
     // Like the other MV rows, no baseline twin.
     "q160_mv_fk_union",
-    "d01_dedup_exact", "d03_minhash_lsh", "d09_knn_bruteforce")
+    "d01_dedup_exact", "d03_minhash_lsh", "d09_knn_bruteforce",
+    // round 16 (additions only, per the r15 verdict): the slowest query
+    // family must be IN the recorded bench — d04 got the r15 inverted-
+    // index rewrite and d15 the r16 subgraph label propagation; both
+    // were builder-measured only until now.
+    "d04_jaccard_pairs", "d15_neardup_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,7 +119,17 @@ object Bench {
     val qsMin = fmt(_.head)
     val spread = fmt(ts => if (ts.head <= 0) -1.0 else math.rint(ts.last / ts.head * 100) / 100)
     val total = results.map { case (_, ts) => if (ts.head < 0) 0.0 else ts(ts.size / 2) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"spread_max_over_min":$spread,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"spread_max_over_min":$spread,"sf":"$sfDir"}"""
+    // r16: the one-line JSON contract was unparseable in every recorded
+    // round because sbt's logger prefixed it with "[info] " (PERF_r12..r15
+    // all null). build.sbt now passes forked stdout through raw; as a
+    // second channel, SPARK_GRAFT_BENCH_OUT names a file to write the
+    // bare line to.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
+    println(line)
     spark.stop()
   }
 }

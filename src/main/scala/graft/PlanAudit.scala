@@ -40,7 +40,7 @@ object PlanAudit {
         val p = df.queryExecution.executedPlan.toString
         def c(pat: String): Int = pat.r.findAllMatchIn(p).size
         pw.println(Seq(name,
-          c("Exchange (hash|range|Single|round)"), c("\\bSort\\b"),
+          c("Exchange (hash|range|Single|[Rr]ound)"), c("\\bSort\\b"),
           c("CartesianProduct"), c("BroadcastNestedLoopJoin"),
           c("SortAggregate"), c("ObjectHashAggregate"),
           c("MapPartitions|mapelements|MapElements|DeserializeToObject"),

@@ -94,21 +94,36 @@ object T {
   private def footerStats(dir: String, name: String): (Long, Long) =
     rgCache.computeIfAbsent(s"$dir/$name.parquet", { p =>
       try {
-        val f = new java.io.File(p)
-        val files: Seq[java.io.File] =
-          if (f.isDirectory) f.listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
-          else Seq(f)
+        // Resolve listing AND reading through the Hadoop FileSystem of the
+        // path's scheme (r16, advisor/verdict item 7): the old
+        // java.io.File listing silently hit the catch-all on any
+        // non-local dir (hdfs://, s3a://), disabling spread/row-aware
+        // sizing exactly where an unsplittable layout might occur.
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(conf)
+        val status = fs.getFileStatus(path)
+        val files: Seq[org.apache.hadoop.fs.Path] =
+          if (status.isDirectory)
+            fs.listStatus(path).toSeq.map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+          else Seq(path)
         var groups = 0L; var rows = 0L
         files.foreach { file =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(file.getAbsolutePath),
-            new org.apache.hadoop.conf.Configuration())
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try { groups += r.getRowGroups.size(); rows += r.getRecordCount }
           finally r.close()
         }
         (groups, rows)
-      } catch { case _: Throwable => (Long.MaxValue, 0L) }
+      } catch {
+        case e: Throwable =>
+          // fail toward identity/more-parallelism, but say so once
+          System.err.println(
+            s"[graft] footer stats unavailable for $p (${e.getClass.getSimpleName}); " +
+              "spread/row-aware sizing degrade to identity for this table")
+          (Long.MaxValue, 0L)
+      }
     })
 
   private def scanTasks(s: SparkSession, dir: String, name: String): Long =
@@ -124,6 +139,18 @@ object T {
     case 0L => Long.MaxValue
     case n => n
   }
+
+  /** Explicit partition count for a CPU-bound per-row stage fed by a
+    * source table: enough tasks to spread the rows (`rowsPerTask` per
+    * task), capped at the session's parallelism — the same row-aware
+    * sizing as textops' docParts (r15), shared so per-operator
+    * repartitions scale with the input instead of hard-coding a core
+    * count. Unreadable footers size to full parallelism (tableRows =
+    * Long.MaxValue), never toward serializing the work. */
+  def sizedParts(s: SparkSession, dir: String, name: String,
+      rowsPerTask: Long = 4096L): Int =
+    math.max(2L, math.min(s.sparkContext.defaultParallelism.toLong,
+      tableRows(dir, name) / rowsPerTask)).toInt
 
   /** Normalize however the generator wrote time columns onto plain
     * TIMESTAMP: TIMESTAMP_NTZ casts over (identity under the pinned UTC

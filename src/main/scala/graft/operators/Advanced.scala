@@ -97,6 +97,13 @@ object Advanced {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       T(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        // r16 (guide §2.5): the window input is CPU-bound on few bytes, so
+        // AQE's byte-based coalescing ran both window passes on 2 tasks at
+        // bench scale (event-log measured). Size the window shuffle by the
+        // source rows; hash on the window's own partition key, so this is
+        // the ONLY exchange (ClusteredDistribution satisfied), and the
+        // later groupBy(user_id) reuses the same partitioning.
+        .repartition(T.sizedParts(s, dir, "events", 16384L), col("user_id"))
         .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
         .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
         .withColumn("sess_id", sum(col("is_new")).over(

@@ -19,13 +19,28 @@ object Custom {
       val ev = T(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
+      // r16 (guide §2.4 — remove shuffles outright): the explicit
+      // per-(user, ts) dedup (groupBy + max(event_id)) duplicated work
+      // the asof carry already does. With click_id as the rightTiebreak,
+      // equal-(user, ts) click rows sort ascending by click_id inside
+      // the window and the last-value carry picks the LARGEST — exactly
+      // the row the old aggregate kept. Ties stay well-defined, the
+      // dedup exchange + two hash aggregates disappear, and both event
+      // filters now feed one union stage (their scans overlap).
       val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").as("click_ts"))
-        .agg(max(col("event_id")).as("click_id"))
-        .select(col("user_id"), col("click_ts"), col("click_id"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
       AsofJoin.leftAsof(purchases, clicks,
           key = "user_id", leftTime = "ts", rightTime = "click_ts",
-          payload = Seq("click_id"))
+          payload = Seq("click_id"),
+          rightTiebreak = Seq("click_id"),
+          // Explicit window parallelization measured and REJECTED at
+          // bench scale (r16, guide §1.2): rows-sized parts=24 gave
+          // 0.604 s and parts=6 gave 0.460 s vs 0.393 s letting AQE
+          // coalesce (the 47k-row window is cheaper than the extra task
+          // + range-sample overhead). At large inputs AQE's byte-based
+          // sizing parallelizes this exchange on its own; leftAsof keeps
+          // the `parts` hook for callers whose input defeats it.
+          parts = 0)
         .orderBy("event_id")
     },
     Some("""

@@ -39,6 +39,15 @@ object AsofJoin {
     *                   share (key, rightTime) — the LARGEST tiebreak
     *                   value wins (it sorts last, so the carry picks it).
     *                   Without one, equal-time right rows tie arbitrarily.
+    * @param parts      explicit partition count for the window's
+    *                   key-shuffle (0 = leave it to the planner). The
+    *                   union+window input is CPU-bound on few bytes, so
+    *                   AQE's byte-based coalescing serializes it onto 1-2
+    *                   tasks at small inputs (guide §2.5); callers that
+    *                   know the input size pass a row-aware count
+    *                   (e.g. T.sizedParts) — the explicit hash
+    *                   repartition on the window's own key satisfies its
+    *                   ClusteredDistribution, so no second exchange.
     */
   def leftAsof(
       left: DataFrame,
@@ -47,7 +56,8 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil,
+      parts: Int = 0): DataFrame = {
     val leftCols = left.columns.toSeq
     val t = "__asof_t"
     val tag = "__asof_is_left"
@@ -82,7 +92,9 @@ object AsofJoin {
     // matched row stays NULL instead of inheriting a stale value from an
     // older right row (reference matches whole rows, asof.iq).
     val p = "__asof_p"
-    val carried = lTagged.unionByName(rTagged)
+    val unioned0 = lTagged.unionByName(rTagged)
+    val unioned = if (parts > 0) unioned0.repartition(parts, col(key)) else unioned0
+    val carried = unioned
       .withColumn(p,
         when(col(tag) === 0, struct((payload :+ rightTime).map(col): _*)))
       .withColumn(p, last(col(p), ignoreNulls = true).over(w))

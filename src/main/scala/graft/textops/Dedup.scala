@@ -60,9 +60,13 @@ object Dedup {
     // sf0.1 (measured: 270–325 ms signature stage, 2 tasks). At large
     // inputs the min() caps at defaultParallelism exactly as before —
     // the constants only decide how soon full parallelism engages.
+    // clamp in Long BEFORE the Int conversion (r16, advisor): on the
+    // stat-failure path (bytes = Long.MaxValue) the old `.toInt` wrapped
+    // negative and the outer max() silently serialized the exact
+    // workload this sizing exists to spread.
     val rows = T.tableRows(dir, "documents")
-    math.max(2, math.min(s.sparkContext.defaultParallelism,
-      math.max(bytes / (1L << 20), rows / 512L).toInt))
+    math.max(2, math.min(s.sparkContext.defaultParallelism.toLong,
+      math.max(bytes / (1L << 20), rows / 512L)).toInt)
   }
 
   private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -374,15 +378,24 @@ object Dedup {
     * Jaccard pair graph (d04's relation), with the component's minimum
     * doc_id as the canonical representative — the step that turns
     * pairwise near-dup hits into keep/drop decisions in a training
-    * pipeline. Distributed label propagation: every doc starts labeled
-    * with itself; each round takes the min of its own and its
-    * neighbors' labels; convergence after O(component diameter) rounds
-    * — each round is one join + one aggregate, lineage cut per round
-    * with an eager localCheckpoint so the plan stays flat at any
-    * iteration count. Near-dup components are tiny by construction
-    * (dozens of docs, not millions), so the loop converges in a few
-    * rounds at any corpus size. Oracle: DuckDB transitive closure via
-    * WITH RECURSIVE + MIN over the reachable set. */
+    * pipeline.
+    *
+    * r16 rewrite (guide §2.4 — do fewer shuffles, iterate over less):
+    * propagation runs over the PAIR-GRAPH VERTICES only, not the corpus.
+    * A doc with no near-dup edge keeps component = doc_id by
+    * construction, so the old corpus-sized label relation paid a full
+    * join + aggregate over every document per round for rows that could
+    * never change; near-dup docs are a small fraction of any corpus, so
+    * each round now touches only the subgraph, and ONE final
+    * broadcast-sized left join stamps the components onto the corpus.
+    * Each round is min-of-neighbors label propagation PLUS pointer
+    * doubling (component ← component[component], the union-find
+    * "shortcut" step), so convergence takes O(log diameter) rounds
+    * instead of O(diameter); the convergence count rides the
+    * checkpointed frame instead of re-joining the previous labels.
+    * Lineage is cut per round with an eager localCheckpoint so the plan
+    * stays flat at any iteration count. Oracle: DuckDB transitive
+    * closure via WITH RECURSIVE + MIN over the reachable set. */
   val d15_neardup_components = Q(
     (s, dir) => {
       val pairs = jaccardPairs(docShingles(s, dir), ShingleDfCap, 0.6)
@@ -390,8 +403,13 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .localCheckpoint(true)
-      var labels = T(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("component"))
+      // vertices of the pair graph (symmetric, so doc_a covers both
+      // ends), seeded straight to min(self, neighbors) — the same
+      // aggregation a distinct would cost, but it folds the first
+      // propagation round into the init, so most corpora (near-dup
+      // components are near-cliques) converge in a single loop round.
+      var labels = edges.groupBy(col("doc_a").as("doc_id"))
+        .agg(min(least(col("doc_b"), col("doc_a"))).as("component"))
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
@@ -399,20 +417,39 @@ object Dedup {
           .join(labels, col("doc_a") === col("doc_id"))
           .groupBy(col("doc_b").as("nid"))
           .agg(min(col("component")).as("nbr_min"))
-        val next = labels
-          .join(nbrMin, col("doc_id") === col("nid"), "left")
+        // every vertex has >= 1 edge, so the join is inner; labels only
+        // ever hold ids of vertices IN the graph, so the shortcut lookup
+        // (component -> that vertex's component) always hits.
+        val prop = labels
+          .join(nbrMin, col("doc_id") === col("nid"))
           .select(col("doc_id"),
-            least(col("component"), coalesce(col("nbr_min"), col("component")))
-              .as("component"))
-          .localCheckpoint(true)
-        changed = next
-          .join(labels.select(col("doc_id").as("pid"), col("component").as("old")),
-            col("doc_id") === col("pid"))
-          .filter(col("component") =!= col("old"))
-          .count()
-        labels = next
+            least(col("component"), col("nbr_min")).as("component"),
+            (col("nbr_min") < col("component")).as("chg"))
+          .localCheckpoint(true) // the shortcut self-joins this frame
+        changed = prop.filter(col("chg")).count()
+        labels =
+          if (changed == 0) prop.drop("chg") // fixpoint: labels constant
+          // per component already, so the shortcut would be the identity
+          else prop
+            .join(prop.select(col("doc_id").as("cid"), col("component").as("c2")),
+              col("component") === col("cid"), "left")
+            .select(col("doc_id"),
+              coalesce(col("c2"), col("component")).as("component"))
+            .localCheckpoint(true)
       }
-      labels
+      // Stamp components onto the corpus. The checkpointed labels frame
+      // has no stats (LogicalRDD defaults to "huge"), so the planner
+      // would sort-merge-join — a full corpus shuffle. Labels are
+      // MATERIALIZED here, so decide from the real count: broadcast
+      // while the vertex set is broadcast-sized, shuffle only beyond
+      // (size-aware, not a blind hint).
+      val compMap = labels.withColumnRenamed("doc_id", "vid")
+      val sized =
+        if (labels.count() <= 5000000L) broadcast(compMap) else compMap
+      T(s, dir, "documents").select(col("doc_id"))
+        .join(sized, col("doc_id") === col("vid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
         .withColumn("is_canonical", col("doc_id") === col("component"))
         .orderBy("doc_id")
     },

@@ -78,6 +78,46 @@ class JaccardIndexSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("T.spread's repartition branch preserves rows exactly") {
+    // r16 (advisor): the sf0.001 gate below only exercises the identity
+    // branch; force the REPARTITION branch with a 1-row-group table big
+    // enough to clear the rows-per-core floor (4096 * 4 cores).
+    val dir = java.nio.file.Files.createTempDirectory("spreadtest").toString
+    val n = 20000L
+    spark.range(n).selectExpr("id AS k", "id % 97 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/big.parquet")
+    val base = T(spark, dir, "big")
+    val spreadDf = T.spread(spark, dir, "big", "k")
+    assert(spreadDf.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "the spread gate must fire on a 1-row-group table with enough rows")
+    assert(spreadDf.count() == n)
+    assert(spreadDf.exceptAll(base).isEmpty && base.exceptAll(spreadDf).isEmpty)
+  }
+
+  test("d15 label propagation matches brute-force union-find over d04 pairs") {
+    // r16 gate for the subgraph + pointer-doubling rewrite: components
+    // computed distributed must equal a plain Scala union-find (with
+    // min-id roots) over the same verified pair list.
+    val pairs = run("d04_jaccard_pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val docs = T(spark, sfDir, "documents")
+      .select("doc_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.map(d => d -> find(d)).toMap
+    val got = run("d15_neardup_components")
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(pairs.nonEmpty, "fixture must contain at least one near-dup pair")
+  }
+
   test("T.spread returns exactly the base table's rows") {
     val base = T(spark, sfDir, "lineitem").select("l_orderkey", "l_linenumber")
     val spreadDf = T.spread(spark, sfDir, "lineitem", "l_orderkey")
