@@ -160,10 +160,39 @@ object Dedup {
     // hot-bucket self-join, so the cap still bounds the quadratic work.
     // Only 16-byte pair rows and 8-byte counts ever shuffle; results are
     // bit-identical (integer counts, same final double division).
-    val ex = shingles.select(col("doc_id"), explode(col("ws")).as("sh"))
-    val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("sh"))
-    val cold = ex.join(hot, Seq("sh"), "left_anti")
+    // r16: ONE exchange above the explode, keyed on the shingle, that
+    // every consumer reuses. Shingling is a typed mapPartitions, which
+    // sits ABOVE the scan exchange — so each plan branch that read the
+    // shingle relation re-ran the CPU-heavy shingling (the executed r15
+    // plan shows 3 MapPartitions evaluations: the inverted index, the
+    // self-join's build side, and the sizes branch). Repartitioning the
+    // EXPLODED rows by `sh` makes the df aggregate, the anti/semi hot
+    // joins and BOTH self-join sides consume one AQE-reused exchange
+    // with no further shuffle (hashpartitioning(sh) satisfies each), so
+    // the corpus is shingled once and the exploded strings cross the
+    // network once instead of twice. Sizes are aggregated off the same
+    // exchange (sz rides the exploded rows; every doc emits >= 1 row).
+    // the explicit isnotnull matches the filter the self-join infers on
+    // its keys — without it the sizes branch (which doesn't join on sh)
+    // gets a filterless copy of the subtree and AQE cannot reuse the
+    // exchange. Dropping null shingles changes nothing: a null never
+    // equi-joins, and the short-doc sentinel rows they come from can
+    // never appear in a pair (pairs need a shared real shingle).
+    val ex = shingles
+      .select(col("doc_id"), explode(col("ws")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .repartition(col("sh"))
+    // Document frequency per shingle as a WINDOW over the shared
+    // exchange (partitionBy(sh) is satisfied by the repartition, so no
+    // further shuffle): df-filtering by window keeps every consumer's
+    // input projection IDENTICAL — (doc_id, sh) — which is what lets
+    // AQE reuse the one exchange everywhere. A separate groupBy-based
+    // hot list would prune to (sh) below its exchange and fork a second
+    // shingle+explode evaluation (observed in the executed plan). The
+    // window's local sort on sh also pre-orders both self-join sides.
+    val wdf = ex.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+    val cold = wdf.filter(col("df") <= maxDf).select(col("doc_id"), col("sh"))
     // candidate pairs + their cold-shingle intersection count in ONE
     // aggregation over the capped self-join
     val pairsCold = cold.select(col("doc_id").as("doc_a"), col("sh"))
@@ -173,13 +202,19 @@ object Dedup {
       .agg(count(lit(1)).as("inter_cold"))
     // hot-shingle membership is the Zipf head: count, per candidate
     // pair, the hot shingles BOTH docs contain — keyed joins only
-    val memHot = ex.join(hot, Seq("sh"), "left_semi")
+    val memHot = wdf.filter(col("df") > maxDf).select(col("doc_id"), col("sh"))
     val interHot = pairsCold.select(col("doc_a"), col("doc_b"))
       .join(memHot.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(memHot.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_hot"))
-    val sizes = shingles.select(col("doc_id"), col("sz"))
+    // per-doc shingles are distinct, so |S_d| = d's row count in ex;
+    // count(sh) (not count(*)) keeps sh referenced so the projection —
+    // and therefore the reused exchange — stays identical to the join
+    // branches'. Only docs appearing in pairs are ever looked up, and
+    // those always have real shingle sets, so sz == size(ws) exactly.
+    val sizes = ex.groupBy(col("doc_id"))
+      .agg(count(col("sh")).as("sz"))
     pairsCold
       .join(interHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("inter", col("inter_cold") + coalesce(col("inter_hot"), lit(0L)))
