@@ -344,9 +344,16 @@ object Dedup {
       // are a subset of the corpus, and the byte-based default let AQE
       // serialize this per-row CPU stage onto ~2 tasks (measured
       // 157–237 ms re-shingle stage at sf0.1).
+      // .repartition(doc_id) ABOVE the shingling (r16): both verification
+      // joins consume `sets` (as ws_a and ws_b), and without an exchange
+      // boundary over the mapPartitions each branch re-shingled the
+      // candidates (2 MapPartitions in the executed plan). The exchange
+      // is candidate-bounded and AQE-reused by both join sides, so the
+      // candidate docs are shingled exactly once.
       val sets = Dedup.shingleOf(s,
         T(s, dir, "documents").join(candDocs, Seq("doc_id"), "left_semi"),
         docParts(s, dir))
+        .repartition(col("doc_id"))
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), Seq("doc_b"))
